@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (test tooling only —
+the engine itself is pure Scala/Spark).
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views
+over sfDir's parquet tables, and compares: schema (column names),
+row count, and value equality after sorting columns by name and rows
+by all columns.
+"""
+import sys, json, glob, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) or
+                              str(type(v)).endswith("ndarray'>") else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
+    return df
+
+def values_equal(a, b) -> bool:
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf or abs(af - bf) < 1e-9
+    return a == b
+
+def compare(name, spark_df, duck_df):
+    sn, dn = norm(spark_df), norm(duck_df)
+    if list(sn.columns) != list(dn.columns):
+        return f"SCHEMA spark={list(sn.columns)} duck={list(dn.columns)}"
+    if len(sn) != len(dn):
+        return f"ROWS spark={len(sn)} duck={len(dn)}"
+    for c in sn.columns:
+        sv, dv = sn[c].tolist(), dn[c].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            an, bn = pd.isna(a), pd.isna(b)
+            if hasattr(an, "__len__"): an = False
+            if hasattr(bn, "__len__"): bn = False
+            if an and bn:
+                continue
+            if an != bn or not values_equal(a, b):
+                return f"VALUE col={c} row={i} spark={a!r} duck={b!r}"
+    return None
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING spark output"
+            continue
+        try:
+            spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                                 ignore_index=True)
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            results[name] = f"SQL-FAIL {str(e)[:200]}"
+            continue
+        results[name] = compare(name, spark_df, duck_df) or "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in results.items():
+        print(("PASS " if v == "OK" else "FAIL ") + name + ("" if v == "OK" else f"  -> {v}"))
+    print(f"\n{n_ok}/{len(results)} queries match")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()

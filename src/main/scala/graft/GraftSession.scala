@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build a correctly-configured session.
+  *
+  * Scale posture (the same settings that matter on a real cluster):
+  *  - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *    splitting, and dynamic broadcast-join demotion/promotion.
+  *  - shuffle.partitions sized to the parallelism actually available
+  *    (32 locally; on a 1000-executor cluster this would be a multiple
+  *    of total cores — AQE coalesces the excess either way).
+  *  - UTC session timezone so results hash-match the DuckDB oracle.
+  *  - nanosAsLong for the driver's TIMESTAMP(NANOS) events table.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${defaultCpus}]",
+              shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.max(4, Runtime.getRuntime.availableProcessors()))
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft-required runtime confs to an externally-built session
+    * (e.g. the driver's own). Only sets what is safe to set at runtime. */
+  def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
+}

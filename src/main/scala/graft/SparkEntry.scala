@@ -1,13 +1,544 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Movements, Relational}
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import graft.multimodal.Multimodal
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is defined twice: as a Spark plan (the engine under
+  * test) and as ANSI-ish SQL for the DuckDB oracle. Both sides follow
+  * the same portability rules (see functions.Portable): decimal-exact
+  * sums, md5-based hashing, rounded ratios, explicit ORDER BY on a
+  * unique key so row order is deterministic everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's heatmap pipeline (SURVEY §3.3): top-k recent
+    * seconds → flatten → LOCF → per-position counts. */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = GraftSession.tune(spark)
+    Movements.heatmap(Tables.events(s, "/root/testdata/sf0.001"), userId = 1)
+  }
+
+  // ---- shared constants (both sides) ----
+  private val ChartFromSec = 1705276800L // 2024-01-15T00:00:00Z
+  private val SessionGapSec = 600L
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def q(f: (SparkSession, String) => DataFrame): Q =
+    (s, dir) => f(GraftSession.tune(s), dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map(
+    // ---- reference parity: movements pipeline (SURVEY §2/§3) ----
+    "mov_sec_counts" -> q((s, d) =>
+      Movements.perSecondCounts(ev(s, d)).orderBy("user_id", "sec")),
+    "mov_chart_sum" -> q((s, d) =>
+      Movements.chartSum(ev(s, d), ChartFromSec).orderBy("user_id")),
+    "mov_chart" -> q((s, d) =>
+      Movements.chart(ev(s, d), 1L).orderBy("sec")),
+    "mov_topk_recent" -> q((s, d) =>
+      Movements.topkRecent(ev(s, d), 1L, 10)),
+    "mov_locf" -> q((s, d) =>
+      Movements.locf(ev(s, d)).orderBy("user_id", "event_id")),
+    "mov_heatmap" -> q((s, d) =>
+      Movements.heatmap(ev(s, d), 1L).orderBy("cx", "cy")),
+    "mov_heatmap_max" -> q((s, d) =>
+      Movements.heatmapMax(ev(s, d), 1L)),
+    "mov_sentinel_stats" -> q((s, d) =>
+      Movements.sentinelStats(ev(s, d)).orderBy("user_id")),
+    "mov_sessions" -> q((s, d) =>
+      Movements.sessions(ev(s, d), SessionGapSec)
+        .orderBy("user_id", "session_id")),
+
+    // ---- relational coverage ----
+    "q1_pricing" -> q((s, d) =>
+      Relational.pricingSummary(Tables.lineitem(s, d))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_top_orders" -> q((s, d) =>
+      Relational.topUnshippedOrders(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_region_revenue" -> q((s, d) =>
+      Relational.regionRevenue(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("n_name")),
+    "join_semi_segments" -> q((s, d) =>
+      Relational.segmentsWithOrders(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy("c_mktsegment")),
+    "join_anti_customers" -> q((s, d) =>
+      Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy("c_custkey")),
+    "join_outer_stats" -> q((s, d) =>
+      Relational.customerOrderStats(Tables.customer(s, d), Tables.orders(s, d))
+        .orderBy("c_custkey")),
+    "win_rank_orders" -> q((s, d) =>
+      Relational.topOrdersPerCustomer(Tables.orders(s, d))
+        .orderBy("o_custkey", "rn")),
+    "win_lag_gaps" -> q((s, d) =>
+      Relational.orderGaps(Tables.orders(s, d))
+        .orderBy("o_custkey", "o_orderkey")),
+    "win_running_volume" -> q((s, d) =>
+      Relational.runningSupplierVolume(Tables.lineitem(s, d))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")),
+    "agg_brand_suppliers" -> q((s, d) =>
+      Relational.brandSupplierCounts(Tables.part(s, d), Tables.lineitem(s, d))
+        .orderBy("p_brand")),
+    "set_intersect_active" -> q((s, d) =>
+      Relational.customersActiveBothYears(Tables.orders(s, d))
+        .orderBy("o_custkey")),
+    "set_except_churned" -> q((s, d) =>
+      Relational.customersChurned(Tables.orders(s, d))
+        .orderBy("o_custkey")),
+    "rollup_returns" -> q((s, d) =>
+      Relational.rollupSummary(Tables.lineitem(s, d))
+        .orderBy("returnflag", "linestatus")),
+    "pivot_priority_status" -> q((s, d) =>
+      Relational.priorityStatusPivot(Tables.orders(s, d))
+        .orderBy("o_orderpriority")),
+    "topk_lineitems" -> q((s, d) =>
+      Relational.topLineitems(Tables.lineitem(s, d))),
+    "agg_event_stats" -> q((s, d) =>
+      Relational.eventTypeStats(Tables.events(s, d))
+        .orderBy("event_type")),
+
+    // ---- text analysis ----
+    "doc_token_stats" -> q((s, d) =>
+      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_quality" -> q((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_langid" -> q((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_fingerprint" -> q((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- dedup ----
+    "dedup_exact" -> q((s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_minhash_sig" -> q((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_minhash_pairs" -> q((s, d) =>
+      Dedup.minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
+    "dedup_simhash" -> q((s, d) =>
+      Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> q((s, d) =>
+      Dedup.ngramJaccardTop(Tables.documents(s, d))),
+
+    // ---- similarity search ----
+    "knn_brute" -> q((s, d) =>
+      Knn.bruteForce(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+    "knn_ivf_assign" -> q((s, d) =>
+      Knn.ivfAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "emb_norms" -> q((s, d) =>
+      Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
+
+    // ---- multimodal plumbing ----
+    "mm_meta" -> q((s, d) =>
+      Multimodal.metaQuery(Tables.documents(s, d)).orderBy("doc_id")),
+  )
+
+  // ================= oracle SQL =================
+
+  /** Canonical event CTE: both time grains, positions, sentinel rule —
+    * the SQL mirror of Tables.events + Movements.positioned. */
+  private val EV =
+    """ev AS (
+      |  SELECT event_id, user_id, event_type, value, props,
+      |         epoch_ns(ts) AS ts_ns,
+      |         epoch_ns(ts) // 1000000000 AS sec
+      |  FROM events)""".stripMargin
+
+  private val POS =
+    s"""$EV,
+       |pos AS (
+       |  SELECT *,
+       |    CASE WHEN event_type <> 'error'
+       |         THEN CAST(floor(value / 10) AS INT) END AS x,
+       |    CASE WHEN event_type <> 'error'
+       |         THEN CAST(json_extract_string(props, '$$.k') AS INT) END AS y
+       |  FROM ev)""".stripMargin
+
+  private val TOKS =
+    "toks AS (SELECT *, string_split(text, ' ') AS t FROM documents)"
+
+  private val ShinglesSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(range(1, len(t) - 1),
+      |           i -> array_to_string(list_slice(t, i, i + 2), ' '))
+      |      ELSE [] END) AS shingle
+      |  FROM toks)""".stripMargin
+
+  private val MinhashSigSql = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(i => s"min(substr(md5('$i:' || shingle), 1, 16)) AS mh$i")
+      .mkString(", ")
+    s"""WITH $TOKS, $ShinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+
+  private val HeatmapBase =
+    s"""WITH $POS,
+       |u AS (SELECT * FROM pos WHERE user_id = 1),
+       |recent AS (SELECT sec FROM u GROUP BY sec ORDER BY sec DESC LIMIT 10),
+       |w AS (
+       |  SELECT u.*,
+       |    last_value(x IGNORE NULLS) OVER lw AS cx,
+       |    last_value(y IGNORE NULLS) OVER lw AS cy
+       |  FROM u JOIN recent USING (sec)
+       |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |hm AS (
+       |  SELECT cx, cy, count(*) AS value FROM w
+       |  WHERE cx IS NOT NULL GROUP BY cx, cy)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "mov_sec_counts" ->
+      s"""WITH $EV
+         |SELECT user_id, sec, count(*) AS cnt FROM ev
+         |GROUP BY user_id, sec ORDER BY user_id, sec""".stripMargin,
+
+    "mov_chart_sum" ->
+      s"""WITH $EV
+         |SELECT user_id, count(*) AS total_events FROM ev
+         |WHERE sec > $ChartFromSec GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mov_chart" ->
+      s"""WITH $EV
+         |SELECT sec,
+         |  lpad(CAST((sec // 3600) % 24 AS VARCHAR), 2, '0') || ':' ||
+         |  lpad(CAST((sec // 60) % 60 AS VARCHAR), 2, '0') || ':' ||
+         |  lpad(CAST(sec % 60 AS VARCHAR), 2, '0') AS label,
+         |  count(*) AS cnt
+         |FROM ev WHERE user_id = 1 GROUP BY sec ORDER BY sec""".stripMargin,
+
+    "mov_topk_recent" ->
+      s"""WITH $EV
+         |SELECT sec, count(*) AS cnt FROM ev WHERE user_id = 1
+         |GROUP BY sec ORDER BY sec DESC LIMIT 10""".stripMargin,
+
+    "mov_locf" ->
+      s"""WITH $POS
+         |SELECT user_id, event_id,
+         |  last_value(x IGNORE NULLS) OVER lw AS cx,
+         |  last_value(y IGNORE NULLS) OVER lw AS cy
+         |FROM pos
+         |WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "mov_heatmap" ->
+      s"""$HeatmapBase
+         |SELECT cx, cy, value FROM hm ORDER BY cx, cy""".stripMargin,
+
+    "mov_heatmap_max" ->
+      s"""$HeatmapBase
+         |SELECT max(value) AS max_value FROM hm""".stripMargin,
+
+    "mov_sentinel_stats" ->
+      s"""WITH $EV
+         |SELECT user_id, count(*) AS total,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS sentinels,
+         |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS moves
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mov_sessions" ->
+      s"""WITH $EV,
+         |g AS (
+         |  SELECT user_id, ts_ns,
+         |    CASE WHEN lag(ts_ns) OVER lw IS NULL
+         |           OR ts_ns - lag(ts_ns) OVER lw > ${SessionGapSec}000000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         |s AS (
+         |  SELECT user_id, ts_ns,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  (max(ts_ns) - min(ts_ns)) // 1000000000 AS duration_sec
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "join_semi_segments" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND year(o.o_orderdate) = 1995)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "join_anti_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "join_outer_stats" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "win_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_lag_gaps" ->
+      """SELECT o_custkey, o_orderkey,
+        |  (epoch_ms(o_orderdate) - lag(epoch_ms(o_orderdate)) OVER lw) // 86400000 AS gap_days
+        |FROM orders
+        |WINDOW lw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_running_volume" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER lw AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 10
+        |WINDOW lw AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "agg_brand_suppliers" ->
+      """SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "set_intersect_active" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "set_except_churned" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
+
+    "rollup_returns" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "pivot_priority_status" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "topk_lineitems" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    "agg_event_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "doc_token_stats" ->
+      s"""WITH $TOKS
+         |SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars_text,
+         |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |        / len(t), 4) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "doc_quality" ->
+      s"""WITH $TOKS
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS n_stopwords,
+         |  round(CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
+         |        / len(t), 4) AS stop_ratio,
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "doc_langid" ->
+      s"""WITH $TOKS,
+         |sc AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    len(list_filter(t, x -> x IN ('the','and','of','is'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('el','la','de','que'))) AS s_es,
+         |    len(list_filter(t, x -> x IN ('der','die','und','das'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('le','la','et','les'))) AS s_fr
+         |  FROM toks)
+         |SELECT doc_id, labeled_lang, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp,
+        |  length(text) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""$MinhashSigSql
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM band a JOIN band b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val hexSet = "('8','9','a','b','c','d','e','f')"
+      val sums = (1 to 16).map(i =>
+        s"CAST(sum(CASE WHEN substr(md5(tok), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+        .mkString(", ")
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |agg AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
+         |SELECT doc_id, $bits AS simhash16 FROM agg ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2,
+         |  round(CAST(n_common AS DOUBLE) / (s1.n_sh + s2.n_sh - n_common), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, e.vec_id, ${cosSql("qvec", "e.embedding")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "knn_ivf_assign" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (SELECT vec_id, centroid_id, cos_sim,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos_sim DESC, centroid_id) AS rn
+         |      FROM s)
+         |SELECT vec_id, centroid_id, cos_sim AS centroid_sim
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_norms" ->
+      s"""SELECT vec_id, len(embedding) AS dim,
+         |  round(sqrt(${dotSql("embedding", "embedding")}), 4) AS l2_norm,
+         |  label
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS INT) % 640 AS width,
+        |  (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver's parquet tables (TESTDATA.md).
+  *
+  * All engine code reads tables through here so schema quirks are handled
+  * in exactly one place. The one real quirk: `events.parquet` stores `ts`
+  * as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+  * we read it with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+  * [[GraftSession]]) and expose both the raw nanos (`ts_ns`) and a
+  * truncated epoch-second column (`sec`), mirroring the reference's two
+  * time grains (millis events / second aggregates — see SURVEY.md §1.1,
+  * reference functions.js:49-58).
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Events with both time grains materialized:
+    *  - `ts_ns`  — raw epoch nanos (long), the event-time grain
+    *  - `sec`    — epoch seconds (long), the aggregate grain
+    *               (integer division: exact, no double rounding)
+    *  - `ts`     — TimestampType at micros for window/streaming ops
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet has TIMESTAMP(NANOS); session must set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession)")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+}

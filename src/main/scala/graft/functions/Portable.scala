@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable building blocks.
+  *
+  * Every helper here is defined so the identical value is computable in
+  * ANSI-ish SQL on another engine (the DuckDB oracle): deterministic,
+  * no engine-specific hash functions, no float accumulation ambiguity.
+  *
+  *  - Hashing is md5-hex based (md5 is bit-identical everywhere); a
+  *    "hash value" is a fixed-width hex string, so MIN() over it is a
+  *    numeric min (fixed-length hex compares lexicographically).
+  *  - Vector math casts float → double element-wise and folds
+  *    left-to-right, matching a sequential dot product.
+  *  - All fractional outputs are rounded at a stated precision before
+  *    they leave an operator.
+  *
+  * These run inside whole-stage codegen (built-in expressions only — no
+  * Scala UDFs), so they vectorize on a real cluster.
+  */
+object Portable {
+
+  /** 64-bit-equivalent portable hash: first 16 hex chars of md5. */
+  def hex16(c: Column): Column = substring(md5(c), 1, 16)
+
+  /** Seeded portable hash for minhash families: md5(seed || ":" || v). */
+  def seededHex16(seed: Int, c: Column): Column =
+    substring(md5(concat(lit(seed.toString + ":"), c)), 1, 16)
+
+  /** Tokenize on single spaces (the documents table is single-space
+    * separated; literal split keeps Spark and DuckDB aligned). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (default 3). Empty array when the document is
+    * shorter than n tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Sequential double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity rounded to `scale` decimals (default 4). */
+  def cosine(a: Column, b: Column, scale: Int = 4): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), scale)
+
+  /** Exact decimal sum of a double column: cast to DECIMAL(18,4) before
+    * summing so the aggregate is order-independent and engine-exact,
+    * then back to double rounded to `scale`. */
+  def exactSum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), scale)
+
+  /** Exact decimal sum of a product of two double columns. */
+  def exactSumProd(a: Column, b: Column, scale: Int = 2): Column =
+    round(sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("double"), scale)
+}

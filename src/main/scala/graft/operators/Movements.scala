@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Reference-parity pipeline (SURVEY.md §2-§3): the mouse-movement
+  * analytics of dmtraverso/kinesis-demo re-expressed over the driver's
+  * `events` table.
+  *
+  * Mapping of the reference's data model onto the test schema:
+  *  - stream key `user_id`           → events.user_id (functions.js:212)
+  *  - event time millis `Time`       → events.ts_ns   (functions.js:255)
+  *  - aggregate grain epoch-seconds  → `sec = ts_ns div 1e9` (functions.js:49-52)
+  *  - page position (X, Y)           → derived ints
+  *      x = floor(value / 10), y = props.k   (both deterministic)
+  *  - heartbeat sentinel {0,0}       → event_type = 'error'
+  *      ("mouse stayed at previous position", functions.js:363-371)
+  *
+  * Every operator is a pure DataFrame → DataFrame function: Catalyst
+  * sees the whole plan, so filter/projection pushdown into the parquet
+  * scan and partial aggregation are automatic. At cluster scale the
+  * only shuffles are the keyed aggregations themselves.
+  */
+object Movements {
+
+  /** Sentinel classification (SURVEY P5, functions.js:365). */
+  def isSentinel: Column = col("event_type") === "error"
+
+  /** Canonical event view with derived position columns.
+    * Sentinel rows get NULL position (they mean "no new position"). */
+  def positioned(events: DataFrame): DataFrame =
+    events
+      .withColumn("x", when(!isSentinel, floor(col("value") / 10).cast("int")))
+      .withColumn("y", when(!isSentinel,
+        get_json_object(col("props"), "$.k").cast("int")))
+
+  /** A1+A2 — the core server-side operator: per (user, second) event
+    * count plus retained raw events (`movs`), sorted for determinism
+    * (reference retention order = arrival order, functions.js:361-362). */
+  def perSecond(events: DataFrame): DataFrame =
+    positioned(events)
+      .groupBy(col("user_id"), col("sec"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sort_array(collect_list(struct(col("ts_ns"), col("x"), col("y"))))
+          .as("movs"))
+
+  /** A1 without retention — the oracle-facing per-second count. */
+  def perSecondCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("sec")).agg(count(lit(1)).as("cnt"))
+
+  /** A3 + P1/P2 — incremental chart poll: total events per user strictly
+    * after a continuation token (functions.js:151-187). */
+  def chartSum(events: DataFrame, fromSec: Long): DataFrame =
+    events
+      .filter(col("sec") > fromSec)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"))
+
+  /** P3/F4 — chart projection: per-second counts with display label
+    * (functions.js:276-280) for one user. */
+  def chart(events: DataFrame, userId: Long): DataFrame =
+    perSecondCounts(events.filter(col("user_id") === userId))
+      .select(
+        col("sec"),
+        date_format(timestamp_seconds(col("sec")), "HH:mm:ss").as("label"),
+        col("cnt"))
+
+  /** O1-O3 — keyed range scan, newest first, top-k
+    * (reverse=true&limit=k, functions.js:351). Plans as
+    * TakeOrderedAndProject — no global sort at scale. */
+  def topkRecent(events: DataFrame, userId: Long, k: Int): DataFrame =
+    perSecondCounts(events.filter(col("user_id") === userId))
+      .select(col("sec"), col("cnt"))
+      .orderBy(col("sec").desc)
+      .limit(k)
+
+  /** W1 — LOCF: carry the last real position over sentinel rows, in
+    * per-user event-time order (functions.js:363-390). Leading
+    * sentinels keep NULL (the `if (id)` drop-guard, functions.js:381). */
+  def locf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positioned(events)
+      .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
+      .withColumn("cy", last(col("y"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("cx"), col("cy"))
+  }
+
+  /** §3.3 — the full heatmap pipeline for one user: most recent `k`
+    * seconds → flatten → LOCF → per-position counts (functions.js:333-418).
+    *
+    * Composition note: the recent-seconds limit runs first
+    * (TakeOrderedAndProject on a single user's data), so the window
+    * function and the (x,y) aggregation only ever see ~k seconds of
+    * events regardless of table size.
+    */
+  def heatmap(events: DataFrame, userId: Long, k: Int = 10): DataFrame = {
+    val user = events.filter(col("user_id") === userId)
+    val recent = user.groupBy(col("sec")).agg(count(lit(1)).as("c"))
+      .orderBy(col("sec").desc).limit(k).select(col("sec"))
+    val inWindow = user.join(broadcast(recent), "sec")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positioned(inWindow)
+      .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
+      .withColumn("cy", last(col("y"), ignoreNulls = true).over(w))
+      .filter(col("cx").isNotNull)
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("value"))
+  }
+
+  /** A5 — heatmap intensity ceiling: global max of per-position counts
+    * (functions.js:357,388). */
+  def heatmapMax(events: DataFrame, userId: Long, k: Int = 10): DataFrame =
+    heatmap(events, userId, k).agg(max(col("value")).as("max_value"))
+
+  /** P5/A6 — sentinel vs movement counts per user (functions.js:365;
+    * running total events_tracked, functions.js:19,257). */
+  def sentinelStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(isSentinel, 1L).otherwise(0L)).as("sentinels"),
+        sum(when(!isSentinel, 1L).otherwise(0L)).as("moves"))
+
+  /** Sessionization — gap-based session assignment (extension of the
+    * reference's implicit per-poll batching to a real session op).
+    * A new session starts when the gap to the previous event of the
+    * same user exceeds `gapSec`. */
+  def sessions(events: DataFrame, gapSec: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > gapSec * 1000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ns")).as("min_ns"),
+        max(col("ts_ns")).as("max_ns"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(max_ns - min_ns) div 1000000000").as("duration_sec"))
+  }
+}

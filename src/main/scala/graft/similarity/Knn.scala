@@ -1,0 +1,90 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline is brute-force cosine top-k: a broadcast of the (small)
+  * query set against a full scan of the vector table — one pass, no
+  * shuffle except the final per-query top-k. The scale path is IVF:
+  * assign vectors to coarse centroids once (shuffle on centroid id),
+  * then probe only matching cells — the probe join is an equi-join on
+  * `centroid_id`, so at 100 TB it touches 1/nlist of the data per
+  * query instead of everything.
+  *
+  * All vector math is double-precision sequential fold (Portable.dot)
+  * and similarity is rounded before ranking, so results hash-match a
+  * reference engine bit-for-bit.
+  */
+object Knn {
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries (a
+    * deterministic stand-in for an arbitrary query set). */
+  def bruteForce(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cand = embeddings
+      .select(col("vec_id"), col("embedding"))
+    val scored = cand.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Vector norms — sanity/inspection projection. */
+  def norms(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(l2norm(col("embedding")), 4).as("l2_norm"),
+      col("label"))
+
+  /** IVF coarse assignment: centroids = vectors with vec_id < nlist
+    * (deterministic stand-in for trained centroids — the assignment
+    * machinery, an argmax-join, is the real operator). Each vector maps
+    * to its max-cosine centroid. */
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("centroid_id"))
+    embeddings
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        cosine(col("embedding"), col("cvec")).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"),
+        col("cos_sim").as("centroid_sim"))
+  }
+
+  /** IVF probe: answer queries by searching only their centroid's cell
+    * (nprobe=1). Composes ivfAssign for both sides. */
+  def ivfSearch(embeddings: DataFrame, nQueries: Int = 5, k: Int = 3,
+                nlist: Int = 16): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist)
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("centroid_id").as("qcell"),
+        col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned
+      .join(broadcast(q), col("centroid_id") === col("qcell") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Text-analysis operators for a training-data pipeline: token stats,
+  * quality scoring, language ID, fingerprinting. All built from
+  * codegen'd built-in expressions (no UDFs), so they run inside
+  * whole-stage codegen and scale linearly with a parquet scan —
+  * the 100 TB shape is "one projection, zero shuffles".
+  */
+object TextAnalysis {
+
+  private val stopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  /** Token statistics per document: token count, char count, average
+    * token length (rounded; integer sums so exact everywhere). */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      length(col("text")).as("n_chars_text"),
+      round(
+        aggregate(transform(toks, t => length(t)), lit(0L), (a, v) => a + v)
+          .cast("double") / size(toks), 4).as("avg_token_len"))
+  }
+
+  /** Quality heuristics: stopword ratio, distinct-token ratio (a
+    * repetition detector), max single-token share. */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*)))
+    documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      nStop.as("n_stopwords"),
+      round(nStop.cast("double") / size(toks), 4).as("stop_ratio"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+        .as("distinct_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: score marker-token hits per language
+    * family, predict the argmax (deterministic tiebreak by language
+    * code order en < es < de < fr). */
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def score(markers: Seq[String]): Column =
+      size(filter(toks, t => t.isin(markers: _*)))
+    val sEn = score(Seq("the", "and", "of", "is"))
+    val sEs = score(Seq("el", "la", "de", "que"))
+    val sDe = score(Seq("der", "die", "und", "das"))
+    val sFr = score(Seq("le", "la", "et", "les"))
+    documents.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"),
+      when(sEn >= sEs && sEn >= sDe && sEn >= sFr, "en")
+        .when(sEs >= sDe && sEs >= sFr, "es")
+        .when(sDe >= sFr, "de")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** Document fingerprint: md5-based 64-bit-equivalent hash of the
+    * whitespace-normalized lowercase text (SURVEY — rolling-hash
+    * fingerprinting done portably). */
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      hex16(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
+      length(col("text")).as("n_chars_text"))
+}
