@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming re-expression of the reference's ingest path
+  * (SURVEY §3.1, functions.js:190-233 + the inferred Lambda):
+  *
+  *   JSON events keyed by user_id
+  *     → parse (from_json, fixed schema = the wire format of functions.js:211)
+  *     → event-time watermark
+  *     → tumbling 1-second window per user (the Lambda's ms→s truncation)
+  *     → count + retained raw events (`movs`, functions.js:361-362)
+  *     → update-mode sink (the DynamoDB UpdateItem upsert, PNG flow 4)
+  *
+  * The reference delegates ordering to Kinesis partition keys and
+  * silently drops late updates (SURVEY T4); here the late-data contract
+  * is explicit via the watermark.
+  *
+  * At scale: the aggregation state is hash-partitioned by
+  * (user_id, window) across executors; watermarks bound state size;
+  * `update` output mode emits only changed windows per micro-batch.
+  */
+object MouseStream {
+
+  /** Wire format of one mouse event (functions.js:252-256 + session
+    * key functions.js:212): {"user_id":…,"x":…,"y":…,"time":ms}. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("user_id", StringType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("time", LongType, nullable = false)))
+
+  case class MouseEvent(user_id: String, x: Int, y: Int, time: Long)
+
+  /** Parse a stream (or batch) of JSON lines into typed events, with
+    * the reference's negative-coordinate clamp (functions.js:248-249). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), eventSchema).as("e"))
+      .filter(col("e.user_id").isNotNull) // drop unparseable wire records
+      .select(
+        col("e.user_id").as("user_id"),
+        greatest(lit(0), col("e.x")).as("x"),
+        greatest(lit(0), col("e.y")).as("y"),
+        col("e.time").as("time"),
+        timestamp_millis(col("e.time")).as("ts"))
+
+  /** The core streaming aggregation (SURVEY A1+A2): per (user, 1s
+    * tumbling window) count + retained events. `lateness` is the
+    * explicit watermark the reference lacks. */
+  def aggregate(events: DataFrame, lateness: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), window(col("ts"), "1 second"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        collect_list(struct(col("x"), col("y"), col("time"))).as("movs"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("window.start")).as("sec"),
+        col("cnt"), col("movs"))
+
+  /** Ingest-to-memory-sink wiring: returns the started query. The
+    * in-memory table plays the role of the DynamoDB aggregate table;
+    * `Movements.range`-style reads go against it. */
+  def startToMemory(spark: SparkSession, events: DataFrame,
+                    tableName: String = "movements",
+                    lateness: String = "5 seconds"): StreamingQuery =
+    aggregate(events, lateness)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(tableName)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+
+  /** The REST query surface (functions.js:156, 312, 351) as typed
+    * Scala over the aggregate table — the three call shapes:
+    *   - incremental poll:  fromSec exclusive, ascending
+    *   - initial load:      reverse=true seeded at `now`
+    *   - heatmap read:      reverse + limit + raw `movs`
+    *
+    * In `update` mode the memory sink may hold several versions of a
+    * (user, sec) row — later micro-batches re-emit updated windows; the
+    * max-cnt row is the current state (counts only grow), mirroring the
+    * DynamoDB upsert the reference reads (SURVEY S6/S7).
+    */
+  def range(spark: SparkSession, table: String, userId: String, fromSec: Long,
+            reverse: Boolean = false, limit: Option[Int] = None,
+            includeRaw: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("sec"))
+      .orderBy(col("cnt").desc)
+    val base = spark.table(table)
+      .filter(col("user_id") === userId)
+      .filter(if (reverse) col("sec") <= fromSec else col("sec") > fromSec)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    val ordered = if (reverse) base.orderBy(col("sec").desc)
+                  else base.orderBy(col("sec").asc)
+    val limited = limit.fold(ordered)(ordered.limit)
+    if (includeRaw) limited else limited.drop("movs")
+  }
+
+  /** Client-side poll step (SURVEY §3.2): SUM(cnt) over rows after the
+    * continuation token, plus the advanced token (max sec seen). */
+  def pollSum(rows: DataFrame): (Long, Option[Long]) = {
+    val agg = rows.agg(
+      coalesce(sum(col("cnt")), lit(0L)).as("total"),
+      max(col("sec")).as("max_sec")).collect()(0)
+    (agg.getLong(0), Option(agg.get(1)).map(_.asInstanceOf[Long]))
+  }
+}

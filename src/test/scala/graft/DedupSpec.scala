@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"), // near dup
+    (3L, "completely different words about spark shuffles and partitions here"),
+    (4L, "x y")) // too short for 3-gram shingles
+    .toDF("doc_id", "text")
+    .withColumn("lang", lit("en"))
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val got = Dedup.exact(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L), (1L, 0L, 2L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 4L, 1L)))
+  }
+
+  test("minhash: identical docs share all signatures; short docs have none") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> (1 to Dedup.NumHashes).map(i => r.getString(i)))
+      .toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(3L))
+    assert(!sigs.contains(4L)) // no shingles → no signature
+  }
+
+  test("minhash LSH pairs include the exact duplicate pair") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs agree; hamming distance small for near-dups") {
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L) == sh(1L))
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("ngram jaccard ranks exact dup above near dup above disjoint") {
+    val top = Dedup.ngramJaccardTop(docs, k = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(top((0L, 1L)) == 1.0)
+    assert(top((0L, 2L)) > 0.5 && top((0L, 2L)) < 1.0)
+    assert(!top.contains((0L, 3L)))
+  }
+
+  test("language id picks the marker-heavy language deterministically") {
+    val d = Seq(
+      (0L, "the cat and the dog of the house is big", "en"),
+      (1L, "el gato la casa de que el perro la", "es")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.languageId(d).orderBy("doc_id").collect()
+      .map(_.getAs[String]("pred_lang"))
+    assert(got.toSeq == Seq("en", "es"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Movements
+
+/** Batch reference-parity operators against hand-built fixtures with
+  * known answers (SURVEY §5.1 — LOCF leading-sentinel drop, heatmap
+  * golden map, session gaps). */
+class MovementsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000L // ns per second
+
+  /** (event_id, user_id, event_type, value, k) → canonical events DF.
+    * x = floor(value/10); y = k; sentinel = event_type "error". */
+  private def mkEvents(rows: Seq[(Long, Long, String, Double, Int)]) =
+    rows.toDF("event_id", "user_id", "event_type", "value", "k")
+      .withColumn("props", concat(lit("{\"k\": "), col("k"), lit("}")))
+      .drop("k")
+      .withColumn("ts_ns", col("event_id") * S) // 1 event/sec
+      .withColumn("sec", expr("ts_ns div 1000000000"))
+
+  test("LOCF carries last real position over sentinels; leading sentinels stay null") {
+    val ev = mkEvents(Seq(
+      (0L, 1L, "error", 0.0, 0),   // leading sentinel: must stay NULL
+      (1L, 1L, "click", 25.0, 7),  // pos (2,7)
+      (2L, 1L, "error", 0.0, 0),   // carry (2,7)
+      (3L, 1L, "error", 0.0, 0),   // carry (2,7)
+      (4L, 1L, "view", 99.0, 3),   // pos (9,3)
+      (5L, 2L, "error", 0.0, 0)))  // other user, leading sentinel
+    val got = Movements.locf(ev).orderBy("user_id", "event_id")
+      .collect().map(r => (r.getLong(1), Option(r.get(2)), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      (0L, None, None),
+      (1L, Some(2), Some(7)),
+      (2L, Some(2), Some(7)),
+      (3L, Some(2), Some(7)),
+      (4L, Some(9), Some(3)),
+      (5L, None, None)))
+  }
+
+  test("heatmap counts carried positions and drops never-positioned rows") {
+    val ev = mkEvents(Seq(
+      (0L, 1L, "error", 0.0, 0),
+      (1L, 1L, "click", 25.0, 7),
+      (2L, 1L, "error", 0.0, 0),
+      (3L, 1L, "view", 25.0, 7),
+      (4L, 1L, "view", 99.0, 3)))
+    val got = Movements.heatmap(ev, 1L, k = 10).orderBy("cx", "cy")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // (2,7): real at t1, carried at t2, real at t3 = 3; (9,3): 1
+    assert(got.toSeq == Seq((2, 7, 3L), (9, 3, 1L)))
+  }
+
+  test("heatmap restricts to the k most recent seconds") {
+    val ev = mkEvents((0L until 20L).map(i => (i, 1L, "click", 10.0 * i, 1)))
+    // k=5 → seconds 15..19 → positions x = 15..19
+    val got = Movements.heatmap(ev, 1L, k = 5).collect()
+      .map(r => r.getInt(0)).sorted
+    assert(got.toSeq == Seq(15, 16, 17, 18, 19))
+  }
+
+  test("sessions split on gaps > threshold") {
+    val rows = Seq( // user 1: events at sec 0,1,2, then 1000,1001
+      (0L, 0L), (1L, 1L), (2L, 2L), (3L, 1000L), (4L, 1001L))
+      .toDF("event_id", "sec0")
+    val ev = rows
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{\"k\": 1}"))
+      .withColumn("ts_ns", col("sec0") * S)
+      .withColumn("sec", col("sec0"))
+    val got = Movements.sessions(ev, gapSec = 600)
+      .orderBy("session_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 1L)))
+  }
+
+  test("per-second aggregate retains sorted raw events") {
+    val ev = mkEvents(Seq((0L, 1L, "click", 25.0, 7)))
+      .withColumn("ts_ns", lit(5L * S + 123L))
+      .withColumn("sec", lit(5L))
+    val row = Movements.perSecond(ev).collect()(0)
+    assert(row.getAs[Long]("cnt") == 1L)
+    val movs = row.getAs[scala.collection.Seq[Row]]("movs")
+    assert(movs.map(m => (m.getLong(0), m.getInt(1), m.getInt(2))) ==
+      Seq((5L * S + 123L, 2, 7)))
+  }
+}

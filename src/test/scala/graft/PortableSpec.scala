@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Properties of the portable building blocks (SURVEY §5.2). */
+class PortableSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: count = max(0, n_tokens - 2); each shingle has 3 tokens") {
+    val texts = (0 to 12).map(n => (1 to n).map(i => s"w$i").mkString(" "))
+      .filter(_.nonEmpty)
+    val df = texts.toDF("text")
+      .select(col("text"), Portable.shingles(col("text")).as("sh"))
+    df.collect().foreach { r =>
+      val n = r.getString(0).split(" ").length
+      val sh = r.getSeq[String](1)
+      assert(sh.length == math.max(0, n - 2))
+      sh.foreach(s => assert(s.split(" ").length == 3))
+    }
+  }
+
+  test("cosine: self-similarity is 1, symmetric, in [-1, 1]") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(-1.0f, 0.5f, 2.0f, -3.0f)),
+      (2L, Array(0.1f, 0.1f, 0.1f, 0.1f))).toDF("id", "v")
+    val self = vecs.select(Portable.cosine(col("v"), col("v")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(self.forall(_ == 1.0))
+    val a = vecs.filter($"id" === 0).select(col("v").as("a"))
+    val b = vecs.filter($"id" === 1).select(col("v").as("b"))
+    val ab = a.crossJoin(b)
+    val c1 = ab.select(Portable.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    val c2 = ab.select(Portable.cosine(col("b"), col("a"))).collect()(0).getDouble(0)
+    assert(c1 == c2 && c1 >= -1.0 && c1 <= 1.0)
+  }
+
+  test("exactSum is order- and partitioning-independent (decimal accumulation)") {
+    val xs = (1 to 1000).map(i => i * 0.01 + 0.001)
+    val fwd = xs.toDF("x").agg(Portable.exactSum(col("x"), 4)).collect()(0).getDouble(0)
+    val rev = xs.reverse.toDF("x").repartition(7)
+      .agg(Portable.exactSum(col("x"), 4)).collect()(0).getDouble(0)
+    assert(fwd == rev)
+  }
+
+  test("hex16 is deterministic and 16 lowercase hex chars") {
+    val h = Seq("a", "b", "a").toDF("s")
+      .select(Portable.hex16(col("s")).as("h")).collect().map(_.getString(0))
+    assert(h(0) == h(2) && h(0) != h(1))
+    assert(h.forall(_.matches("[0-9a-f]{16}")))
+  }
+
+  test("per-window top-k totals match sort-take (property over events table)") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val topViaLimit = graft.operators.Movements.topkRecent(ev, 1L, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val all = graft.operators.Movements.perSecondCounts(
+      ev.filter(col("user_id") === 1L))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(-_._1).take(10)
+    assert(topViaLimit == all)
+  }
+
+  test("sum of per-second counts equals total events (conservation)") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val total = ev.count()
+    val summed = graft.operators.Movements.perSecondCounts(ev)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == summed)
+  }
+}

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One local session per suite; graft configs applied. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  def sf(dir: String): String = s"/root/testdata/$dir"
+}

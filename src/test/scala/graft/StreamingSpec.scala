@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.MouseStream
+
+/** End-to-end streaming slice (SURVEY §7.1): MemoryStream of JSON wire
+  * events → parse → watermarked 1s window agg → memory sink → range
+  * query API → poll SUM with continuation token. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def json(uid: String, x: Int, y: Int, ms: Long): String =
+    s"""{"user_id":"$uid","x":$x,"y":$y,"time":$ms}"""
+
+  test("ingest → window agg → range query → poll sum") {
+    val input = MemoryStream[String](spark)
+    val events = MouseStream.parse(input.toDF().withColumnRenamed("value", "value"))
+    val query = MouseStream.startToMemory(spark, events, "movements_t1")
+    try {
+      // second 100: 3 events; second 101: sentinel only; second 102: 2 events
+      input.addData(
+        json("u1", 10, 20, 100000),
+        json("u1", 11, 21, 100200),
+        json("u1", 12, 22, 100900),
+        json("u1", 0, 0, 101000),
+        json("u1", 30, 40, 102100),
+        json("u1", -5, 41, 102500), // negative x clamps to 0
+        json("u2", 7, 7, 100500))
+      query.processAllAvailable()
+
+      val rows = MouseStream.range(spark, "movements_t1", "u1", fromSec = 99L)
+      val bySec = rows.collect().map(r =>
+        r.getAs[Long]("sec") -> r.getAs[Long]("cnt")).toMap
+      assert(bySec == Map(100L -> 3L, 101L -> 1L, 102L -> 2L))
+
+      // poll: total and continuation token
+      val (total, token) = MouseStream.pollSum(rows)
+      assert(total == 6L && token.contains(102L))
+
+      // incremental poll after token: nothing new yet
+      val (t2, tok2) = MouseStream.pollSum(
+        MouseStream.range(spark, "movements_t1", "u1", fromSec = token.get))
+      assert(t2 == 0L && tok2.isEmpty)
+
+      // late-but-in-watermark event updates its window
+      input.addData(json("u1", 13, 23, 100999))
+      query.processAllAvailable()
+      val updated = MouseStream.range(spark, "movements_t1", "u1", fromSec = 99L)
+        .filter(col("sec") === 100L).collect()(0)
+      assert(updated.getAs[Long]("cnt") == 4L)
+    } finally query.stop()
+  }
+
+  test("reverse + limit + raw movs (heatmap read shape)") {
+    val input = MemoryStream[String](spark)
+    val events = MouseStream.parse(input.toDF())
+    val query = MouseStream.startToMemory(spark, events, "movements_t2")
+    try {
+      input.addData((0 until 12).map(s =>
+        json("u1", s, s, 200000L + s * 1000L)): _*)
+      query.processAllAvailable()
+      val rows = MouseStream.range(spark, "movements_t2", "u1",
+        fromSec = 10000L, reverse = true, limit = Some(10), includeRaw = true)
+        .collect()
+      assert(rows.length == 10)
+      val secs = rows.map(_.getAs[Long]("sec")).toSeq
+      assert(secs == secs.sorted.reverse && secs.head == 211L)
+      assert(rows.head.getAs[scala.collection.Seq[Any]]("movs").nonEmpty)
+    } finally query.stop()
+  }
+
+  test("clamp: negative coordinates arrive as 0 (functions.js:248-249)") {
+    val df = MouseStream.parse(
+      Seq(json("u9", -3, -1, 5000)).toDF("value"))
+    val r = df.collect()(0)
+    assert(r.getAs[Int]("x") == 0 && r.getAs[Int]("y") == 0)
+  }
+}
