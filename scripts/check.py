@@ -34,7 +34,7 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) < 1e-9
+        return af == bf or abs(af - bf) < 1e-9 * max(1.0, abs(af), abs(bf))
     return a == b
 
 def compare(name, spark_df, duck_df):

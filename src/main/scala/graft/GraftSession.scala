@@ -35,6 +35,7 @@ object GraftSession {
   def get(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 
@@ -44,6 +45,7 @@ object GraftSession {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

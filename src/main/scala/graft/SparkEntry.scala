@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Movements, Relational}
+import graft.operators.{Movements, Relational, TimeSeries}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
+import graft.functions.FunctionCoverage
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +112,40 @@ object SparkEntry {
     "agg_event_stats" -> q((s, d) =>
       Relational.eventTypeStats(Tables.events(s, d))
         .orderBy("event_type")),
+    "agg_percentiles" -> q((s, d) =>
+      Relational.pricePercentiles(Tables.orders(s, d))
+        .orderBy("o_orderpriority")),
+    "agg_sketch" -> q((s, d) =>
+      Relational.sketchStats(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
+    "cube_returns" -> q((s, d) =>
+      Relational.cubeSummary(Tables.lineitem(s, d))
+        .orderBy("returnflag", "linestatus")),
+    "grouping_sets_events" -> q((s, d) =>
+      Relational.groupingSetsEvents(Tables.events(s, d))
+        .orderBy("event_type", "user_id")),
+    "join_range_bands" -> q((s, d) =>
+      Relational.priceBandCounts(Tables.orders(s, d)).orderBy("band")),
+    "win_rankings" -> q((s, d) =>
+      Relational.orderRankings(Tables.orders(s, d))
+        .orderBy("o_custkey", "o_orderkey")),
+
+    // ---- time series ----
+    "ts_asof_purchase_click" -> q((s, d) =>
+      TimeSeries.asofPurchaseClick(ev(s, d)).orderBy("user_id", "event_id")),
+    "ts_sliding_avg" -> q((s, d) =>
+      TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
+    "ts_5min_buckets" -> q((s, d) =>
+      TimeSeries.fiveMinuteBuckets(ev(s, d))
+        .orderBy("user_id", "bucket_start")),
+
+    // ---- function surface ----
+    "func_scalar" -> q((s, d) =>
+      FunctionCoverage.scalarFuncs(ev(s, d)).orderBy("event_id")),
+    "func_string" -> q((s, d) =>
+      FunctionCoverage.stringFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+    "func_array" -> q((s, d) =>
+      FunctionCoverage.arrayFuncs(Tables.documents(s, d)).orderBy("doc_id")),
 
     // ---- text analysis ----
     "doc_token_stats" -> q((s, d) =>
@@ -131,6 +166,8 @@ object SparkEntry {
       Dedup.minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> q((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
 
@@ -154,8 +191,8 @@ object SparkEntry {
   private val EV =
     """ev AS (
       |  SELECT event_id, user_id, event_type, value, props,
-      |         epoch_ns(ts) AS ts_ns,
-      |         epoch_ns(ts) // 1000000000 AS sec
+      |         epoch_us(ts) AS ts_us,
+      |         epoch_us(ts) // 1000000 AS sec
       |  FROM events)""".stripMargin
 
   private val POS =
@@ -181,11 +218,28 @@ object SparkEntry {
       |  FROM toks)""".stripMargin
 
   private val MinhashSigSql = {
-    val mins = (0 until Dedup.NumHashes)
-      .map(i => s"min(substr(md5('$i:' || shingle), 1, 16)) AS mh$i")
+    // lane i = 8-hex-char window j of md5 digest for seed s, i = s*4+j
+    val mins = (for {
+      s <- 0 until Dedup.NumSeeds
+      j <- 0 until Dedup.LanesPerSeed
+    } yield s"min(substr(md5('$s:' || shingle), ${j * 8 + 1}, 8)) AS mh${s * Dedup.LanesPerSeed + j}")
       .mkString(", ")
     s"""WITH $TOKS, $ShinglesSql,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Reusable simhash CTE chain: sim(doc_id, simhash16). */
+  private val SimhashSql = {
+    val hexSet = "('8','9','a','c','b','d','e','f')"
+    val sums = (1 to 16).map(i =>
+      s"CAST(sum(CASE WHEN substr(md5(tok), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+      .mkString(", ")
+    val bits = (1 to 16).map(i =>
+      s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""tk AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |shagg AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $bits AS simhash16 FROM shagg)""".stripMargin
   }
 
   private def dotSql(a: String, b: String): String =
@@ -203,7 +257,7 @@ object SparkEntry {
        |    last_value(x IGNORE NULLS) OVER lw AS cx,
        |    last_value(y IGNORE NULLS) OVER lw AS cy
        |  FROM u JOIN recent USING (sec)
-       |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |hm AS (
        |  SELECT cx, cy, count(*) AS value FROM w
@@ -242,7 +296,7 @@ object SparkEntry {
          |  last_value(x IGNORE NULLS) OVER lw AS cx,
          |  last_value(y IGNORE NULLS) OVER lw AS cy
          |FROM pos
-         |WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+         |WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |ORDER BY user_id, event_id""".stripMargin,
 
@@ -264,20 +318,20 @@ object SparkEntry {
     "mov_sessions" ->
       s"""WITH $EV,
          |g AS (
-         |  SELECT user_id, ts_ns,
-         |    CASE WHEN lag(ts_ns) OVER lw IS NULL
-         |           OR ts_ns - lag(ts_ns) OVER lw > ${SessionGapSec}000000000
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER lw IS NULL
+         |           OR ts_us - lag(ts_us) OVER lw > ${SessionGapSec}000000
          |         THEN 1 ELSE 0 END AS new_sess
          |  FROM ev
-         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |s AS (
-         |  SELECT user_id, ts_ns,
-         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |      AS session_id
          |  FROM g)
          |SELECT user_id, session_id, count(*) AS n_events,
-         |  (max(ts_ns) - min(ts_ns)) // 1000000000 AS duration_sec
+         |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
 
@@ -410,6 +464,133 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "agg_percentiles" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // agg_sketch intentionally has no oracle: HLL++/KLL sketches are
+    // engine-specific; the driver records a rows-only check.
+
+    "cube_returns" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "grouping_sets_events" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(user_id, -1) AS user_id,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id))
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "join_range_bands" ->
+      """WITH bands AS (
+        |  SELECT band, band * 50000.0 AS lo, (band + 1) * 50000.0 AS hi
+        |  FROM (SELECT unnest(range(8)) AS band))
+        |SELECT band, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "win_rankings" ->
+      """SELECT o_custkey, o_orderkey, drnk, quartile, next_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    dense_rank() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+        |    ntile(4) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS quartile,
+        |    round(lead(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey), 2) AS next_price
+        |  FROM orders)
+        |WHERE drnk <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "ts_asof_purchase_click" ->
+      s"""WITH $EV,
+         |t AS (SELECT user_id, event_id, ts_us, event_type FROM ev
+         |      WHERE event_type IN ('purchase', 'click')),
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+         |      IGNORE NULLS) OVER lw AS click_id,
+         |    last_value(CASE WHEN event_type = 'click' THEN ts_us END
+         |      IGNORE NULLS) OVER lw AS click_us
+         |  FROM t
+         |  WINDOW lw AS (PARTITION BY user_id
+         |    ORDER BY ts_us, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+         |             event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT user_id, event_id, ts_us, click_id,
+         |  (ts_us - click_us) // 1000000 AS gap_sec
+         |FROM w WHERE event_type = 'purchase'
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "ts_sliding_avg" ->
+      s"""WITH $EV
+         |SELECT user_id, event_id,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER lw AS DOUBLE) /
+         |        count(*) OVER lw, 4) AS avg3
+         |FROM ev
+         |WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "ts_5min_buckets" ->
+      s"""WITH $EV
+         |SELECT user_id, sec // 300 * 300 AS bucket_start,
+         |  count(*) AS n,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+         |FROM ev GROUP BY user_id, bucket_start
+         |ORDER BY user_id, bucket_start""".stripMargin,
+
+    "func_scalar" ->
+      s"""WITH $EV
+         |SELECT event_id,
+         |  greatest(0.0, value - 100.0) AS clamped,
+         |  CAST(round(value) AS BIGINT) AS rounded,
+         |  CAST(floor(value / 10) AS BIGINT) AS floored,
+         |  CAST(ceil(value / 10) AS BIGINT) AS ceiled,
+         |  abs(value - 250.0) AS abs_centered,
+         |  user_id % 7 AS mod7,
+         |  strftime(make_timestamp(sec * 1000000), '%H:%M:%S') AS clock24,
+         |  strftime(make_timestamp(sec * 1000000), '%I:%M:%S %p') AS clock12
+         |FROM ev ORDER BY event_id""".stripMargin,
+
+    "func_string" ->
+      """SELECT doc_id,
+        |  upper(substr(source, 1, 3)) AS src_upper,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_padded,
+        |  regexp_replace(lang, 'e', 'E', 'g') AS lang_replaced,
+        |  length(trim(text)) AS trimmed_len,
+        |  strpos(text, 'spark') AS spark_pos,
+        |  regexp_extract(text, '(\w+) (\w+)', 2) AS second_word,
+        |  len(regexp_extract_all(text, '(sh)', 1)) AS sh_count,
+        |  reverse(lang) AS lang_rev,
+        |  concat_ws('-', lang, source) AS lang_src
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "func_array" ->
+      s"""WITH $TOKS
+         |SELECT doc_id, len(t) AS n_tokens,
+         |  array_to_string(list_slice(t, 1, 3), ' ') AS first3,
+         |  array_to_string(list_slice(t, -2, -1), ' ') AS last2,
+         |  list_contains(t, 'the') AS has_the,
+         |  list_min(t) AS min_token,
+         |  list_max(t) AS max_token,
+         |  len(list_distinct(t)) AS n_distinct,
+         |  array_to_string(list_sort(list_distinct(list_slice(t, 1, 5))), ',')
+         |    AS first5_sorted,
+         |  t[1] AS head_token
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
     "doc_token_stats" ->
       s"""WITH $TOKS
          |SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars_text,
@@ -472,17 +653,24 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin
     },
 
-    "dedup_simhash" -> {
-      val hexSet = "('8','9','a','b','c','d','e','f')"
-      val sums = (1 to 16).map(i =>
-        s"CAST(sum(CASE WHEN substr(md5(tok), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
-        .mkString(", ")
-      val bits = (1 to 16).map(i =>
-        s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""WITH tk AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |agg AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id)
-         |SELECT doc_id, $bits AS simhash16 FROM agg ORDER BY doc_id""".stripMargin
+    "dedup_simhash" ->
+      s"""WITH $SimhashSql
+         |SELECT doc_id, simhash16 FROM sim ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH $SimhashSql,
+         |pre AS (SELECT doc_id, simhash16, substr(simhash16, 1, 8) AS prefix FROM sim),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ham AS (SELECT id1, id2, $hammingTerms AS hamming FROM pairs)
+         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->

@@ -33,11 +33,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** Events with both time grains materialized:
-    *  - `ts_ns`  — raw epoch nanos (long), the event-time grain
+  /** Events with the canonical time grains materialized:
+    *  - `ts_us`  — epoch micros (long), the event-time grain. Micros,
+    *               not the file's nanos: other engines (and float64
+    *               round-trips) cap at µs resolution, so µs is the
+    *               portable grain; ordering ties broken by event_id.
     *  - `sec`    — epoch seconds (long), the aggregate grain
     *               (integer division: exact, no double rounding)
-    *  - `ts`     — TimestampType at micros for window/streaming ops
+    *  - `ts`     — TimestampType (µs) for window/streaming ops
     */
   def events(s: SparkSession, d: String): DataFrame = {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
@@ -45,7 +48,8 @@ object Tables {
         "spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession)")
     table(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("sec", expr("ts_ns div 1000000000"))
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("sec", expr("ts_us div 1000000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }

@@ -9,13 +9,21 @@ import graft.functions.Portable._
 /** Deduplication operators for a training-data pipeline.
   *
   * Scale design: every variant is a hash-partitioned groupBy or an
-  * equi-join on a derived bucket key — never an all-pairs comparison.
+  * equi-join on a derived bucket key — never an all-pairs comparison,
+  * and never a self-join that recomputes its input twice:
   *  - exact:    one shuffle on md5(text)
-  *  - minhash:  shuffle on (band, key) buckets; candidate pairs only
-  *              within a bucket (classic MinHash-LSH banding)
+  *  - minhash:  signatures in one pass (2 md5 calls/shingle, split
+  *              into 4×32-bit lanes each); LSH candidate pairs via
+  *              bucket grouping + in-bucket pair expansion — the
+  *              shingle/signature pipeline runs ONCE
   *  - simhash:  one shuffle on doc_id for bit aggregation
-  *  - ngram:    shuffle on shingle; pair counting confined to shared
-  *              shingles (inverted-index join, not a cross join)
+  *  - ngram:    inverted-index bucketing on shingle with in-bucket
+  *              pair expansion (bounded by shingle document frequency)
+  *
+  * Pair expansion instead of self-join matters at scale: a self-join
+  * of a derived table evaluates the derivation twice (no common
+  * subexpression elimination across join sides in Catalyst), doubling
+  * the dominant scan+explode cost and shuffling the big side twice.
   */
 object Dedup {
 
@@ -31,19 +39,27 @@ object Dedup {
       .select(col("doc_id"), col("canonical_id"), col("group_size"))
   }
 
-  val NumHashes = 8
+  val NumSeeds  = 2 // md5 invocations per shingle
+  val LanesPerSeed = 4 // 8-hex-char (32-bit) windows per digest
+  val NumHashes: Int = NumSeeds * LanesPerSeed
   val BandSize  = 2
   val NumBands: Int = NumHashes / BandSize
 
-  /** MinHash signatures: per doc, `NumHashes` independent minima of
-    * seeded portable hashes over its 3-gram shingles. Docs with fewer
-    * than 3 tokens get no signature (no shingles). */
+  /** MinHash signatures: per doc, `NumHashes` independent minima over
+    * its 3-gram shingles. Hash family = disjoint 32-bit hex lanes of
+    * seeded md5 digests (2 md5 calls per shingle instead of 8). Docs
+    * with fewer than 3 tokens get no signature (no shingles). */
   def minhashSignatures(documents: DataFrame): DataFrame = {
     val sh = explode(shingles(col("text"))).as("shingle")
-    val aggs = (0 until NumHashes).map(i =>
-      min(seededHex16(i, col("shingle"))).as(s"mh$i"))
+    val lanes = for {
+      s <- 0 until NumSeeds
+      j <- 0 until LanesPerSeed
+    } yield substring(md5(concat(lit(s.toString + ":"), col("shingle"))),
+      j * 8 + 1, 8).as(s"lane${s * LanesPerSeed + j}")
+    val aggs = (0 until NumHashes).map(i => min(col(s"lane$i")).as(s"mh$i"))
     documents
       .select(col("doc_id"), sh)
+      .select(col("doc_id") +: lanes: _*)
       .groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -63,17 +79,23 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket (id1 < id2). */
-  def minhashPairs(documents: DataFrame): DataFrame = {
-    val b = minhashBands(documents)
-    val l = b.select(col("band"), col("key"), col("doc_id").as("id1"))
-    val r = b.select(col("band").as("band2"), col("key").as("key2"),
-      col("doc_id").as("id2"))
-    l.join(r, col("band") === col("band2") && col("key") === col("key2") &&
-        col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
+  /** All ordered pairs (a<b) from a sorted array column — the
+    * in-bucket candidate expansion for LSH-style dedup. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("id1"), b.as("id2")))))
+
+  /** LSH candidate pairs: docs sharing any band bucket (id1 < id2).
+    * One pass: bucket-group, expand pairs inside each bucket. */
+  def minhashPairs(documents: DataFrame): DataFrame =
+    minhashBands(documents)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
-  }
 
   /** 16-bit portable SimHash: bit i of a token's md5 (top bit of hex
     * nibble i) votes +1/−1; sign of the per-bit sum forms the
@@ -93,27 +115,47 @@ object Dedup {
     agg.select(col("doc_id"), concat(bits: _*).as("simhash16"))
   }
 
-  /** N-gram Jaccard near-duplicates via inverted-index join on distinct
-    * shingles: |A∩B| from the shared-shingle join, |A∪B| = |A|+|B|−|A∩B|.
-    * Returns the top `k` pairs by similarity (deterministic tiebreak). */
+  /** SimHash near-dup candidate pairs: bucket on the first 8 bits of
+    * the fingerprint (docs within small Hamming distance usually agree
+    * on a prefix band), expand pairs per bucket, then filter by exact
+    * Hamming distance — computed by the native codegen'd
+    * [[graft.functions.HammingDistance]] expression. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhash(documents)
+      .groupBy(substring(col("simhash16"), 1, 8).as("prefix"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash16"))))
+        .as("items"))
+      .filter(size(col("items")) > 1)
+      .select(explode(pairsOf(col("items"))).as("p"))
+      .select(
+        col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
+        expr("graft_hamming(p.id1.simhash16, p.id2.simhash16)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+
+  /** N-gram Jaccard near-duplicates via inverted-index bucketing on
+    * distinct shingles: pairs expand inside each shingle's posting
+    * list (bounded by document frequency), |A∩B| = pair count across
+    * buckets, |A∪B| = |A|+|B|−|A∩B|. Returns the top `k` pairs by
+    * similarity (deterministic tiebreak). */
   def ngramJaccardTop(documents: DataFrame, k: Int = 50): DataFrame = {
     val docShingles = documents
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
         .as("shingle"))
-    val sizes = docShingles.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val l = docShingles.select(col("shingle"), col("doc_id").as("id1"))
-    val r = docShingles.select(col("shingle").as("shingle2"),
-      col("doc_id").as("id2"))
-    val common = l
-      .join(r, col("shingle") === col("shingle2") && col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+    // per-doc projection, not a re-explode: |distinct shingles| per doc
+    val sizes = documents.select(col("doc_id"),
+      size(array_distinct(shingles(col("text")))).as("n_shingles"))
+    val common = docShingles
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_common"))
     common
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "id1")
-        .withColumnRenamed("n_shingles", "n1"), "id1")
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "id2")
-        .withColumnRenamed("n_shingles", "n2"), "id2")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_shingles", "n1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_shingles", "n2")), "id2")
       .select(col("id1"), col("id2"),
         round(col("n_common").cast("double") /
           (col("n1") + col("n2") - col("n_common")), 4).as("jaccard"))

@@ -12,8 +12,8 @@ import graft.Tables
   *
   * Mapping of the reference's data model onto the test schema:
   *  - stream key `user_id`           → events.user_id (functions.js:212)
-  *  - event time millis `Time`       → events.ts_ns   (functions.js:255)
-  *  - aggregate grain epoch-seconds  → `sec = ts_ns div 1e9` (functions.js:49-52)
+  *  - event time millis `Time`       → events.ts_us   (functions.js:255)
+  *  - aggregate grain epoch-seconds  → `sec = ts_us div 1e6` (functions.js:49-52)
   *  - page position (X, Y)           → derived ints
   *      x = floor(value / 10), y = props.k   (both deterministic)
   *  - heartbeat sentinel {0,0}       → event_type = 'error'
@@ -45,7 +45,7 @@ object Movements {
       .groupBy(col("user_id"), col("sec"))
       .agg(
         count(lit(1)).as("cnt"),
-        sort_array(collect_list(struct(col("ts_ns"), col("x"), col("y"))))
+        sort_array(collect_list(struct(col("ts_us"), col("x"), col("y"))))
           .as("movs"))
 
   /** A1 without retention — the oracle-facing per-second count. */
@@ -83,7 +83,7 @@ object Movements {
     * sentinels keep NULL (the `if (id)` drop-guard, functions.js:381). */
   def locf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     positioned(events)
       .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
@@ -105,7 +105,7 @@ object Movements {
       .orderBy(col("sec").desc).limit(k).select(col("sec"))
     val inWindow = user.join(broadcast(recent), "sec")
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     positioned(inWindow)
       .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
@@ -136,12 +136,12 @@ object Movements {
     * same user exceeds `gapSec`. */
   def sessions(events: DataFrame, gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_ns"), col("event_id"))
+      .orderBy(col("ts_us"), col("event_id"))
     val flagged = events
-      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ns").isNull ||
-          col("ts_ns") - col("prev_ns") > gapSec * 1000000000L, 1L)
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("new_sess")).over(
@@ -150,9 +150,9 @@ object Movements {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts_ns")).as("min_ns"),
-        max(col("ts_ns")).as("max_ns"))
+        min(col("ts_us")).as("min_us"),
+        max(col("ts_us")).as("max_us"))
       .select(col("user_id"), col("session_id"), col("n_events"),
-        expr("(max_ns - min_ns) div 1000000000").as("duration_sec"))
+        expr("(max_us - min_us) div 1000000").as("duration_sec"))
   }
 }

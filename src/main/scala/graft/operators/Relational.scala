@@ -188,6 +188,89 @@ object Relational {
         col("l_linenumber"))
       .limit(20)
 
+  /** Exact percentiles (linear interpolation) of order value per
+    * priority. */
+  def pricePercentiles(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("o_totalprice"), lit(0.99)), 4).as("p99"))
+
+  /** Sketch aggregates — approximate distinct + approximate quantiles.
+    * Inherently engine-specific (HLL++ / KLL), so this query gets a
+    * rows-only check rather than a value-exact oracle. */
+  def sketchStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        round(element_at(
+          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.95)),
+            lit(10000)), 1), 2).as("approx_p50"),
+        count(lit(1)).as("n"))
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping sets. */
+  def cubeSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"))
+
+  /** GROUPING SETS via the SQL surface (the DataFrame API has no
+    * direct grouping-sets builder): per-type totals and per-user
+    * totals in one pass. */
+  def groupingSetsEvents(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    events.createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(user_id, -1) AS user_id,
+        |       count(*) AS n
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id))""".stripMargin)
+  }
+
+  /** Non-equi (range) join: orders bucketed into broadcast price
+    * bands via an interval condition — plans as a broadcast
+    * nested-loop join against a tiny band table. */
+  def priceBandCounts(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val bands = (0 until 8)
+      .map(b => (b.toLong, b * 50000.0, (b + 1) * 50000.0))
+      .toDF("band", "lo", "hi")
+    orders
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+  }
+
+  /** Ranking-function coverage: dense_rank + ntile + lead in one
+    * window pass per customer. */
+  def orderRankings(orders: DataFrame): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .withColumn("drnk", dense_rank().over(byPrice))
+      .withColumn("quartile", ntile(4).over(byDate))
+      .withColumn("next_price",
+        round(lead(col("o_totalprice"), 1).over(byDate), 2))
+      .filter(col("drnk") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("drnk"),
+        col("quartile"), col("next_price"))
+  }
+
   /** Per-type event stats over the events table: min/max/sum/count. */
   def eventTypeStats(events: DataFrame): DataFrame =
     events

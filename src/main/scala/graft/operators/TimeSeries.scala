@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators beyond the reference's single tumbling window:
+  * as-of joins, sliding frames, coarser tumbling buckets.
+  *
+  * The as-of join is implemented union-style: tag both streams, sort
+  * once per key, carry the last right-side row forward (LOCF). One
+  * shuffle on the key, no range-join explosion — the classic
+  * distributed as-of formulation, vs. a naive
+  * `l JOIN r ON l.key = r.key AND r.ts <= l.ts` + argmax which
+  * shuffles |L|·|matches| rows. This is the scale path at 100 TB.
+  */
+object TimeSeries {
+
+  /** As-of join inside the events table: for every purchase event, the
+    * most recent strictly-earlier click event of the same user.
+    * Returns (user_id, purchase event_id, ns, matched click event_id,
+    * ns, gap seconds — null when no prior click). */
+  def asofPurchaseClick(events: DataFrame): DataFrame = {
+    val tagged = events
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .filter(col("event_type").isin("purchase", "click"))
+    // sort order puts a click before a purchase at identical ts_us
+    // (strictly-earlier semantics ⇒ a same-instant click must be
+    // visible to the purchase; event order key breaks remaining ties)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1),
+        col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", col("ts_us")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      // click_us stays internal; the gap is the portable output
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("click_id"),
+        expr("(ts_us - click_us) div 1000000").as("gap_sec"))
+  }
+
+  /** Sliding-frame average: mean of the current and two previous event
+    * values per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
+    * Decimal accumulation so the result is engine-exact. */
+  def slidingAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-2, Window.currentRow)
+    events
+      .withColumn("avg3",
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("avg3"))
+  }
+
+  /** Coarser tumbling buckets (5-minute) over event time — the batch
+    * equivalent of `window($"ts", "5 minutes")`, keyed arithmetic on
+    * the second grain so the oracle can mirror it exactly. */
+  def fiveMinuteBuckets(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), expr("sec div 300 * 300").as("bucket_start"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
+          .as("sum_value"))
+}

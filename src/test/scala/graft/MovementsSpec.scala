@@ -12,7 +12,7 @@ import graft.operators.Movements
 class MovementsSpec extends SparkSpec {
   import spark.implicits._
 
-  private val S = 1000000000L // ns per second
+  private val S = 1000000L // us per second
 
   /** (event_id, user_id, event_type, value, k) → canonical events DF.
     * x = floor(value/10); y = k; sentinel = event_type "error". */
@@ -20,8 +20,8 @@ class MovementsSpec extends SparkSpec {
     rows.toDF("event_id", "user_id", "event_type", "value", "k")
       .withColumn("props", concat(lit("{\"k\": "), col("k"), lit("}")))
       .drop("k")
-      .withColumn("ts_ns", col("event_id") * S) // 1 event/sec
-      .withColumn("sec", expr("ts_ns div 1000000000"))
+      .withColumn("ts_us", col("event_id") * S) // 1 event/sec
+      .withColumn("sec", expr("ts_us div 1000000"))
 
   test("LOCF carries last real position over sentinels; leading sentinels stay null") {
     val ev = mkEvents(Seq(
@@ -72,7 +72,7 @@ class MovementsSpec extends SparkSpec {
       .withColumn("event_type", lit("click"))
       .withColumn("value", lit(1.0))
       .withColumn("props", lit("{\"k\": 1}"))
-      .withColumn("ts_ns", col("sec0") * S)
+      .withColumn("ts_us", col("sec0") * S)
       .withColumn("sec", col("sec0"))
     val got = Movements.sessions(ev, gapSec = 600)
       .orderBy("session_id").collect()
@@ -82,7 +82,7 @@ class MovementsSpec extends SparkSpec {
 
   test("per-second aggregate retains sorted raw events") {
     val ev = mkEvents(Seq((0L, 1L, "click", 25.0, 7)))
-      .withColumn("ts_ns", lit(5L * S + 123L))
+      .withColumn("ts_us", lit(5L * S + 123L))
       .withColumn("sec", lit(5L))
     val row = Movements.perSecond(ev).collect()(0)
     assert(row.getAs[Long]("cnt") == 1L)

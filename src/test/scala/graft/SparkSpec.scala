@@ -9,6 +9,7 @@ trait SparkSpec extends AnyFunSuite {
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(s)
     s
   }
   def sf(dir: String): String = s"/root/testdata/$dir"
