@@ -62,6 +62,9 @@ object SparkEntry {
     "mov_sessions" -> q((s, d) =>
       Movements.sessions(ev(s, d), SessionGapSec)
         .orderBy("user_id", "session_id")),
+    "mov_gap_fill" -> q((s, d) =>
+      Movements.gapFillMinutes(ev(s, d), 1L)
+        .orderBy("hour_start", "minute")),
 
     // ---- relational coverage ----
     "q1_pricing" -> q((s, d) =>
@@ -334,6 +337,20 @@ object SparkEntry {
          |  (max(ts_us) - min(ts_us)) // 1000000 AS duration_sec
          |FROM s GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "mov_gap_fill" ->
+      s"""WITH $EV,
+         |m AS (
+         |  SELECT sec // 3600 * 3600 AS hour_start,
+         |         (sec % 3600) // 60 AS minute, count(*) AS cnt
+         |  FROM ev WHERE user_id = 1 GROUP BY 1, 2),
+         |b AS (SELECT hour_start, min(minute) AS mn, max(minute) AS mx
+         |      FROM m GROUP BY hour_start),
+         |g AS (SELECT hour_start, unnest(range(mn, mx + 1)) AS minute FROM b)
+         |SELECT g.hour_start, g.minute, coalesce(m.cnt, 0) AS cnt
+         |FROM g LEFT JOIN m
+         |  ON g.hour_start = m.hour_start AND g.minute = m.minute
+         |ORDER BY g.hour_start, g.minute""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

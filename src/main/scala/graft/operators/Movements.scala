@@ -130,6 +130,27 @@ object Movements {
         sum(when(isSentinel, 1L).otherwise(0L)).as("sentinels"),
         sum(when(!isSentinel, 1L).otherwise(0L)).as("moves"))
 
+  /** S3 — the reference's zero-fill heartbeat (functions.js:196-204)
+    * as a declarative gap-fill: for one user, emit every minute between
+    * the first and last observed minute of each hour, zero-counted when
+    * empty. sequence+explode generates the missing grain rows; the
+    * left join fills observed counts — no driver-side loops, no state. */
+  def gapFillMinutes(events: DataFrame, userId: Long): DataFrame = {
+    val m = events.filter(col("user_id") === userId)
+      .groupBy(
+        expr("sec div 3600 * 3600").as("hour_start"),
+        expr("(sec % 3600) div 60").as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = m.groupBy(col("hour_start"))
+      .agg(min(col("minute")).as("mn"), max(col("minute")).as("mx"))
+    bounds
+      .select(col("hour_start"),
+        explode(sequence(col("mn"), col("mx"))).as("minute"))
+      .join(m, Seq("hour_start", "minute"), "left_outer")
+      .select(col("hour_start"), col("minute"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   /** Sessionization — gap-based session assignment (extension of the
     * reference's implicit per-poll batching to a real session op).
     * A new session starts when the gap to the previous event of the

@@ -76,6 +76,25 @@ object MouseStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** S6 — the upsert sink (the reference's off-repo Lambda writing
+    * DynamoDB via UpdateItem, architecture PNG flow 4): update-mode
+    * aggregation through `foreachBatch`, handing each micro-batch's
+    * changed (user, sec) rows to a keyed merge function. Unlike the
+    * memory sink this supports checkpoint recovery — stop/restart
+    * resumes from the offsets+state under `checkpointDir`, so the
+    * merged table converges exactly-once per key. */
+  def startToUpsert(spark: SparkSession, events: DataFrame,
+                    checkpointDir: String,
+                    lateness: String = "5 seconds")
+                   (merge: DataFrame => Unit): StreamingQuery =
+    aggregate(events, lateness)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => merge(batch) }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
   /** The REST query surface (functions.js:156, 312, 351) as typed
     * Scala over the aggregate table — the three call shapes:
     *   - incremental poll:  fromSec exclusive, ascending

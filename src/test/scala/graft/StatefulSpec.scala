@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.{MouseStream, StatefulOps}
+import graft.streaming.StatefulOps.{PositionedEvent, ResolvedEvent}
+
+/** Stateful streaming semantics: LOCF state across micro-batches,
+  * checkpoint recovery (SURVEY T5/T7), keyed JSON sink shape (S4). */
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming LOCF carries position across micro-batches; leading sentinels drop") {
+    val input = MemoryStream[PositionedEvent](spark)
+    val q = StatefulOps.locfResolve(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("locf_out").start()
+    try {
+      // batch 1: leading sentinel (dropped), then a real position
+      input.addData(
+        PositionedEvent("u1", 0, 0, 1000),
+        PositionedEvent("u1", 5, 6, 2000))
+      q.processAllAvailable()
+      // batch 2: sentinel only — must resolve via state from batch 1
+      input.addData(PositionedEvent("u1", 0, 0, 3000))
+      q.processAllAvailable()
+      val rows = spark.table("locf_out").orderBy("time")
+        .as[ResolvedEvent].collect()
+      assert(rows.toSeq == Seq(
+        ResolvedEvent("u1", 5, 6, 2000, carried = false),
+        ResolvedEvent("u1", 5, 6, 3000, carried = true)))
+    } finally q.stop()
+  }
+
+  test("upsert sink state survives a query restart from checkpoint (T5/T7, S6)") {
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[String](spark)
+    // driver-side keyed table standing in for the DynamoDB upsert target
+    val table = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    def start() = MouseStream.startToUpsert(
+      spark, MouseStream.parse(input.toDF()), ckpt) { batch =>
+      batch.collect().foreach { r =>
+        table.put((r.getAs[String]("user_id"), r.getAs[Long]("sec")),
+          r.getAs[Long]("cnt"))
+      }
+    }
+
+    val q1 = start()
+    input.addData(
+      """{"user_id":"u1","x":1,"y":1,"time":100100}""",
+      """{"user_id":"u1","x":2,"y":2,"time":100200}""",
+      """{"user_id":"u1","x":3,"y":3,"time":100300}""")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(table.get(("u1", 100L)) == 3L)
+
+    val q2 = start()
+    try {
+      input.addData(
+        """{"user_id":"u1","x":4,"y":4,"time":100400}""",
+        """{"user_id":"u1","x":5,"y":5,"time":100500}""")
+      q2.processAllAvailable()
+      // the upserted window count must include the pre-restart events
+      assert(table.get(("u1", 100L)) == 5L)
+    } finally q2.stop()
+  }
+
+  test("keyed JSON sink shape round-trips through the wire format (S4)") {
+    val events = MouseStream.parse(Seq(
+      """{"user_id":"u7","x":11,"y":22,"time":5000}""").toDF("value"))
+    val keyed = StatefulOps.toKeyedJson(events).collect()(0)
+    assert(keyed.getAs[String]("key") == "u7")
+    val back = MouseStream.parse(Seq(keyed.getAs[String]("value")).toDF("value"))
+      .collect()(0)
+    assert(back.getAs[Int]("x") == 11 && back.getAs[Long]("time") == 5000L)
+  }
+}
