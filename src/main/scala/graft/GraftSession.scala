@@ -45,6 +45,9 @@ object GraftSession {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.adaptive.enabled", "true")
+    // right-size shuffles for the actual parallelism; AQE coalesces
+    // further at runtime (a bare session defaults to 200)
+    s.conf.set("spark.sql.shuffle.partitions", defaultCpus.toString)
     graft.functions.GraftFunctions.register(s)
     s
   }
