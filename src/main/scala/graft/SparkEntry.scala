@@ -132,6 +132,15 @@ object SparkEntry {
     "win_rankings" -> q((s, d) =>
       Relational.orderRankings(Tables.orders(s, d))
         .orderBy("o_custkey", "o_orderkey")),
+    "set_union_all" -> q((s, d) =>
+      Relational.yearlyOrderCounts(Tables.orders(s, d))
+        .orderBy("yr", "o_orderpriority")),
+    "nested_posexplode" -> q((s, d) =>
+      Relational.tokenPositions(Tables.documents(s, d))
+        .orderBy("doc_id", "pos")),
+    "agg_collect_buckets" -> q((s, d) =>
+      Relational.typeUserBuckets(Tables.events(s, d))
+        .orderBy("event_type")),
 
     // ---- time series ----
     "ts_asof_purchase_click" -> q((s, d) =>
@@ -529,6 +538,30 @@ object SparkEntry {
         |      ORDER BY o_orderdate, o_orderkey), 2) AS next_price
         |  FROM orders)
         |WHERE drnk <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT yr, o_orderpriority, n FROM (
+        |  SELECT 1995 AS yr, o_orderpriority, count(*) AS n FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 2000 AS yr, o_orderpriority, count(*) AS n FROM orders
+        |  WHERE year(o_orderdate) = 2000 GROUP BY o_orderpriority)
+        |ORDER BY yr, o_orderpriority""".stripMargin,
+
+    "nested_posexplode" ->
+      s"""WITH $TOKS
+         |SELECT doc_id,
+         |  unnest(range(0, len(t))) AS pos,
+         |  unnest(t) AS token
+         |FROM toks WHERE doc_id < 20 ORDER BY doc_id, pos""".stripMargin,
+
+    "agg_collect_buckets" ->
+      s"""WITH $EV
+         |SELECT event_type,
+         |  array_to_string(list_sort(list_distinct(list(user_id % 10))), ',')
+         |    AS user_buckets,
+         |  count(DISTINCT user_id % 10) AS n_buckets
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_asof_purchase_click" ->
       s"""WITH $EV,

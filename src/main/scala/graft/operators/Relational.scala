@@ -271,6 +271,35 @@ object Relational {
         col("quartile"), col("next_price"))
   }
 
+  /** UNION ALL of two branch aggregates (the set ops trio's third
+    * member; INTERSECT/EXCEPT live in customersActiveBothYears /
+    * customersChurned). */
+  def yearlyOrderCounts(orders: DataFrame): DataFrame = {
+    def yearly(y: Int) = orders
+      .filter(year(col("o_orderdate")) === y)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("yr", lit(y))
+    yearly(1995).unionAll(yearly(2000))
+      .select(col("yr"), col("o_orderpriority"), col("n"))
+  }
+
+  /** posexplode/UNNEST WITH ORDINALITY: token position index. */
+  def tokenPositions(documents: DataFrame): DataFrame =
+    documents
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+
+  /** collect_set-style aggregation projected to a portable string:
+    * sorted distinct user buckets per event type. */
+  def typeUserBuckets(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(array_join(array_sort(collect_set(pmod(col("user_id"), lit(10)))), ",")
+        .as("user_buckets"),
+        countDistinct(pmod(col("user_id"), lit(10))).as("n_buckets"))
+
   /** Per-type event stats over the events table: min/max/sum/count. */
   def eventTypeStats(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout at rest — the part of 100 TB performance that
+  * happens before any query runs.
+  *
+  *  - **Partitioned writes** (`writePartitioned`): directory-level
+  *    pruning for predicates on the partition column; a date/user
+  *    filter then reads only matching directories.
+  *  - **Bucketed tables** (`writeBucketed`): co-located join/agg keys.
+  *    Two tables bucketed on the same key with the same bucket count
+  *    join with ZERO exchanges — at cluster scale this turns the
+  *    nightly fact⋈fact join from a full shuffle into a local merge.
+  *  - **Salting** (`saltedJoin`): spreads a skewed hot key across
+  *    `saltFactor` sub-keys by replicating the (small) right side —
+  *    the manual fallback for skew the AQE skew-split can't reach
+  *    (e.g. broadcast-ineligible dimension with one hot key).
+  */
+object Layout {
+
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + sorted table registered in the session catalog
+    * (bucket metadata lives in the catalog, so this writes a managed
+    * table rather than a bare path). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-key bucketed tables — shuffle-free when bucket
+    * specs line up (verify with `assertNoExchange` in tests). */
+  def bucketedJoin(spark: SparkSession, leftTable: String,
+                   rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Skew-resistant equi-join: left side gets a random-free,
+    * deterministic salt from its row identity; right side is
+    * replicated `saltFactor` times. Semantics identical to
+    * `left.join(right, key)` for a right side unique on `key`. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val explodedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    saltedLeft
+      .join(explodedRight, Seq(key, "_salt"))
+      .drop("_salt")
+  }
+}
