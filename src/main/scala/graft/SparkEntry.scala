@@ -135,6 +135,11 @@ object SparkEntry {
     "set_union_all" -> q((s, d) =>
       Relational.yearlyOrderCounts(Tables.orders(s, d))
         .orderBy("yr", "o_orderpriority")),
+    "q6_forecast" -> q((s, d) =>
+      Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q2_cheapest_supplier" -> q((s, d) =>
+      Relational.cheapestSupplierPerPart(Tables.lineitem(s, d))
+        .orderBy("l_partkey")),
     "nested_posexplode" -> q((s, d) =>
       Relational.tokenPositions(Tables.documents(s, d))
         .orderBy("doc_id", "pos")),
@@ -547,6 +552,25 @@ object SparkEntry {
         |  SELECT 2000 AS yr, o_orderpriority, count(*) AS n FROM orders
         |  WHERE year(o_orderdate) = 2000 GROUP BY o_orderpriority)
         |ORDER BY yr, o_orderpriority""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q2_cheapest_supplier" ->
+      """SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS best_price
+        |FROM (SELECT l_partkey, l_suppkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_partkey
+        |          ORDER BY l_extendedprice, l_suppkey, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem WHERE l_partkey < 200)
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
 
     "nested_posexplode" ->
       s"""WITH $TOKS

@@ -27,6 +27,14 @@ import graft.functions.Portable._
   */
 object Dedup {
 
+  /** Fan a small-file scan out to the session's parallelism before
+    * compute-heavy per-row work (shingling, hashing). A single parquet
+    * file otherwise pins the whole explode to one task; at cluster
+    * scale inputs split naturally and this repartition is a no-op
+    * cost-wise relative to the work it parallelizes. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: canonical id = min(doc_id) over identical texts.
     * Output is a complete doc→canonical mapping (group_size 1 for
     * unique docs). */
@@ -49,7 +57,8 @@ object Dedup {
     * its 3-gram shingles. Hash family = disjoint 32-bit hex lanes of
     * seeded md5 digests (2 md5 calls per shingle instead of 8). Docs
     * with fewer than 3 tokens get no signature (no shingles). */
-  def minhashSignatures(documents: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
     val sh = explode(shingles(col("text"))).as("shingle")
     val lanes = for {
       s <- 0 until NumSeeds
@@ -100,7 +109,8 @@ object Dedup {
   /** 16-bit portable SimHash: bit i of a token's md5 (top bit of hex
     * nibble i) votes +1/−1; sign of the per-bit sum forms the
     * fingerprint bitstring. */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
     val hexDigit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
     val bitCols = (1 to 16).map { i =>
       sum(when(substring(md5(col("tok")), i, 1).isin(hexDigit: _*), 1)
@@ -137,7 +147,8 @@ object Dedup {
     * list (bounded by document frequency), |A∩B| = pair count across
     * buckets, |A∪B| = |A|+|B|−|A∩B|. Returns the top `k` pairs by
     * similarity (deterministic tiebreak). */
-  def ngramJaccardTop(documents: DataFrame, k: Int = 50): DataFrame = {
+  def ngramJaccardTop(docs: DataFrame, k: Int = 50): DataFrame = {
+    val documents = spread(docs)
     val docShingles = documents
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
         .as("shingle"))

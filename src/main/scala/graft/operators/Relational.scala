@@ -271,6 +271,34 @@ object Relational {
         col("quartile"), col("next_price"))
   }
 
+  /** Q6-style selective scan: filter + single aggregate — the
+    * pushdown showcase (predicates reach the parquet reader; only two
+    * columns leave the scan). */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(exactSumProd(col("l_extendedprice"), col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Q2-style argmin per group: the cheapest supplier for each part
+    * (min-by via rank-1 window — the distributed argmin idiom). */
+  def cheapestSupplierPerPart(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"))
+    lineitem
+      .filter(col("l_partkey") < 200)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice"), 2).as("best_price"))
+  }
+
   /** UNION ALL of two branch aggregates (the set ops trio's third
     * member; INTERSECT/EXCEPT live in customersActiveBothYears /
     * customersChurned). */

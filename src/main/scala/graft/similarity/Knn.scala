@@ -22,9 +22,15 @@ import graft.functions.Portable._
   */
 object Knn {
 
+  /** See Dedup.spread — parallelize vector math past a single-file
+    * scan. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Brute-force cosine top-k: queries = vec_id < nQueries (a
     * deterministic stand-in for an arbitrary query set). */
-  def bruteForce(embeddings: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+  def bruteForce(emb: DataFrame, nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val embeddings = spread(emb)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val cand = embeddings
@@ -52,7 +58,8 @@ object Knn {
     * (deterministic stand-in for trained centroids — the assignment
     * machinery, an argmax-join, is the real operator). Each vector maps
     * to its max-cosine centroid. */
-  def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+  def ivfAssign(emb: DataFrame, nlist: Int = 16): DataFrame = {
+    val embeddings = spread(emb)
     val cents = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
     val w = Window.partitionBy(col("vec_id"))

@@ -13,11 +13,17 @@ import graft.functions.Portable._
   */
 object TextAnalysis {
 
+  /** See Dedup.spread — parallelize per-row text work past a
+    * single-file scan. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private val stopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
   /** Token statistics per document: token count, char count, average
     * token length (rounded; integer sums so exact everywhere). */
-  def tokenStats(documents: DataFrame): DataFrame = {
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
     val toks = tokens(col("text"))
     documents.select(
       col("doc_id"),
@@ -30,7 +36,8 @@ object TextAnalysis {
 
   /** Quality heuristics: stopword ratio, distinct-token ratio (a
     * repetition detector), max single-token share. */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
     val toks = tokens(col("text"))
     val nStop = size(filter(toks, t => t.isin(stopwordsEn: _*)))
     documents.select(
@@ -45,7 +52,8 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: score marker-token hits per language
     * family, predict the argmax (deterministic tiebreak by language
     * code order en < es < de < fr). */
-  def languageId(documents: DataFrame): DataFrame = {
+  def languageId(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
     val toks = tokens(col("text"))
     def score(markers: Seq[String]): Column =
       size(filter(toks, t => t.isin(markers: _*)))
@@ -65,8 +73,8 @@ object TextAnalysis {
   /** Document fingerprint: md5-based 64-bit-equivalent hash of the
     * whitespace-normalized lowercase text (SURVEY — rolling-hash
     * fingerprinting done portably). */
-  def fingerprint(documents: DataFrame): DataFrame =
-    documents.select(
+  def fingerprint(docs: DataFrame): DataFrame =
+    spread(docs).select(
       col("doc_id"),
       hex16(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
       length(col("text")).as("n_chars_text"))
