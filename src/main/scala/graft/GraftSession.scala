@@ -19,6 +19,7 @@ object GraftSession {
               shufflePartitions: Int = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      .withExtensions(new graft.plans.GraftExtensions)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

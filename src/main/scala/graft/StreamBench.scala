@@ -23,15 +23,7 @@ object StreamBench {
     import spark.implicits._
 
     // rate source → the reference wire format (functions.js:211)
-    val wire = spark.readStream.format("rate")
-      .option("rowsPerSecond", eventsPerSec.toString)
-      .option("numPartitions", GraftSession.defaultCpus.toString)
-      .load()
-      .select(to_json(struct(
-        concat(lit("u"), pmod(col("value"), lit(1000))).as("user_id"),
-        pmod(col("value"), lit(640)).cast("int").as("x"),
-        pmod(col("value") * 7, lit(480)).cast("int").as("y"),
-        unix_millis(col("timestamp")).as("time"))).as("value"))
+    val wire = new graft.sources.RateJsonSource(eventsPerSec).load(spark)
 
     val retainRaw = sys.env.getOrElse("SPARK_GRAFT_STREAM_RETAIN", "true").toBoolean
     val agg = MouseStream.aggregate(MouseStream.parse(wire),

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pluggable ingest sources for the wire-format event stream
+  * (SURVEY S5: the reference consumes Kinesis via `GetRecords`; tests
+  * use replayable local sources).
+  *
+  * Every source yields a streaming DataFrame with a single string
+  * `value` column — one JSON event per record (functions.js:211) —
+  * which `MouseStream.parse` turns into typed events. Swapping
+  * sources never touches the pipeline.
+  */
+trait EventSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** Replayable directory of JSON-lines files — the offline stand-in
+  * for a stream; also the backfill path (the same pipeline replays
+  * history by pointing at the archive). */
+final class FileJsonSource(dir: String, maxFilesPerTrigger: Int = 10)
+    extends EventSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+}
+
+/** Synthetic load at a fixed rate (used by StreamBench). */
+final class RateJsonSource(eventsPerSec: Long, users: Int = 1000)
+    extends EventSource {
+  override def load(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSec.toString)
+      .load()
+      .select(to_json(struct(
+        concat(lit("u"), pmod(col("value"), lit(users))).as("user_id"),
+        pmod(col("value"), lit(640)).cast("int").as("x"),
+        pmod(col("value") * 7, lit(480)).cast("int").as("y"),
+        unix_millis(col("timestamp")).as("time"))).as("value"))
+  }
+}
+
+/** The production slot: a connector-backed stream (Kinesis/Kafka).
+  * The connector jar is not present in this offline build, so this
+  * only documents the wiring — `format` and options pass straight
+  * through; the record payload lands in `value` like every other
+  * source (for Kafka, `CAST(value AS STRING)`; partition key =
+  * user_id preserves the reference's per-key ordering). */
+final class ConnectorSource(format: String, options: Map[String, String])
+    extends EventSource {
+  override def load(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream.format(format).options(options).load()
+      .selectExpr("CAST(value AS STRING) AS value")
+  }
+}

@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file source replays JSON-lines archives through the same pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_files").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part1.json"),
+      Seq(json("u1", 1, 2, 700000), json("u1", 3, 4, 700500),
+        json("u2", 5, 6, 701000)).mkString("\n"))
+    val src = new graft.sources.FileJsonSource(dir)
+    val q = MouseStream.startToMemory(spark,
+      MouseStream.parse(src.load(spark)), "movements_files")
+    try {
+      q.processAllAvailable()
+      val bySec = MouseStream.range(spark, "movements_files", "u1", 0L)
+        .collect().map(r => r.getAs[Long]("sec") -> r.getAs[Long]("cnt")).toMap
+      assert(bySec == Map(700L -> 2L))
+    } finally q.stop()
+  }
+
   test("clamp: negative coordinates arrive as 0 (functions.js:248-249)") {
     val df = MouseStream.parse(
       Seq(json("u9", -3, -1, 5000)).toDF("value"))
