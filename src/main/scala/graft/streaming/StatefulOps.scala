@@ -56,6 +56,40 @@ object StatefulOps {
       }
   }
 
+  case class HeartbeatState(lastEventMs: Long)
+
+  /** S3 — the zero-fill heartbeat (functions.js:196-204) moved off the
+    * client into the stream: a user silent for a full interval gets a
+    * sentinel {0,0} emitted via processing-time timeout, so every
+    * interval has ≥1 record downstream. Exposed as a standalone
+    * function so the timeout branch is unit-testable with
+    * `TestGroupState` (no wall-clock in tests). */
+  def heartbeatFn(intervalMs: Long)(
+      uid: String, events: Iterator[PositionedEvent],
+      state: GroupState[HeartbeatState]): Iterator[PositionedEvent] =
+    if (state.hasTimedOut) {
+      val now = state.getCurrentProcessingTimeMs()
+      state.setTimeoutDuration(intervalMs)
+      Iterator.single(PositionedEvent(uid, 0, 0, now))
+    } else {
+      val batch = events.toVector
+      batch.lastOption.foreach(e => state.update(HeartbeatState(e.time)))
+      state.setTimeoutDuration(intervalMs)
+      batch.iterator
+    }
+
+  /** Streaming wiring of [[heartbeatFn]]. */
+  def withHeartbeats(events: Dataset[PositionedEvent],
+                     intervalMs: Long = 1000L): Dataset[PositionedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[HeartbeatState, PositionedEvent](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        heartbeatFn(intervalMs))
+  }
+
   /** S4 — the keyed JSON sink shape (functions.js:206-232): one JSON
     * record per event, partition key = user_id. This is the projection
     * a Kafka/Kinesis `writeStream` consumes (`key`/`value`); writing it

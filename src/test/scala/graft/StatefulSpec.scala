@@ -69,6 +69,27 @@ class StatefulSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("heartbeat fn emits the sentinel on timeout and passes events through (S3)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    // normal batch: events pass through, state records the last time
+    val s1 = TestGroupState.create[StatefulOps.HeartbeatState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty(), false)
+    val out1 = StatefulOps.heartbeatFn(1000L)("u1",
+      Iterator(StatefulOps.PositionedEvent("u1", 3, 4, 500)), s1).toSeq
+    assert(out1.map(_.x) == Seq(3))
+    assert(s1.get == StatefulOps.HeartbeatState(500L))
+    assert(s1.getTimeoutTimestampMs.isPresent) // timeout armed
+
+    // timed-out batch: sentinel emitted at current processing time
+    val s2 = TestGroupState.create[StatefulOps.HeartbeatState](
+      Optional.of(StatefulOps.HeartbeatState(500L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 2000L, Optional.empty(), true)
+    val out2 = StatefulOps.heartbeatFn(1000L)("u1", Iterator.empty, s2).toSeq
+    assert(out2 == Seq(StatefulOps.PositionedEvent("u1", 0, 0, 2000L)))
+  }
+
   test("keyed JSON sink shape round-trips through the wire format (S4)") {
     val events = MouseStream.parse(Seq(
       """{"user_id":"u7","x":11,"y":22,"time":5000}""").toDF("value"))
