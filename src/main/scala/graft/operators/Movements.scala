@@ -120,6 +120,29 @@ object Movements {
   def heatmapMax(events: DataFrame, userId: Long, k: Int = 10): DataFrame =
     heatmap(events, userId, k).agg(max(col("value")).as("max_value"))
 
+  /** A4+A5 fused: points and intensity ceiling in ONE typed pass via
+    * [[graft.functions.HeatmapAggregator]] — the render payload the
+    * reference consumes (functions.js:393-409) without a second job.
+    * Returns a single [[graft.functions.HeatmapData]]. */
+  def heatmapFused(events: DataFrame, userId: Long,
+                   k: Int = 10): graft.functions.HeatmapData = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val user = events.filter(col("user_id") === userId)
+    val recent = user.groupBy(col("sec")).agg(count(lit(1)).as("c"))
+      .orderBy(col("sec").desc).limit(k).select(col("sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positioned(user.join(broadcast(recent), "sec"))
+      .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
+      .withColumn("cy", last(col("y"), ignoreNulls = true).over(w))
+      .filter(col("cx").isNotNull)
+      .select(col("cx"), col("cy")).as[(Int, Int)]
+      .select(graft.functions.HeatmapAggregator.toColumn.name("hm"))
+      .collect()(0)
+  }
+
   /** P5/A6 — sentinel vs movement counts per user (functions.js:365;
     * running total events_tracked, functions.js:19,257). */
   def sentinelStats(events: DataFrame): DataFrame =

@@ -80,6 +80,30 @@ class MovementsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, 2L), (2L, 2L, 1L)))
   }
 
+  test("single-pass heatmap aggregator matches the composed plan") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // composed: groupBy counts + separate max
+    val composed = Movements.heatmap(ev, 1L).orderBy("cx", "cy").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val composedMax = Movements.heatmapMax(ev, 1L).collect()(0).getLong(0)
+    // fused: one typed pass over the same LOCF-resolved positions
+    val user = ev.filter(col("user_id") === 1L)
+    val recent = user.groupBy(col("sec")).agg(count(lit(1)).as("c"))
+      .orderBy(col("sec").desc).limit(10).select(col("sec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val positions = Movements.positioned(user.join(broadcast(recent), "sec"))
+      .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
+      .withColumn("cy", last(col("y"), ignoreNulls = true).over(w))
+      .filter(col("cx").isNotNull)
+      .select(col("cx"), col("cy")).as[(Int, Int)]
+    val fused = positions.select(
+      graft.functions.HeatmapAggregator.toColumn.name("hm")).collect()(0)
+    assert(fused.points.map(p => (p.x, p.y, p.value)) == composed.toSeq)
+    assert(fused.max == composedMax)
+  }
+
   test("per-second aggregate retains sorted raw events") {
     val ev = mkEvents(Seq((0L, 1L, "click", 25.0, 7)))
       .withColumn("ts_us", lit(5L * S + 123L))
