@@ -187,6 +187,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
+    "dedup_embedding_cosine" -> q((s, d) =>
+      Knn.nearDupPairs(Tables.embeddings(s, d))),
 
     // ---- similarity search ----
     "knn_brute" -> q((s, d) =>
@@ -669,7 +671,9 @@ object SparkEntry {
       s"""WITH $TOKS
          |SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars_text,
          |  round(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
-         |        / len(t), 4) AS avg_token_len
+         |        / len(t), 4) AS avg_token_len,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+         |    AS n_subtokens
          |FROM toks ORDER BY doc_id""".stripMargin,
 
     "doc_quality" ->
@@ -678,7 +682,10 @@ object SparkEntry {
          |  len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS n_stopwords,
          |  round(CAST(len(list_filter(t, x -> x IN ('the','and','of','to','a','in','is','it'))) AS DOUBLE)
          |        / len(t), 4) AS stop_ratio,
-         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio
+         |  round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4) AS distinct_ratio,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         |  round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         |        / length(text), 4) AS punct_ratio
          |FROM toks ORDER BY doc_id""".stripMargin,
 
     "doc_langid" ->
@@ -761,6 +768,17 @@ object SparkEntry {
          |  JOIN sizes s1 ON s1.doc_id = id1
          |  JOIN sizes s2 ON s2.doc_id = id2
          |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |  round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4)
+         |    AS cos_sim
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |ORDER BY cos_sim DESC, id1, id2 LIMIT 20""".stripMargin,
 
     "knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec

@@ -46,6 +46,25 @@ object Knn {
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: brute-force all-pairs as
+    * the exactness baseline (top-k by similarity, deterministic
+    * tiebreak). The scale path for 100 TB is NOT this — it is
+    * Dedup.minhashPairs-style bucketing or ivfAssign cells; this
+    * gives the ground truth those approximations are judged against.
+    * Norms are precomputed per side so each pair costs one dot. */
+  def nearDupPairs(emb: DataFrame, k: Int = 20): DataFrame = {
+    val a = spread(emb).select(col("vec_id").as("id1"),
+      col("embedding").as("e1"), l2norm(col("embedding")).as("nrm1"))
+    val b = emb.select(col("vec_id").as("id2"),
+      col("embedding").as("e2"), l2norm(col("embedding")).as("nrm2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("e1"), col("e2")) / (col("nrm1") * col("nrm2")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
   /** Vector norms — sanity/inspection projection. */
   def norms(embeddings: DataFrame): DataFrame =
     embeddings.select(

@@ -31,7 +31,10 @@ object TextAnalysis {
       length(col("text")).as("n_chars_text"),
       round(
         aggregate(transform(toks, t => length(t)), lit(0L), (a, v) => a + v)
-          .cast("double") / size(toks), 4).as("avg_token_len"))
+          .cast("double") / size(toks), 4).as("avg_token_len"),
+      // BPE-ish subword count: letter runs, digit runs, other symbols
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_subtokens"))
   }
 
   /** Quality heuristics: stopword ratio, distinct-token ratio (a
@@ -46,7 +49,11 @@ object TextAnalysis {
       nStop.as("n_stopwords"),
       round(nStop.cast("double") / size(toks), 4).as("stop_ratio"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 4)
-        .as("distinct_ratio"))
+        .as("distinct_ratio"),
+      size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+        .as("n_punct"),
+      round(size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+        .cast("double") / length(col("text")), 4).as("punct_ratio"))
   }
 
   /** N-gram-heuristic language ID: score marker-token hits per language
