@@ -76,6 +76,8 @@ object GraftFunctions {
   def register(spark: SparkSession): SparkSession = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark
   }
 }

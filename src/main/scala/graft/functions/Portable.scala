@@ -43,8 +43,17 @@ object Portable {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Sequential double-precision dot product of two float vectors. */
+  /** Sequential double-precision dot product of two float vectors —
+    * the native codegen'd [[DotProduct]] expression (resolved via the
+    * graft function registry; sessions built/tuned by GraftSession
+    * have it). Bit-identical to [[dotFold]]. */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** The declarative HOF formulation of [[dot]] — kept as the
+    * reference implementation the native expression is tested
+    * against (same per-product double cast, same left fold). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
       (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProduct(children(0), children(1))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
   }
 }

@@ -20,6 +20,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("native graft_dot is bit-identical to the declarative fold") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("embedding").as("a"))
+    val pairs = emb.limit(50).crossJoin(
+      Tables.embeddings(spark, sf("sf0.001"))
+        .select(col("embedding").as("b")).limit(50))
+    val diffs = pairs.select(
+      (graft.functions.Portable.dot(col("a"), col("b")) -
+        graft.functions.Portable.dotFold(col("a"), col("b"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0L)
+  }
+
   test("self-hamming folds to a constant (optimizer rule fires)") {
     val df = Seq("abcd", "efgh").toDF("s")
       .select(expr("graft_hamming(s, s)").as("d"))
