@@ -137,6 +137,8 @@ object SparkEntry {
         .orderBy("yr", "o_orderpriority")),
     "q6_forecast" -> q((s, d) =>
       Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q17_small_quantity" -> q((s, d) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, d))),
     "q2_cheapest_supplier" -> q((s, d) =>
       Relational.cheapestSupplierPerPart(Tables.lineitem(s, d))
         .orderBy("l_partkey")),
@@ -565,6 +567,19 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q17_small_quantity" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |        / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT l_quantity, l_extendedprice,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |         OVER (PARTITION BY l_partkey) AS DOUBLE) /
+        |      count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem)
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
 
     "q2_cheapest_supplier" ->
       """SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS best_price

@@ -78,6 +78,8 @@ object GraftFunctions {
       "graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHashSig(exprs(0)), "built-in")
     spark
   }
 }

@@ -271,6 +271,23 @@ object Relational {
         col("quartile"), col("next_price"))
   }
 
+  /** Q17-style correlated average: lineitems whose quantity is below
+    * 20% of their part's average — the "compare each row to its
+    * group's aggregate" pattern, done as one window pass instead of a
+    * correlated subquery re-scan. */
+  def smallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    lineitem
+      .withColumn("avg_qty",
+        sum(col("l_quantity").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+          / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
   /** Q6-style selective scan: filter + single aggregate — the
     * pushdown showcase (predicates reach the parquet reader; only two
     * columns leave the scan). */

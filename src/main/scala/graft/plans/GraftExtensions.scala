@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => graft.functions.MinHashSig(children(0))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
   }
 }
