@@ -109,22 +109,15 @@ object Dedup {
 
   /** 16-bit portable SimHash: bit i of a token's md5 (top bit of hex
     * nibble i) votes +1/−1; sign of the per-bit sum forms the
-    * fingerprint bitstring. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val documents = spread(docs)
-    val hexDigit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val bitCols = (1 to 16).map { i =>
-      sum(when(substring(md5(col("tok")), i, 1).isin(hexDigit: _*), 1)
-        .otherwise(-1)).as(s"b$i")
-    }
-    val agg = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-    val bits = (1 to 16).map(i =>
-      when(col(s"b$i") > 0, "1").otherwise("0"))
-    agg.select(col("doc_id"), concat(bits: _*).as("simhash16"))
-  }
+    * fingerprint bitstring. Computed by the native
+    * [[graft.functions.SimHashBits]] kernel — pure projection, no
+    * explode/shuffle, values identical to the declarative
+    * 16-conditional-sum aggregation (and the oracle). */
+  def simhash(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"),
+        call_function("graft_simhash", tokens(col("text"))).as("simhash16"))
+      .filter(col("simhash16").isNotNull)
 
   /** SimHash near-dup candidate pairs: bucket on the first 8 bits of
     * the fingerprint (docs within small Hamming distance usually agree

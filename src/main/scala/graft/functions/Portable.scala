@@ -33,9 +33,17 @@ object Portable {
     * separated; literal split keeps Spark and DuckDB aligned). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (default 3). Empty array when the document is
-    * shorter than n tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles (default 3). Empty array when the document
+    * is shorter than n tokens. The 3-gram case routes through the
+    * native [[ShingleArray]] kernel (one compiled call per row); the
+    * generic case keeps the declarative HOF form — both produce
+    * identical strings. */
+  def shingles(text: Column, n: Int = 3): Column =
+    if (n == 3) call_function("graft_shingles", tokens(text))
+    else shinglesHof(text, n)
+
+  /** Declarative reference formulation of [[shingles]]. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),

@@ -40,6 +40,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => graft.functions.MinHashSig(children(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => graft.functions.ShingleArray(children(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "graft_simhash"),
+      (children: Seq[Expression]) => graft.functions.SimHashBits(children(0))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
   }
 }
