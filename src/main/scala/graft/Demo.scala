@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Movements
+import graft.streaming.MouseStream
+import graft.sources.RateJsonSource
+
+/** End-to-end demo of the reference application's user journey on the
+  * Spark engine (SURVEY §3): live ingest → per-second aggregation →
+  * the three query surfaces (incremental chart poll, initial load,
+  * heatmap), printed to stdout. `runMain graft.Demo [seconds]`. */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val runSecs = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = GraftSession.get()
+
+    println(s"--- ingest: rate source -> wire JSON -> windowed agg (${runSecs}s) ---")
+    val wire = new RateJsonSource(eventsPerSec = 5000, users = 5).load(spark)
+    val query = MouseStream.startToMemory(spark,
+      MouseStream.parse(wire), "demo_movements")
+    // no processAllAvailable: the rate source is unbounded — it would
+    // never drain; the sleep bounds the demo
+    Thread.sleep(runSecs * 1000L)
+    query.stop()
+
+    println("--- initial load (reverse=true, functions.js:312) ---")
+    val initial = MouseStream.range(spark, "demo_movements", "u1",
+      fromSec = Long.MaxValue / 2000, reverse = true, limit = Some(10))
+    initial.show(5, truncate = false)
+
+    println("--- incremental poll + SUM (functions.js:151-187) ---")
+    val (total, token) = MouseStream.pollSum(
+      MouseStream.range(spark, "demo_movements", "u1", fromSec = 0L))
+    println(s"total_events=$total continuation_token=$token")
+
+    println("--- heatmap read (limit=10&count=false, functions.js:351) + batch pipeline ---")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Movements.heatmap(ev, userId = 1).orderBy(col("value").desc).show(5)
+    val fused = Movements.heatmapFused(ev, userId = 1)
+    println(s"fused: ${fused.points.length} points, max=${fused.max}")
+
+    spark.stop()
+  }
+}

@@ -45,6 +45,34 @@ class PortableSpec extends SparkSpec {
     assert(fwd == rev)
   }
 
+  test("native shingle kernel equals the declarative HOF formulation") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val diffs = docs.select(
+      Portable.shingles(col("text")).as("a"),
+      Portable.shinglesHof(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diffs == 0L)
+  }
+
+  test("native simhash kernel equals the declarative aggregation") {
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    // declarative formulation, inline (the shape the oracle mirrors)
+    val hexDigit = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bitCols = (1 to 16).map { i =>
+      sum(when(substring(md5(col("tok")), i, 1).isin(hexDigit: _*), 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val agg = docs.select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    val bits = (1 to 16).map(i => when(col(s"b$i") > 0, "1").otherwise("0"))
+    val declarative = agg.select(col("doc_id"), concat(bits: _*).as("sh"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val native = Dedup.simhash(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(native.toSeq == declarative.toSeq)
+  }
+
   test("hex16 is deterministic and 16 lowercase hex chars") {
     val h = Seq("a", "b", "a").toDF("s")
       .select(Portable.hex16(col("s")).as("h")).collect().map(_.getString(0))
