@@ -197,6 +197,8 @@ object SparkEntry {
       Knn.bruteForce(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_ivf_assign" -> q((s, d) =>
       Knn.ivfAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "knn_ivf_search" -> q((s, d) =>
+      Knn.ivfSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "emb_norms" -> q((s, d) =>
       Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
 
@@ -821,6 +823,35 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, centroid_id, cos_sim AS centroid_sim
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "knn_ivf_search" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT s.vec_id, s.centroid_id, e.embedding
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM sc) s
+         |  JOIN embeddings e ON s.vec_id = e.vec_id
+         |  WHERE s.rn = 1),
+         |q AS (SELECT vec_id AS qid, centroid_id AS qcell, embedding AS qvec
+         |      FROM assigned WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, a.vec_id,
+         |    ${cosSql("qvec", "a.embedding")} AS cos_sim
+         |  FROM assigned a JOIN q
+         |    ON a.centroid_id = q.qcell AND a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM probe)
+         |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
 
     "emb_norms" ->
       s"""SELECT vec_id, len(embedding) AS dim,
