@@ -55,8 +55,12 @@ object MouseStream {
     * difference worth choosing deliberately. */
   def aggregate(events: DataFrame, lateness: String = "5 seconds",
                 retainRaw: Boolean = true): DataFrame = {
-    val base = events
-      .withWatermark("ts", lateness)
+    // empty lateness = input already carries a watermark (e.g. from
+    // dedupWithinWatermark); redefining one is disallowed when
+    // chaining stateful operators
+    val marked =
+      if (lateness.isEmpty) events else events.withWatermark("ts", lateness)
+    val base = marked
       .groupBy(col("user_id"), window(col("ts"), "1 second"))
     val agged =
       if (retainRaw) base.agg(
@@ -82,6 +86,17 @@ object MouseStream {
       .queryName(tableName)
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
+
+  /** Streaming deduplication: drop redelivered events (same user,
+    * coordinates and timestamp — the reference's fire-and-forget
+    * PutRecords can double-deliver, SURVEY T7) while keeping state
+    * bounded by the watermark. Insert between parse and aggregate for
+    * effectively-once counting over an at-least-once transport. */
+  def dedupWithinWatermark(events: DataFrame,
+                           lateness: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "x", "y", "time")
 
   /** S6 — the upsert sink (the reference's off-repo Lambda writing
     * DynamoDB via UpdateItem, architecture PNG flow 4): update-mode

@@ -71,6 +71,24 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops redelivered events before the aggregation") {
+    val input = MemoryStream[String](spark)
+    val deduped = MouseStream.dedupWithinWatermark(
+      MouseStream.parse(input.toDF()))
+    val q = MouseStream.startToMemory(spark, deduped, "movements_dedup",
+      lateness = "")
+    try {
+      val e = json("u1", 10, 20, 900000)
+      input.addData(e, e, json("u1", 11, 21, 900500)) // duplicate in-batch
+      q.processAllAvailable()
+      input.addData(e) // redelivery in a later batch, inside watermark
+      q.processAllAvailable()
+      val cnt = MouseStream.range(spark, "movements_dedup", "u1", 0L)
+        .filter(col("sec") === 900L).collect()(0).getAs[Long]("cnt")
+      assert(cnt == 2L) // 3 deliveries of e collapsed to 1, plus 1 distinct
+    } finally q.stop()
+  }
+
   test("file source replays JSON-lines archives through the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft_files").toString
     java.nio.file.Files.writeString(
