@@ -24,6 +24,12 @@ import graft.functions.Portable._
   * of a derived table evaluates the derivation twice (no common
   * subexpression elimination across join sides in Catalyst), doubling
   * the dominant scan+explode cost and shuffling the big side twice.
+  *
+  * Algorithms follow the public literature: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of
+  * documents", 1997), LSH banding (Leskovec/Rajaraman/Ullman, Mining
+  * of Massive Datasets ch.3), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002).
   */
 object Dedup {
 

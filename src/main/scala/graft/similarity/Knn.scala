@@ -19,6 +19,11 @@ import graft.functions.Portable._
   * All vector math is double-precision sequential fold (Portable.dot)
   * and similarity is rounded before ranking, so results hash-match a
   * reference engine bit-for-bit.
+  *
+  * The IVF (inverted-file) structure follows the public ANN
+  * literature (Jegou/Douze/Schmid, "Product quantization for nearest
+  * neighbor search", TPAMI 2011 — coarse quantizer part; FAISS's
+  * IndexIVFFlat is the reference shape).
   */
 object Knn {
 

@@ -87,6 +87,29 @@ object MouseStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** Streaming sessionization: event-time session windows closed by a
+    * `gap` of silence per user — the streaming form of
+    * Movements.sessions (the batch gap-based variant). Emits one row
+    * per completed session in append mode once the watermark passes
+    * the gap. */
+  def sessionize(events: DataFrame, gap: String = "10 seconds",
+                 lateness: String = "5 seconds"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        unix_timestamp(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
+  /** A6 — the live `events_tracked` counter (functions.js:19,257) as
+    * an `observe` metric: the count rides each micro-batch's
+    * QueryProgress without a second aggregation or another sink. Read
+    * it from `StreamingQueryProgress.observedMetrics("tracking")`. */
+  def withTracking(events: DataFrame): DataFrame =
+    events.observe("tracking", count(lit(1)).as("events_tracked"))
+
   /** Streaming deduplication: drop redelivered events (same user,
     * coordinates and timestamp — the reference's fire-and-forget
     * PutRecords can double-deliver, SURVEY T7) while keeping state

@@ -106,6 +106,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows close on gaps (event time)") {
+    val input = MemoryStream[String](spark)
+    val sessions = MouseStream.sessionize(
+      MouseStream.parse(input.toDF()), gap = "10 seconds", lateness = "0 seconds")
+    val q = sessions.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sessions_t").start()
+    try {
+      // session A: 3 events within 10s gaps; then 100s silence;
+      // session B: 1 event; a late high ts advances the watermark
+      input.addData(
+        json("u1", 1, 1, 100000), json("u1", 2, 2, 105000),
+        json("u1", 3, 3, 112000),
+        json("u1", 4, 4, 250000),
+        json("u2", 9, 9, 400000)) // watermark pusher
+      q.processAllAvailable()
+      input.addData(json("u2", 9, 9, 500000)) // push watermark further
+      q.processAllAvailable()
+      val got = spark.table("sessions_t").filter(col("user_id") === "u1")
+        .orderBy("session_start").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq == Seq((100L, 122L, 3L), (250L, 260L, 1L)))
+    } finally q.stop()
+  }
+
+  test("observe() exposes the live events_tracked counter (A6)") {
+    val input = MemoryStream[String](spark)
+    val tracked = MouseStream.withTracking(MouseStream.parse(input.toDF()))
+    val q = MouseStream.startToMemory(spark, tracked, "tracked_t")
+    try {
+      input.addData(json("u1", 1, 1, 1000), json("u1", 2, 2, 1500))
+      q.processAllAvailable()
+      val metric = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("tracking")))
+        .map(_.getAs[Long]("events_tracked")).sum
+      assert(metric == 2L)
+    } finally q.stop()
+  }
+
   test("clamp: negative coordinates arrive as 0 (functions.js:248-249)") {
     val df = MouseStream.parse(
       Seq(json("u9", -3, -1, 5000)).toDF("value"))
