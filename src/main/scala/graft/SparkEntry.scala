@@ -65,6 +65,9 @@ object SparkEntry {
     "mov_gap_fill" -> q((s, d) =>
       Movements.gapFillMinutes(ev(s, d), 1L)
         .orderBy("hour_start", "minute")),
+    "mov_session_window" -> q((s, d) =>
+      Movements.sessionWindows(ev(s, d), SessionGapSec)
+        .orderBy("user_id", "session_start_sec")),
 
     // ---- relational coverage ----
     "q1_pricing" -> q((s, d) =>
@@ -371,6 +374,25 @@ object SparkEntry {
          |FROM g LEFT JOIN m
          |  ON g.hour_start = m.hour_start AND g.minute = m.minute
          |ORDER BY g.hour_start, g.minute""".stripMargin,
+
+    "mov_session_window" ->
+      s"""WITH $EV,
+         |g AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER lw IS NULL
+         |           OR ts_us - lag(ts_us) OVER lw >= ${SessionGapSec}000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT user_id, min(ts_us) // 1000000 AS session_start_sec,
+         |  count(*) AS n_events
+         |FROM s GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_sec""".stripMargin,
 
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,

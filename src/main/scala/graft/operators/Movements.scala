@@ -174,6 +174,19 @@ object Movements {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Native session windows in batch: Spark's `session_window` merges
+    * events whose gap is strictly under `gapSec`. Mirrors
+    * [[sessions]] but through the built-in window machinery (and the
+    * exact formulation the streaming `MouseStream.sessionize` uses). */
+  def sessionWindows(events: DataFrame, gapSec: Long): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_sec"),
+        col("n_events"))
+
   /** Sessionization — gap-based session assignment (extension of the
     * reference's implicit per-poll batching to a real session op).
     * A new session starts when the gap to the previous event of the
