@@ -64,6 +64,44 @@ object Multimodal {
           .as("frame"))
       .filter(length(col("frame")) > 0)
 
+  /** STUB resize kernel: recomputes target dimensions preserving
+    * aspect; a real implementation would transcode pixels here —
+    * the metadata/plumbing contract is what downstream consumes. */
+  def resizeMeta(spark: SparkSession, media: DataFrame,
+                 maxSide: Int = 224): Dataset[MediaMeta] = {
+    import spark.implicits._
+    extractMeta(spark, media).map { m =>
+      val side = math.max(math.max(m.width, m.height), 1)
+      val scale = math.min(1.0, maxSide.toDouble / side)
+      m.copy(width = (m.width * scale).toInt, height = (m.height * scale).toInt)
+    }
+  }
+
+  case class MediaFeature(doc_id: Long, embedding: Array[Float])
+
+  /** STUB feature extraction: a deterministic fake embedding derived
+    * from the payload bytes (a real pipeline runs the vision/audio
+    * encoder here, batched per partition). The output column shape —
+    * `array<float>` keyed by doc_id — is exactly what the similarity
+    * operators consume, so media vectors flow straight into
+    * Knn.bruteForce / ivfAssign. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+                      dim: Int = 16): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions { it =>
+      // real pipeline: load the encoder once per partition here
+      it.map { m =>
+        val v = new Array[Float](dim)
+        var i = 0
+        while (i < m.data.length) {
+          v(i % dim) += (m.data(i) & 0xff) / 255.0f
+          i += 1
+        }
+        MediaFeature(m.doc_id, v)
+      }
+    }
+  }
+
   /** Oracle-facing metadata query built only from portable expressions
     * (DuckDB 1.0 lacks md5(BLOB), so the checksum hashes the source
     * text — same bytes). */

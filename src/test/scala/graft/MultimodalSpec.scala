@@ -31,6 +31,25 @@ class MultimodalSpec extends SparkSpec {
     assert(m.checksum == viaSql)
   }
 
+  test("resize stub bounds dimensions while preserving plumbing") {
+    val resized = Multimodal.resizeMeta(spark, Multimodal.mediaTable(docs),
+      maxSide = 100).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(m => m.width <= 100 && m.height <= 100))
+  }
+
+  test("media feature vectors flow into the similarity operators") {
+    import spark.implicits._
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.mediaTable(docs), dim = 16)
+      .toDF().withColumnRenamed("doc_id", "vec_id")
+      .withColumn("label", lit(0))
+    val knn = graft.similarity.Knn.bruteForce(feats, nQueries = 2, k = 3)
+      .collect()
+    assert(knn.length == 6) // 2 queries x top-3
+    assert(knn.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
+  }
+
   test("frame sampling slices bounded byte ranges per frame") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(docs),
       frameBytes = 16, nFrames = 4)
