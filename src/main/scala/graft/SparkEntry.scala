@@ -151,6 +151,12 @@ object SparkEntry {
     "agg_collect_buckets" -> q((s, d) =>
       Relational.typeUserBuckets(Tables.events(s, d))
         .orderBy("event_type")),
+    "win_frame_edges" -> q((s, d) =>
+      Relational.orderFrameEdges(Tables.orders(s, d))
+        .orderBy("o_custkey", "o_orderkey")),
+    "agg_arg_extremes" -> q((s, d) =>
+      Relational.eventArgExtremes(Tables.events(s, d))
+        .orderBy("event_type")),
 
     // ---- time series ----
     "ts_asof_purchase_click" -> q((s, d) =>
@@ -627,6 +633,28 @@ object SparkEntry {
          |    AS user_buckets,
          |  count(DISTINCT user_id % 10) AS n_buckets
          |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "win_frame_edges" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER lw AS first_key,
+        |  last_value(o_orderkey) OVER lw AS last_key,
+        |  nth_value(o_orderkey, 2) OVER lw AS second_key
+        |FROM orders
+        |WINDOW lw AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "agg_arg_extremes" ->
+      s"""WITH $EV,
+         |keyed AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 100) AS BIGINT) * 10000000 + event_id AS k
+         |  FROM ev)
+         |SELECT event_type,
+         |  arg_max(event_id, k) AS max_value_event,
+         |  arg_min(event_id, k) AS min_value_event
+         |FROM keyed GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_asof_purchase_click" ->
       s"""WITH $EV,

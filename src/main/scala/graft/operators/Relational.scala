@@ -345,6 +345,34 @@ object Relational {
         .as("user_buckets"),
         countDistinct(pmod(col("user_id"), lit(10))).as("n_buckets"))
 
+  /** Frame-edge window functions: first/last/nth order value per
+    * customer over the full partition frame. */
+  def orderFrameEdges(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(w))
+      .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("first_key"), col("last_key"), col("second_key"))
+  }
+
+  /** Argmin/argmax aggregation: the event carrying each type's
+    * extreme value. Deterministic via a unique bigint ordering key
+    * (cents × 10^7 + event_id). */
+  def eventArgExtremes(events: DataFrame): DataFrame = {
+    val key = (round(col("value") * 100).cast("long") * 10000000L +
+      col("event_id")).as("k")
+    events
+      .select(col("event_type"), col("event_id"), key)
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("event_id"), col("k")).as("max_value_event"),
+        min_by(col("event_id"), col("k")).as("min_value_event"))
+  }
+
   /** Per-type event stats over the events table: min/max/sum/count. */
   def eventTypeStats(events: DataFrame): DataFrame =
     events
