@@ -142,6 +142,11 @@ object SparkEntry {
       Relational.forecastRevenue(Tables.lineitem(s, d))),
     "q17_small_quantity" -> q((s, d) =>
       Relational.smallQuantityRevenue(Tables.lineitem(s, d))),
+    "q14_promo_share" -> q((s, d) =>
+      Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q18_large_orders" -> q((s, d) =>
+      Relational.largeOrders(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("o_orderkey")),
     "q2_cheapest_supplier" -> q((s, d) =>
       Relational.cheapestSupplierPerPart(Tables.lineitem(s, d))
         .orderBy("l_partkey")),
@@ -610,6 +615,32 @@ object SparkEntry {
         |      count(*) OVER (PARTITION BY l_partkey) AS avg_qty
         |  FROM lineitem)
         |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT
+        |  round(100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |               THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                    CAST(1.0 - l_discount AS DECIMAL(18,4))
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+        |  total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0
+        |) b ON o_orderkey = b.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q2_cheapest_supplier" ->
       """SELECT l_partkey, l_suppkey, round(l_extendedprice, 2) AS best_price

@@ -345,6 +345,38 @@ object Relational {
         .as("user_buckets"),
         countDistinct(pmod(col("user_id"), lit(10))).as("n_buckets"))
 
+  /** Q14-style conditional-aggregate ratio: share of revenue from
+    * promo parts in one shipping month. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val revenue = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,4)")
+    lineitem
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-03-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenue)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(revenue).cast("double"), 4).as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q18-style large orders: orders whose total quantity clears a
+    * threshold (group-filter then join back to the order header). */
+  def largeOrders(orders: DataFrame, lineitem: DataFrame,
+                  minQty: Double = 300.0): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+        .as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+  }
+
   /** Frame-edge window functions: first/last/nth order value per
     * customer over the full partition frame. */
   def orderFrameEdges(orders: DataFrame): DataFrame = {

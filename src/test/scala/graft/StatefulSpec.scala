@@ -90,6 +90,34 @@ class StatefulSpec extends SparkSpec {
     assert(out2 == Seq(StatefulOps.PositionedEvent("u1", 0, 0, 2000L)))
   }
 
+  test("windowed aggregation runs on the RocksDB state store (production posture)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[String](spark)
+    val q = MouseStream.startToMemory(spark,
+      MouseStream.parse(input.toDF()), "rocksdb_t")
+    try {
+      input.addData(
+        """{"user_id":"u1","x":1,"y":1,"time":700100}""",
+        """{"user_id":"u1","x":2,"y":2,"time":700200}""")
+      q.processAllAvailable()
+      input.addData("""{"user_id":"u1","x":3,"y":3,"time":700300}""")
+      q.processAllAvailable()
+      val cnt = MouseStream.range(spark, "rocksdb_t", "u1", 0L)
+        .filter(col("sec") === 700L).collect()(0).getAs[Long]("cnt")
+      assert(cnt == 3L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("keyed JSON sink shape round-trips through the wire format (S4)") {
     val events = MouseStream.parse(Seq(
       """{"user_id":"u7","x":11,"y":22,"time":5000}""").toDF("value"))
