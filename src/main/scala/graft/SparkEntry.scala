@@ -113,6 +113,9 @@ object SparkEntry {
     "pivot_priority_status" -> q((s, d) =>
       Relational.priorityStatusPivot(Tables.orders(s, d))
         .orderBy("o_orderpriority")),
+    "pivot_native" -> q((s, d) =>
+      Relational.priorityStatusPivotNative(Tables.orders(s, d))
+        .orderBy("o_orderpriority")),
     "topk_lineitems" -> q((s, d) =>
       Relational.topLineitems(Tables.lineitem(s, d))),
     "agg_event_stats" -> q((s, d) =>
@@ -520,6 +523,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "pivot_native" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "topk_lineitems" ->

@@ -33,6 +33,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Register every table (plus the canonical `events` view) as a
+    * temp view so the full SQL surface works over a scale-factor
+    * directory: `spark.sql("SELECT ... FROM lineitem JOIN ...")`. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    names.filter(_ != "events")
+      .foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   /** Events with the canonical time grains materialized:
     *  - `ts_us`  — epoch micros (long), the event-time grain. Micros,
     *               not the file's nanos: other engines (and float64

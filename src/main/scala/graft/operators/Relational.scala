@@ -170,6 +170,16 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_qty"))
 
+  /** Native pivot API form of [[priorityStatusPivot]] — same result
+    * through `RelationalGroupedDataset.pivot` with explicit values
+    * (explicit so the plan needs no extra distinct-values job). */
+  def priorityStatusPivotNative(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .na.fill(0L, Seq("F", "O", "P"))
+
   /** Conditional-aggregation pivot: order counts per priority × status. */
   def priorityStatusPivot(orders: DataFrame): DataFrame =
     orders
