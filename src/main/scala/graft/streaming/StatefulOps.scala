@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful streaming operators — the parts of the reference pipeline
   * whose state crosses micro-batch boundaries (SURVEY §7.4).
@@ -54,6 +54,49 @@ object StatefulOps {
           last.foreach(state.update)
           out.iterator
       }
+  }
+
+  /** The same LOCF semantics on the Spark 4 `transformWithState`
+    * API — a [[StatefulProcessor]] with a [[ValueState]] per user.
+    * Requires the RocksDB state store provider. The
+    * flatMapGroupsWithState form above remains the default (no
+    * provider requirement); this is the forward-looking variant with
+    * finer state control (TTL, timers, multiple state variables). */
+  class LocfProcessor
+      extends StatefulProcessor[String, PositionedEvent, ResolvedEvent] {
+    @transient private var lastPos: ValueState[LastPos] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastPos = getHandle.getValueState[LastPos](
+        "lastPos", Encoders.product[LastPos], TTLConfig.NONE)
+
+    override def handleInputRows(uid: String,
+        rows: Iterator[PositionedEvent],
+        timers: TimerValues): Iterator[ResolvedEvent] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ResolvedEvent]
+      var last = if (lastPos.exists()) Some(lastPos.get()) else None
+      rows.toSeq.sortBy(e => (e.time, e.x, e.y)).foreach { e =>
+        if (isSentinel(e)) {
+          last.foreach(p =>
+            out += ResolvedEvent(uid, p.x, p.y, e.time, carried = true))
+        } else {
+          last = Some(LastPos(e.x, e.y))
+          out += ResolvedEvent(uid, e.x, e.y, e.time, carried = false)
+        }
+      }
+      last.foreach(lastPos.update)
+      out.iterator
+    }
+  }
+
+  /** [[locfResolve]] on the transformWithState runtime. */
+  def locfResolveTws(events: Dataset[PositionedEvent]): Dataset[ResolvedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LocfProcessor,
+        TimeMode.None(), OutputMode.Append)
   }
 
   case class HeartbeatState(lastEventMs: Long)

@@ -36,6 +36,37 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState LOCF matches the flatMapGroupsWithState semantics") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[PositionedEvent](spark)
+    val q = StatefulOps.locfResolveTws(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("locf_tws").start()
+    try {
+      input.addData(
+        PositionedEvent("u1", 0, 0, 1000), // leading sentinel: dropped
+        PositionedEvent("u1", 5, 6, 2000))
+      q.processAllAvailable()
+      input.addData(PositionedEvent("u1", 0, 0, 3000)) // cross-batch carry
+      q.processAllAvailable()
+      val rows = spark.table("locf_tws").orderBy("time")
+        .as[ResolvedEvent].collect()
+      assert(rows.toSeq == Seq(
+        ResolvedEvent("u1", 5, 6, 2000, carried = false),
+        ResolvedEvent("u1", 5, 6, 3000, carried = true)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsert sink state survives a query restart from checkpoint (T5/T7, S6)") {
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val input = MemoryStream[String](spark)
