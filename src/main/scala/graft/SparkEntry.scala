@@ -124,6 +124,9 @@ object SparkEntry {
     "agg_percentiles" -> q((s, d) =>
       Relational.pricePercentiles(Tables.orders(s, d))
         .orderBy("o_orderpriority")),
+    "agg_corr" -> q((s, d) =>
+      Relational.quantityPriceCorr(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
     "agg_sketch" -> q((s, d) =>
       Relational.sketchStats(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
@@ -553,6 +556,12 @@ object SparkEntry {
 
     // agg_sketch intentionally has no oracle: HLL++/KLL sketches are
     // engine-specific; the driver records a rows-only check.
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "cube_returns" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -198,6 +198,17 @@ object Relational {
         col("l_linenumber"))
       .limit(20)
 
+  /** Statistical aggregates: Pearson correlation between quantity and
+    * price per return flag (normalized, so float accumulation noise
+    * sits far below the rounded precision). */
+  def quantityPriceCorr(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("qty_price_corr"),
+        count(lit(1)).as("n"))
+
   /** Exact percentiles (linear interpolation) of order value per
     * priority. */
   def pricePercentiles(orders: DataFrame): DataFrame =
