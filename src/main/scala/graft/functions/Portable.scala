@@ -25,10 +25,6 @@ object Portable {
   /** 64-bit-equivalent portable hash: first 16 hex chars of md5. */
   def hex16(c: Column): Column = substring(md5(c), 1, 16)
 
-  /** Seeded portable hash for minhash families: md5(seed || ":" || v). */
-  def seededHex16(seed: Int, c: Column): Column =
-    substring(md5(concat(lit(seed.toString + ":"), c)), 1, 16)
-
   /** Tokenize on single spaces (the documents table is single-space
     * separated; literal split keeps Spark and DuckDB aligned). */
   def tokens(text: Column): Column = split(text, " ")

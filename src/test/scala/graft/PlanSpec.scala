@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the properties that make queries
+  * scale-safe must survive refactors — filter pushdown into the scan,
+  * column pruning, broadcast dimension joins, top-k via
+  * TakeOrderedAndProject, partial aggregation. Checked on the final
+  * (post-AQE) plan after execution. */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  test("q1: shipdate filter pushes into the parquet scan; columns pruned") {
+    val p = finalPlan(q("q1_pricing"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan reads columns the query never uses")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q5: all dimension joins broadcast; no sort-merge join") {
+    val p = finalPlan(q("q5_region_revenue"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension join fell back to sort-merge:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort job") {
+    val p = finalPlan(q("topk_lineitems"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("heatmap: user filter pushes to the scan; recent-secs limit is top-k") {
+    val p = finalPlan(q("mov_heatmap"))
+    assert(p.contains("EqualTo(user_id,1)"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("semi join stays a broadcast LeftSemi") {
+    val p = finalPlan(q("join_semi_segments"))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"))
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    val p = finalPlan(q("q1_pricing"))
+    assert(p.split("\n").exists(_.contains("*(")),
+      "no whole-stage codegen stages in final plan")
+  }
+}
