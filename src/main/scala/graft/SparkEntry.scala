@@ -153,6 +153,15 @@ object SparkEntry {
     "q18_large_orders" -> q((s, d) =>
       Relational.largeOrders(Tables.orders(s, d), Tables.lineitem(s, d))
         .orderBy("o_orderkey")),
+    "q4_late_orders" -> q((s, d) =>
+      Relational.lateOrderCounts(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("o_orderpriority")),
+    "q10_return_customers" -> q((s, d) =>
+      Relational.topReturnCustomers(Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q22_rich_inactive" -> q((s, d) =>
+      Relational.richInactiveCustomers(Tables.customer(s, d),
+        Tables.orders(s, d)).orderBy("c_custkey")),
     "q2_cheapest_supplier" -> q((s, d) =>
       Relational.cheapestSupplierPerPart(Tables.lineitem(s, d))
         .orderBy("l_partkey")),
@@ -634,6 +643,37 @@ object SparkEntry {
         |      count(*) OVER (PARTITION BY l_partkey) AS avg_qty
         |  FROM lineitem)
         |WHERE l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q4_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND epoch_ms(l.l_shipdate) > epoch_ms(o.o_orderdate) + CAST(90 AS BIGINT) * 86400000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_return_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q22_rich_inactive" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+        |           / count(*) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q14_promo_share" ->
       """SELECT

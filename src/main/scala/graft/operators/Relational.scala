@@ -366,6 +366,45 @@ object Relational {
         .as("user_buckets"),
         countDistinct(pmod(col("user_id"), lit(10))).as("n_buckets"))
 
+  /** Q4-style: orders with at least one late-shipped lineitem (semi
+    * join whose condition mixes the key with an inequality across
+    * both sides), counted per priority. */
+  def lateOrderCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          unix_millis(col("l_shipdate").cast("timestamp")) >
+            unix_millis(col("o_orderdate").cast("timestamp")) + 90L * 86400000L,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  /** Q10-style: top customers by returned-item revenue. */
+  def topReturnCustomers(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Q22-style: customers with above-average balance and no orders —
+    * a scalar-subquery threshold (broadcast single-row aggregate, not
+    * a driver-side collect) feeding an anti join. */
+  def richInactiveCustomers(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val avgBal = customer.agg(
+      (sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+  }
+
   /** Q14-style conditional-aggregate ratio: share of revenue from
     * promo parts in one shipping month. */
   def promoRevenueShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
