@@ -48,6 +48,28 @@ object Movements {
         sort_array(collect_list(struct(col("ts_us"), col("x"), col("y"))))
           .as("movs"))
 
+  /** Incremental maintenance of the per-second aggregate table: merge
+    * a batch of new events into an existing materialization — the
+    * reference's DynamoDB UpdateItem semantics (PNG flow 4) as a
+    * batch operator. Because the aggregation is distributive
+    * (counts add, retained events union), the merged table is
+    * EXACTLY perSecond(old ∪ new) — asserted as a property test.
+    * At scale this is the backfill/compaction path: only the delta
+    * shuffles, the existing table joins by its (user, sec) key. */
+  def mergeIncrement(agg: DataFrame, newEvents: DataFrame): DataFrame = {
+    val delta = perSecond(newEvents)
+    val emptyMovs = array().cast(
+      "array<struct<ts_us:bigint,x:int,y:int>>")
+    agg.as("a")
+      .join(delta.as("d"), Seq("user_id", "sec"), "full_outer")
+      .select(col("user_id"), col("sec"),
+        (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+          .as("cnt"),
+        sort_array(concat(
+          coalesce(col("a.movs"), emptyMovs),
+          coalesce(col("d.movs"), emptyMovs))).as("movs"))
+  }
+
   /** A1 without retention — the oracle-facing per-second count. */
   def perSecondCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), col("sec")).agg(count(lit(1)).as("cnt"))

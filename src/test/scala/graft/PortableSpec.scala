@@ -91,6 +91,18 @@ class PortableSpec extends SparkSpec {
     assert(topViaLimit == all)
   }
 
+  test("incremental merge equals full recompute (view-maintenance property)") {
+    import graft.operators.Movements
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val old = ev.filter(col("event_id") % 2 === 0)
+    val fresh = ev.filter(col("event_id") % 2 === 1)
+    val merged = Movements.mergeIncrement(Movements.perSecond(old), fresh)
+      .orderBy("user_id", "sec").collect().map(_.toString)
+    val full = Movements.perSecond(ev)
+      .orderBy("user_id", "sec").collect().map(_.toString)
+    assert(merged.toSeq == full.toSeq)
+  }
+
   test("sum of per-second counts equals total events (conservation)") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val total = ev.count()
