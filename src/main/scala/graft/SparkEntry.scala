@@ -204,6 +204,9 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
     "doc_fingerprint" -> q((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_winnow_fp" -> q((s, d) =>
+      TextAnalysis.winnowFingerprint(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // ---- dedup ----
     "dedup_exact" -> q((s, d) =>
@@ -866,6 +869,24 @@ object SparkEntry {
         |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp,
         |  length(text) AS n_chars_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_winnow_fp" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents
+        |           WHERE length(text) >= 11),
+        |pos AS (SELECT doc_id, text, n,
+        |          unnest(range(1, n - 8 + 2)) AS i FROM c),
+        |h AS (SELECT doc_id, n, i,
+        |        substr(md5(substr(text, CAST(i AS INT), 8)), 1, 8) AS hv
+        |      FROM pos),
+        |wm AS (SELECT doc_id, n, i,
+        |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+        |       FROM h),
+        |sel AS (SELECT DISTINCT doc_id, mh FROM wm
+        |        WHERE i <= (n - 8 + 1) - 4 + 1)
+        |SELECT doc_id, count(*) AS n_selected,
+        |  substr(md5(string_agg(mh, '' ORDER BY mh)), 1, 16) AS winnow_fp
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id,

@@ -84,6 +84,8 @@ object GraftFunctions {
       "graft_shingles", exprs => ShingleArray(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHashBits(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", exprs => WinnowSelect(exprs(0)), "built-in")
     spark
   }
 }

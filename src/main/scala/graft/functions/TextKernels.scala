@@ -48,6 +48,59 @@ case class ShingleArray(child: Expression)
     copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * "Winnowing: local algorithms for document fingerprinting", SIGMOD
+  * 2003): hash every k-char gram (first 8 hex of md5), then select
+  * the minimum of every w-window of consecutive gram hashes. Returns
+  * the SORTED DISTINCT selected hashes; NULL when the text is too
+  * short for one full window (n < k + w − 1). One compiled call per
+  * document (HOF/explode forms evaluate interpreted per element). */
+case class WinnowSelect(child: Expression, k: Int = 8, w: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val g = text.length - k + 1 // gram count
+    if (g < w) return null
+    val md = MessageDigest.getInstance("MD5")
+    val grams = new Array[String](g)
+    var i = 0
+    while (i < g) {
+      md.reset()
+      grams(i) = MinHashSig.toHex(
+        md.digest(text.substring(i, i + k).getBytes("UTF-8"))).substring(0, 8)
+      i += 1
+    }
+    val selected = scala.collection.mutable.SortedSet.empty[String]
+    var j = 0
+    while (j <= g - w) {
+      var m = grams(j)
+      var t = j + 1
+      while (t < j + w) {
+        if (grams(t) < m) m = grams(t)
+        t += 1
+      }
+      selected += m
+      j += 1
+    }
+    new GenericArrayData(
+      selected.toArray.map(s => UTF8String.fromString(s): Any))
+  }
+
+  override protected def withNewChildInternal(c: Expression): WinnowSelect =
+    copy(child = c)
+}
+
 /** 16-bit SimHash of a token array — identical bitstring to the
   * explode + 16-conditional-sum aggregation: bit i votes +1 when hex
   * digit i of md5(token) has its top bit set, −1 otherwise; output

@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[graft.functions.SimHashBits].getName, "graft_simhash"),
       (children: Seq[Expression]) => graft.functions.SimHashBits(children(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "graft_winnow"),
+      (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
   }
 }

@@ -77,6 +77,20 @@ object TextAnalysis {
         .otherwise("fr").as("pred_lang"))
   }
 
+  /** Winnowing fingerprint (rolling k-gram hashes + window minima,
+    * the MOSS scheme — see functions.WinnowSelect): per doc, the
+    * selected-hash count and a digest of the sorted selection. Two
+    * docs sharing text regions share selected hashes, so the
+    * selection set drives containment/overlap detection at scale. */
+  def winnowFingerprint(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"),
+        call_function("graft_winnow", col("text")).as("sel"))
+      .filter(col("sel").isNotNull)
+      .select(col("doc_id"),
+        size(col("sel")).as("n_selected"),
+        substring(md5(concat_ws("", col("sel"))), 1, 16).as("winnow_fp"))
+
   /** Document fingerprint: md5-based 64-bit-equivalent hash of the
     * whitespace-normalized lowercase text (SURVEY — rolling-hash
     * fingerprinting done portably). */
