@@ -142,6 +142,48 @@ object Dedup {
         expr("graft_hamming(p.id1.simhash16, p.id2.simhash16)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
 
+  /** Connected components over candidate pairs — turns pairwise
+    * near-dup evidence into dedup GROUPS (cluster id = min doc_id of
+    * the component). Iterative min-label propagation to fixpoint,
+    * the standard distributed union-find substitute (cf. the
+    * alternating-star algorithms of Kiveris et al., "Connected
+    * components in MapReduce and beyond", SoCC 2014): each round is
+    * one shuffle; rounds needed = graph diameter (near-dup clusters
+    * are shallow, so this converges in 2-3 rounds).
+    *
+    * `pairs` must have columns (id1, id2); returns (doc_id,
+    * cluster_id) for every doc appearing in any pair. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(col("id1").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("doc_id"))
+        .groupBy(edges("id1").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(eager = true) // truncate the growing lineage
+      converged = updated
+        .select(col("doc_id"), col("cluster_id").as("new_c"))
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old_c")),
+          "doc_id")
+        .filter(col("new_c") =!= col("old_c"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
   /** N-gram Jaccard near-duplicates via inverted-index bucketing on
     * distinct shingles: pairs expand inside each shingle's posting
     * list (bounded by document frequency), |A∩B| = pair count across

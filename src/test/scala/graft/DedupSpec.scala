@@ -56,6 +56,23 @@ class DedupSpec extends SparkSpec {
     assert(!top.contains((0L, 3L)))
   }
 
+  test("near-dup clusters: label propagation finds connected components") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; singleton pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("clusters compose with minhash pairs end to end") {
+    val clusters = Dedup.nearDupClusters(Dedup.minhashPairs(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the exact duplicates 0 and 1 must land in the same cluster
+    assert(clusters(0L) == clusters(1L))
+  }
+
   test("language id picks the marker-heavy language deterministically") {
     val d = Seq(
       (0L, "the cat and the dog of the house is big", "en"),
