@@ -186,6 +186,12 @@ object SparkEntry {
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
         .orderBy("user_id", "bucket_start")),
+    "ts_monthly_revenue" -> q((s, d) =>
+      TimeSeries.monthlyRevenue(Tables.orders(s, d))
+        .orderBy("month_start_ms")),
+    "q15_top_supplier" -> q((s, d) =>
+      Relational.topRevenueSupplier(Tables.lineitem(s, d))
+        .orderBy("l_suppkey")),
 
     // ---- function surface ----
     "func_scalar" -> q((s, d) =>
@@ -786,6 +792,24 @@ object SparkEntry {
          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
          |FROM ev GROUP BY user_id, bucket_start
          |ORDER BY user_id, bucket_start""".stripMargin,
+
+    "ts_monthly_revenue" ->
+      """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM orders GROUP BY month_start_ms ORDER BY month_start_ms""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH bysupp AS (
+        |  SELECT l_suppkey,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                   CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |      AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, total_revenue FROM bysupp
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM bysupp)
+        |ORDER BY l_suppkey""".stripMargin,
 
     "func_scalar" ->
       s"""WITH $EV

@@ -366,6 +366,20 @@ object Relational {
         .as("user_buckets"),
         countDistinct(pmod(col("user_id"), lit(10))).as("n_buckets"))
 
+  /** Q15-style: the supplier(s) achieving the maximum revenue — a
+    * derived aggregate filtered by its own global max (broadcast
+    * single-row max, no driver round-trip). */
+  def topRevenueSupplier(lineitem: DataFrame): DataFrame = {
+    val bySupp = lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("total_revenue"))
+    bySupp
+      .crossJoin(broadcast(bySupp.agg(max(col("total_revenue")).as("max_rev"))))
+      .filter(col("total_revenue") === col("max_rev"))
+      .select(col("l_suppkey"), col("total_revenue"))
+  }
+
   /** Q4-style: orders with at least one late-shipped lineitem (semi
     * join whose condition mixes the key with an inequality across
     * both sides), counted per priority. */

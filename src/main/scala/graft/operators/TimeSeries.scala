@@ -61,6 +61,17 @@ object TimeSeries {
       .select(col("user_id"), col("event_id"), col("avg3"))
   }
 
+  /** Calendar-month revenue rollup: date_trunc to month boundaries
+    * (calendar grains, unlike the fixed-width second/minute buckets). */
+  def monthlyRevenue(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(unix_millis(date_trunc("month", col("o_orderdate"))
+        .cast("timestamp")).as("month_start_ms"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2)
+          .as("revenue"))
+
   /** Coarser tumbling buckets (5-minute) over event time — the batch
     * equivalent of `window($"ts", "5 minutes")`, keyed arithmetic on
     * the second grain so the oracle can mirror it exactly. */
