@@ -27,6 +27,53 @@ class SourcesSpec extends SparkSpec {
     assert(sums(fromCsv) == sums(ev))
   }
 
+  test("events round-trip through ORC with values intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "event_type", "value", "sec")
+    ev.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() == ev.count())
+    val s1 = back.agg(sum(col("event_id")),
+      round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)).collect()(0)
+    val s2 = ev.agg(sum(col("event_id")),
+      round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)).collect()(0)
+    assert(s1 == s2)
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      // 95% of left rows share one key → one partition dwarfs the rest
+      val left = spark.range(200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(1000).select(col("id").as("k"),
+        (col("id") * 2).as("rv"))
+      val joined = left.join(right, "k")
+      joined.write.format("noop").mode("overwrite").save()
+      assert(joined.count() > 0)
+      // the skew handling is best-effort; what we pin is that the skewed
+      // join completes and AQE was in the plan path
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AdaptiveSparkPlan"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("registerAll exposes the full SQL surface over a scale factor") {
     Tables.registerAll(spark, sf("sf0.001"))
     val row = spark.sql(
