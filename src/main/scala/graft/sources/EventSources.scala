@@ -42,6 +42,24 @@ final class RateJsonSource(eventsPerSec: Long, users: Int = 1000)
   }
 }
 
+/** Adapter for the Kinesis connector's record schema: connectors
+  * deliver `data: binary` (the PutRecords payload —
+  * reference functions.js:211 writes UTF-8 JSON) plus
+  * `partitionKey`, `sequenceNumber`, `approximateArrivalTimestamp`.
+  * This projects that shape onto the engine's wire contract
+  * (`value: string`), keeping the partition key for
+  * ordering/diagnostics. Works on any DataFrame with those columns,
+  * so tests exercise it with a synthetic frame and production plugs
+  * in the real connector stream unchanged. */
+object KinesisRecords {
+  def toWire(records: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    records.select(
+      col("data").cast("string").as("value"),
+      col("partitionKey").as("partition_key"))
+  }
+}
+
 /** The production slot: a connector-backed stream (Kinesis/Kafka).
   * The connector jar is not present in this offline build, so this
   * only documents the wiring — `format` and options pass straight

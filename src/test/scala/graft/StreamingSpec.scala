@@ -145,6 +145,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Kinesis-shaped records project onto the wire contract") {
+    import graft.sources.KinesisRecords
+    val records = Seq(
+      (json("u1", 4, 5, 33000).getBytes("UTF-8"), "u1", "seq-1"),
+      (json("u2", 6, 7, 34000).getBytes("UTF-8"), "u2", "seq-2"))
+      .toDF("data", "partitionKey", "sequenceNumber")
+    val parsed = MouseStream.parse(KinesisRecords.toWire(records))
+      .orderBy("user_id").collect()
+    assert(parsed.map(_.getAs[String]("user_id")).toSeq == Seq("u1", "u2"))
+    assert(parsed(0).getAs[Int]("x") == 4 && parsed(1).getAs[Int]("y") == 7)
+  }
+
   test("clamp: negative coordinates arrive as 0 (functions.js:248-249)") {
     val df = MouseStream.parse(
       Seq(json("u9", -3, -1, 5000)).toDF("value"))
