@@ -146,18 +146,29 @@ object Dedup {
     * the fingerprint (docs within small Hamming distance usually agree
     * on a prefix band), expand pairs per bucket, then filter by exact
     * Hamming distance — computed by the native codegen'd
-    * [[graft.functions.HammingDistance]] expression. */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    * [[graft.functions.HammingDistance]] expression. `maxBucket`
+    * bounds the expansion like [[minhashPairs]]: truncated members
+    * still pair with the bucket minimum (the cluster spine). */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 10000): DataFrame = {
+    val overflow = when(size(col("items")) > maxBucket,
+      slice(col("items"), lit(maxBucket + 1), size(col("items"))))
+      .otherwise(array().cast(
+        "array<struct<doc_id:bigint,simhash16:string>>"))
     simhash(documents)
       .groupBy(substring(col("simhash16"), 1, 8).as("prefix"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash16"))))
         .as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(pairsOf(col("items"))).as("p"))
+      .select(explode(concat(
+        pairsOf(slice(col("items"), 1, maxBucket)),
+        transform(overflow, o =>
+          struct(col("items")(0).as("id1"), o.as("id2"))))).as("p"))
       .select(
         col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
         expr("graft_hamming(p.id1.simhash16, p.id2.simhash16)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
 
   /** Connected components over candidate pairs — turns pairwise
     * near-dup evidence into dedup GROUPS (cluster id = min doc_id of
