@@ -57,6 +57,9 @@ object SparkEntry {
       Movements.heatmap(ev(s, d), 1L).orderBy("cx", "cy")),
     "mov_heatmap_max" -> q((s, d) =>
       Movements.heatmapMax(ev(s, d), 1L)),
+    "mov_heatmap_all" -> q((s, d) =>
+      Movements.heatmapAll(ev(s, d))
+        .orderBy("user_id", "cx", "cy")),
     "mov_sentinel_stats" -> q((s, d) =>
       Movements.sentinelStats(ev(s, d)).orderBy("user_id")),
     "mov_sessions" -> q((s, d) =>
@@ -368,6 +371,25 @@ object SparkEntry {
     "mov_heatmap_max" ->
       s"""$HeatmapBase
          |SELECT max(value) AS max_value FROM hm""".stripMargin,
+
+    "mov_heatmap_all" ->
+      s"""WITH $POS,
+         |recent AS (
+         |  SELECT user_id, sec FROM (
+         |    SELECT user_id, sec,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY sec DESC) AS rn
+         |    FROM (SELECT user_id, sec FROM pos GROUP BY user_id, sec))
+         |  WHERE rn <= 10),
+         |w AS (
+         |  SELECT p.*,
+         |    last_value(x IGNORE NULLS) OVER lw AS cx,
+         |    last_value(y IGNORE NULLS) OVER lw AS cy
+         |  FROM pos p JOIN recent USING (user_id, sec)
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, cx, cy, count(*) AS value FROM w
+         |WHERE cx IS NOT NULL GROUP BY user_id, cx, cy
+         |ORDER BY user_id, cx, cy""".stripMargin,
 
     "mov_sentinel_stats" ->
       s"""WITH $EV

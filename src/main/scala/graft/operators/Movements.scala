@@ -137,6 +137,32 @@ object Movements {
       .agg(count(lit(1)).as("value"))
   }
 
+  /** The heatmap pipeline generalized to EVERY user in one job: the
+    * per-user "k most recent seconds" becomes a rank window instead of
+    * a limit, then the LOCF + position count run per user exactly as
+    * in [[heatmap]]. This is the materialize-all-dashboards shape: at
+    * scale it is two keyed shuffles (rank, count) over data already
+    * reduced to k seconds per user — no per-user driver loop. */
+  def heatmapAll(events: DataFrame, k: Int = 10): DataFrame = {
+    val bySecRank = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec").desc)
+    val recent = events.groupBy(col("user_id"), col("sec"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(bySecRank))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("sec"))
+    val inWindow = events.join(recent, Seq("user_id", "sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positioned(inWindow)
+      .withColumn("cx", last(col("x"), ignoreNulls = true).over(w))
+      .withColumn("cy", last(col("y"), ignoreNulls = true).over(w))
+      .filter(col("cx").isNotNull)
+      .groupBy(col("user_id"), col("cx"), col("cy"))
+      .agg(count(lit(1)).as("value"))
+  }
+
   /** A5 — heatmap intensity ceiling: global max of per-position counts
     * (functions.js:357,388). */
   def heatmapMax(events: DataFrame, userId: Long, k: Int = 10): DataFrame =
