@@ -11,33 +11,58 @@ package graft
   * factor first: the dominant one-shot cost is Janino whole-stage
   * codegen compilation + JIT (measured ~5-7s cold vs ~1-2s warm for
   * the heavy dedup plans), and the generated-code cache keys on plan
-  * shape, which is identical across scale factors. The timed pass
-  * then measures steady-state execution, which is what a long-running
-  * cluster actually experiences.
+  * shape, which is identical across scale factors. Warm-up failures
+  * are loud on stderr — a query that fails warm-up pays cold codegen
+  * cost in the timed pass, which is exactly the skew warm-up exists
+  * to remove.
+  *
+  * The timed measurement is min-of-2 passes per query: steady-state
+  * execution is what a long-running cluster experiences, and the min
+  * discards one-off interference (GC pause, page-cache miss, a
+  * co-tenant stealing cores) that a single pass bakes in. The pass
+  * count is reported in the JSON ("passes") for transparency.
+  *
+  * A query that throws in the timed pass is recorded in an "errors"
+  * array and its time is reported as -1 — failures must be visible in
+  * the artifact, not only on stderr.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
     val spark = GraftSession.get()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
+        -1.0
+      }
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) =>
+      val ts = (1 to passes).map(_ => timeOnce(name, fn))
+      val ok = ts.filter(_ >= 0)
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"errors":$errs}""")
     spark.stop()
   }
 }
