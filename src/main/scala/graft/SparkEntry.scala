@@ -401,7 +401,7 @@ object SparkEntry {
     "mov_sessions" ->
       s"""WITH $EV,
          |g AS (
-         |  SELECT user_id, ts_us,
+         |  SELECT user_id, ts_us, event_id,
          |    CASE WHEN lag(ts_us) OVER lw IS NULL
          |           OR ts_us - lag(ts_us) OVER lw > ${SessionGapSec}000000
          |         THEN 1 ELSE 0 END AS new_sess
@@ -409,7 +409,7 @@ object SparkEntry {
          |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
          |s AS (
          |  SELECT user_id, ts_us,
-         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |      AS session_id
          |  FROM g)

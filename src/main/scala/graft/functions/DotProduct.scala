@@ -17,14 +17,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * sf0.1) the HOF form allocates 2M arrays and folds through closure
   * calls; this runs ~3-4× faster inside whole-stage codegen.
   *
-  * Nulls: null array → null; mismatched lengths → dot over the common
-  * prefix (callers validate dimensions upstream).
+  * Nulls: null array → null; a null ELEMENT in the common prefix →
+  * null result (the fold's null product propagates through the sum);
+  * mismatched lengths → dot over the common prefix (callers validate
+  * dimensions upstream).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+
+  override def nullable: Boolean =
+    super.nullable || children.exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(_.dataType match {
@@ -42,6 +50,7 @@ case class DotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xa.isNullAt(i) || xb.isNullAt(i)) return null
       acc += xa.getFloat(i).toDouble * xb.getFloat(i).toDouble
       i += 1
     }
@@ -57,6 +66,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;

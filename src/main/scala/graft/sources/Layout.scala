@@ -44,13 +44,17 @@ object Layout {
     spark.table(leftTable).join(spark.table(rightTable), key)
 
   /** Skew-resistant equi-join: left side gets a random-free,
-    * deterministic salt from its row identity; right side is
-    * replicated `saltFactor` times. Semantics identical to
-    * `left.join(right, key)` for a right side unique on `key`. */
+    * deterministic salt hashed from the full row content (stable
+    * across retries and repartitioning, unlike
+    * monotonically_increasing_id which depends on partition layout);
+    * right side is replicated `saltFactor` times. Semantics identical
+    * to `left.join(right, key)` for a right side unique on `key`.
+    * Identical left rows share a salt — harmless for correctness, and
+    * skewed keys still spread because payload columns vary. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor)))
     val explodedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft
