@@ -96,11 +96,43 @@ object Dedup {
   }
 
   /** All ordered pairs (a<b) from a sorted array column — the
-    * in-bucket candidate expansion for LSH-style dedup. */
+    * in-bucket candidate expansion for LSH-style dedup. In-row form:
+    * right for MANY SMALL buckets (e.g. shingle posting lists) where
+    * replicating the array per element would dominate. */
   private def pairsOf(ids: Column): Column =
     flatten(transform(ids, (a, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         b => struct(a.as("id1"), b.as("id2")))))
+
+  /** Distributed in-bucket pair expansion for FEW, POSSIBLY HUGE
+    * buckets (band/prefix LSH): posexplode each bucket's sorted
+    * `items`, spread the element rows across the cluster, and pair
+    * element `pos` with the array tail — so one degenerate bucket of
+    * B docs becomes B parallel rows of ≤B work instead of one B²/2
+    * task (the straggler that dominates an all-identical boilerplate
+    * corpus at scale).
+    *
+    * `maxBucket` truncation semantics match the in-row path: pairs
+    * expand among the first `maxBucket` (smallest) members, and every
+    * overflow member still pairs with the bucket minimum (`pos` 0
+    * pairs with the FULL tail), keeping the cluster spine connected
+    * for transitive clustering while the pair count stays linear in B.
+    *
+    * Input: one row per bucket with a sorted array column `items`.
+    * Output: columns (a, b) of the items' element type, a < b. */
+  private def pairRowsOf(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    val empty = slice(col("items"), 1, 0) // [] of the items' type
+    bucketed
+      .select(col("items"), posexplode(col("items")))
+      .repartition(bucketed.sparkSession.sparkContext.defaultParallelism)
+      .select(col("col").as("a"), explode(
+        when(col("pos") === 0,
+          slice(col("items"), lit(2), size(col("items")) - 1))
+          .when(col("pos") < maxBucket,
+            slice(col("items"), col("pos") + lit(2),
+              greatest(lit(maxBucket) - col("pos") - 1, lit(0))))
+          .otherwise(empty)).as("b"))
+  }
 
   /** LSH candidate pairs: docs sharing any band bucket (id1 < id2).
     * One pass: bucket-group, expand pairs inside each bucket.
@@ -115,18 +147,12 @@ object Dedup {
     * behavior for the oracle-checked corpus sizes. */
   def minhashPairs(documents: DataFrame,
                    maxBucket: Int = 10000): DataFrame = {
-    val overflow = when(size(col("allIds")) > maxBucket,
-      slice(col("allIds"), lit(maxBucket + 1), size(col("allIds"))))
-      .otherwise(array().cast("array<bigint>"))
-    minhashBands(documents)
+    val bucketed = minhashBands(documents)
       .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("allIds"))
-      .filter(size(col("allIds")) > 1)
-      .select(explode(concat(
-        pairsOf(slice(col("allIds"), 1, maxBucket)),
-        transform(overflow, o =>
-          struct(col("allIds")(0).as("id1"), o.as("id2"))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("items"))
+      .filter(size(col("items")) > 1)
+    pairRowsOf(bucketed, maxBucket)
+      .select(col("a").as("id1"), col("b").as("id2"))
       .distinct()
   }
 
@@ -151,22 +177,15 @@ object Dedup {
     * still pair with the bucket minimum (the cluster spine). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 10000): DataFrame = {
-    val overflow = when(size(col("items")) > maxBucket,
-      slice(col("items"), lit(maxBucket + 1), size(col("items"))))
-      .otherwise(array().cast(
-        "array<struct<doc_id:bigint,simhash16:string>>"))
-    simhash(documents)
+    val bucketed = simhash(documents)
       .groupBy(substring(col("simhash16"), 1, 8).as("prefix"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash16"))))
         .as("items"))
       .filter(size(col("items")) > 1)
-      .select(explode(concat(
-        pairsOf(slice(col("items"), 1, maxBucket)),
-        transform(overflow, o =>
-          struct(col("items")(0).as("id1"), o.as("id2"))))).as("p"))
+    pairRowsOf(bucketed, maxBucket)
       .select(
-        col("p.id1.doc_id").as("id1"), col("p.id2.doc_id").as("id2"),
-        expr("graft_hamming(p.id1.simhash16, p.id2.simhash16)").as("hamming"))
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("graft_hamming(a.simhash16, b.simhash16)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
