@@ -195,6 +195,43 @@ object SparkEntry {
     "q15_top_supplier" -> q((s, d) =>
       Relational.topRevenueSupplier(Tables.lineitem(s, d))
         .orderBy("l_suppkey")),
+    "q7_nation_volume" -> q((s, d) =>
+      Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+    "q8_market_share" -> q((s, d) =>
+      Relational.marketShare(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.part(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("o_year")),
+    "q9_product_profit" -> q((s, d) =>
+      Relational.productProfit(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("nation", "o_year")),
+    "q11_part_value" -> q((s, d) =>
+      Relational.importantPartValues(Tables.nation(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), Tables.lineitem(s, d))
+        .orderBy("p_partkey")),
+    "q12_priority_lateness" -> q((s, d) =>
+      Relational.priorityByLateness(Tables.orders(s, d), Tables.lineitem(s, d))
+        .orderBy("ship_class")),
+    "q13_order_distribution" -> q((s, d) =>
+      Relational.customerOrderDistribution(Tables.customer(s, d),
+        Tables.orders(s, d))
+        .orderBy("c_count")),
+    "q16_supplier_counts" -> q((s, d) =>
+      Relational.partSupplierCounts(Tables.part(s, d), Tables.lineitem(s, d))
+        .orderBy("p_brand", "p_type", "p_size")),
+    "q19_banded_revenue" -> q((s, d) =>
+      Relational.bandedRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q20_excess_suppliers" -> q((s, d) =>
+      Relational.excessStockSuppliers(Tables.supplier(s, d), Tables.part(s, d),
+        Tables.lineitem(s, d))
+        .orderBy("s_suppkey")),
+    "q21_waiting_suppliers" -> q((s, d) =>
+      Relational.waitingSuppliers(Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))
+        .orderBy("s_suppkey")),
 
     // ---- function surface ----
     "func_scalar" -> q((s, d) =>
@@ -832,6 +869,146 @@ object SparkEntry {
         |SELECT l_suppkey, total_revenue FROM bysupp
         |WHERE total_revenue = (SELECT max(total_revenue) FROM bysupp)
         |ORDER BY l_suppkey""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
+        |       (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           CAST(1.0 - l_discount AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 4)
+        |    AS mkt_share,
+        |  count(*) AS n
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4)) -
+        |                 CAST(p_retailprice / 10 AS DECIMAL(18,4)) *
+        |                 CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_part_value" ->
+      """WITH pp AS (
+        |  SELECT p_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4)) *
+        |        CAST(p_retailprice AS DECIMAL(18,4))) AS value_dec
+        |  FROM lineitem
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  WHERE n_name = 'NATION_5'
+        |  GROUP BY p_partkey)
+        |SELECT p_partkey, round(CAST(value_dec AS DOUBLE), 2) AS part_value
+        |FROM pp, (SELECT sum(value_dec) AS total_dec FROM pp) t
+        |WHERE CAST(value_dec AS DOUBLE) > CAST(total_dec AS DOUBLE) * 0.001
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q12_priority_lateness" ->
+      """SELECT CASE WHEN epoch_ms(l_shipdate) >
+        |                 epoch_ms(o_orderdate) + 90 * CAST(86400000 AS BIGINT)
+        |            THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_order_distribution" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY c_count ORDER BY c_count""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 14, 23, 45)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q19_banded_revenue" ->
+      """SELECT
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_suppkey = s_suppkey AND p_name LIKE 'red%'
+        |    AND year(l_shipdate) = 1996
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 50.0)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH perorder AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN epoch_ms(l_shipdate) >
+        |        epoch_ms(o_orderdate) + 90 * CAST(86400000 AS BIGINT)
+        |      THEN l_suppkey END) AS n_late,
+        |    min(CASE WHEN epoch_ms(l_shipdate) >
+        |        epoch_ms(o_orderdate) + 90 * CAST(86400000 AS BIGINT)
+        |      THEN l_suppkey END) AS blamed_supp
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY l_orderkey)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM perorder JOIN supplier ON blamed_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
 
     "func_scalar" ->
       s"""WITH $EV

@@ -488,4 +488,245 @@ object Relational {
         round(min(col("value")), 2).as("min_value"),
         round(max(col("value")), 2).as("max_value"),
         exactSum(col("value")).as("sum_value"))
+
+  // --------------------------------------------------------------------
+  // TPC-H-pattern breadth (q7-q21 analogs). The testdata schema is a
+  // reduced TPC-H: no partsupp table and no receipt/commit/shipmode
+  // lineitem columns, so the classic queries are adapted where needed
+  // (lineitem serves as the part-supplier incidence relation; lateness
+  // is l_shipdate > o_orderdate + 90 days). Each adaptation is noted
+  // on its method. Shared scale posture: the fact tables (lineitem,
+  // orders) are filtered before their join, dims are broadcast, and
+  // every aggregate is a plain partial+final hash agg.
+  // --------------------------------------------------------------------
+
+  private val Day90Ms = 90L * 86400000L
+
+  private def revenueDec =
+    col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,4)")
+
+  /** Q7-style volume shipping: bidirectional trade revenue between two
+    * nations by ship year. The nation dim joins twice under distinct
+    * aliases (supplier side / customer side). */
+  def nationVolume(supplier: DataFrame, nation: DataFrame,
+                   customer: DataFrame, orders: DataFrame,
+                   lineitem: DataFrame,
+                   nationA: String = "NATION_1",
+                   nationB: String = "NATION_2"): DataFrame = {
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val custNation = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("revenue"))
+  }
+
+  /** Q8-style market share: one supplier nation's share of PROMO-part
+    * revenue sold into one region, by order year. The share divides
+    * two exact decimal sums as doubles (Portable division rule). */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, part: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame,
+                  targetNation: String = "NATION_3",
+                  regionName: String = "ASIA",
+                  partType: String = "PROMO"): DataFrame = {
+    val suppNation = nation.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val custNation = nation.select(col("n_nationkey").as("cn_key"),
+      col("n_regionkey").as("cn_region"))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders.filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("cn_region") === col("r_regionkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === targetNation, revenueDec)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(revenueDec).cast("double"), 4).as("mkt_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q9-style product-type profit by supplier nation and order year.
+    * No partsupp table: supply cost is proxied as 10% of the part's
+    * retail price per unit (p_retailprice/10 × quantity), declared
+    * identically in the oracle. */
+  def productProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    namePattern: String = "%widget%"): DataFrame = {
+    // The whole profit stays in exact decimal until after the final
+    // round: the supply-cost tenth is taken per unit price (retail/10
+    // is exact at 3 decimals, so the 4-decimal cast is lossless) and
+    // the rounded 2-decimal result casts to double exactly. Rounding
+    // the DOUBLE instead is a landmine: a sum landing exactly on .xx5
+    // rounds differently per engine (shortest-string HALF_UP vs binary
+    // nearbyint).
+    val costDec = expr("CAST(p_retailprice / 10 AS DECIMAL(18,4))") *
+      col("l_quantity").cast("decimal(18,4)")
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like(namePattern))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(revenueDec - costDec), 2).cast("double").as("sum_profit"))
+  }
+
+  /** Q11-style important part values. No partsupp: the value a
+    * nation's suppliers move per part is aggregated from lineitem ×
+    * part (quantity × retail price); parts above a fixed fraction of
+    * the nation total survive (scalar-subquery threshold as a
+    * broadcast single-row aggregate). */
+  def importantPartValues(nation: DataFrame, supplier: DataFrame,
+                          part: DataFrame, lineitem: DataFrame,
+                          nationName: String = "NATION_5",
+                          fraction: Double = 0.001): DataFrame = {
+    val valueDec = col("l_quantity").cast("decimal(18,4)") *
+      col("p_retailprice").cast("decimal(18,4)")
+    val perPart = lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(sum(valueDec).as("value_dec"))
+    perPart
+      .crossJoin(broadcast(
+        perPart.agg(sum(col("value_dec")).as("total_dec"))))
+      .filter(col("value_dec").cast("double") >
+        col("total_dec").cast("double") * fraction)
+      .select(col("p_partkey"),
+        round(col("value_dec").cast("double"), 2).as("part_value"))
+  }
+
+  /** Q12-style priority-by-lateness: high/low-priority line counts per
+    * lateness class. No shipmode/receiptdate columns: the grouping
+    * dimension is the lateness class itself (late = shipped more than
+    * 90 days after the order date). */
+  def priorityByLateness(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_class",
+        when(unix_millis(col("l_shipdate").cast("timestamp")) >
+          unix_millis(col("o_orderdate").cast("timestamp")) + Day90Ms, "LATE")
+          .otherwise("ONTIME"))
+      .groupBy(col("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+
+  /** Q13-style customer order-count distribution: how many customers
+    * placed exactly N non-urgent orders (left outer join keeps the
+    * zero-order customers). */
+  def customerOrderDistribution(customer: DataFrame,
+                                orders: DataFrame): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q16-style supplier counts per part descriptor. No partsupp: the
+    * supplier-part incidence comes from lineitem; excluded brand and
+    * size set follow the classic query's shape. */
+  def partSupplierCounts(part: DataFrame, lineitem: DataFrame,
+                         excludeBrand: String = "Brand#1",
+                         sizes: Seq[Int] = Seq(1, 14, 23, 45)): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
+  /** Q19-style disjunctive band revenue: three (brand, size, quantity)
+    * bands OR-ed together — the pattern that exercises predicate
+    * normalization; the part filter is still broadcast. */
+  def bandedRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val bands =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(bands)
+      .agg(exactSumProd(col("l_extendedprice"), lit(1.0) - col("l_discount"))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Q20-style excess-stock suppliers: suppliers that moved more than
+    * `minQty` units of the matching parts in one year (group-filter on
+    * the fact side, then semi-join the supplier dim). */
+  def excessStockSuppliers(supplier: DataFrame, part: DataFrame,
+                           lineitem: DataFrame,
+                           namePattern: String = "red%",
+                           minQty: Double = 50.0): DataFrame = {
+    val shipped = lineitem
+      .filter(year(col("l_shipdate")) === 1996)
+      .join(broadcast(part.filter(col("p_name").like(namePattern))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+        .as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    supplier
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** Q21-style waiting-supplier count: for finished multi-supplier
+    * orders where EXACTLY one supplier shipped late (90-day rule),
+    * charge that supplier — the exists/not-exists pair of the classic
+    * query collapses into one per-order aggregate pass. */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    val late = unix_millis(col("l_shipdate").cast("timestamp")) >
+      unix_millis(col("o_orderdate").cast("timestamp")) + Day90Ms
+    val perOrder = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp", when(late, col("l_suppkey")))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp")).as("n_late"),
+        min(col("late_supp")).as("blamed_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    perOrder
+      .groupBy(col("blamed_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("blamed_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+  }
 }
