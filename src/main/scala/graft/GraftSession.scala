@@ -50,6 +50,12 @@ object GraftSession {
     // further at runtime (a bare session defaults to 200)
     s.conf.set("spark.sql.shuffle.partitions", defaultCpus.toString)
     graft.functions.GraftFunctions.register(s)
+    // planner strategies normally arrive via extensions at build time;
+    // experimental.extraStrategies is the public runtime seam for a
+    // session graft didn't build (idempotent)
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     s
   }
 }

@@ -184,6 +184,8 @@ object SparkEntry {
     // ---- time series ----
     "ts_asof_purchase_click" -> q((s, d) =>
       TimeSeries.asofPurchaseClick(ev(s, d)).orderBy("user_id", "event_id")),
+    "ts_asof_native" -> q((s, d) =>
+      TimeSeries.asofNative(ev(s, d)).orderBy("user_id", "event_id")),
     "ts_sliding_avg" -> q((s, d) =>
       TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
     "ts_5min_buckets" -> q((s, d) =>
@@ -833,6 +835,21 @@ object SparkEntry {
          |  (ts_us - click_us) // 1000000 AS gap_sec
          |FROM w WHERE event_type = 'purchase'
          |ORDER BY user_id, event_id""".stripMargin,
+
+    // the native-operator variant is checked against DuckDB's own
+    // ASOF JOIN rather than the window emulation
+    "ts_asof_native" ->
+      s"""WITH $EV,
+         |p AS (SELECT user_id, event_id, ts_us FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+         |      FROM ev WHERE event_type = 'click'
+         |      GROUP BY user_id, ts_us)
+         |SELECT p.user_id, p.event_id, p.ts_us, c.click_id,
+         |  (p.ts_us - c.click_us) // 1000000 AS gap_sec
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "ts_sliding_avg" ->
       s"""WITH $EV

@@ -47,6 +47,26 @@ object TimeSeries {
         expr("(ts_us - click_us) div 1000000").as("gap_sec"))
   }
 
+  /** The same purchase←click correlation through the NATIVE as-of
+    * operator ([[graft.plans.AsOfJoin]]): purchases as-of join the
+    * per-(user, instant) click stream (pre-aggregated to max event_id
+    * so tie choice is well-defined), inclusive semantics. One hash
+    * exchange + one sort per side and a streaming merge — no |L|+|R|
+    * union window pass. */
+  def asofNative(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us").as("click_us"), col("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts_us", rightTimeCol = "click_us")
+      .toDF("user_id", "event_id", "ts_us", "r_user_id", "click_us", "click_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("click_id"),
+        expr("(ts_us - click_us) div 1000000").as("gap_sec"))
+  }
+
   /** Sliding-frame average: mean of the current and two previous event
     * values per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
     * Decimal accumulation so the result is engine-exact. */

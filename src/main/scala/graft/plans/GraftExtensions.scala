@@ -53,6 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "graft_winnow"),
       (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
