@@ -52,4 +52,23 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\n").exists(_.contains("*(")),
       "no whole-stage codegen stages in final plan")
   }
+
+  test("q9: name-filtered part dim broadcasts; partial aggregation") {
+    val p = finalPlan(q("q9_product_profit"))
+    assert(p.contains("BroadcastHashJoin"), s"part/supplier/nation dims must broadcast:\n$p")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    assert(p.contains("PushedFilters"), "part name filter not at the scan")
+  }
+
+  test("q21: no cartesian product; distinct aggs stay partial") {
+    val p = finalPlan(q("q21_waiting_suppliers"))
+    assert(!p.contains("CartesianProduct"), s"q21 planned a cartesian:\n$p")
+    assert(p.contains("partial_count"), "per-order aggregate lost its partial phase")
+  }
+
+  test("q11: scalar-subquery threshold is a broadcast, not a driver collect") {
+    val p = finalPlan(q("q11_part_value"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"single-row total should broadcast:\n$p")
+  }
 }
