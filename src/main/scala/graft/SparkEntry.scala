@@ -141,6 +141,20 @@ object SparkEntry {
         .orderBy("event_type", "user_id")),
     "join_range_bands" -> q((s, d) =>
       Relational.priceBandCounts(Tables.orders(s, d)).orderBy("band")),
+    "join_range_binned" -> q((s, d) => {
+      import s.implicits._
+      val bands = (0 until 8)
+        .map(b => (b.toLong, b * 50000.0, (b + 1) * 50000.0))
+        .toDF("band", "lo", "hi")
+      operators.RangeJoin.pointInInterval(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "lo", "hi", binWidth = 50000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("min_price"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("band")
+    }),
     "win_rankings" -> q((s, d) =>
       Relational.orderRankings(Tables.orders(s, d))
         .orderBy("o_custkey", "o_orderkey")),
@@ -197,6 +211,9 @@ object SparkEntry {
     "q15_top_supplier" -> q((s, d) =>
       Relational.topRevenueSupplier(Tables.lineitem(s, d))
         .orderBy("l_suppkey")),
+    "agg_kmv_distinct" -> q((s, d) =>
+      Relational.kmvDistinctParts(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
     "q7_nation_volume" -> q((s, d) =>
       Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
@@ -669,6 +686,19 @@ object SparkEntry {
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
 
+    // binned-equi-join formulation; the relation it computes is the
+    // same point-in-interval join, so the oracle is identical
+    "join_range_binned" ->
+      """WITH bands AS (
+        |  SELECT band, band * 50000.0 AS lo, (band + 1) * 50000.0 AS hi
+        |  FROM (SELECT unnest(range(8)) AS band))
+        |SELECT band, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders JOIN bands
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
     "win_rankings" ->
       """SELECT o_custkey, o_orderkey, drnk, quartile, next_price FROM (
         |  SELECT o_custkey, o_orderkey,
@@ -886,6 +916,26 @@ object SparkEntry {
         |SELECT l_suppkey, total_revenue FROM bysupp
         |WHERE total_revenue = (SELECT max(total_revenue) FROM bysupp)
         |ORDER BY l_suppkey""".stripMargin,
+
+    "agg_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+        |         AS BIGINT) AS h
+        |  FROM lineitem GROUP BY 1, 2),
+        |s AS (
+        |  SELECT l_returnflag, list_sort(list(h)) AS hs, count(*) AS nd
+        |  FROM h GROUP BY 1),
+        |x AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s.l_returnflag, x.exact_distinct,
+        |  round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |             ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(hs[64] AS DOUBLE)
+        |        END, 2) AS kmv_est
+        |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
+        |ORDER BY s.l_returnflag""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -78,4 +78,11 @@ object Portable {
   /** Exact decimal sum of a product of two double columns. */
   def exactSumProd(a: Column, b: Column, scale: Int = 2): Column =
     round(sum(a.cast("decimal(18,4)") * b.cast("decimal(18,4)")).cast("double"), scale)
+
+  /** 52-bit portable hash: first 13 hex chars of md5 as a long —
+    * inside the double-exact range, so ratios of hash values are
+    * engine-identical. DuckDB mirror:
+    * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`. */
+  def hash52(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed point-in-interval (range) join.
+  *
+  * Spark plans a bare `p >= lo AND p < hi` join as a nested-loop —
+  * broadcast when one side is tiny (fine for a literal band table,
+  * see Relational.priceBandCounts), but quadratic disaster when both
+  * sides are facts. The standard scale formulation bins the domain:
+  * each interval replicates to the fixed-width bins it overlaps, each
+  * point maps to exactly one bin, and the join becomes an EQUI-join
+  * on the bin key (hash exchange both sides, AQE-eligible) with a
+  * residual interval filter. Replication factor = average interval
+  * span / binWidth, a tunable constant — so cost is linear in inputs,
+  * not |P|×|I|. Same idea as interval/bin-bucketed joins in the
+  * spatial- and temporal-join literature.
+  */
+object RangeJoin {
+
+  /** Join `points` to every `intervals` row whose [loCol, hiCol)
+    * half-open range contains the point. Output = point columns then
+    * interval columns (minus the internal bin key).
+    *
+    * `binWidth` trades replication (intervals spanning many bins) for
+    * bin selectivity (many intervals per bin); pick ~ the median
+    * interval span. The end bin of an interval is included even when
+    * `hi` sits exactly on a bin edge — the residual filter removes
+    * the false pair, keeping binning correct for any alignment. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = points
+      .withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
+    val exploded = intervals
+      .withColumn("_bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    binned
+      .join(exploded, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
+}

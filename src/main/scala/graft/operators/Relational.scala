@@ -233,6 +233,21 @@ object Relational {
             lit(10000)), 1), 2).as("approx_p50"),
         count(lit(1)).as("n"))
 
+  /** KMV distinct sketch next to the exact count: the bounded-state,
+    * engine-portable cardinality estimate (see
+    * [[graft.functions.KmvSketch]]). Unlike the HLL++ sketch query
+    * (sketchStats, rows-only check), this one hash-matches the oracle
+    * exactly — the k-minimum hash set is deterministic. */
+  def kmvDistinctParts(lineitem: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        round(kmv(hash52(col("l_partkey"))), 2).as("kmv_est"))
+  }
+
   /** CUBE over (returnflag, linestatus): all 4 grouping sets. */
   def cubeSummary(lineitem: DataFrame): DataFrame =
     lineitem
