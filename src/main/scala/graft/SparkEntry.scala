@@ -259,6 +259,10 @@ object SparkEntry {
       FunctionCoverage.stringFuncs(Tables.documents(s, d)).orderBy("doc_id")),
     "func_array" -> q((s, d) =>
       FunctionCoverage.arrayFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+    "func_datetime" -> q((s, d) =>
+      FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).orderBy("o_orderkey")),
+    "func_map" -> q((s, d) =>
+      FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
 
     // ---- text analysis ----
     "doc_token_stats" -> q((s, d) =>
@@ -1116,6 +1120,38 @@ object SparkEntry {
          |    AS first5_sorted,
          |  t[1] AS head_token
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "func_datetime" ->
+      """SELECT o_orderkey,
+        |  epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+        |  epoch_ms(date_trunc('week', o_orderdate)) AS week_start_ms,
+        |  year(o_orderdate) AS yr,
+        |  quarter(o_orderdate) AS qtr,
+        |  month(o_orderdate) AS mo,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  epoch_ms(o_orderdate + INTERVAL 3 MONTH) AS plus3mo_ms,
+        |  epoch_ms(o_orderdate + INTERVAL 45 DAY) AS plus45d_ms,
+        |  epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))
+        |    AS month_end_ms,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+        |    AS days_to_2002,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "func_map" ->
+      s"""WITH $EV
+         |SELECT event_id,
+         |  CAST(3 AS BIGINT) AS m_size,
+         |  'sec,type,user' AS m_keys,
+         |  event_type AS m_type,
+         |  TRUE AS has_user,
+         |  array_to_string(list_sort(
+         |    ['sec=' || CAST(sec AS VARCHAR),
+         |     'type=' || event_type,
+         |     'user=' || CAST(user_id AS VARCHAR)]), '|') AS m_flat
+         |FROM ev ORDER BY event_id""".stripMargin,
 
     "doc_token_stats" ->
       s"""WITH $TOKS

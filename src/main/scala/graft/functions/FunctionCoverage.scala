@@ -39,6 +39,52 @@ object FunctionCoverage {
       reverse(col("lang")).as("lang_rev"),
       concat_ws("-", col("lang"), col("source")).as("lang_src"))
 
+  /** Datetime arithmetic surface over orders: truncation, field
+    * extraction, offsets, month arithmetic, diffs — projected to
+    * epoch millis / longs / strings so both engines agree bit-wise
+    * (session TZ is UTC everywhere; see Portable). */
+  def datetimeFuncs(orders: DataFrame): DataFrame = {
+    val ts = col("o_orderdate").cast("timestamp")
+    orders.select(
+      col("o_orderkey"),
+      unix_millis(date_trunc("month", ts).cast("timestamp")).as("month_start_ms"),
+      unix_millis(date_trunc("week", ts).cast("timestamp")).as("week_start_ms"),
+      year(ts).cast("long").as("yr"),
+      quarter(ts).cast("long").as("qtr"),
+      month(ts).cast("long").as("mo"),
+      dayofmonth(ts).cast("long").as("dom"),
+      dayofweek(ts).cast("long").as("dow"),
+      dayofyear(ts).cast("long").as("doy"),
+      unix_millis(add_months(ts.cast("date"), 3).cast("timestamp"))
+        .as("plus3mo_ms"),
+      unix_millis(date_add(ts.cast("date"), 45).cast("timestamp"))
+        .as("plus45d_ms"),
+      unix_millis(last_day(ts.cast("date")).cast("timestamp"))
+        .as("month_end_ms"),
+      datediff(lit(java.sql.Date.valueOf("2002-01-01")), ts.cast("date"))
+        .cast("long").as("days_to_2002"),
+      date_format(ts, "yyyy-MM").as("ym"))
+  }
+
+  /** Map function surface: maps built from the events row, queried,
+    * inverted, and reshaped — projected to sorted strings so the
+    * result is portable (map iteration order never leaks). */
+  def mapFuncs(events: DataFrame): DataFrame = {
+    val m = map(
+      lit("type"), col("event_type"),
+      lit("user"), col("user_id").cast("string"),
+      lit("sec"), col("sec").cast("string"))
+    events.select(
+      col("event_id"),
+      size(m).cast("long").as("m_size"),
+      array_join(array_sort(map_keys(m)), ",").as("m_keys"),
+      element_at(m, "type").as("m_type"),
+      map_contains_key(m, "user").as("has_user"),
+      array_join(array_sort(transform(map_entries(m),
+        e => concat_ws("=", e.getField("key"), e.getField("value")))), "|")
+        .as("m_flat"))
+  }
+
   /** Array function surface over tokenized documents — results
     * projected to scalars/strings so output schemas stay portable. */
   def arrayFuncs(documents: DataFrame): DataFrame = {
