@@ -263,6 +263,8 @@ object SparkEntry {
       FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).orderBy("o_orderkey")),
     "func_map" -> q((s, d) =>
       FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
+    "func_json" -> q((s, d) =>
+      FunctionCoverage.jsonFuncs(ev(s, d)).orderBy("event_id")),
 
     // ---- text analysis ----
     "doc_token_stats" -> q((s, d) =>
@@ -284,6 +286,9 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_minhash_pairs" -> q((s, d) =>
       Dedup.minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
+    "dedup_clusters" -> q((s, d) =>
+      Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))
+        .orderBy("doc_id")),
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_simhash_pairs" -> q((s, d) =>
@@ -1153,6 +1158,19 @@ object SparkEntry {
          |     'user=' || CAST(user_id AS VARCHAR)]), '|') AS m_flat
          |FROM ev ORDER BY event_id""".stripMargin,
 
+    "func_json" ->
+      s"""WITH $EV,
+         |j AS (SELECT event_id, user_id, sec,
+         |        to_json(struct_pack(t := event_type, u := user_id,
+         |                            s := sec)) AS js
+         |      FROM ev)
+         |SELECT event_id, CAST(js AS VARCHAR) AS js,
+         |  json_extract_string(js, '$$.t') AS t_ex,
+         |  CAST(json_extract_string(js, '$$.u') AS BIGINT) AS u_ex,
+         |  CAST(json_extract_string(js, '$$.s') AS BIGINT) AS s_parsed,
+         |  CAST(to_json([user_id, sec]) AS VARCHAR) AS js_arr
+         |FROM j ORDER BY event_id""".stripMargin,
+
     "doc_token_stats" ->
       s"""WITH $TOKS
          |SELECT doc_id, len(t) AS n_tokens, length(text) AS n_chars_text,
@@ -1236,6 +1254,31 @@ object SparkEntry {
          |FROM band a JOIN band b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // connected components of the LSH pair graph via transitive
+    // closure (min-label fixpoint ≡ component minimum, which the
+    // recursive CTE computes exactly)
+    "dedup_clusters" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""${MinhashSigSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |band AS ($bandRows),
+         |p AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p
+         |      UNION SELECT id2, id1 FROM p),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
     },
 
     "dedup_simhash" ->

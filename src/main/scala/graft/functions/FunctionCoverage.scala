@@ -85,6 +85,26 @@ object FunctionCoverage {
         .as("m_flat"))
   }
 
+  /** JSON function surface: serialize a row to JSON (the reference's
+    * wire format, functions.js:211), extract fields back out both
+    * path-wise and via a schema'd parse (SURVEY §2.7 F6). Only string
+    * and long fields go through JSON — float repr is not
+    * engine-portable. */
+  def jsonFuncs(events: DataFrame): DataFrame = {
+    val js = to_json(struct(
+      col("event_type").as("t"),
+      col("user_id").as("u"),
+      col("sec").as("s")))
+    events.select(
+      col("event_id"),
+      js.as("js"),
+      get_json_object(js, "$.t").as("t_ex"),
+      get_json_object(js, "$.u").cast("long").as("u_ex"),
+      from_json(js, "t string, u bigint, s bigint",
+        new java.util.HashMap[String, String]()).getField("s").as("s_parsed"),
+      to_json(array(col("user_id"), col("sec"))).as("js_arr"))
+  }
+
   /** Array function surface over tokenized documents — results
     * projected to scalars/strings so output schemas stay portable. */
   def arrayFuncs(documents: DataFrame): DataFrame = {
