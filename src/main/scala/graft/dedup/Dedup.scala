@@ -201,8 +201,12 @@ object Dedup {
     * `pairs` must have columns (id1, id2); returns (doc_id,
     * cluster_id) for every doc appearing in any pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list ONCE — every iteration joins it, and
+    // without this the (possibly expensive) pair-producing pipeline
+    // upstream would re-execute per round
     val edges = pairs.select(col("id1"), col("id2"))
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("id1").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -213,19 +217,16 @@ object Dedup {
         .join(labels, edges("id2") === labels("doc_id"))
         .groupBy(edges("id1").as("doc_id"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // carry old_c through the same join so the convergence check is
+      // a filter on the materialized result, not a second join
       val updated = labels
         .join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_c"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(eager = true) // truncate the growing lineage
-      converged = updated
-        .select(col("doc_id"), col("cluster_id").as("new_c"))
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old_c")),
-          "doc_id")
-        .filter(col("new_c") =!= col("old_c"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("cluster_id") =!= col("old_c")).isEmpty
+      labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
     labels
