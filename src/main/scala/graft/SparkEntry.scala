@@ -305,6 +305,10 @@ object SparkEntry {
       Knn.ivfAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
     "knn_ivf_search" -> q((s, d) =>
       Knn.ivfSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+    "knn_lsh_buckets" -> q((s, d) =>
+      Knn.rpLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "knn_lsh_search" -> q((s, d) =>
+      Knn.rpLshSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "emb_norms" -> q((s, d) =>
       Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
 
@@ -376,6 +380,29 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})), 4)"
+
+  /** Hyperplane-LSH signature CTE chain: sigs(vec_id, bucket). Plane
+    * weights regenerate Knn.planeWeights' md5 formula; the sign dot
+    * accumulates in DECIMAL(38,18) so the bit is summation-order
+    * independent (DuckDB's hash agg vs Spark's left fold). */
+  private val RpLshSigSql =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding) AS v, unnest(range(64)) AS d
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT p, d,
+      |    CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+      |                            CAST(d AS VARCHAR)), 1, 13) AS BIGINT)
+      |      / 4503599627370496.0 * 2 - 1 AS w
+      |  FROM (SELECT unnest(range(8)) AS p), (SELECT unnest(range(64)) AS d)),
+      |dots AS (
+      |  SELECT vec_id, p, sum(CAST(CAST(v AS DOUBLE) * w AS DECIMAL(22,18))) AS s
+      |  FROM ex JOIN planes USING (d) GROUP BY vec_id, p),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+      |      AS bucket
+      |  FROM dots GROUP BY vec_id)""".stripMargin
 
   private val HeatmapBase =
     s"""WITH $POS,
@@ -1380,6 +1407,27 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid
          |          ORDER BY cos_sim DESC, vec_id) AS rnk
          |      FROM probe)
+         |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "knn_lsh_buckets" ->
+      s"""$RpLshSigSql
+         |SELECT vec_id, bucket FROM sigs ORDER BY vec_id""".stripMargin,
+
+    "knn_lsh_search" ->
+      s"""$RpLshSigSql,
+         |sj AS (SELECT s.vec_id, s.bucket, e.embedding
+         |       FROM sigs s JOIN embeddings e USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM sj q JOIN sj c
+         |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM scored)
          |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
