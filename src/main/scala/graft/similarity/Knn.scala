@@ -98,33 +98,35 @@ object Knn {
         col("cos_sim").as("centroid_sim"))
   }
 
-  /** Pseudo-random hyperplane weights for the LSH signature —
-    * derived from the portable 52-bit md5 prefix of "plane:dim"
-    * (Portable.hash52's formula), so ANY engine regenerates the exact
-    * same planes: w ∈ [-1, 1). */
-  def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(nPlanes, dim) { (p, d) =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(13), 16).toDouble /
-        4503599627370496.0 * 2.0 - 1.0
-    }
-
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket per vector
-    * (Charikar, STOC 2002): bit p = sign(embedding · plane_p). The
-    * dot accumulates in DECIMAL(38,18) so the sign — and therefore
-    * the bucket — never depends on summation order; the oracle's
-    * hash-agg over unnested rows reaches the identical bit. A pure
-    * per-row projection: scan-speed, no shuffle, 2^nPlanes buckets. */
+    * (Charikar, STOC 2002): bit p = sign(embedding · plane_p), planes
+    * regenerated from the portable md5("p:d") formula
+    * ([[graft.functions.RpLshBits.planeWeights]]). The dot
+    * accumulates at DECIMAL scale 18 so the sign — and therefore the
+    * bucket — never depends on summation order; the oracle's hash-agg
+    * over unnested rows reaches the identical bit. A pure per-row
+    * projection: scan-speed, no shuffle, 2^nPlanes buckets. Runs the
+    * compiled [[graft.functions.RpLshBits]] kernel; the declarative
+    * form below is the tested-equal reference. */
   def rpLshBuckets(emb: DataFrame, nPlanes: Int = 8,
-                   dim: Int = 64): DataFrame = {
+                   dim: Int = 64): DataFrame =
+    spread(emb).select(col("vec_id"),
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.RpLshBits(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            "embedding"),
+          nPlanes, dim)).as("bucket"))
+
+  /** Declarative HOF reference formulation of [[rpLshBuckets]] —
+    * interpreted per element, kept for the equivalence test. */
+  def rpLshBucketsHof(emb: DataFrame, nPlanes: Int = 8,
+                      dim: Int = 64): DataFrame = {
     // DECIMAL(22,18): |product| ≤ 8, |sum| ≤ 512 — fits the 4 integer
     // digits; casting each fold step back to (22,18) keeps the SAME
     // scale, so no step ever rounds (a wider type like (38,18) would
     // widen to (38,17) per add and truncate a digit)
     val zero = lit(new java.math.BigDecimal(0)).cast("decimal(22,18)")
-    val planes = planeWeights(nPlanes, dim)
+    val planes = graft.functions.RpLshBits.planeWeights(nPlanes, dim)
     val bits = (0 until nPlanes).map { p =>
       val w = array(planes(p).map(lit): _*)
       val s = aggregate(
@@ -144,9 +146,8 @@ object Knn {
     * path. */
   def rpLshSearch(emb: DataFrame, nPlanes: Int = 8, nQueries: Int = 5,
                   k: Int = 3): DataFrame = {
-    val embeddings = spread(emb)
-    val sig = rpLshBuckets(embeddings, nPlanes)
-      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+    val sig = rpLshBuckets(emb, nPlanes) // spreads internally
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
         col("embedding").as("qvec"))

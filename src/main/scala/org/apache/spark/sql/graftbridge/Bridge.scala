@@ -19,4 +19,11 @@ object Bridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** Column over a raw Catalyst expression — for expressions with
+    * non-column construction parameters that the function-registry
+    * seam (children-only) can't carry. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

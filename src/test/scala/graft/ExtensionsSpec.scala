@@ -33,6 +33,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(diffs == 0L)
   }
 
+  test("native rpLsh kernel buckets equal the declarative HOF form") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val native = graft.similarity.Knn.rpLshBuckets(emb)
+    val hof = graft.similarity.Knn.rpLshBucketsHof(emb)
+    assert(native.count() > 0)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      "kernel and declarative buckets differ")
+  }
+
   test("self-hamming folds to a constant (optimizer rule fires)") {
     val df = Seq("abcd", "efgh").toDF("s")
       .select(expr("graft_hamming(s, s)").as("d"))
