@@ -38,7 +38,6 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
-    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -46,14 +45,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
         -1.0
       }
     }
+    // a query lands in "errors" (and reports -1) only when EVERY pass
+    // failed; a transient single-pass failure is stderr-only and the
+    // min is taken over the passes that succeeded
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       val ts = (1 to passes).map(_ => timeOnce(name, fn))
       val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) failed += name
       name -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     def fmt(v: Double): String =

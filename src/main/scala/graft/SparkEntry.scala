@@ -1180,9 +1180,10 @@ object SparkEntry {
          |  event_type AS m_type,
          |  TRUE AS has_user,
          |  array_to_string(list_sort(
-         |    ['sec=' || CAST(sec AS VARCHAR),
-         |     'type=' || event_type,
-         |     'user=' || CAST(user_id AS VARCHAR)]), '|') AS m_flat
+         |    ['sec=' || coalesce(CAST(sec AS VARCHAR), 'null'),
+         |     'type=' || coalesce(event_type, 'null'),
+         |     'user=' || coalesce(CAST(user_id AS VARCHAR), 'null')]), '|')
+         |    AS m_flat
          |FROM ev ORDER BY event_id""".stripMargin,
 
     "func_json" ->

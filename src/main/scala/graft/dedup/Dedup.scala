@@ -121,17 +121,28 @@ object Dedup {
     * Input: one row per bucket with a sorted array column `items`.
     * Output: columns (a, b) of the items' element type, a < b. */
   private def pairRowsOf(bucketed: DataFrame, maxBucket: Int): DataFrame = {
-    val empty = slice(col("items"), 1, 0) // [] of the items' type
-    bucketed
-      .select(col("items"), posexplode(col("items")))
+    // Shuffle-byte bound: only the first maxBucket element rows carry
+    // the (maxBucket-capped) array; overflow rows carry one scalar —
+    // ≤ maxBucket² + B cells exchanged for a B-doc bucket, not B².
+    // Overflow elements pair with the bucket minimum directly (the
+    // same pair the old pos==0-pairs-with-full-tail form produced).
+    val rows = bucketed
+      .select(col("items")(0).as("min_item"),
+        when(size(col("items")) > maxBucket,
+          slice(col("items"), 1, maxBucket)).otherwise(col("items"))
+          .as("head"),
+        posexplode(col("items")))
+      .withColumnRenamed("col", "item")
       .repartition(bucketed.sparkSession.sparkContext.defaultParallelism)
-      .select(col("col").as("a"), explode(
-        when(col("pos") === 0,
-          slice(col("items"), lit(2), size(col("items")) - 1))
-          .when(col("pos") < maxBucket,
-            slice(col("items"), col("pos") + lit(2),
-              greatest(lit(maxBucket) - col("pos") - 1, lit(0))))
-          .otherwise(empty)).as("b"))
+    rows.select(
+      when(col("pos") < maxBucket, col("item")).otherwise(col("min_item"))
+        .as("a"),
+      explode(
+        when(col("pos") < maxBucket,
+          slice(col("head"), col("pos") + lit(2),
+            greatest(lit(maxBucket) - col("pos") - 1, lit(0))))
+          .otherwise(array(col("item")))).as("b"))
+      .select(col("a"), col("b"))
   }
 
   /** LSH candidate pairs: docs sharing any band bucket (id1 < id2).
@@ -200,7 +211,7 @@ object Dedup {
     *
     * `pairs` must have columns (id1, id2); returns (doc_id,
     * cluster_id) for every doc appearing in any pair. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // materialize the edge list ONCE — every iteration joins it, and
     // without this the (possibly expensive) pair-producing pipeline
     // upstream would re-execute per round
@@ -229,6 +240,12 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    // rounds needed = component diameter; a graph that exhausts the
+    // cap would silently ship split components — make it loud
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters: not converged after $maxIters rounds " +
+          "(component diameter exceeds the iteration cap; raise maxIters)")
     labels
   }
 

@@ -57,16 +57,28 @@ case class DotProduct(left: Expression, right: Expression)
     acc
   }
 
+  private def elementsNullable: Boolean = children.exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // ev.isNull is only a real variable when the expression is
+      // nullable; with containsNull=false inputs there is nothing to
+      // check and the guard must not be emitted
+      val nullGuard =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullGuard
          |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |}
          |${ev.value} = $acc;

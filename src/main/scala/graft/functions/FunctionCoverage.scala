@@ -81,7 +81,11 @@ object FunctionCoverage {
       element_at(m, "type").as("m_type"),
       map_contains_key(m, "user").as("has_user"),
       array_join(array_sort(transform(map_entries(m),
-        e => concat_ws("=", e.getField("key"), e.getField("value")))), "|")
+        // coalesce: concat_ws silently drops a null value where the
+        // oracle's || would null the whole element — pin both to
+        // "k=null" so null inputs stay comparable
+        e => concat_ws("=", e.getField("key"),
+          coalesce(e.getField("value"), lit("null"))))), "|")
         .as("m_flat"))
   }
 
@@ -91,10 +95,14 @@ object FunctionCoverage {
     * and long fields go through JSON — float repr is not
     * engine-portable. */
   def jsonFuncs(events: DataFrame): DataFrame = {
+    // ignoreNullFields=false: serialize null fields as "u":null the
+    // way the oracle engine does, instead of Spark's default
+    // drop-the-key (they diverge on any null input field otherwise)
     val js = to_json(struct(
       col("event_type").as("t"),
       col("user_id").as("u"),
-      col("sec").as("s")))
+      col("sec").as("s")),
+      java.util.Map.of("ignoreNullFields", "false"))
     events.select(
       col("event_id"),
       js.as("js"),

@@ -628,9 +628,13 @@ object Relational {
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"))
       .agg(sum(valueDec).as("value_dec"))
+    // total via an unpartitioned window over the (aggregate-sized)
+    // per-part result — a crossJoin of perPart with its own aggregate
+    // would execute the whole join pipeline twice (no CSE across
+    // self-join sides)
     perPart
-      .crossJoin(broadcast(
-        perPart.agg(sum(col("value_dec")).as("total_dec"))))
+      .withColumn("total_dec",
+        sum(col("value_dec")).over(Window.partitionBy()))
       .filter(col("value_dec").cast("double") >
         col("total_dec").cast("double") * fraction)
       .select(col("p_partkey"),

@@ -110,6 +110,12 @@ case class AsOfJoinExec(
       var candTime = 0L
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
+        if (lKey.anyNull) {
+          // SQL equi-join semantics: a null key matches nothing (the
+          // natural row ordering would treat null==null as equal).
+          // Null keys sort first, so no state has accrued yet.
+          joined(lRow, nullRight)
+        } else {
         if (curKey == null || keyOrd.compare(lKey, curKey) != 0) {
           curKey = lKey.copy()
           candidate = null
@@ -143,6 +149,7 @@ case class AsOfJoinExec(
           }
           val ok = candidate != null && tol.forall(t => lT - candTime <= t)
           joined(lRow, if (ok) candidate else nullRight)
+        }
         }
       }
     }

@@ -43,18 +43,20 @@ object Layout {
                    rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** Skew-resistant equi-join: left side gets a random-free,
-    * deterministic salt hashed from the full row content (stable
-    * across retries and repartitioning, unlike
-    * monotonically_increasing_id which depends on partition layout);
-    * right side is replicated `saltFactor` times. Semantics identical
-    * to `left.join(right, key)` for a right side unique on `key`.
-    * Identical left rows share a salt — harmless for correctness, and
-    * skewed keys still spread because payload columns vary. */
+  /** Skew-resistant equi-join: left side gets a salt derived from its
+    * physical position (monotonically_increasing_id), right side is
+    * replicated `saltFactor` times. The salt is LAYOUT-DEPENDENT —
+    * it changes across retries and repartitioning — but semantics are
+    * preserved regardless of which salt a row lands on (the right
+    * side covers every salt), and position-based salting is the only
+    * scheme that still spreads a hot key whose rows are
+    * byte-identical (a content hash would collapse them back onto
+    * one reducer). Semantics identical to `left.join(right, key)`
+    * for a right side unique on `key`. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val saltedLeft = left.withColumn("_salt",
-      pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor)))
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
     val explodedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft

@@ -105,6 +105,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(sorts == 2, s"expected 2 sorts, plan:\n$p")
   }
 
+  test("null keys match nothing (SQL equi-join semantics)") {
+    val l = Seq((java.lang.Long.valueOf(1L), 10L, "a"),
+      (null.asInstanceOf[java.lang.Long], 10L, "b"))
+      .toDF("k", "t", "tag")
+      .select($"k".cast("long").as("k"), $"t", $"tag")
+    val r = Seq((java.lang.Long.valueOf(1L), 5L, "q1"),
+      (null.asInstanceOf[java.lang.Long], 5L, "qnull"))
+      .toDF("k", "rt", "rtag")
+      .select($"k".cast("long").as("k"), $"rt", $"rtag")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "t", "rt")
+      .select($"tag", $"rtag").collect()
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(got === Map("a" -> "q1", "b" -> null),
+      "null keys must not match each other")
+  }
+
   test("left rows with null time get no match; null right times skipped") {
     val l = Seq((1L, java.lang.Long.valueOf(10L), "a"),
       (1L, null.asInstanceOf[java.lang.Long], "b"))
