@@ -131,6 +131,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KMV sketch aggregates incrementally in a streaming window") {
+    // the bounded-state sketch composes with update-mode streaming
+    // aggregation like any built-in: per-user distinct-page estimate
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new graft.functions.KmvSketch(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val input = MemoryStream[(Long, Long)](spark)
+    val agg = input.toDF().toDF("user_id", "page_id")
+      .groupBy($"user_id")
+      .agg(kmv(graft.functions.Portable.hash52($"page_id")).as("approx_pages"))
+    val q = agg.writeStream.format("memory").outputMode("complete")
+      .queryName("kmv_t1").start()
+    try {
+      input.addData((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L))
+      q.processAllAvailable()
+      input.addData((1L, 2L), (1L, 3L), (2L, 99L)) // dup pages + one new
+      q.processAllAvailable()
+      val got = spark.table("kmv_t1").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // below-k cardinalities are exact by construction
+      assert(got == Map(1L -> 3.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+
   test("observe() exposes the live events_tracked counter (A6)") {
     val input = MemoryStream[String](spark)
     val tracked = MouseStream.withTracking(MouseStream.parse(input.toDF()))
