@@ -275,6 +275,19 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
     "doc_fingerprint" -> q((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_clean_corpus" -> q((s, d) =>
+      TextAnalysis.cleanCorpusStats(Tables.documents(s, d))
+        .orderBy("source")),
+    "sample_bernoulli" -> q((s, d) =>
+      operators.Sampling.bernoulli(Tables.lineitem(s, d),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 50)
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Portable.exactSum(col("l_quantity")).as("sum_qty"))),
+    "sample_stratified" -> q((s, d) =>
+      operators.Sampling.stratified(ev(s, d), col("event_type"),
+          col("event_id"), 10)
+        .select(col("event_type"), col("rnk"), col("event_id"))
+        .orderBy("event_type", "rnk")),
     "doc_winnow_fp" -> q((s, d) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1241,6 +1254,43 @@ object SparkEntry {
         |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp,
         |  length(text) AS n_chars_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_clean_corpus" ->
+      s"""WITH $TOKS,
+         |g AS (
+         |  SELECT doc_id, text, source, len(t) AS n_tokens
+         |  FROM toks
+         |  WHERE len(t) >= 20
+         |    AND round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+         |        >= 0.5),
+         |c AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text))
+         |        AS canonical FROM g)
+         |SELECT source, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE)
+         |        / count(*), 4) AS avg_tokens
+         |FROM c WHERE doc_id = canonical
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "sample_bernoulli" ->
+      """SELECT count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |        CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT) * 50
+        |      < 1 * 4503599627370496""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH $EV,
+         |r AS (
+         |  SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+         |                                   1, 13) AS BIGINT), event_id)
+         |      AS rnk
+         |  FROM ev)
+         |SELECT event_type, rnk, event_id FROM r WHERE rnk <= 10
+         |ORDER BY event_type, rnk""".stripMargin,
 
     "doc_winnow_fp" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable.hash52
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both samplers key off the portable 52-bit md5-prefix hash instead
+  * of an RNG: the sample is a pure function of row identity — stable
+  * under retries, repartitioning, and engine changes (the DuckDB
+  * oracle reproduces it row-for-row), and composable (the same row
+  * lands in the same split everywhere, which is what train/test
+  * separation actually requires at 100 TB — no seed coordination
+  * across executors). Plain filters/windows: pushdown-friendly, no
+  * driver round-trips.
+  */
+object Sampling {
+
+  /** Keep a row iff hash(key)/2^52 < num/denom — an exact integer
+    * comparison (`hash * denom < num * 2^52`), no float thresholds.
+    * Expected sample fraction num/denom. */
+  def bernoulli(df: DataFrame, key: Column, num: Int, denom: Int): DataFrame = {
+    require(num > 0 && denom > 0 && num <= denom, "need 0 < num <= denom")
+    df.filter(
+      hash52(key) * lit(denom.toLong) < lit(num.toLong) * lit(4503599627370496L))
+  }
+
+  /** Fixed-size deterministic per-stratum sample: the `n` rows with
+    * the smallest key hashes in each stratum (unique-key tiebreak).
+    * Plans as a rank-filter window — Spark's InferWindowGroupLimit
+    * prunes each partition to n rows before the full sort. */
+  def stratified(df: DataFrame, strata: Column, key: Column,
+                 n: Int): DataFrame = {
+    val w = Window.partitionBy(strata).orderBy(hash52(key), key)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+  }
+}

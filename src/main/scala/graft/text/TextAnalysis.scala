@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable._
@@ -54,6 +55,31 @@ object TextAnalysis {
         .as("n_punct"),
       round(size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
         .cast("double") / length(col("text")), 4).as("punct_ratio"))
+  }
+
+  /** End-to-end corpus-cleaning composite — the shape of a real
+    * training-data preparation job: quality gate (length + lexical
+    * diversity) → exact dedup keeping the canonical min-id doc →
+    * per-source corpus stats. One scan, one window shuffle on the
+    * text hash, one aggregation. */
+  def cleanCorpusStats(docs: DataFrame, minTokens: Int = 20,
+                       minDistinctRatio: Double = 0.5): DataFrame = {
+    val documents = spread(docs)
+    val toks = tokens(col("text"))
+    val gated = documents
+      .withColumn("n_tokens", size(toks))
+      .withColumn("distinct_ratio",
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4))
+      .filter(col("n_tokens") >= minTokens &&
+        col("distinct_ratio") >= minDistinctRatio)
+    val w = Window.partitionBy(md5(col("text")))
+    gated
+      .withColumn("canonical", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("canonical"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_tokens").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_tokens"))
   }
 
   /** N-gram-heuristic language ID: score marker-token hits per language
