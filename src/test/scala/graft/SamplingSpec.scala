@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Deterministic samplers: fraction accuracy, invariance under
+  * physical layout, per-stratum size bounds. */
+class SamplingSpec extends SparkSpec {
+
+  test("bernoulli fraction lands near num/denom and is layout-stable") {
+    val n = 100000
+    val base = spark.range(n).select(col("id"))
+    def ids(parts: Int): Set[Long] =
+      Sampling.bernoulli(base.repartition(parts), col("id"), 1, 10)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = ids(1)
+    // binomial(100k, 0.1): sd ≈ 95 — accept ±5 sd
+    assert(math.abs(s1.size - n / 10) < 500, s"got ${s1.size}")
+    assert(s1 == ids(13), "sample must not depend on partitioning")
+  }
+
+  test("bernoulli splits partition the keyspace (1/10 ∩ complement = ∅)") {
+    val base = spark.range(10000).select(col("id"))
+    val a = Sampling.bernoulli(base, col("id"), 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(base, col("id"), 10, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(b.size == 10000, "num=denom keeps everything")
+    assert(a.subsetOf(b))
+  }
+
+  test("stratified returns min(n, |stratum|) rows per stratum, ranked") {
+    val df = spark.range(1000).select(
+      (col("id") % 7).as("s"), col("id").as("k"))
+      .union(spark.range(3).select(lit(99L).as("s"), col("id").as("k")))
+    val got = Sampling.stratified(df, col("s"), col("k"), 5)
+      .groupBy(col("s")).agg(count(lit(1)).as("c"), max(col("rnk")).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    (0L until 7L).foreach(s => assert(got(s) == (5L, 5)))
+    assert(got(99L) == (3L, 3), "small stratum keeps all rows")
+  }
+}
