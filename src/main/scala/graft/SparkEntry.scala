@@ -288,6 +288,14 @@ object SparkEntry {
           col("event_id"), 10)
         .select(col("event_type"), col("rnk"), col("event_id"))
         .orderBy("event_type", "rnk")),
+    "sample_quantiles" -> q((s, d) =>
+      operators.Sampling.bernoulli(Tables.lineitem(s, d),
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
+        .orderBy("l_returnflag")),
     "doc_winnow_fp" -> q((s, d) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1291,6 +1299,18 @@ object SparkEntry {
          |  FROM ev)
          |SELECT event_type, rnk, event_id FROM r WHERE rnk <= 10
          |ORDER BY event_type, rnk""".stripMargin,
+
+    // estimate-from-sample composite: both engines draw the IDENTICAL
+    // deterministic sample, so even the estimates hash-match
+    "sample_quantiles" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem
+        |WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |        CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT) * 10
+        |      < 1 * 4503599627370496
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "doc_winnow_fp" ->
       """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents

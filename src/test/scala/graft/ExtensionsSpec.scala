@@ -42,6 +42,16 @@ class ExtensionsSpec extends SparkSpec {
       "kernel and declarative buckets differ")
   }
 
+  test("tune() is idempotent on the runtime strategy seam") {
+    val before = spark.experimental.extraStrategies.size
+    GraftSession.tune(spark)
+    GraftSession.tune(spark)
+    val asofs = spark.experimental.extraStrategies
+      .count(_ eq graft.plans.AsOfJoinStrategy)
+    assert(asofs <= 1, "AsOfJoinStrategy registered more than once")
+    assert(spark.experimental.extraStrategies.size <= before + 1)
+  }
+
   test("self-hamming folds to a constant (optimizer rule fires)") {
     val df = Seq("abcd", "efgh").toDF("s")
       .select(expr("graft_hamming(s, s)").as("d"))
