@@ -131,6 +131,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches events in-flight") {
+    // the dimension side is a plain DataFrame joined per micro-batch;
+    // broadcast keeps the stream side shuffle-free
+    val segments = Seq(("u1", "gold"), ("u2", "trial")).toDF("uid", "segment")
+    val input = MemoryStream[String](spark)
+    val enriched = MouseStream.parse(input.toDF())
+      .join(broadcast(segments), $"user_id" === $"uid", "left_outer")
+      .select($"user_id", $"x", $"y", coalesce($"segment", lit("unknown")).as("segment"))
+    val q = enriched.writeStream.format("memory").outputMode("append")
+      .queryName("enrich_t1").start()
+    try {
+      input.addData(json("u1", 1, 2, 100000), json("u3", 3, 4, 100100))
+      q.processAllAvailable()
+      val got = spark.table("enrich_t1").collect()
+        .map(r => r.getAs[String]("user_id") -> r.getAs[String]("segment")).toMap
+      assert(got == Map("u1" -> "gold", "u3" -> "unknown"))
+    } finally q.stop()
+  }
+
   test("KMV sketch aggregates incrementally in a streaming window") {
     // the bounded-state sketch composes with update-mode streaming
     // aggregation like any built-in: per-user distinct-page estimate
