@@ -21,9 +21,12 @@ object Sampling {
 
   /** Keep a row iff hash(key)/2^52 < num/denom — an exact integer
     * comparison (`hash * denom < num * 2^52`), no float thresholds.
-    * Expected sample fraction num/denom. */
+    * Expected sample fraction num/denom. `denom` is capped at 1024 so
+    * both products stay below 2^63 (hash is 52-bit): Spark's non-ANSI
+    * multiply would silently wrap, the oracle engine would raise. */
   def bernoulli(df: DataFrame, key: Column, num: Int, denom: Int): DataFrame = {
     require(num > 0 && denom > 0 && num <= denom, "need 0 < num <= denom")
+    require(denom <= 1024, "denom > 1024 overflows the 64-bit comparison")
     df.filter(
       hash52(key) * lit(denom.toLong) < lit(num.toLong) * lit(4503599627370496L))
   }

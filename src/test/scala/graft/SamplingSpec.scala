@@ -20,14 +20,24 @@ class SamplingSpec extends SparkSpec {
     assert(s1 == ids(13), "sample must not depend on partitioning")
   }
 
-  test("bernoulli splits partition the keyspace (1/10 ∩ complement = ∅)") {
+  test("bernoulli thresholds nest: 1/10 ⊂ 5/10 ⊂ 10/10 = everything") {
     val base = spark.range(10000).select(col("id"))
-    val a = Sampling.bernoulli(base, col("id"), 1, 10)
+    def ids(num: Int) = Sampling.bernoulli(base, col("id"), num, 10)
       .collect().map(_.getLong(0)).toSet
-    val b = Sampling.bernoulli(base, col("id"), 10, 10)
-      .collect().map(_.getLong(0)).toSet
-    assert(b.size == 10000, "num=denom keeps everything")
-    assert(a.subsetOf(b))
+    val (a, h, all) = (ids(1), ids(5), ids(10))
+    assert(all.size == 10000, "num=denom keeps everything")
+    assert(a.subsetOf(h) && h.subsetOf(all))
+    assert(a.size < h.size && h.size < all.size)
+    // nested thresholds are what make disjoint train/test bands
+    // possible: band [1/10, 5/10) = h -- a, provably disjoint from a
+    assert((h -- a).intersect(a).isEmpty)
+  }
+
+  test("bernoulli rejects a denominator that would overflow the compare") {
+    val base = spark.range(10).select(col("id"))
+    intercept[IllegalArgumentException] {
+      Sampling.bernoulli(base, col("id"), 1, 10000)
+    }
   }
 
   test("stratified returns min(n, |stratum|) rows per stratum, ranked") {
