@@ -288,6 +288,15 @@ object SparkEntry {
           col("event_id"), 10)
         .select(col("event_type"), col("rnk"), col("event_id"))
         .orderBy("event_type", "rnk")),
+    "sample_folds" -> q((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("h", graft.functions.Portable.hash52(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("fold", expr("(h * 4) div 4503599627370496"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Portable.exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("fold")),
     "sample_quantiles" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 10)
@@ -1299,6 +1308,15 @@ object SparkEntry {
          |  FROM ev)
          |SELECT event_type, rnk, event_id FROM r WHERE rnk <= 10
          |ORDER BY event_type, rnk""".stripMargin,
+
+    "sample_folds" ->
+      """SELECT (CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR)), 1, 13) AS BIGINT) * 4)
+        |         // 4503599627370496 AS fold,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS sum_qty
+        |FROM lineitem GROUP BY fold ORDER BY fold""".stripMargin,
 
     // estimate-from-sample composite: both engines draw the IDENTICAL
     // deterministic sample, so even the estimates hash-match

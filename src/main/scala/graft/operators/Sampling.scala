@@ -31,6 +31,20 @@ object Sampling {
       hash52(key) * lit(denom.toLong) < lit(num.toLong) * lit(4503599627370496L))
   }
 
+  /** Deterministic fold assignment: rows where
+    * i/n ≤ hash(key)/2^52 < (i+1)/n. The n bands partition the
+    * keyspace — every row lands in exactly one — which is what
+    * train/validation/test splits and cross-validation folds need:
+    * disjointness holds across engines, retries, and table versions,
+    * because membership is a pure function of the key. */
+  def band(df: DataFrame, key: Column, i: Int, n: Int): DataFrame = {
+    require(n > 0 && i >= 0 && i < n, "need 0 <= i < n")
+    require(n <= 1024, "n > 1024 overflows the 64-bit comparison")
+    val h = hash52(key) * lit(n.toLong)
+    val scale = lit(4503599627370496L)
+    df.filter(h >= lit(i.toLong) * scale && h < lit((i + 1).toLong) * scale)
+  }
+
   /** Fixed-size deterministic per-stratum sample: the `n` rows with
     * the smallest key hashes in each stratum (unique-key tiebreak).
     * Plans as a rank-filter window — Spark's InferWindowGroupLimit

@@ -40,6 +40,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("bands partition the keyspace: disjoint, exhaustive, stable") {
+    val base = spark.range(20000).select(col("id"))
+    val bands = (0 until 4).map(i =>
+      Sampling.band(base, col("id"), i, 4).collect().map(_.getLong(0)).toSet)
+    assert(bands.map(_.size).sum == 20000, "bands must be exhaustive")
+    for (i <- 0 until 4; j <- i + 1 until 4)
+      assert(bands(i).intersect(bands(j)).isEmpty, s"bands $i,$j overlap")
+    // band 0 is exactly the bernoulli(1,4) sample
+    val bern = Sampling.bernoulli(base, col("id"), 1, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(bands(0) == bern)
+  }
+
   test("stratified returns min(n, |stratum|) rows per stratum, ranked") {
     val df = spark.range(1000).select(
       (col("id") % 7).as("s"), col("id").as("k"))
