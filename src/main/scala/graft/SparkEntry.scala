@@ -45,6 +45,17 @@ object SparkEntry {
     // ---- reference parity: movements pipeline (SURVEY §2/§3) ----
     "mov_sec_counts" -> q((s, d) =>
       Movements.perSecondCounts(ev(s, d)).orderBy("user_id", "sec")),
+    // incremental view maintenance through the exactness gate: merge
+    // a deterministic half of the stream into the other half's
+    // materialization; the oracle is the full recompute
+    "mov_incremental" -> q((s, d) => {
+      val events = ev(s, d)
+      val base = Movements.perSecondCounts(
+        events.filter(pmod(col("event_id"), lit(2)) === 0))
+      Movements.mergeCountsIncrement(base,
+          events.filter(pmod(col("event_id"), lit(2)) === 1))
+        .orderBy("user_id", "sec")
+    }),
     "mov_chart_sum" -> q((s, d) =>
       Movements.chartSum(ev(s, d), ChartFromSec).orderBy("user_id")),
     "mov_chart" -> q((s, d) =>
@@ -155,6 +166,9 @@ object SparkEntry {
           round(max(col("o_totalprice")), 2).as("max_price"))
         .orderBy("band")
     }),
+    "win_distributions" -> q((s, d) =>
+      Relational.orderDistributions(Tables.orders(s, d))
+        .orderBy("o_custkey", "o_orderkey")),
     "win_rankings" -> q((s, d) =>
       Relational.orderRankings(Tables.orders(s, d))
         .orderBy("o_custkey", "o_orderkey")),
@@ -462,6 +476,12 @@ object SparkEntry {
          |SELECT user_id, count(*) AS total_events FROM ev
          |WHERE sec > $ChartFromSec GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the merged increment must equal the full recompute
+    "mov_incremental" ->
+      s"""WITH $EV
+         |SELECT user_id, sec, count(*) AS cnt FROM ev
+         |GROUP BY user_id, sec ORDER BY user_id, sec""".stripMargin,
+
     "mov_chart" ->
       s"""WITH $EV
          |SELECT sec,
@@ -764,6 +784,15 @@ object SparkEntry {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "win_distributions" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_rankings" ->
       """SELECT o_custkey, o_orderkey, drnk, quartile, next_price FROM (

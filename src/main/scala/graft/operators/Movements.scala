@@ -70,6 +70,18 @@ object Movements {
           coalesce(col("d.movs"), emptyMovs))).as("movs"))
   }
 
+  /** Count-only incremental merge — [[mergeIncrement]] without the
+    * retention payload, shaped for the oracle gate: merging any
+    * disjoint split of the stream must reproduce the full recompute
+    * exactly (counts are distributive). */
+  def mergeCountsIncrement(agg: DataFrame, newEvents: DataFrame): DataFrame =
+    agg.as("a")
+      .join(perSecondCounts(newEvents).as("d"),
+        Seq("user_id", "sec"), "full_outer")
+      .select(col("user_id"), col("sec"),
+        (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
+          .as("cnt"))
+
   /** A1 without retention — the oracle-facing per-second count. */
   def perSecondCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), col("sec")).agg(count(lit(1)).as("cnt"))

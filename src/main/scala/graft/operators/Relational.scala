@@ -307,6 +307,20 @@ object Relational {
         col("quartile"), col("next_price"))
   }
 
+  /** Distribution window functions: percent_rank + cume_dist per
+    * customer (the remaining members of the analytic-function family;
+    * both are exact rational values of rank and count, so the rounded
+    * doubles are engine-identical). */
+  def orderDistributions(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .filter(col("o_custkey") < 200)
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("pr"), col("cd"))
+  }
+
   /** Q17-style correlated average: lineitems whose quantity is below
     * 20% of their part's average — the "compare each row to its
     * group's aggregate" pattern, done as one window pass instead of a
