@@ -201,4 +201,22 @@ object AsOfJoin {
       timeAttr(lPlan, leftTimeCol), timeAttr(rPlan, rightTimeCol),
       strict, toleranceUs))
   }
+
+  /** Forward as-of: match the EARLIEST right row at-or-after (or
+    * strictly after) the left row's time. Same merge machinery — the
+    * time axis is negated on both sides before the backward join, so
+    * "latest ≤ -t" is "earliest ≥ t". */
+  def asofForward(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTimeCol: String, rightTimeCol: String,
+                  strict: Boolean = false,
+                  toleranceUs: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val negL = "__graft_neg_lt"
+    val negR = "__graft_neg_rt"
+    asof(
+      left.withColumn(negL, -col(leftTimeCol)),
+      right.withColumn(negR, -col(rightTimeCol)),
+      on, negL, negR, strict, toleranceUs)
+      .drop(negL, negR)
+  }
 }

@@ -105,6 +105,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(sorts == 2, s"expected 2 sorts, plan:\n$p")
   }
 
+  test("forward as-of matches the earliest quote at-or-after the trade") {
+    val got = AsOfJoin.asofForward(
+        trades, quotes.toDF("sym", "qt", "px"),
+        on = Seq("sym"), leftTimeCol = "tt", rightTimeCol = "qt")
+      .select($"qty", $"qt").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> -1L,
+      5L -> 15L, 6L -> -1L, 7L -> -1L))
+  }
+
   test("null keys match nothing (SQL equi-join semantics)") {
     val l = Seq((java.lang.Long.valueOf(1L), 10L, "a"),
       (null.asInstanceOf[java.lang.Long], 10L, "b"))
