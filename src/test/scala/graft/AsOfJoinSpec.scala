@@ -93,6 +93,43 @@ class AsOfJoinSpec extends SparkSpec {
       "native as-of differs from window reference")
   }
 
+  test("strict and tolerance variants match the window reference on random data") {
+    val n = 3000
+    val left = spark.range(n).select(
+      (col("id") % 17).as("k"),
+      pmod(hash(col("id") * 3 + 1), lit(5000)).cast("long").as("t"),
+      col("id").as("lid"))
+    val right = spark.range(n).select(
+      (col("id") % 19).as("k"),
+      pmod(hash(col("id") * 7 + 2), lit(5000)).cast("long").as("t"),
+      col("id").as("rid"))
+      .groupBy("k", "t").agg(max("rid").as("rid"))
+    for (strict <- Seq(false, true); tol <- Seq(None, Some(40L))) {
+      val native = AsOfJoin.asof(left, right.toDF("k", "rt", "rid"),
+          Seq("k"), "t", "rt", strict = strict, toleranceUs = tol)
+        .select($"lid", $"rid", $"rt")
+      // inclusive: right rows sort BEFORE left at equal t (visible);
+      // strict: after (invisible) — the click-vs-purchase trick
+      val sideOrd = if (strict) lit(-1) else lit(1)
+      val tagged = right.select($"k", $"t", lit(null).cast("long").as("lid"),
+          $"rid", lit(0).as("side"))
+        .unionAll(left.select($"k", $"t", $"lid",
+          lit(null).cast("long").as("rid"), lit(1).as("side")))
+      val w = Window.partitionBy($"k")
+        .orderBy($"t", $"side" * sideOrd, $"lid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val matchedRef = tagged
+        .withColumn("m", last($"rid", ignoreNulls = true).over(w))
+        .withColumn("mt", last(when($"side" === 0, $"t"), ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+      val ref = matchedRef.select($"lid",
+        when(tol.map(x => $"t" - $"mt" <= x).getOrElse(lit(true)), $"m").as("rid"),
+        when(tol.map(x => $"t" - $"mt" <= x).getOrElse(lit(true)), $"mt").as("rt"))
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+        s"divergence at strict=$strict tol=$tol")
+    }
+  }
+
   test("plan: one exchange + one sort per side feeding AsOfJoinExec") {
     val df = keyed()
     df.collect()
