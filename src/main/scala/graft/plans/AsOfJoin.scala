@@ -104,6 +104,14 @@ case class AsOfJoinExec(
           .createNaturalAscendingOrdering(keyTypes)
       val rBuf = rIter.buffered
       val joined = new JoinedRow
+      // parents (and SparkPlan.getByteArrayRdd when this exec is the
+      // collect root) expect UnsafeRow — project the JoinedRow out.
+      // Project the OUTPUT attributes (right side nullability-fixed):
+      // binding the raw right attrs would let codegen skip null
+      // checks over the all-null unmatched row
+      val resultProj = UnsafeProjection.create(
+        leftOut ++ rightOut.map(_.withNullability(true)),
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(nRight)
       var curKey: UnsafeRow = null
       var candidate: InternalRow = null
@@ -114,7 +122,7 @@ case class AsOfJoinExec(
           // SQL equi-join semantics: a null key matches nothing (the
           // natural row ordering would treat null==null as equal).
           // Null keys sort first, so no state has accrued yet.
-          joined(lRow, nullRight)
+          resultProj(joined(lRow, nullRight))
         } else {
         if (curKey == null || keyOrd.compare(lKey, curKey) != 0) {
           curKey = lKey.copy()
@@ -122,7 +130,7 @@ case class AsOfJoinExec(
         }
         val lTimeRow = lTimeProj(lRow)
         if (lTimeRow.isNullAt(0)) {
-          joined(lRow, nullRight)
+          resultProj(joined(lRow, nullRight))
         } else {
           val lT = lTimeRow.getLong(0)
           // Consume right rows whose (key, time) can never serve a
@@ -148,7 +156,7 @@ case class AsOfJoinExec(
             } else scan = false
           }
           val ok = candidate != null && tol.forall(t => lT - candTime <= t)
-          joined(lRow, if (ok) candidate else nullRight)
+          resultProj(joined(lRow, if (ok) candidate else nullRight))
         }
         }
       }

@@ -42,6 +42,27 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("as-of join over same-key bucketed tables needs no exchange") {
+    dropManaged("graft_b_trades")
+    dropManaged("graft_b_quotes")
+    import spark.implicits._
+    val trades = (1 to 500).map(i => (i.toLong % 16, i.toLong * 10, i.toLong))
+      .toDF("k", "t", "tid")
+    val quotes = (1 to 300).map(i => (i.toLong % 16, i.toLong * 13, i * 1.5))
+      .toDF("k", "qt", "px")
+    Layout.writeBucketed(trades, "graft_b_trades", "k", 8)
+    Layout.writeBucketed(quotes, "graft_b_quotes", "k", 8)
+    val joined = graft.plans.AsOfJoin.asof(
+      spark.table("graft_b_trades"), spark.table("graft_b_quotes"),
+      Seq("k"), "t", "qt")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed scans should satisfy the as-of distribution:\n$plan")
+  }
+
   test("partitioned write prunes directories for partition predicates") {
     val dir = Files.createTempDirectory("graft_part").toString + "/ev"
     val ev = Tables.events(spark, sf("sf0.001"))
