@@ -50,10 +50,12 @@ object SparkEntry {
     // materialization; the oracle is the full recompute
     "mov_incremental" -> q((s, d) => {
       val events = ev(s, d)
-      val base = Movements.perSecondCounts(
-        events.filter(pmod(col("event_id"), lit(2)) === 0))
-      Movements.mergeCountsIncrement(base,
-          events.filter(pmod(col("event_id"), lit(2)) === 1))
+      // null-safe split so the two halves PARTITION the stream even
+      // if event_id were ever null (the oracle recomputes over all
+      // rows unconditionally)
+      val isEven = pmod(col("event_id"), lit(2)) <=> 0
+      val base = Movements.perSecondCounts(events.filter(isEven))
+      Movements.mergeCountsIncrement(base, events.filter(!isEven))
         .orderBy("user_id", "sec")
     }),
     "mov_chart_sum" -> q((s, d) =>

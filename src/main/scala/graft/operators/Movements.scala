@@ -57,30 +57,31 @@ object Movements {
     * At scale this is the backfill/compaction path: only the delta
     * shuffles, the existing table joins by its (user, sec) key. */
   def mergeIncrement(agg: DataFrame, newEvents: DataFrame): DataFrame = {
-    val delta = perSecond(newEvents)
     val emptyMovs = array().cast(
       "array<struct<ts_us:bigint,x:int,y:int>>")
+    fullOuterMerge(agg, perSecond(newEvents))(
+      sort_array(concat(
+        coalesce(col("a.movs"), emptyMovs),
+        coalesce(col("d.movs"), emptyMovs))).as("movs"))
+  }
+
+  /** The shared merge core: full-outer key join of an existing
+    * materialization with an aggregated delta; counts always add,
+    * extra payload columns merge via `extra`. */
+  private def fullOuterMerge(agg: DataFrame, delta: DataFrame)
+                            (extra: Column*): DataFrame =
     agg.as("a")
       .join(delta.as("d"), Seq("user_id", "sec"), "full_outer")
-      .select(col("user_id"), col("sec"),
+      .select(col("user_id") +: col("sec") +:
         (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
-          .as("cnt"),
-        sort_array(concat(
-          coalesce(col("a.movs"), emptyMovs),
-          coalesce(col("d.movs"), emptyMovs))).as("movs"))
-  }
+          .as("cnt") +: extra: _*)
 
   /** Count-only incremental merge — [[mergeIncrement]] without the
     * retention payload, shaped for the oracle gate: merging any
     * disjoint split of the stream must reproduce the full recompute
     * exactly (counts are distributive). */
   def mergeCountsIncrement(agg: DataFrame, newEvents: DataFrame): DataFrame =
-    agg.as("a")
-      .join(perSecondCounts(newEvents).as("d"),
-        Seq("user_id", "sec"), "full_outer")
-      .select(col("user_id"), col("sec"),
-        (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("d.cnt"), lit(0L)))
-          .as("cnt"))
+    fullOuterMerge(agg, perSecondCounts(newEvents))()
 
   /** A1 without retention — the oracle-facing per-second count. */
   def perSecondCounts(events: DataFrame): DataFrame =

@@ -221,6 +221,8 @@ object AsOfJoin {
     import org.apache.spark.sql.functions.col
     val negL = "__graft_neg_lt"
     val negR = "__graft_neg_rt"
+    require(!left.columns.contains(negL) && !right.columns.contains(negR),
+      s"asofForward: reserved column name $negL/$negR already present")
     asof(
       left.withColumn(negL, -col(leftTimeCol)),
       right.withColumn(negR, -col(rightTimeCol)),

@@ -143,13 +143,22 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("forward as-of matches the earliest quote at-or-after the trade") {
-    val got = AsOfJoin.asofForward(
-        trades, quotes.toDF("sym", "qt", "px"),
-        on = Seq("sym"), leftTimeCol = "tt", rightTimeCol = "qt")
-      .select($"qty", $"qt").collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-    assert(got === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> -1L,
+    def fwd(strict: Boolean = false, tol: Option[Long] = None) =
+      AsOfJoin.asofForward(
+          trades, quotes.toDF("sym", "qt", "px"),
+          on = Seq("sym"), leftTimeCol = "tt", rightTimeCol = "qt",
+          strict = strict, toleranceUs = tol)
+        .select($"qty", $"qt").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fwd() === Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> -1L,
       5L -> 15L, 6L -> -1L, 7L -> -1L))
+    // strict excludes the same-instant quote: trade 2 at t=20 must
+    // skip the qt=20 quote and take qt=30
+    assert(fwd(strict = true)(2L) === 30L)
+    // tolerance bounds the forward gap (rt - lt): trade 3 at t=25 is
+    // 5 ticks from qt=30 (kept at tol=5, voided at tol=4)
+    assert(fwd(tol = Some(5L))(3L) === 30L)
+    assert(fwd(tol = Some(4L))(3L) === -1L)
   }
 
   test("null keys match nothing (SQL equi-join semantics)") {

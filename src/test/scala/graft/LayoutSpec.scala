@@ -45,7 +45,6 @@ class LayoutSpec extends SparkSpec {
   test("as-of join over same-key bucketed tables needs no exchange") {
     dropManaged("graft_b_trades")
     dropManaged("graft_b_quotes")
-    import spark.implicits._
     val trades = (1 to 500).map(i => (i.toLong % 16, i.toLong * 10, i.toLong))
       .toDF("k", "t", "tid")
     val quotes = (1 to 300).map(i => (i.toLong % 16, i.toLong * 13, i * 1.5))
