@@ -171,6 +171,44 @@ case class AsOfJoinExec(
 /** Public DataFrame-level API for the native as-of join. */
 object AsOfJoin {
 
+  /** SQL table-valued form, registered via
+    * `injectTableFunction` in [[GraftExtensions]]:
+    * {{{ SELECT * FROM graft_asof('trades', 'quotes', 'sym', 'tt', 'qt') }}}
+    * Arguments are string literals: left table/view, right table/view,
+    * comma-separated key columns, left time column, right time column,
+    * then optionally 'strict'|'inclusive' and a tolerance in micros.
+    * Left and right must be DIFFERENT relations (use distinctly-named
+    * views of the same table; generic analyzer dedup cannot split a
+    * custom node's expressions between sides). */
+  def tableFunction(args: Seq[Expression]): LogicalPlan = {
+    def str(i: Int): String = args(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_asof: argument ${i + 1} must be a string literal, got $other")
+    }
+    require(args.length >= 5 && args.length <= 7,
+      "graft_asof(left, right, keys, leftTime, rightTime[, mode[, tolUs]])")
+    val strict = args.length >= 6 && str(5).equalsIgnoreCase("strict")
+    val tol = if (args.length == 7) Some(str(6).toLong) else None
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    val keys = str(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graft_asof: at least one key column")
+    // qualify every column with its side's relation name: the key
+    // columns exist on BOTH children, and generic reference
+    // resolution over a custom node has no side information
+    val lq = str(0).split("\\.").last
+    val rq = str(1).split("\\.").last
+    AsOfJoinPlan(
+      UnresolvedRelation(str(0).split("\\.").toSeq),
+      UnresolvedRelation(str(1).split("\\.").toSeq),
+      keys.map(k => UnresolvedAttribute(Seq(lq, k))),
+      keys.map(k => UnresolvedAttribute(Seq(rq, k))),
+      UnresolvedAttribute(Seq(lq, str(3))),
+      UnresolvedAttribute(Seq(rq, str(4))),
+      strict, tol)
+  }
+
   /** Left as-of join `left` with `right` on equal `on` columns,
     * matching the latest right row whose `rightTimeCol` ≤ (or <, when
     * `strict`) the left row's `leftTimeCol`. Time columns must be

@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0))))
     e.injectOptimizerRule(_ => FoldSelfHamming)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(AsOfJoin.getClass.getName, "graft_asof"),
+      (children: Seq[Expression]) => AsOfJoin.tableFunction(children)))
   }
 }
 

@@ -130,6 +130,26 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("SQL table-valued form: FROM graft_asof(...) runs the native exec") {
+    trades.createOrReplaceTempView("graft_asof_trades")
+    quotes.createOrReplaceTempView("graft_asof_quotes")
+    val df = spark.sql(
+      """SELECT qty, qt FROM graft_asof(
+        |  'graft_asof_trades', 'graft_asof_quotes', 'sym', 'tt', 'qt')""".stripMargin)
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> -1L, 2L -> 20L, 3L -> 20L, 4L -> 30L,
+      5L -> -1L, 6L -> 15L, 7L -> -1L))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    // strict + tolerance through SQL
+    val s = spark.sql(
+      """SELECT qty, qt FROM graft_asof(
+        |  'graft_asof_trades', 'graft_asof_quotes', 'sym', 'tt', 'qt',
+        |  'strict', '10')""".stripMargin).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(s(2L) === 10L && s(4L) === -1L)
+  }
+
   test("plan: one exchange + one sort per side feeding AsOfJoinExec") {
     val df = keyed()
     df.collect()
