@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Binned point-in-interval join vs the naive non-equi join on
+  * adversarial inputs: unaligned intervals, bin-edge endpoints,
+  * negative domains, overlapping intervals, empty matches. */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the naive range join on random unaligned intervals") {
+    val points = spark.range(2000).select(
+      (pmod(hash(col("id")), lit(2000)).cast("double") - 1000.0).as("p"),
+      col("id").as("pid"))
+    val intervals = spark.range(300).select(
+      (pmod(hash(col("id") + 5), lit(1800)).cast("double") - 900.0).as("lo"),
+      col("id").as("iid"))
+      .withColumn("hi", col("lo") + pmod(hash(col("iid") * 3), lit(250)).cast("double") / 3.0)
+    val binned = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi",
+        binWidth = 37.0)
+      .select($"pid", $"iid")
+    val naive = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      .select($"pid", $"iid")
+    assert(naive.count() > 0, "test data must produce matches")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+      "binned join diverges from the naive range join")
+  }
+
+  test("half-open boundary: hi is excluded, lo included, even on bin edges") {
+    val points = Seq((0.0, 1L), (10.0, 2L), (20.0, 3L)).toDF("p", "pid")
+    val intervals = Seq((0.0, 10.0, 10L), (10.0, 20.0, 20L)).toDF("lo", "hi", "iid")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0)
+      .select($"pid", $"iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 20L)), s"got $got")
+  }
+
+  test("plan stays an equi-join: no nested-loop anywhere") {
+    val points = spark.range(100).select(col("id").cast("double").as("p"),
+      col("id").as("pid"))
+    val intervals = Seq((0.0, 50.0, 1L), (50.0, 100.0, 2L)).toDF("lo", "hi", "iid")
+    val df = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 25.0)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a non-equi plan:\n$plan")
+  }
+}
