@@ -211,13 +211,24 @@ object Dedup {
     *
     * `pairs` must have columns (id1, id2); returns (doc_id,
     * cluster_id) for every doc appearing in any pair. */
+  /** Materialize an iteration artifact, truncating lineage.
+    * `localCheckpoint` blocks live only on executors — fine on
+    * local[*], but on a real cluster an executor loss makes them
+    * unrecoverable and fails the whole iterative job. When the
+    * session has a reliable checkpoint dir configured
+    * (`sc.setCheckpointDir`, typically HDFS/S3 at 100TB scale), use
+    * fault-tolerant `checkpoint()` instead. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     // materialize the edge list ONCE — every iteration joins it, and
     // without this the (possibly expensive) pair-producing pipeline
     // upstream would re-execute per round
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint(eager = true)
+    val edges = materialize(pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
     var labels = edges.select(col("id1").as("doc_id"))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -230,12 +241,11 @@ object Dedup {
         .agg(min(col("cluster_id")).as("nmin"))
       // carry old_c through the same join so the convergence check is
       // a filter on the materialized result, not a second join
-      val updated = labels
+      val updated = materialize(labels
         .join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("cluster_id").as("old_c"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(eager = true) // truncate the growing lineage
+            .as("cluster_id"))) // truncate the growing lineage
       converged = updated.filter(col("cluster_id") =!= col("old_c")).isEmpty
       labels = updated.select(col("doc_id"), col("cluster_id"))
       iter += 1

@@ -63,9 +63,14 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
+  // The buffer holds DISTINCT sorted non-negative hashes, so
+  // b(k-1) >= k-1 >= 1 whenever the full-buffer branch is taken — the
+  // denominator cannot be zero for k >= 2 (enforced above). The
+  // math.max is a defensive clamp only; it never changes a reachable
+  // result, so the DuckDB oracle (plain division) stays value-exact.
   override def finish(b: Array[Long]): Double =
     if (b.length < k) b.length.toDouble
-    else (k - 1).toDouble * KmvSketch.TwoPow52 / b(k - 1).toDouble
+    else (k - 1).toDouble * KmvSketch.TwoPow52 / math.max(b(k - 1), 1L).toDouble
 
   override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

@@ -27,20 +27,41 @@ object RangeJoin {
     * bin selectivity (many intervals per bin); pick ~ the median
     * interval span. The end bin of an interval is included even when
     * `hi` sits exactly on a bin edge — the residual filter removes
-    * the false pair, keeping binning correct for any alignment. */
+    * the false pair, keeping binning correct for any alignment.
+    *
+    * `maxBinsPerInterval` caps the per-interval replication: one
+    * outlier interval spanning the whole domain with a tiny
+    * `binWidth` would otherwise materialize a span/binWidth-element
+    * array per row before exploding. An interval exceeding the cap
+    * fails the job with a clear message (raise the cap or widen the
+    * bins) rather than silently OOMing an executor. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    // unique working-column name: never collide with (or silently
+    // drop) a caller column that happens to be named the same
+    val bin = {
+      val taken = (points.columns ++ intervals.columns).toSet
+      Iterator.from(0).map(i => s"_graft_bin$i").filterNot(taken).next()
+    }
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
     val binned = points
-      .withColumn("_bin", floor(col(pointCol) / binWidth).cast("long"))
+      .withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
     val exploded = intervals
-      .withColumn("_bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      .withColumn(bin, explode(when(
+        hiBin - loBin < lit(maxBinsPerInterval), sequence(loBin, hiBin))
+        .otherwise(raise_error(concat(
+          lit(s"RangeJoin.pointInInterval: interval ["), col(loCol),
+          lit(", "), col(hiCol),
+          lit(s") spans more than $maxBinsPerInterval bins of width " +
+            s"$binWidth; raise maxBinsPerInterval or widen binWidth"))))))
     binned
-      .join(exploded, Seq("_bin"))
+      .join(exploded, Seq(bin))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
-      .drop("_bin")
+      .drop(bin)
   }
 }

@@ -189,7 +189,14 @@ object AsOfJoin {
     }
     require(args.length >= 5 && args.length <= 7,
       "graft_asof(left, right, keys, leftTime, rightTime[, mode[, tolUs]])")
-    val strict = args.length >= 6 && str(5).equalsIgnoreCase("strict")
+    val strict = if (args.length >= 6) {
+      str(5).toLowerCase match {
+        case "strict"    => true
+        case "inclusive" => false
+        case other => throw new IllegalArgumentException(
+          s"graft_asof: mode must be 'strict' or 'inclusive', got '$other'")
+      }
+    } else false
     val tol = if (args.length == 7) Some(str(6).toLong) else None
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
     val keys = str(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -214,6 +221,15 @@ object AsOfJoin {
     * `strict`) the left row's `leftTimeCol`. Time columns must be
     * LongType (epoch micros by graft convention). Right columns keep
     * their names — rename before joining if they collide with left.
+    *
+    * TIE SEMANTICS: if the right side has several rows with the SAME
+    * (key, time), the merge pass keeps whichever one the (unstable,
+    * partitioning-dependent) sort emits last — i.e. AN ARBITRARY
+    * duplicate, nondeterministic across runs. For deterministic
+    * results, pre-aggregate the right side to unique (key, time)
+    * first (the convention every shipped caller follows, e.g.
+    * TimeSeries.asofNative reduces with max per (key, time)), or
+    * dedup with a ranking window on an explicit tiebreak column.
     *
     * The right plan is re-aliased with fresh expression ids, so
     * self-joins (two filtered views of one table) are safe. */

@@ -150,6 +150,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(s(2L) === 10L && s(4L) === -1L)
   }
 
+  test("SQL form rejects a misspelled mode instead of silently joining inclusive") {
+    trades.createOrReplaceTempView("graft_asof_trades")
+    quotes.createOrReplaceTempView("graft_asof_quotes")
+    val ex = intercept[IllegalArgumentException] {
+      spark.sql(
+        """SELECT * FROM graft_asof(
+          |  'graft_asof_trades', 'graft_asof_quotes', 'sym', 'tt', 'qt',
+          |  'stric')""".stripMargin)
+    }
+    assert(ex.getMessage.contains("'strict' or 'inclusive'"), ex.getMessage)
+  }
+
   test("plan: one exchange + one sort per side feeding AsOfJoinExec") {
     val df = keyed()
     df.collect()

@@ -36,6 +36,30 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === Set((1L, 10L), (2L, 20L)), s"got $got")
   }
 
+  test("caller columns named like the working bin column survive") {
+    // the internal bin key must pick a fresh name, not clobber these
+    val points = Seq((5.0, 1L, "keepP")).toDF("p", "pid", "_graft_bin0")
+    val intervals = Seq((0.0, 10.0, 10L, "keepI")).toDF("lo", "hi", "iid", "_graft_bin1")
+    val out = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", 10.0)
+    assert(out.columns.count(_ == "_graft_bin0") == 1 &&
+      out.columns.count(_ == "_graft_bin1") == 1, out.columns.mkString(","))
+    val row = out.select($"_graft_bin0", $"_graft_bin1").head()
+    assert((row.getString(0), row.getString(1)) === ("keepP", "keepI"))
+  }
+
+  test("an interval spanning more bins than the cap fails loudly") {
+    val points = Seq((5.0, 1L)).toDF("p", "pid")
+    val wide = Seq((0.0, 1e9, 1L)).toDF("lo", "hi", "iid")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, wide, "p", "lo", "hi",
+        binWidth = 1.0, maxBinsPerInterval = 1000).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("maxBinsPerInterval")),
+      s"expected the bin-cap error, got: $ex")
+  }
+
   test("plan stays an equi-join: no nested-loop anywhere") {
     val points = spark.range(100).select(col("id").cast("double").as("p"),
       col("id").as("pid"))
