@@ -66,6 +66,8 @@ object SparkEntry {
       Movements.topkRecent(ev(s, d), 1L, 10)),
     "mov_locf" -> q((s, d) =>
       Movements.locf(ev(s, d)).orderBy("user_id", "event_id")),
+    "mov_interp" -> q((s, d) =>
+      Movements.interpolated(ev(s, d)).orderBy("user_id", "event_id")),
     "mov_heatmap" -> q((s, d) =>
       Movements.heatmap(ev(s, d), 1L).orderBy("cx", "cy")),
     "mov_heatmap_max" -> q((s, d) =>
@@ -294,6 +296,18 @@ object SparkEntry {
     "doc_clean_corpus" -> q((s, d) =>
       TextAnalysis.cleanCorpusStats(Tables.documents(s, d))
         .orderBy("source")),
+    "sample_weighted" -> q((s, d) =>
+      operators.Sampling.weightedTopK(
+        Tables.lineitem(s, d).select(
+          concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("item_id"),
+          col("l_quantity")),
+        col("item_id"), col("l_quantity"), 50)
+        .select(col("item_id"), col("l_quantity"), col("priority"))),
+    "hh_top_terms" -> q((s, d) =>
+      graft.functions.HeavyHitters.exactTopK(
+        Tables.documents(s, d).select(
+          explode(graft.functions.Portable.tokens(col("text"))).as("term")),
+        "term", 20)),
     "sample_bernoulli" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 50)
@@ -1318,6 +1332,60 @@ object SparkEntry {
          |        / count(*), 4) AS avg_tokens
          |FROM c WHERE doc_id = canonical
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "mov_interp" ->
+      s"""WITH $POS,
+         |anch AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    last_value(x IGNORE NULLS) OVER pw AS px,
+         |    last_value(CASE WHEN x IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER pw AS ptx,
+         |    last_value(y IGNORE NULLS) OVER pw AS py,
+         |    last_value(CASE WHEN y IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER pw AS pty,
+         |    first_value(x IGNORE NULLS) OVER fw AS nx,
+         |    first_value(CASE WHEN x IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER fw AS ntx,
+         |    first_value(y IGNORE NULLS) OVER fw AS ny,
+         |    first_value(CASE WHEN y IS NOT NULL THEN ts_us END IGNORE NULLS)
+         |      OVER fw AS nty
+         |  FROM pos
+         |  WINDOW
+         |    pw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    fw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT user_id, event_id,
+         |  CASE WHEN ptx IS NOT NULL AND ntx IS NOT NULL AND ntx <> ptx
+         |       THEN CAST(px AS DOUBLE) + CAST(nx - px AS DOUBLE) *
+         |            (CAST(ts_us - ptx AS DOUBLE) / CAST(ntx - ptx AS DOUBLE))
+         |       WHEN ptx IS NOT NULL THEN CAST(px AS DOUBLE)
+         |       ELSE CAST(nx AS DOUBLE) END AS ix,
+         |  CASE WHEN pty IS NOT NULL AND nty IS NOT NULL AND nty <> pty
+         |       THEN CAST(py AS DOUBLE) + CAST(ny - py AS DOUBLE) *
+         |            (CAST(ts_us - pty AS DOUBLE) / CAST(nty - pty AS DOUBLE))
+         |       WHEN pty IS NOT NULL THEN CAST(py AS DOUBLE)
+         |       ELSE CAST(ny AS DOUBLE) END AS iy
+         |FROM anch ORDER BY user_id, event_id""".stripMargin,
+
+    "sample_weighted" ->
+      """WITH it AS (
+        |  SELECT CAST(l_orderkey AS VARCHAR) || ':' ||
+        |         CAST(l_linenumber AS VARCHAR) AS item_id,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT item_id, l_quantity,
+        |  CAST(l_quantity AS DOUBLE) /
+        |    (CAST(CAST('0x' || substr(md5(item_id), 1, 13) AS BIGINT) + 1
+        |          AS DOUBLE) / 4503599627370496.0) AS priority
+        |FROM it
+        |ORDER BY priority DESC, item_id LIMIT 50""".stripMargin,
+
+    "hh_top_terms" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT term, count(*) AS cnt FROM tk
+        |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
 
     "sample_bernoulli" ->
       """SELECT count(*) AS n,

@@ -126,6 +126,55 @@ object Movements {
       .select(col("user_id"), col("event_id"), col("cx"), col("cy"))
   }
 
+  /** Linear interpolation of sentinel positions — the numeric upgrade
+    * of [[locf]] (W1): a sentinel row takes the time-weighted blend of
+    * the nearest real positions before and after it instead of a flat
+    * carry. Leading sentinels backfill from the next real position,
+    * trailing ones carry the previous (so the operator degrades to
+    * LOCF/NOCB at the edges); users with no real position stay NULL.
+    *
+    * Exactness: ts_us values (≈1.7e15) are below 2^53, so the long→
+    * double casts and subtractions are lossless, and the blend is
+    * three correctly-rounded IEEE ops (divide, multiply, add) —
+    * bit-identical in any IEEE-754 engine, no rounding fuzz needed
+    * for the oracle. Two window passes over one per-user sort; the
+    * sort is shared (same partitioning + ordering), so the plan has
+    * ONE exchange and one sort like [[locf]]. */
+  def interpolated(events: DataFrame): DataFrame = {
+    val past = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def blend(prev: Column, next: Column, pt: Column, nt: Column): Column = {
+      val ratio = (col("ts_us") - pt).cast("double") / (nt - pt).cast("double")
+      when(pt.isNotNull && nt.isNotNull && nt =!= pt,
+        prev.cast("double") + (next - prev).cast("double") * ratio)
+        .when(pt.isNotNull, prev.cast("double"))   // trailing, or exact hit
+        .otherwise(next.cast("double"))            // leading backfill (or NULL)
+    }
+    // per-axis time anchors: y can be null on a row where x is not
+    // (absent JSON key), so each axis interpolates between ITS own
+    // nearest observations
+    positioned(events)
+      .withColumn("px", last(col("x"), ignoreNulls = true).over(past))
+      .withColumn("ptx",
+        last(when(col("x").isNotNull, col("ts_us")), ignoreNulls = true).over(past))
+      .withColumn("py", last(col("y"), ignoreNulls = true).over(past))
+      .withColumn("pty",
+        last(when(col("y").isNotNull, col("ts_us")), ignoreNulls = true).over(past))
+      .withColumn("nx", first(col("x"), ignoreNulls = true).over(future))
+      .withColumn("ntx",
+        first(when(col("x").isNotNull, col("ts_us")), ignoreNulls = true).over(future))
+      .withColumn("ny", first(col("y"), ignoreNulls = true).over(future))
+      .withColumn("nty",
+        first(when(col("y").isNotNull, col("ts_us")), ignoreNulls = true).over(future))
+      .select(col("user_id"), col("event_id"),
+        blend(col("px"), col("nx"), col("ptx"), col("ntx")).as("ix"),
+        blend(col("py"), col("ny"), col("pty"), col("nty")).as("iy"))
+  }
+
   /** §3.3 — the full heatmap pipeline for one user: most recent `k`
     * seconds → flatten → LOCF → per-position counts (functions.js:333-418).
     *

@@ -54,4 +54,29 @@ object Sampling {
     val w = Window.partitionBy(strata).orderBy(hash52(key), key)
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
+
+  /** Deterministic weighted sample of fixed size k — priority
+    * sampling (Duffield, Lund & Thorup, "Priority sampling for
+    * estimation of arbitrary subset sums", JACM 2007): each row gets
+    * priority w/u with u uniform on (0,1], and the k highest
+    * priorities win, so inclusion probability scales with weight.
+    *
+    * u := (hash52(key)+1) / 2^52 is EXACT (numerator ≤ 2^52 is
+    * representable, dividing by a power of two is lossless), and
+    * w/u is a single correctly-rounded IEEE division — unlike
+    * exponential-jitter schemes (pow/ln are not correctly rounded and
+    * can differ across libm implementations), the priority is
+    * bit-identical in any IEEE-754 engine, so the selected set is
+    * value-exact reproducible in the DuckDB oracle.
+    *
+    * Plans as TakeOrderedAndProject: per-partition top-k then a
+    * k-row driver merge — no global sort, no shuffle of the input. */
+  def weightedTopK(df: DataFrame, key: Column, weight: Column,
+                   k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val u = (hash52(key) + lit(1L)).cast("double") / lit(4503599627370496.0)
+    df.withColumn("priority", weight.cast("double") / u)
+      .orderBy(col("priority").desc, key)
+      .limit(k)
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HeavyHitters, MisraGries}
+
+/** Two-phase exact heavy hitters: candidate guarantee, exactness vs
+  * the full groupBy, layout invariance, certificate enforcement. */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish items: item i appears ~10000/(i+1) times. */
+  private lazy val items = {
+    val rows = (0 until 200).flatMap(i => Seq.fill(10000 / (i + 1))(s"item$i"))
+    rows.toDF("term")
+  }
+
+  test("exactTopK equals the exact full groupBy top-k") {
+    val expect = items.groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"term").limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = HeavyHitters.exactTopK(items, "term", 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
+  test("result is invariant under repartitioning (sketch internals are not exposed)") {
+    def run(parts: Int) =
+      HeavyHitters.exactTopK(items.repartition(parts), "term", 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run(1) === run(13))
+  }
+
+  test("certified variant passes with ample capacity, throws when the proof fails") {
+    val ok = HeavyHitters.exactTopKCertified(items, "term", 5, capacity = 256)
+      .collect()
+    assert(ok.length == 5)
+    // near-uniform data with tiny capacity: kth count can't clear n/(cap+1)
+    val flat = (0 until 1000).flatMap(i => Seq.fill(5)(s"u$i")).toDF("term")
+    val ex = intercept[IllegalStateException] {
+      HeavyHitters.exactTopKCertified(flat, "term", 5, capacity = 8)
+    }
+    assert(ex.getMessage.contains("raise capacity"), ex.getMessage)
+  }
+
+  test("MG merge guarantee: every item above n/(capacity+1) survives any merge split") {
+    val mg = new MisraGries(8)
+    val stream = (0 until 500).map(i => if (i % 5 == 0) "hot" else s"cold$i")
+    // split the stream at several points and merge the halves
+    for (cut <- Seq(1, 100, 250, 499)) {
+      val (a, b) = stream.splitAt(cut)
+      val bufA = a.foldLeft(mg.zero)(mg.reduce)
+      val bufB = b.foldLeft(mg.zero)(mg.reduce)
+      val (keys, n, err) = mg.finish(mg.merge(bufA, bufB))
+      assert(n == 500)
+      assert(err <= 500 / 9, s"err=$err exceeds the n/(capacity+1) bound")
+      // "hot" has frequency 100 > err — must be a candidate
+      assert(keys.contains("hot"), s"cut=$cut lost the heavy item: $keys")
+    }
+  }
+}

@@ -42,6 +42,42 @@ class MovementsSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("interpolation blends sentinels linearly; edges backfill/carry") {
+    val ev = mkEvents(Seq(
+      (0L, 1L, "error", 0.0, 0),   // leading: backfill from (2,7)
+      (1L, 1L, "click", 25.0, 7),  // real (2,7) at t=1s
+      (2L, 1L, "error", 0.0, 0),   // 1/3 of the way (1s..4s)
+      (3L, 1L, "error", 0.0, 0),   // 2/3 of the way
+      (4L, 1L, "move", 85.0, 1),   // real (8,1) at t=4s
+      (5L, 1L, "error", 0.0, 0),   // trailing: carry (8,1)
+      (6L, 2L, "error", 0.0, 0)))  // user with no real position: NULL
+    val got = Movements.interpolated(ev)
+      .orderBy("user_id", "event_id")
+      .collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(got(0) === ((0L, 2.0, 7.0)), s"leading backfill: ${got(0)}")
+    assert(got(1) === ((1L, 2.0, 7.0)))
+    assert(got(2) === ((2L, 2.0 + 6.0 * (1.0 / 3.0), 7.0 + (-6.0) * (1.0 / 3.0))))
+    assert(got(3) === ((3L, 2.0 + 6.0 * (2.0 / 3.0), 7.0 + (-6.0) * (2.0 / 3.0))))
+    assert(got(4) === ((4L, 8.0, 1.0)))
+    assert(got(5) === ((5L, 8.0, 1.0)), s"trailing carry: ${got(5)}")
+    assert(got(6) === ((6L, null, null)), s"no-position user: ${got(6)}")
+  }
+
+  test("interpolation plan shares one exchange and one sort across both window passes") {
+    val ev = mkEvents(Seq((0L, 1L, "click", 25.0, 7), (1L, 1L, "error", 0.0, 0)))
+    val df = Movements.interpolated(ev)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val sorts = "\\bSort \\[".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange:\n$p")
+    assert(sorts == 1, s"expected 1 sort (shared by both frames):\n$p")
+  }
+
   test("heatmap counts carried positions and drops never-positioned rows") {
     val ev = mkEvents(Seq(
       (0L, 1L, "error", 0.0, 0),

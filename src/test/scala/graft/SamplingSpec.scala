@@ -8,6 +8,37 @@ import graft.operators.Sampling
   * physical layout, per-stratum size bounds. */
 class SamplingSpec extends SparkSpec {
 
+  test("weighted top-k is layout-stable and favors heavy weights") {
+    val base = spark.range(10000).select(col("id"),
+      // weights 1 or 100: the heavy 1% should dominate a size-100 sample
+      when(pmod(col("id"), lit(100)) === 0, lit(100.0)).otherwise(lit(1.0))
+        .as("w"))
+    def pick(parts: Int): Seq[Long] =
+      Sampling.weightedTopK(base.repartition(parts), col("id"), col("w"), 100)
+        .collect().map(_.getLong(0)).toSeq
+    val s1 = pick(1)
+    assert(s1.size == 100 && s1 == pick(7),
+      "weighted sample must not depend on partitioning")
+    val heavy = s1.count(_ % 100 == 0)
+    // threshold math: with τ the 100th-largest priority, E[light kept]
+    // = 9900/τ and E[heavy kept] = 10000/τ ⇒ τ ≈ 199, ~50/50 split —
+    // accept a generous band around it
+    assert(heavy > 30 && heavy < 75, s"$heavy heavy rows selected, expected ~50")
+    // the meaningful weighted property: per-item inclusion RATE of a
+    // 100x-weight item is ~100x a light item's
+    val lightRate = (s1.size - heavy) / 9900.0
+    assert(heavy / 100.0 > 20 * lightRate,
+      s"heavy rate ${heavy / 100.0} not >> light rate $lightRate")
+  }
+
+  test("weighted top-k plans as TakeOrderedAndProject, not a global sort") {
+    val base = spark.range(1000).select(col("id"), lit(1.0).as("w"))
+    val df = Sampling.weightedTopK(base, col("id"), col("w"), 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"plan:\n$p")
+  }
+
   test("bernoulli fraction lands near num/denom and is layout-stable") {
     val n = 100000
     val base = spark.range(n).select(col("id"))
