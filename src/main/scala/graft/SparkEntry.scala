@@ -375,6 +375,21 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_meta" -> q((s, d) =>
       Multimodal.metaQuery(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // ---- scale patterns: runtime filters + layout ----
+    "join_bloom_prune" -> q((s, d) =>
+      operators.BloomJoin.prunedSemiJoin(
+          Tables.orders(s, d),
+          Tables.customer(s, d).filter(col("c_acctbal") > 9000),
+          "o_custkey", "c_custkey", numBits = 1 << 17, numHashes = 5)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy("o_orderkey")),
+    "layout_zvalue" -> q((s, d) =>
+      Movements.positioned(ev(s, d))
+        .select(col("event_id"),
+          graft.sources.Layout.zValue(
+            coalesce(col("x"), lit(0)), coalesce(col("y"), lit(0)), 8).as("z"))
+        .orderBy("event_id")),
   )
 
   // ================= oracle SQL =================
@@ -1632,5 +1647,25 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) % 640 AS width,
         |  (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Bloom pruning is result-transparent: the oracle is the plain
+    // semi-join the pruned plan must reproduce exactly
+    "join_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "layout_zvalue" -> {
+      // bit-interleave of (x on even, y on odd positions), 8 bits each
+      val terms = (0 until 8).map(i =>
+        s"(((xm >> $i) & 1) << ${2 * i}) | (((ym >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH $POS,
+         |m AS (SELECT event_id,
+         |  CAST(coalesce(x, 0) AS BIGINT) & 255 AS xm,
+         |  CAST(coalesce(y, 0) AS BIGINT) & 255 AS ym FROM pos)
+         |SELECT event_id, $terms AS z FROM m ORDER BY event_id""".stripMargin
+    },
   )
 }

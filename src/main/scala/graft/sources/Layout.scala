@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical data layout at rest — the part of 100 TB performance that
@@ -62,5 +62,43 @@ object Layout {
     saltedLeft
       .join(explodedRight, Seq(key, "_salt"))
       .drop("_salt")
+  }
+
+  /** Morton (z-order) value: interleave the low `bits` bits of two
+    * non-negative dimensions — x on even positions, y on odd. Rows
+    * close in BOTH dimensions get close z-values, so range-sorting by
+    * z clusters 2-D locality into the same files and parquet row
+    * groups; min/max statistics then skip files for predicates on
+    * EITHER dimension (the multi-dimensional clustering trick of
+    * Z-ordered storage, cf. Morton 1966). Inputs are masked to
+    * `bits` bits (values beyond wrap deterministically — mask, don't
+    * clamp, so the mapping stays a pure bit function both engines
+    * compute identically). Built-ins only: constant-distance shifts
+    * and bitwise or/and, all inside whole-stage codegen. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(lit(mask))
+    val ym = y.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` z-clustered on (xCol, yCol): range-partition by the
+    * z-value into `numFiles` output files, sort within each — every
+    * file covers a disjoint z range, narrow per-file min/max on both
+    * source dimensions. The working column name is collision-checked
+    * and dropped before write. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String,
+                    yCol: String, numFiles: Int, bits: Int = 16): Unit = {
+    val z = Iterator.from(0).map(i => s"_graft_z$i")
+      .filterNot(df.columns.contains(_)).next()
+    df.withColumn(z, zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

@@ -76,6 +76,58 @@ class LayoutSpec extends SparkSpec {
       ev.filter(col("event_type") === "click").count())
   }
 
+  test("zValue matches a reference bit-interleave and orders locality") {
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits)
+        z |= (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      z
+    }
+    val rows = spark.range(1000).select(
+      pmod(hash(col("id")), lit(256)).cast("long").as("x"),
+      pmod(hash(col("id") + 7), lit(256)).cast("long").as("y"))
+    val got = rows.withColumn("z", Layout.zValue(col("x"), col("y"), 8))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1), 8),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // masking: values beyond `bits` wrap like their masked low bits
+    val wide = Seq((300L, 5L)).toDF("x", "y")
+      .select(Layout.zValue(col("x"), col("y"), 8)).head().getLong(0)
+    assert(wide == ref(300 & 255, 5, 8))
+  }
+
+  test("z-ordered write yields files with disjoint z ranges on both dims") {
+    val dir = Files.createTempDirectory("graft_z").toString + "/pts"
+    val pts = spark.range(4096).select(
+      pmod(hash(col("id")), lit(128)).cast("long").as("x"),
+      pmod(hash(col("id") * 31), lit(128)).cast("long").as("y"))
+    Layout.writeZOrdered(pts, dir, "x", "y", numFiles = 8, bits = 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length > 1, "expected multiple output files")
+    // per-file z ranges must not overlap (range partitioning by z)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .select(min(Layout.zValue(col("x"), col("y"), 8)),
+          max(Layout.zValue(col("x"), col("y"), 8))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file z-ranges: $hi vs $lo2")
+      case _ =>
+    }
+    // and z-clustering narrows per-file spans on the SOURCE dims too:
+    // each file should cover well under the full 0..127 x-range
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).select(min(col("x")), max(col("x"))).head()
+      r.getLong(1) - r.getLong(0)
+    }
+    assert(spans.min < 127, s"no file narrowed the x span: ${spans.toSeq}")
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = Tables.orders(spark, sf("sf0.001"))
       .select(col("o_custkey").as("k"), col("o_totalprice"))
