@@ -86,6 +86,38 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Small-file compaction — the maintenance half of layout at scale:
+    * streaming/incremental writers leave thousands of KB-sized files
+    * whose per-file open/footer costs dominate scans. Rewrites
+    * `srcPath` into ceil(totalBytes / targetFileBytes) files at
+    * `dstPath` (write-then-swap is left to the caller's table
+    * protocol). With `sortCol`, range-partitions + sorts so the
+    * compacted files also get disjoint min/max on that column
+    * (restores file-skipping); otherwise a plain even repartition.
+    * File sizes come from the Hadoop FS API, so this works on any
+    * cluster filesystem, not just local disk.
+    *
+    * Returns (input file count, output file count). */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val src = spark.read.parquet(srcPath)
+    val files = src.inputFiles
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val out = sortCol match {
+      case Some(c) => src.repartitionByRange(n, col(c)).sortWithinPartitions(c)
+      case None    => src.repartition(n)
+    }
+    out.write.mode(SaveMode.Overwrite).parquet(dstPath)
+    (files.length, n)
+  }
+
   /** Write `df` z-clustered on (xCol, yCol): range-partition by the
     * z-value into `numFiles` output files, sort within each — every
     * file covers a disjoint z range, narrow per-file min/max on both

@@ -87,6 +87,32 @@ object MouseStream {
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the SAME user that occur within [l_ts, l_ts +
+    * withinSec] — cross-stream correlation (e.g. two capture surfaces
+    * of one user, or click→follow-up attribution). Both sides carry
+    * watermarks and the join predicate bounds event time on BOTH
+    * streams, which is exactly what lets Spark EVICT state: a left
+    * row is dropped once the right watermark passes l_ts + withinSec,
+    * a right row once the left watermark passes r_ts — state is
+    * O(withinSec × rate), not unbounded. Inner join in append mode;
+    * results emit as soon as both sides are present (matched rows
+    * don't wait for the watermark — only state cleanup does). */
+  def correlate(left: DataFrame, right: DataFrame, withinSec: Long,
+                lateness: String = "5 seconds"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("x").as("l_x"), col("y").as("l_y"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("x").as("r_x"), col("y").as("r_y"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .drop("r_user_id")
+  }
+
   /** Streaming sessionization: event-time session windows closed by a
     * `gap` of silence per user — the streaming form of
     * Movements.sessions (the batch gap-based variant). Emits one row

@@ -128,6 +128,37 @@ class LayoutSpec extends SparkSpec {
     assert(spans.min < 127, s"no file narrowed the x span: ${spans.toSeq}")
   }
 
+  test("compaction reduces file count, preserves data, restores skipping") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val src = base + "/src"
+    val dst = base + "/dst"
+    // simulate a streaming writer's droppings: 64 tiny files
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(src)
+    val (nIn, nOut) = Layout.compact(spark, src, dst,
+      targetFileBytes = 1L << 20, sortCol = Some("event_id"))
+    assert(nIn == 64 && nOut < 8, s"$nIn -> $nOut files")
+    val before = ev.orderBy("event_id").collect()
+    val after = spark.read.parquet(dst).orderBy("event_id").collect()
+    assert(before.toSeq == after.toSeq, "compaction changed the data")
+    // sorted compaction: per-file event_id ranges must be disjoint
+    val files = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (files.length > 1) {
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .select(min(col("event_id")), max(col("event_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"overlapping event_id ranges after compaction")
+        case _ =>
+      }
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = Tables.orders(spark, sf("sf0.001"))
       .select(col("o_custkey").as("k"), col("o_totalprice"))

@@ -131,6 +131,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs same-user events within the bound") {
+    val lin = MemoryStream[String](spark)
+    val rin = MemoryStream[String](spark)
+    val joined = MouseStream.correlate(
+      MouseStream.parse(lin.toDF()), MouseStream.parse(rin.toDF()),
+      withinSec = 5, lateness = "2 seconds")
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("corr_t").start()
+    try {
+      lin.addData(json("u1", 1, 1, 10000), json("u2", 2, 2, 10000))
+      rin.addData(
+        json("u1", 7, 7, 12000),  // u1 +2s: match
+        json("u1", 8, 8, 17000),  // u1 +7s: outside the 5s bound
+        json("u3", 9, 9, 12000))  // no left partner
+      q.processAllAvailable()
+      // advance both watermarks so state for the old interval closes
+      lin.addData(json("wm", 0, 0, 100000))
+      rin.addData(json("wm", 0, 0, 100000))
+      q.processAllAvailable()
+      val got = spark.table("corr_t")
+        .select("user_id", "l_x", "r_x").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got == Set(("u1", 1, 7), ("wm", 0, 0)),
+        s"got $got")
+      // join state must be bounded: the plan carries watermarks on both sides
+      val p = q.lastProgress
+      assert(p.eventTime.get("watermark") != null, "no watermark tracked")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches events in-flight") {
     // the dimension side is a plain DataFrame joined per micro-batch;
     // broadcast keeps the stream side shuffle-free
