@@ -232,6 +232,8 @@ object SparkEntry {
     "agg_kmv_distinct" -> q((s, d) =>
       Relational.kmvDistinctParts(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
+    "agg_kmv_jaccard" -> q((s, d) =>
+      Relational.kmvSetAlgebra(Tables.lineitem(s, d))),
     "q7_nation_volume" -> q((s, d) =>
       Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
@@ -1063,8 +1065,31 @@ object SparkEntry {
         |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin,
 
+    "agg_kmv_jaccard" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |                       1, 13) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_returnflag = 'A'),
+        |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |hb AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+        |                       1, 13) AS BIGINT) AS h
+        |  FROM lineitem WHERE l_returnflag = 'R'),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |       ORDER BY h LIMIT 64),
+        |st AS (SELECT count(*) AS nu, max(h) AS kth,
+        |         count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+        |                            AND h IN (SELECT h FROM kb)) AS inter
+        |       FROM ku)
+        |SELECT round(CAST(inter AS DOUBLE) / 64, 4) AS jaccard_est,
+        |  round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |             / CAST(kth AS DOUBLE) END, 2) AS union_est
+        |FROM st""".stripMargin,
+
     "q7_nation_volume" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |                 CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue

@@ -86,6 +86,9 @@ object GraftFunctions {
       "graft_simhash", exprs => SimHashBits(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", exprs => WinnowSelect(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_zvalue", exprs => graft.sources.Layout.zValueExpr(exprs),
+      "built-in")
     // the SQL table-valued as-of (sessions built via extensions get it
     // from injectTableFunction; this covers externally-built sessions)
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

@@ -31,8 +31,53 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
   require(k >= 2, "KMV needs k >= 2")
 
   override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    KmvSketch.insert(b, h, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvSketch.union(a, b, k)
 
-  override def reduce(b: Array[Long], h: Long): Array[Long] = {
+  // The buffer holds DISTINCT sorted non-negative hashes, so
+  // b(k-1) >= k-1 >= 1 whenever the full-buffer branch is taken — the
+  // denominator cannot be zero for k >= 2 (enforced above). The
+  // math.max is a defensive clamp only; it never changes a reachable
+  // result, so the DuckDB oracle (plain division) stays value-exact.
+  override def finish(b: Array[Long]): Double =
+    if (b.length < k) b.length.toDouble
+    else (k - 1).toDouble * KmvSketch.TwoPow52 / math.max(b(k - 1), 1L).toDouble
+
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** The k-min array itself, as a real `array<bigint>` column — the
+  * MERGEABLE form of the sketch, for set algebra after aggregation:
+  * the k-min arrays of two sets compose into the union's k-min set
+  * (`array_union` + sort + slice), and membership overlap estimates
+  * Jaccard (Beyer et al., "On synopses for distinct-value estimation
+  * under multiset operations", SIGMOD 2007). See SparkEntry
+  * `agg_kmv_jaccard` for the composed form with its value-exact
+  * oracle. */
+class KmvMins(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k >= 2, "KMV needs k >= 2")
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], h: Long): Array[Long] =
+    KmvSketch.insert(b, h, k)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    KmvSketch.union(a, b, k)
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
+  // real array<bigint> output: downstream plans do array algebra on it
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvSketch {
+  /** Hash domain size: hashes are 52-bit md5 prefixes. */
+  val TwoPow52: Double = 4503599627370496.0
+
+  /** Insert `h` into the sorted distinct k-min array `b` (shared by
+    * [[KmvSketch]] and [[KmvMins]]). */
+  private[graft] def insert(b: Array[Long], h: Long, k: Int): Array[Long] = {
     val idx = java.util.Arrays.binarySearch(b, h)
     if (idx >= 0) b // already tracked
     else {
@@ -49,7 +94,8 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
     }
   }
 
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+  /** Merge two sorted distinct k-min arrays, keeping the k smallest. */
+  private[graft] def union(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
     if (a.isEmpty) return b
     if (b.isEmpty) return a
     val out = new Array[Long](math.min(a.length + b.length, k))
@@ -62,21 +108,4 @@ class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Double] {
     }
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
-
-  // The buffer holds DISTINCT sorted non-negative hashes, so
-  // b(k-1) >= k-1 >= 1 whenever the full-buffer branch is taken — the
-  // denominator cannot be zero for k >= 2 (enforced above). The
-  // math.max is a defensive clamp only; it never changes a reachable
-  // result, so the DuckDB oracle (plain division) stays value-exact.
-  override def finish(b: Array[Long]): Double =
-    if (b.length < k) b.length.toDouble
-    else (k - 1).toDouble * KmvSketch.TwoPow52 / math.max(b(k - 1), 1L).toDouble
-
-  override def bufferEncoder: Encoder[Array[Long]] = Encoders.kryo[Array[Long]]
-  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
-}
-
-object KmvSketch {
-  /** Hash domain size: hashes are 52-bit md5 prefixes. */
-  val TwoPow52: Double = 4503599627370496.0
 }

@@ -248,6 +248,35 @@ object Relational {
         round(kmv(hash52(col("l_partkey"))), 2).as("kmv_est"))
   }
 
+  /** KMV sketch SET ALGEBRA — Jaccard and union-distinct estimates
+    * for the part sets of two return flags, composed from each side's
+    * mergeable k-min array ([[graft.functions.KmvMins]]) with plain
+    * array built-ins: the union's k-min set is
+    * `slice(sort(array_union(ka, kb)), 1, k)`, overlap membership
+    * estimates Jaccard (Beyer et al., SIGMOD 2007). The estimates are
+    * deterministic (md5-hash order) and value-exact reproducible in
+    * SQL on another engine. At scale: each side aggregates to ≤ k
+    * longs, the algebra is a 1×1 crossJoin — sketch once, compose
+    * many set expressions without rescanning the data. */
+  def kmvSetAlgebra(lineitem: DataFrame, flagA: String = "A",
+                    flagB: String = "R", k: Int = 64): DataFrame = {
+    val mins = udaf(new graft.functions.KmvMins(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def side(flag: String, name: String) =
+      lineitem.filter(col("l_returnflag") === flag)
+        .agg(mins(hash52(col("l_partkey"))).as(name))
+    val ku = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
+    // inter/k and the KMV estimate use only IEEE-exact or
+    // correctly-rounded ops — the oracle reproduces them bit-for-bit
+    side(flagA, "ka").crossJoin(side(flagB, "kb"))
+      .select(
+        round(size(array_intersect(array_intersect(ku, col("ka")), col("kb")))
+          .cast("double") / lit(k.toDouble), 4).as("jaccard_est"),
+        round(when(size(ku) < k, size(ku).cast("double"))
+          .otherwise(lit((k - 1).toDouble * graft.functions.KmvSketch.TwoPow52) /
+            element_at(ku, k).cast("double")), 2).as("union_est"))
+  }
+
   /** CUBE over (returnflag, linestatus): all 4 grouping sets. */
   def cubeSummary(lineitem: DataFrame): DataFrame =
     lineitem

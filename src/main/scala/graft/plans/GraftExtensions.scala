@@ -52,6 +52,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[graft.functions.WinnowSelect].getName, "graft_winnow"),
       (children: Seq[Expression]) => graft.functions.WinnowSelect(children(0))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(graft.sources.Layout.getClass.getName, "graft_zvalue"),
+      (children: Seq[Expression]) => graft.sources.Layout.zValueExpr(children)))
     e.injectOptimizerRule(_ => FoldSelfHamming)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectTableFunction((

@@ -118,6 +118,36 @@ object Layout {
     (files.length, n)
   }
 
+  /** Catalyst builder for the SQL form `graft_zvalue(x, y[, bits])` —
+    * the same interleave as [[zValue]], built as a raw expression
+    * tree for the function-registry seam (children-only builder).
+    * `bits` must be an integer literal; the spec asserts SQL and
+    * Column forms agree bit-for-bit. */
+  def zValueExpr(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(children.size == 2 || children.size == 3,
+      "graft_zvalue(x, y[, bits])")
+    val bits = children.lift(2) match {
+      case None => 16
+      case Some(Literal(v: Int, IntegerType)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft_zvalue: bits must be an integer literal, got $other")
+    }
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val mask = Literal((1L << bits) - 1)
+    val xm = BitwiseAnd(Cast(children(0), LongType), mask)
+    val ym = BitwiseAnd(Cast(children(1), LongType), mask)
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(xm, Literal(i)), Literal(1L)),
+          Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(ym, Literal(i)), Literal(1L)),
+          Literal(2 * i + 1)))
+    }.reduce(BitwiseOr(_, _))
+  }
+
   /** Write `df` z-clustered on (xCol, yCol): range-partition by the
     * z-value into `numFiles` output files, sort within each — every
     * file covers a disjoint z range, narrow per-file min/max on both

@@ -42,6 +42,25 @@ class ExtensionsSpec extends SparkSpec {
       "kernel and declarative buckets differ")
   }
 
+  test("graft_zvalue from SQL agrees with the Column-API interleave") {
+    val rows = spark.range(500).selectExpr(
+      "pmod(hash(id), 256) AS x", "pmod(hash(id + 9), 256) AS y")
+    rows.createOrReplaceTempView("zv_in")
+    val viaSql = spark.sql(
+      "SELECT graft_zvalue(x, y, 8) AS z FROM zv_in ORDER BY x, y, z")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = rows
+      .select(col("x"), col("y"),
+        graft.sources.Layout.zValue(col("x"), col("y"), 8).as("z"))
+      .orderBy("x", "y", "z")
+      .collect().map(_.getLong(2)).toSeq
+    assert(viaSql == viaCol)
+    // default bits arg and arity validation
+    assert(spark.sql("SELECT graft_zvalue(3, 1) AS z").head().getLong(0) ==
+      spark.sql("SELECT graft_zvalue(3, 1, 16) AS z").head().getLong(0))
+    intercept[Exception](spark.sql("SELECT graft_zvalue(1)"))
+  }
+
   test("tune() is idempotent on the runtime strategy seam") {
     val before = spark.experimental.extraStrategies.size
     GraftSession.tune(spark)

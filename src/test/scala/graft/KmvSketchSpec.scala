@@ -61,4 +61,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(e1 === est(16))
     assert(math.abs(e1 - 9341) / 9341 < 3 * 0.127)
   }
+
+  test("k-min set algebra: union/Jaccard estimates track the exact values") {
+    import spark.implicits._
+    val mins = F.udaf(new graft.functions.KmvMins(k), Encoders.scalaLong)
+    // two overlapping key sets: A = 0..5999, B = 3000..8999
+    // exact: |A|=|B|=6000, |A∩B|=3000, |A∪B|=9000, J=1/3
+    def side(lo: Long, hi: Long) =
+      spark.range(lo, hi).agg(mins(hash52($"id")).as("m")).head()
+        .getSeq[Long](0).toArray
+    val ka = side(0, 6000)
+    val kb = side(3000, 9000)
+    // compose in Scala exactly as the query does with array built-ins
+    val ku = KmvSketch.union(ka, kb, k)
+    val inter = ku.count(h => ka.contains(h) && kb.contains(h))
+    val jac = inter.toDouble / k
+    assert(math.abs(jac - 1.0 / 3) < 0.2, s"jaccard est $jac vs 0.333")
+    val unionEst = (k - 1).toDouble * KmvSketch.TwoPow52 / ku.last.toDouble
+    assert(math.abs(unionEst - 9000) / 9000 < 3 * 0.127, s"union est $unionEst")
+    // and the sketches are exchangeable: merging in either order agrees
+    assert(KmvSketch.union(kb, ka, k).toSeq == ku.toSeq)
+  }
 }
