@@ -220,6 +220,12 @@ object SparkEntry {
       TimeSeries.asofNative(ev(s, d)).orderBy("user_id", "event_id")),
     "ts_sliding_avg" -> q((s, d) =>
       TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
+    "ts_twap" -> q((s, d) =>
+      TimeSeries.twap(ev(s, d)).orderBy("user_id")),
+    "profile_lineitem" -> q((s, d) =>
+      operators.Profiling.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+          "l_linestatus")).orderBy("col_name")),
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
         .orderBy("user_id", "bucket_start")),
@@ -1064,6 +1070,43 @@ object SparkEntry {
         |        END, 2) AS kmv_est
         |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin,
+
+    "ts_twap" ->
+      s"""WITH $EV,
+         |d AS (
+         |  SELECT user_id, value,
+         |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |      - ts_us AS dt
+         |  FROM ev)
+         |SELECT user_id,
+         |  round(CAST(sum(CAST(value AS DECIMAL(30,4)) *
+         |                 CAST(dt AS DECIMAL(30,4))) AS DOUBLE)
+         |        / CAST(sum(dt) AS DOUBLE), 6) AS twap,
+         |  count(*) AS n_weighted
+         |FROM d WHERE dt IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "profile_lineitem" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count($c) AS n_nonnull,
+           |  (SELECT round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+           |          ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+           |               / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)
+           |          END, 2)
+           |   FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+           |                count(*) OVER () AS nd
+           |         FROM (SELECT DISTINCT CAST('0x' || substr(md5(
+           |                  coalesce(CAST($c AS VARCHAR), '__graft_null__')),
+           |                  1, 13) AS BIGINT) AS h
+           |               FROM lineitem))) AS distinct_est,
+           |  min(CAST($c AS VARCHAR)) AS min_str,
+           |  max(CAST($c AS VARCHAR)) AS max_str
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "agg_kmv_jaccard" ->
       """WITH ha AS (

@@ -81,6 +81,31 @@ object TimeSeries {
       .select(col("user_id"), col("event_id"), col("avg3"))
   }
 
+  /** Time-weighted average (TWAP) per user: each sample's value is
+    * weighted by how long it was "current" (until the next sample);
+    * the last sample of a series carries no duration and drops out.
+    * The sensor/finance staple that plain avg() gets wrong under
+    * irregular sampling. One window pass for the lead, then a
+    * map-side-combinable agg; weights are decimal-exact products so
+    * the oracle reproduces the ratio bit-for-bit at round scale. */
+  def twap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .withColumn("dt", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      // DECIMAL(30,4) operands: micro-second gaps can reach ~5e14, so
+      // an 18-digit product representation overflows in engines that
+      // multiply at the operand width (the true product still has only
+      // 4 fractional digits, so widening stays exact)
+      .agg(
+        round(sum(col("value").cast("decimal(30,4)") *
+            col("dt").cast("decimal(30,4)")).cast("double") /
+          sum(col("dt")).cast("double"), 6).as("twap"),
+        count(lit(1)).as("n_weighted"))
+  }
+
   /** Calendar-month revenue rollup: date_trunc to month boundaries
     * (calendar grains, unlike the fixed-width second/minute buckets). */
   def monthlyRevenue(orders: DataFrame): DataFrame =

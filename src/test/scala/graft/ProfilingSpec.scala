@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profiling, TimeSeries}
+
+/** Data profile + TWAP against hand-computed fixtures. */
+class ProfilingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile reports counts, exact small-cardinality distinct, string min/max") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, Some("b")), (4L, None))
+      .toDF("id", "s")
+    val got = Profiling.profile(df, Seq("id", "s")).orderBy("col_name")
+      .collect()
+    val id = got(0)
+    assert(id.getString(0) == "id" && id.getLong(1) == 4 && id.getLong(2) == 4)
+    assert(id.getDouble(3) == 4.0) // 4 distinct < k: exact by construction
+    assert(id.getString(4) == "1" && id.getString(5) == "4")
+    val s = got(1)
+    assert(s.getLong(1) == 4 && s.getLong(2) == 3, "null excluded from n_nonnull")
+    // 2 real values + the null sentinel = 3 distinct
+    assert(s.getDouble(3) == 3.0)
+    assert(s.getString(4) == "a" && s.getString(5) == "b",
+      "min/max ignore nulls")
+  }
+
+  test("TWAP weights values by holding time; the last sample drops") {
+    val ev = Seq(
+      // user 1: v=10 held 10us, v=20 held 20us -> (100+400)/30
+      (1L, 1L, 10.0, 0L), (2L, 1L, 20.0, 10L), (3L, 1L, 99.0, 30L),
+      // user 2: single sample -> no weighted rows, user absent
+      (4L, 2L, 5.0, 0L))
+      .toDF("event_id", "user_id", "value", "ts_us")
+    val got = TimeSeries.twap(ev).orderBy("user_id").collect()
+    assert(got.length == 1, "single-sample users must drop out")
+    assert(got(0).getLong(0) == 1L)
+    assert(math.abs(got(0).getDouble(1) - 500.0 / 30) < 1e-6)
+    assert(got(0).getLong(2) == 2L)
+  }
+}
