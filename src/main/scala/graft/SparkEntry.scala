@@ -176,6 +176,12 @@ object SparkEntry {
     "win_rankings" -> q((s, d) =>
       Relational.orderRankings(Tables.orders(s, d))
         .orderBy("o_custkey", "o_orderkey")),
+    "win_ntile" -> q((s, d) =>
+      Relational.orderNtiles(Tables.orders(s, d))
+        .orderBy("o_custkey", "o_orderkey")),
+    "func_unpivot" -> q((s, d) =>
+      Relational.unpivotMeasures(Tables.lineitem(s, d))
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
     "set_union_all" -> q((s, d) =>
       Relational.yearlyOrderCounts(Tables.orders(s, d))
         .orderBy("yr", "o_orderpriority")),
@@ -287,6 +293,8 @@ object SparkEntry {
       FunctionCoverage.arrayFuncs(Tables.documents(s, d)).orderBy("doc_id")),
     "func_datetime" -> q((s, d) =>
       FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).orderBy("o_orderkey")),
+    "func_hof" -> q((s, d) =>
+      FunctionCoverage.hofFuncs(Tables.documents(s, d)).orderBy("doc_id")),
     "func_map" -> q((s, d) =>
       FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
     "func_json" -> q((s, d) =>
@@ -823,6 +831,37 @@ object SparkEntry {
         |FROM orders JOIN bands
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "win_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "func_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |         'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         'l_discount', l_discount FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "func_hof" ->
+      s"""WITH $TOKS
+         |SELECT doc_id,
+         |  CAST(len(list_filter(t, x -> strlen(x) > 3)) AS INT) AS n_long,
+         |  len(list_filter(t, x -> x = 'the')) > 0 AS has_the,
+         |  len(list_filter(t, x -> NOT strlen(x) > 0)) = 0 AS all_nonempty,
+         |  CAST(list_aggregate(list_transform(t, x -> strlen(x)), 'sum')
+         |       AS BIGINT) AS chars,
+         |  array_to_string(list_transform(t, x -> upper(substr(x, 1, 1))), '')
+         |    AS initials
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     "win_distributions" ->
       """SELECT o_custkey, o_orderkey,

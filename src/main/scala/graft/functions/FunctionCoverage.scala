@@ -115,6 +115,23 @@ object FunctionCoverage {
 
   /** Array function surface over tokenized documents — results
     * projected to scalars/strings so output schemas stay portable. */
+  /** Higher-order functions over token arrays — the lambda surface
+    * (filter/exists/forall/aggregate/transform) that keeps per-row
+    * collection logic declarative and codegen-compatible instead of
+    * dropping to UDFs. */
+  def hofFuncs(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents.select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) > 3)).as("n_long"),
+      exists(toks, t => t === "the").as("has_the"),
+      forall(toks, t => length(t) > 0).as("all_nonempty"),
+      aggregate(toks, lit(0), (a, t) => a + length(t)).cast("long")
+        .as("chars"),
+      array_join(transform(toks, t => upper(substring(t, 1, 1))), "")
+        .as("initials"))
+  }
+
   def arrayFuncs(documents: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     documents.select(

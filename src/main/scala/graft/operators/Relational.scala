@@ -336,6 +336,27 @@ object Relational {
         col("quartile"), col("next_price"))
   }
 
+  /** ntile bucketing per customer — equal-height quartiles over a
+    * total order (the tiebreak column makes the assignment
+    * deterministic and engine-identical). */
+  def orderNtiles(orders: DataFrame, n: Int = 4): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .filter(col("o_custkey") < 200)
+      .withColumn("quartile", ntile(n).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("quartile"))
+  }
+
+  /** Wide→long UNPIVOT of the lineitem measures — the melt reshape
+    * training pipelines use to normalize per-metric processing. Plans
+    * as an Expand (one pass, rows×metrics output, no shuffle). */
+  def unpivotMeasures(lineitem: DataFrame): DataFrame =
+    lineitem.unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+      "metric", "value")
+
   /** Distribution window functions: percent_rank + cume_dist per
     * customer (the remaining members of the analytic-function family;
     * both are exact rational values of rank and count, so the rounded
