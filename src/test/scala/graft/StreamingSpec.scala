@@ -205,6 +205,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Misra-Gries candidates aggregate incrementally in a streaming query") {
+    // the frequent-items sketch composes with streaming aggregation
+    // exactly like KMV: bounded state per group, mergeable partials
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGries(8),
+      org.apache.spark.sql.Encoders.STRING)
+    val input = MemoryStream[(Long, String)](spark)
+    val agg = input.toDF().toDF("user_id", "term")
+      .groupBy($"user_id")
+      .agg(mg($"term").as("sketch"))
+    val q = agg.writeStream.format("memory").outputMode("complete")
+      .queryName("mg_t1").start()
+    try {
+      input.addData((1L, "hot"), (1L, "a"), (1L, "hot"), (1L, "b"))
+      q.processAllAvailable()
+      input.addData((1L, "hot"), (1L, "c"), (1L, "hot"))
+      q.processAllAvailable()
+      val row = spark.table("mg_t1").head()
+      // the kryo-encoded sketch lands as binary in the sink; decode it
+      val ser = new org.apache.spark.serializer.KryoSerializer(
+        spark.sparkContext.getConf).newInstance()
+      val (keys, n, err) = ser.deserialize[(Seq[String], Long, Long)](
+        java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]]("sketch")))
+      assert(n == 7, s"processed $n rows")
+      // "hot" (freq 4 > err bound) must be tracked across micro-batches
+      assert(keys.contains("hot"), s"candidates: $keys, err=$err")
+    } finally q.stop()
+  }
+
   test("observe() exposes the live events_tracked counter (A6)") {
     val input = MemoryStream[String](spark)
     val tracked = MouseStream.withTracking(MouseStream.parse(input.toDF()))
