@@ -29,17 +29,27 @@ object Profiling {
   def profile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     val kmv = udaf(new KmvSketch(k), Encoders.scalaLong)
-    cols.map { c =>
-      df.agg(
-        count(lit(1)).as("n_rows"),
-        count(col(c)).as("n_nonnull"),
+    // ONE scan for every column: all per-column aggregates run in a
+    // single aggregation (4·|cols|+1 agg expressions), then the one
+    // result row pivots to a row per column with an explode — at
+    // 100 TB that's 1 pass over the table instead of |cols| passes
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nonnull_$c"),
         round(kmv(hash52(
           coalesce(col(c).cast("string"), lit(NullSentinel)))), 2)
-          .as("distinct_est"),
-        min(col(c).cast("string")).as("min_str"),
-        max(col(c).cast("string")).as("max_str"))
-        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
-          col("distinct_est"), col("min_str"), col("max_str"))
-    }.reduce(_ unionAll _)
+          .as(s"__dist_$c"),
+        min(col(c).cast("string")).as(s"__min_$c"),
+        max(col(c).cast("string")).as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"__nonnull_$c").as("n_nonnull"),
+        col(s"__dist_$c").as("distinct_est"),
+        col(s"__min_$c").as("min_str"),
+        col(s"__max_$c").as("max_str"))): _*)).as("p"))
+      .select(col("p.*"))
   }
 }

@@ -26,6 +26,16 @@ class ProfilingSpec extends SparkSpec {
       "min/max ignore nulls")
   }
 
+  test("profile reads the table exactly once regardless of column count") {
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+    val prof = Profiling.profile(df,
+      Seq("l_orderkey", "l_partkey", "l_returnflag"))
+    prof.collect()
+    val plan = prof.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
+  }
+
   test("TWAP weights values by holding time; the last sample drops") {
     val ev = Seq(
       // user 1: v=10 held 10us, v=20 held 20us -> (100+400)/30
