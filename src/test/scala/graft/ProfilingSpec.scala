@@ -32,6 +32,7 @@ class ProfilingSpec extends SparkSpec {
       Seq("l_orderkey", "l_partkey", "l_returnflag"))
     prof.collect()
     val plan = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE dumps final + initial
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
   }
