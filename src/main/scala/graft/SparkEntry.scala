@@ -391,6 +391,15 @@ object SparkEntry {
     // ---- multimodal plumbing ----
     "mm_meta" -> q((s, d) =>
       Multimodal.metaQuery(Tables.documents(s, d)).orderBy("doc_id")),
+    // the comparison harness can't hash raw binary cells, so the
+    // sampled frame (a real binary column Spark-side) is fingerprinted
+    // with md5 + length for the gate
+    "mm_frames" -> q((s, d) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(Tables.documents(s, d)))
+        .select(col("doc_id"), col("media_type"), col("frame_id"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("int").as("frame_len"))
+        .orderBy("doc_id", "frame_id")),
 
     // ---- scale patterns: runtime filters + layout ----
     "join_bloom_prune" -> q((s, d) =>
@@ -1754,6 +1763,19 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) % 640 AS width,
         |  (CAST(octet_length(encode(text)) AS INT) * 7) % 480 AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+        |    AS media_type,
+        |  CAST(frame_id AS INT) AS frame_id,
+        |  md5(substring(text, frame_id * 16 + 1, 16)) AS frame_md5,
+        |  CAST(octet_length(encode(substring(text, frame_id * 16 + 1, 16)))
+        |       AS INT) AS frame_len
+        |FROM documents
+        |CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_id) f
+        |WHERE octet_length(encode(substring(text, frame_id * 16 + 1, 16))) > 0
+        |ORDER BY doc_id, frame_id""".stripMargin,
 
     // Bloom pruning is result-transparent: the oracle is the plain
     // semi-join the pruned plan must reproduce exactly
