@@ -295,6 +295,9 @@ object SparkEntry {
       FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).orderBy("o_orderkey")),
     "func_hof" -> q((s, d) =>
       FunctionCoverage.hofFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+    "func_strdist" -> q((s, d) =>
+      FunctionCoverage.stringDistances(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "func_map" -> q((s, d) =>
       FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
     "func_json" -> q((s, d) =>
@@ -859,6 +862,14 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber,
         |         'l_discount', l_discount FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "func_strdist" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(lang, 'english') AS INT) AS lev_lang,
+        |  CAST(levenshtein(substring(text, 1, 16), substring(text, 17, 16))
+        |       AS INT) AS lev_halves,
+        |  CAST(levenshtein(source, reverse(source)) AS INT) AS lev_pal
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "func_hof" ->
       s"""WITH $TOKS

@@ -39,6 +39,19 @@ object FunctionCoverage {
       reverse(col("lang")).as("lang_rev"),
       concat_ws("-", col("lang"), col("source")).as("lang_src"))
 
+  /** Edit-distance surface — the fuzzy-matching primitive for
+    * near-dup candidate scoring on SHORT strings (names, titles,
+    * codes). Quadratic per pair, so at scale it runs as a verifier
+    * behind a blocking stage (LSH buckets / prefixes), never as the
+    * pairing predicate itself. */
+  def stringDistances(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      levenshtein(col("lang"), lit("english")).as("lev_lang"),
+      levenshtein(substring(col("text"), 1, 16),
+        substring(col("text"), 17, 16)).as("lev_halves"),
+      levenshtein(col("source"), reverse(col("source"))).as("lev_pal"))
+
   /** Datetime arithmetic surface over orders: truncation, field
     * extraction, offsets, month arithmetic, diffs — projected to
     * epoch millis / longs / strings so both engines agree bit-wise
