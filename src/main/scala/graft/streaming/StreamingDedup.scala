@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.Dedup
+import graft.functions.Portable.tokens
+
+/** Streaming near-duplicate handling for a document stream — the
+  * ingest-time half of the batch `graft.dedup` pipeline. Both ops run
+  * the SAME signature kernel as batch (`graft_minhash`, compiled
+  * per-row, no shuffle before the keyed stage), so a corpus deduped
+  * in-flight agrees with a batch re-dedup of the same data.
+  *
+  *  - [[uniqueBySignature]]: emit only the first document of each
+  *    minhash-signature equivalence class (signature-identical ≈
+  *    Jaccard ≈ 1 near-dups). Built on
+  *    `dropDuplicatesWithinWatermark`, so state is bounded by the
+  *    watermark, not the corpus.
+  *  - [[candidatePairs]]: emit (spine, doc) candidate pairs per LSH
+  *    band bucket as documents arrive — the streaming form of the
+  *    batch bucket expansion, for a downstream exact verifier. One
+  *    `flatMapGroupsWithState` keyed by (band, key); per-bucket state
+  *    is just the spine doc id, expired by event-time timeout once
+  *    the watermark passes the bucket's last activity + `stateTtlMs`.
+  *
+  * Scale: state per active bucket = one long; the bucket key stage is
+  * the only shuffle; candidate-pair volume is bounded by arrivals ×
+  * colliding bands, never corpus².
+  */
+object StreamingDedup {
+
+  /** Documents must carry (doc_id, text, ts event-time). Documents too
+    * short to shingle (< 3 tokens, null signature) pass through
+    * unsuppressed — they have no near-dup evidence. */
+  def uniqueBySignature(docs: DataFrame,
+                        lateness: String = "10 seconds"): DataFrame = {
+    val sig = docs.withColumn("sig_key",
+      md5(concat_ws("|",
+        call_function("graft_minhash", tokens(col("text"))))))
+    val withKey = sig.withColumn("dedup_key",
+      // null signature (short doc): fall back to the doc's own id so
+      // dropDuplicates never collapses two unrelated short docs
+      coalesce(col("sig_key"), concat(lit("short:"), col("doc_id"))))
+    withKey
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("dedup_key")
+      .drop("dedup_key")
+  }
+
+  // carries the watermarked TIMESTAMP column itself — projecting it
+  // to millis before the stateful op would strip the watermark tag
+  // EventTimeTimeout requires
+  case class BandedDoc(band: Int, key: String, doc_id: Long,
+                       ts: java.sql.Timestamp)
+  case class SpineState(spineId: Long, lastMs: Long)
+  case class CandidatePair(id1: Long, id2: Long, band: Int)
+
+  /** LSH candidate-pair stream: for each (band, key) bucket the first
+    * doc becomes the spine; every later arrival emits one (spine,
+    * doc) pair. Append mode; pairs surface in the micro-batch the
+    * collision happens, they never wait for the watermark. */
+  def candidatePairs(docs: DataFrame, lateness: String = "10 seconds",
+                     stateTtlMs: Long = 60000L): DataFrame = {
+    implicit val bandedEnc: ExpressionEncoder[BandedDoc] = ExpressionEncoder()
+    implicit val stateEnc: ExpressionEncoder[SpineState] = ExpressionEncoder()
+    implicit val pairEnc: ExpressionEncoder[CandidatePair] = ExpressionEncoder()
+    implicit val keyEnc: ExpressionEncoder[(Int, String)] = ExpressionEncoder()
+    // the batch minhashBands drops the event-time column, and joining
+    // a stream back to itself is a stream-stream join — inline the
+    // same band construction carrying ts through instead
+    val sig = docs.withWatermark("ts", lateness)
+      .select(col("doc_id"), col("ts"),
+        call_function("graft_minhash", tokens(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = (0 until Dedup.NumBands).map { b =>
+      val members = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+        .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", members: _*)).as("key"))
+    }
+    val banded: Dataset[BandedDoc] = sig
+      .select(col("doc_id"), col("ts"), explode(array(bands: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("doc_id"), col("ts"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.key))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bk: (Int, String), rows: Iterator[BandedDoc],
+         state: GroupState[SpineState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic within a batch: smallest doc_id first
+            val docs = rows.toSeq.sortBy(d => (d.doc_id, d.ts.getTime))
+            if (docs.isEmpty) Iterator.empty
+            else {
+              val cur = state.getOption
+              val spine = cur.map(_.spineId).getOrElse(docs.head.doc_id)
+              val lastMs = math.max(cur.map(_.lastMs).getOrElse(0L),
+                docs.map(_.ts.getTime).max)
+              state.update(SpineState(spine, lastMs))
+              state.setTimeoutTimestamp(lastMs + stateTtlMs)
+              docs.iterator.filter(_.doc_id != spine)
+                .map(d => CandidatePair(spine, d.doc_id, bk._1))
+            }
+          }
+      }
+      .toDF()
+  }
+}

@@ -149,6 +149,53 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming signature dedup keeps first of a near-dup class, passes distinct docs") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingDedup
+      .uniqueBySignature(docs, lateness = "1 hour")
+      .select("doc_id")
+      .writeStream.format("memory").outputMode("append")
+      .queryName("sdedup_t").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      input.addData((1L, base, t(1000)), (2L, "completely different words " +
+        "about spark streaming state management", t(1100)))
+      q.processAllAvailable()
+      // batch 2: doc 3 repeats doc 1's text (same signature) -> suppressed;
+      // doc 4 is short (no shingles) -> passes through
+      input.addData((3L, base, t(2000)), (4L, "tiny doc", t(2100)))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup_t").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L), s"kept $kept")
+    } finally q.stop()
+  }
+
+  test("streaming LSH candidate pairs pair later arrivals with the bucket spine") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.streaming.StreamingDedup
+      .candidatePairs(docs, lateness = "1 hour")
+      .writeStream.format("memory").outputMode("append")
+      .queryName("spairs_t").start()
+    val base = "one two three four five six seven eight nine ten eleven"
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      input.addData((10L, base, t(1000)),
+        (20L, "unrelated corpus text that shares no shingles at all here", t(1001)))
+      q.processAllAvailable()
+      input.addData((30L, base, t(2000))) // collides with doc 10 across batches
+      q.processAllAvailable()
+      val pairs = spark.table("spairs_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every pair anchors on the spine (10), one per colliding band
+      assert(pairs == Set((10L, 30L)), s"pairs $pairs")
+      val bands = spark.table("spairs_t").collect().map(_.getInt(2)).toSet
+      assert(bands.subsetOf((0 until graft.dedup.Dedup.NumBands).toSet))
+    } finally q.stop()
+  }
+
   test("keyed JSON sink shape round-trips through the wire format (S4)") {
     val events = MouseStream.parse(Seq(
       """{"user_id":"u7","x":11,"y":22,"time":5000}""").toDF("value"))
