@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AvailableNow trigger drains the backlog then stops on its own") {
+    // the batch-catchup mode: process everything present, terminate —
+    // how an operator re-runs the pipeline over an archive without a
+    // resident query
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "backlog.json"),
+      Seq(json("u9", 1, 1, 900000), json("u9", 2, 2, 900400),
+        json("u9", 3, 3, 901000)).mkString("\n"))
+    val src = new graft.sources.FileJsonSource(dir)
+    val q = MouseStream.aggregate(MouseStream.parse(src.load(spark)))
+      .select(col("user_id"), col("sec"), col("cnt"))
+      .writeStream.format("memory").outputMode("update")
+      .queryName("avnow_t")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-stop")
+      val bySec = spark.table("avnow_t").collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(bySec == Map(900L -> 2L, 901L -> 1L), s"got $bySec")
+    } finally q.stop()
+  }
+
   test("streaming session windows close on gaps (event time)") {
     val input = MemoryStream[String](spark)
     val sessions = MouseStream.sessionize(
