@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,77 @@ object Knn {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"),
         col("cos_sim").as("centroid_sim"))
+  }
+
+  /** Deterministic broadcast Lloyd k-means — the TRAINED coarse
+    * quantizer for IVF ([[ivfAssign]]'s hash-order centroids are the
+    * untrained stand-in; this is the FAISS `train()` step). Classic
+    * scale shape for small k: centroids live on the driver (k × dim
+    * doubles), each iteration is one broadcast argmin-join + one
+    * component-wise mean — no iterative lineage growth, no
+    * driver-side data pull beyond k vectors.
+    *
+    * Deterministic by construction at ANY partitioning: init is the
+    * k (hash52(vec_id), vec_id)-smallest vectors, assignment
+    * tiebreaks on centroid_id, and means accumulate in
+    * DECIMAL(28,12) so component sums are order-independent. A
+    * cluster that loses all members keeps its previous centroid. */
+  def kmeansCentroids(emb: DataFrame, k: Int = 8,
+                      iters: Int = 4): Seq[(Int, Seq[Double])] = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = emb
+      .orderBy(hash52(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("embedding")).collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble)) }
+    for (_ <- 0 until iters) {
+      val means = assignTo(spread(emb), cents)
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(28,12)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("comps"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Row](1).map(_.getDouble(1)).toSeq)
+        .toMap
+      cents = cents.map { case (i, old) => (i, means.getOrElse(i, old)) }
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (squared L2, centroid_id tiebreak)
+    * against a driver-held centroid set. */
+  private def assignTo(emb: DataFrame,
+                       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(cents.toDF("centroid_id", "cvec"))
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("cvec"),
+        (x, y) => { val d = x.cast("double") - y; d * d }),
+      lit(0.0), (acc, v) => acc + v)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    emb.crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        d2.as("d2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** [[ivfAssign]] with TRAINED centroids: run [[kmeansCentroids]],
+    * then assign every vector to its nearest learned centroid. */
+  def ivfAssignTrained(emb: DataFrame, k: Int = 8,
+                       iters: Int = 4): DataFrame = {
+    val embeddings = spread(emb)
+    assignTo(embeddings, kmeansCentroids(emb, k, iters))
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket per vector

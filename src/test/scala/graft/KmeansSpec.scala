@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Knn
+
+/** Deterministic Lloyd k-means: blob separation, WSS descent,
+  * partitioning invariance. */
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two well-separated 4-d blobs: ids 0..49 near (0,0,0,0), ids
+    * 50..99 near (10,10,10,10); jitter from the id so it's fixed. */
+  private lazy val blobs = {
+    def jit(id: Long, d: Int): Float = ((id * 31 + d * 7) % 10) / 10.0f
+    (0L until 100L).map { id =>
+      val base = if (id < 50) 0.0f else 10.0f
+      (id, Array.tabulate(4)(d => base + jit(id, d)))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("two blobs separate perfectly into two clusters") {
+    val assign = Knn.ivfAssignTrained(blobs, k = 2, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val low = (0L until 50L).map(assign).toSet
+    val high = (50L until 100L).map(assign).toSet
+    assert(low.size == 1 && high.size == 1 && low != high,
+      s"blobs not separated: low=$low high=$high")
+  }
+
+  test("within-cluster squared distance never increases across iterations") {
+    def wss(iters: Int): Double =
+      Knn.ivfAssignTrained(blobs, k = 2, iters = iters)
+        .agg(sum(col("d2"))).head().getDouble(0)
+    val w = (1 to 4).map(wss)
+    w.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"WSS rose between iterations: $w")
+    }
+  }
+
+  test("centroids are identical at any input partitioning") {
+    def run(parts: Int) =
+      Knn.kmeansCentroids(blobs.repartition(parts), k = 3, iters = 3)
+    assert(run(1) == run(13), "k-means must not depend on partitioning")
+  }
+}
