@@ -169,6 +169,70 @@ object Knn {
       .select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
+  /** Product quantization (Jegou/Douze/Schmid, TPAMI 2011 — the
+    * compression half this module's header cites): split each vector
+    * into `m` subvectors, k-means each subspace independently
+    * ([[kmeansCentroids]] per slice), and store a vector as `m` small
+    * centroid codes — dim × 4 bytes shrinks to m bytes at k ≤ 256,
+    * the memory step that makes billion-vector ANN fit a cluster.
+    *
+    * Returns (codebooks, codes): codebooks(s) = that subspace's
+    * centroid table (driver-held, m × k × dim/m doubles); codes = one
+    * row per vector with an `array<int>` of length m. Deterministic
+    * end-to-end (inherits [[kmeansCentroids]]' guarantees per
+    * subspace). */
+  def pqTrain(emb: DataFrame, m: Int = 4, k: Int = 8, iters: Int = 3)
+      : (Seq[Seq[(Int, Seq[Double])]], DataFrame) = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    // train each subspace on its slice; slice() is 1-based
+    val books = (0 until m).map { s =>
+      kmeansCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+    // encode: per subspace, nearest sub-centroid id; join codes wide
+    val codes = (0 until m).map { s =>
+      assignTo(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        books(s))
+        .select(col("vec_id"), col("centroid_id").as(s"c$s"))
+    }.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"),
+        array((0 until m).map(s => col(s"c$s")): _*).as("codes"))
+    (books, codes)
+  }
+
+  /** Asymmetric-distance (ADC) top-k: the query stays exact, each
+    * candidate's distance is looked up per subspace from a
+    * precomputed (query × codebook) distance table — m array lookups
+    * + adds per candidate instead of a dim-length dot product. The
+    * table ships as a plan literal (m × k doubles), so scoring runs
+    * inside codegen over the compact codes column. */
+  def pqSearch(codes: DataFrame, books: Seq[Seq[(Int, Seq[Double])]],
+               query: Seq[Double], k: Int = 5): DataFrame = {
+    val m = books.size
+    val sub = query.size / m
+    val table: Seq[Seq[Double]] = (0 until m).map { s =>
+      val q = query.slice(s * sub, (s + 1) * sub)
+      books(s).sortBy(_._1).map { case (_, c) =>
+        c.zip(q).map { case (a, b) => val d = a - b; d * d }.sum
+      }
+    }
+    val tLit = typedlit(table)
+    val d2 = (0 until m).map(s =>
+      element_at(element_at(tLit, s + 1),
+        element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    codes
+      .select(col("vec_id"), d2.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Random-hyperplane (SimHash-for-vectors) LSH bucket per vector
     * (Charikar, STOC 2002): bit p = sign(embedding · plane_p), planes
     * regenerated from the portable md5("p:d") formula

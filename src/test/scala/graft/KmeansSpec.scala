@@ -38,6 +38,22 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("PQ codes compress deterministically and ADC finds the true near region") {
+    val (books, codes) = Knn.pqTrain(blobs, m = 2, k = 4, iters = 3)
+    assert(books.size == 2 && books.forall(_.size == 4))
+    val c = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c.size == 100 && c.values.forall(_.size == 2))
+    // same-blob vectors should share sub-codes far more than cross-blob
+    assert(c(0L) != c(99L), "opposite blobs must encode differently")
+    // ADC search with a query inside the low blob returns low-blob ids
+    val hits = Knn.pqSearch(codes, books, Seq(0.5, 0.5, 0.5, 0.5), k = 5)
+      .collect().map(_.getLong(0))
+    assert(hits.forall(_ < 50L), s"ADC pulled cross-blob ids: ${hits.toSeq}")
+    // determinism across partitionings
+    val (_, codes2) = Knn.pqTrain(blobs.repartition(7), m = 2, k = 4, iters = 3)
+    assert(codes2.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == c)
+  }
+
   test("centroids are identical at any input partitioning") {
     def run(parts: Int) =
       Knn.kmeansCentroids(blobs.repartition(parts), k = 3, iters = 3)
