@@ -128,6 +128,39 @@ class LayoutSpec extends SparkSpec {
     assert(spans.min < 127, s"no file narrowed the x span: ${spans.toSeq}")
   }
 
+  test("dynamic partition pruning fires on a partitioned fact join") {
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/fact"
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .withColumn("etype", col("event_type"))
+    Layout.writePartitioned(
+      ev.select("event_id", "user_id", "value", "etype"), dir, Seq("etype"))
+    val fact = spark.read.parquet(dir)
+    // selective dim: only one event type survives the dim filter, so
+    // the fact side should scan only that partition AT RUNTIME. The
+    // dim must be a real source (a local Seq folds its Filter into
+    // the LocalRelation before the pruning rule can see selectivity)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString + "/dim"
+    Seq(("click", 1), ("scroll", 2), ("error", 3)).toDF("t", "w")
+      .write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("w") === 1)
+    // the cost heuristic never sees benefit at toy sizes — disable
+    // stats-based benefit estimation so the mechanism itself is
+    // exercised (at real scale the stats path enables it organically)
+    val prev = spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val joined = fact.join(dim, fact("etype") === dim("t"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+        s"dynamic partition pruning missing:\n$plan")
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats", prev)
+  }
+
   test("compaction reduces file count, preserves data, restores skipping") {
     val base = Files.createTempDirectory("graft_compact").toString
     val src = base + "/src"
