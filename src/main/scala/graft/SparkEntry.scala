@@ -322,6 +322,13 @@ object SparkEntry {
           col("l_quantity")),
         col("item_id"), col("l_quantity"), 50)
         .select(col("item_id"), col("l_quantity"), col("priority"))),
+    "sample_weighted_strata" -> q((s, d) =>
+      operators.Sampling.weightedTopKPerGroup(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars")),
+        col("lang"), col("doc_id"), col("n_chars"), 5)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("priority"))
+        .orderBy("lang", "rnk")),
     "hh_top_terms" -> q((s, d) =>
       graft.functions.HeavyHitters.exactTopK(
         Tables.documents(s, d).select(
@@ -1522,6 +1529,22 @@ object SparkEntry {
         |          AS DOUBLE) / 4503599627370496.0) AS priority
         |FROM it
         |ORDER BY priority DESC, item_id LIMIT 50""".stripMargin,
+
+    "sample_weighted_strata" ->
+      """WITH p AS (
+        |  SELECT lang, doc_id,
+        |    CAST(length(text) AS DOUBLE) /
+        |      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+        |            AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0)
+        |      AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, priority,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY priority DESC, doc_id) AS INT) AS rnk
+        |  FROM p)
+        |SELECT lang, rnk, doc_id, priority FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     "hh_top_terms" ->
       """WITH tk AS (

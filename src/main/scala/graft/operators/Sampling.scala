@@ -79,4 +79,21 @@ object Sampling {
       .orderBy(col("priority").desc, key)
       .limit(k)
   }
+
+  /** Per-stratum priority sampling: [[weightedTopK]] within each
+    * `strata` group — the balanced-corpus pattern (e.g. k docs per
+    * language, weighted by quality/length) that a global top-k gets
+    * wrong whenever one stratum dominates the weight mass. Plans as
+    * a rank-filter window; InferWindowGroupLimit caps each partition
+    * at k rows before the sort completes. */
+  def weightedTopKPerGroup(df: DataFrame, strata: Column, key: Column,
+                           weight: Column, k: Int): DataFrame = {
+    require(k > 0, "need k > 0")
+    val u = (hash52(key) + lit(1L)).cast("double") / lit(4503599627370496.0)
+    val w = Window.partitionBy(strata)
+      .orderBy(col("priority").desc, key)
+    df.withColumn("priority", weight.cast("double") / u)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

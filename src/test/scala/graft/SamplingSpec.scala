@@ -31,6 +31,21 @@ class SamplingSpec extends SparkSpec {
       s"heavy rate ${heavy / 100.0} not >> light rate $lightRate")
   }
 
+  test("per-group weighted sample returns k rows per stratum, layout-stable") {
+    val base = spark.range(3000).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"),
+      (pmod(col("id"), lit(7)) + 1).cast("double").as("w"))
+    def run(parts: Int) =
+      Sampling.weightedTopKPerGroup(base.repartition(parts),
+          col("g"), col("id"), col("w"), 4)
+        .select(col("g"), col("rnk"), col("id"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val s = run(1)
+    assert(s == run(11), "per-group sample must not depend on partitioning")
+    val perGroup = s.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup == Map("0" -> 4, "1" -> 4, "2" -> 4), s"$perGroup")
+  }
+
   test("weighted top-k plans as TakeOrderedAndProject, not a global sort") {
     val base = spark.range(1000).select(col("id"), lit(1.0).as("w"))
     val df = Sampling.weightedTopK(base, col("id"), col("w"), 10)
