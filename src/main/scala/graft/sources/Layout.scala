@@ -118,6 +118,26 @@ object Layout {
     (files.length, n)
   }
 
+  /** N-dimensional Morton value: round-robin interleave of the low
+    * `bits` bits of each dimension (dimension d owns positions
+    * i·n + d). [[zValue]] is the n=2 special case; n·bits must stay
+    * ≤ 63. Use for clustering on 3+ correlated access dimensions
+    * (e.g. time bucket × user shard × event type code). */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, "need at least 2 dimensions")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"need 1 <= bits and ${dims.size}*bits <= 63")
+    val n = dims.size
+    val mask = (1L << bits) - 1
+    val terms = for {
+      (c, d) <- dims.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long").bitwiseAND(lit(mask)), i)
+        .bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Catalyst builder for the SQL form `graft_zvalue(x, y[, bits])` —
     * the same interleave as [[zValue]], built as a raw expression
     * tree for the function-registry seam (children-only builder).

@@ -35,6 +35,17 @@ class BloomJoinSpec extends SparkSpec {
     assert(missed == 0, s"$missed false negatives — JVM/Catalyst hash mismatch")
   }
 
+  test("null fact keys are dropped exactly like the plain semi-join drops them") {
+    val fact = Seq(Some(1L), Some(2L), None, Some(3L))
+      .toDF("k").withColumn("fid", monotonically_increasing_id())
+    val dim = Seq(1L, 3L).toDF("dk")
+    val plain = fact.join(dim, fact("k") === dim("dk"), "left_semi")
+      .select($"k").collect().map(_.getLong(0)).toSet
+    val pruned = BloomJoin.prunedSemiJoin(fact, dim, "k", "dk", Bits, Hashes)
+      .select($"k").collect().map(_.getLong(0)).toSet
+    assert(pruned === plain && plain === Set(1L, 3L))
+  }
+
   test("false-positive rate stays near theory for absent keys") {
     val inserted = (0 until 1000).map(i => s"in-$i")
     val bits = BloomJoin.build(inserted.toDF("k"), "k", Bits, Hashes)

@@ -98,6 +98,32 @@ class LayoutSpec extends SparkSpec {
     assert(wide == ref(300 & 255, 5, 8))
   }
 
+  test("n-dim zValueN generalizes the 2-d interleave") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.size
+      var z = 0L
+      for (d <- vals.indices; i <- 0 until bits)
+        z |= ((vals(d) >> i) & 1L) << (i * n + d)
+      z
+    }
+    val rows = spark.range(300).select(
+      pmod(hash(col("id")), lit(64)).cast("long").as("a"),
+      pmod(hash(col("id") + 1), lit(64)).cast("long").as("b"),
+      pmod(hash(col("id") + 2), lit(64)).cast("long").as("c"))
+    rows.withColumn("z",
+        Layout.zValueN(Seq(col("a"), col("b"), col("c")), 6))
+      .collect().foreach { r =>
+        assert(r.getLong(3) ==
+          ref(Seq(r.getLong(0), r.getLong(1), r.getLong(2)), 6))
+      }
+    // n=2 must agree with the specialized zValue
+    val two = rows.select(
+      Layout.zValue(col("a"), col("b"), 6).as("z2"),
+      Layout.zValueN(Seq(col("a"), col("b")), 6).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(two == 0, "zValueN(n=2) diverges from zValue")
+  }
+
   test("z-ordered write yields files with disjoint z ranges on both dims") {
     val dir = Files.createTempDirectory("graft_z").toString + "/pts"
     val pts = spark.range(4096).select(
