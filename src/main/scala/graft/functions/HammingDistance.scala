@@ -94,6 +94,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_asof", exprs => graft.plans.AsOfJoin.tableFunction(exprs),
       "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_rangejoin",
+      exprs => graft.operators.RangeJoin.tableFunction(exprs), "built-in")
     spark
   }
 }

@@ -19,6 +19,61 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val Ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private val TableIdent = "^[A-Za-z_][A-Za-z0-9_.]*$".r
+
+  /** SQL table-valued form, registered as `graft_rangejoin` via the
+    * session extensions and `GraftFunctions.register`:
+    * {{{ SELECT * FROM graft_rangejoin('pts', 'iv', 'p', 'lo', 'hi', '10.0') }}}
+    * Arguments are string literals: points table/view, intervals
+    * table/view, point column, lo column, hi column, binWidth, then
+    * optionally maxBinsPerInterval. Output = point columns then
+    * interval columns (the working bin key is projected away).
+    *
+    * Implementation: the builder VALIDATES the identifiers, renders
+    * the same binned-equi-join shape [[pointInInterval]] declares,
+    * and parses it with `CatalystSqlParser` — one formulation, no
+    * hand-built analyzer-fragile trees. */
+  def tableFunction(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def str(i: Int): String = args(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_rangejoin: argument ${i + 1} must be a string literal, got $other")
+    }
+    require(args.length == 6 || args.length == 7,
+      "graft_rangejoin(points, intervals, pointCol, loCol, hiCol, binWidth[, maxBins])")
+    val (pt, it) = (str(0), str(1))
+    Seq(pt, it).foreach(t => require(TableIdent.findFirstIn(t).isDefined,
+      s"graft_rangejoin: invalid table name '$t'"))
+    val Seq(p, lo, hi) = Seq(str(2), str(3), str(4))
+    Seq(p, lo, hi).foreach(c => require(Ident.findFirstIn(c).isDefined,
+      s"graft_rangejoin: invalid column name '$c'"))
+    val bw = str(5).toDouble
+    require(bw > 0, "graft_rangejoin: binWidth must be positive")
+    val cap = if (args.length == 7) str(6).toLong else 1L << 20
+    require(cap > 0, "graft_rangejoin: maxBinsPerInterval must be positive")
+    val sql =
+      s"""SELECT gp.* EXCEPT (_graft_bin), gi.* EXCEPT (_graft_bin)
+         |FROM (SELECT *, CAST(floor($p / $bw) AS BIGINT) AS _graft_bin
+         |      FROM $pt) gp
+         |JOIN (SELECT *, explode(CASE
+         |        WHEN CAST(floor($hi / $bw) AS BIGINT)
+         |             - CAST(floor($lo / $bw) AS BIGINT) < $cap
+         |        THEN sequence(CAST(floor($lo / $bw) AS BIGINT),
+         |                      CAST(floor($hi / $bw) AS BIGINT))
+         |        ELSE raise_error(concat(
+         |          'graft_rangejoin: interval [', $lo, ', ', $hi,
+         |          ') spans more than $cap bins of width $bw'))
+         |        END) AS _graft_bin
+         |      FROM $it) gi
+         |  ON gp._graft_bin = gi._graft_bin
+         | AND gp.$p >= gi.$lo AND gp.$p < gi.$hi""".stripMargin
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+  }
+
   /** Join `points` to every `intervals` row whose [loCol, hiCol)
     * half-open range contains the point. Output = point columns then
     * interval columns (minus the internal bin key).

@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("graft_asof"),
       new ExpressionInfo(AsOfJoin.getClass.getName, "graft_asof"),
       (children: Seq[Expression]) => AsOfJoin.tableFunction(children)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rangejoin"),
+      new ExpressionInfo(
+        graft.operators.RangeJoin.getClass.getName, "graft_rangejoin"),
+      (children: Seq[Expression]) =>
+        graft.operators.RangeJoin.tableFunction(children)))
   }
 }
 

@@ -60,6 +60,32 @@ class RangeJoinSpec extends SparkSpec {
       s"expected the bin-cap error, got: $ex")
   }
 
+  test("SQL table-valued form matches the Column API and rejects bad args") {
+    val points = spark.range(500).select(
+      (pmod(hash(col("id")), lit(1000)).cast("double")).as("p"),
+      col("id").as("pid"))
+    val intervals = spark.range(80).select(
+      (pmod(hash(col("id") + 5), lit(900)).cast("double")).as("lo"),
+      col("id").as("iid"))
+      .withColumn("hi", col("lo") + 45.0)
+    points.createOrReplaceTempView("grj_points")
+    intervals.createOrReplaceTempView("grj_intervals")
+    val viaSql = spark.sql(
+      """SELECT pid, iid FROM graft_rangejoin(
+        |  'grj_points', 'grj_intervals', 'p', 'lo', 'hi', '37.0')""".stripMargin)
+    val viaApi = RangeJoin.pointInInterval(points, intervals,
+      "p", "lo", "hi", 37.0).select($"pid", $"iid")
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "SQL TVF diverges from the Column API")
+    // identifier validation blocks non-identifier input
+    val ex = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_rangejoin(
+        |  'grj_points', 'grj_intervals', 'p); DROP TABLE x; --',
+        |  'lo', 'hi', '37.0')""".stripMargin))
+    assert(ex.getMessage.contains("invalid column name"), ex.getMessage)
+  }
+
   test("plan stays an equi-join: no nested-loop anywhere") {
     val points = spark.range(100).select(col("id").cast("double").as("p"),
       col("id").as("pid"))
