@@ -31,6 +31,32 @@ class SamplingSpec extends SparkSpec {
       s"heavy rate ${heavy / 100.0} not >> light rate $lightRate")
   }
 
+  test("PrioritySample aggregator equals the plan-level weighted top-k") {
+    import graft.functions.Portable.hash52
+    import org.apache.spark.sql.Encoders
+    val base = spark.range(5000).select(col("id").cast("string").as("sid"),
+      (pmod(col("id"), lit(9)) + 1).cast("double").as("w"))
+      .withColumn("priority", col("w") /
+        ((hash52(col("sid")) + lit(1L)).cast("double") / lit(4503599627370496.0)))
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.PrioritySample(25),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble))
+    def viaAgg(parts: Int): Seq[String] =
+      base.repartition(parts).agg(agg(col("sid"), col("priority")).as("s"))
+        .select(explode(col("s")).as("e")).select("e._1")
+        .collect().map(_.getString(0)).toSeq
+    val expect = Sampling.weightedTopK(base.drop("priority"),
+        col("sid"), col("w"), 25)
+      .collect().map(_.getString(0)).toSeq
+    assert(viaAgg(1).sorted == expect.sorted, "aggregator diverges from top-k")
+    assert(viaAgg(1) == viaAgg(13), "sample depends on partitioning")
+    // and it composes with groupBy: one pass, k rows per group
+    val grouped = base.withColumn("g", pmod(col("sid").cast("long"), lit(4)))
+      .groupBy(col("g")).agg(agg(col("sid"), col("priority")).as("s"))
+      .select(col("g"), size(col("s")).as("n")).collect()
+    assert(grouped.forall(_.getInt(1) == 25))
+  }
+
   test("per-group weighted sample returns k rows per stratum, layout-stable") {
     val base = spark.range(3000).select(col("id"),
       pmod(col("id"), lit(3)).cast("string").as("g"),
