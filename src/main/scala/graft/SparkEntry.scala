@@ -246,6 +246,9 @@ object SparkEntry {
         .orderBy("l_returnflag")),
     "agg_kmv_jaccard" -> q((s, d) =>
       Relational.kmvSetAlgebra(Tables.lineitem(s, d))),
+    "agg_regression" -> q((s, d) =>
+      Relational.regressionByFlag(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
     "q7_nation_volume" -> q((s, d) =>
       Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
@@ -1173,6 +1176,27 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(30,4)) *
+        |             CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+        |    AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "agg_kmv_jaccard" ->
       """WITH ha AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,6 +208,38 @@ object Relational {
         round(corr(col("l_quantity"), col("l_extendedprice")), 4)
           .as("qty_price_corr"),
         count(lit(1)).as("n"))
+
+  /** Linear-regression aggregates (slope/intercept/r²) from exact
+    * decimal MOMENTS — the portable, parallel formulation: the five
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL, so they
+    * are order-independent and engine-exact; everything after is a
+    * fixed sequence of correctly-rounded double ops on identical
+    * inputs, hence bit-identical across engines. The built-in
+    * regr_slope/covar_pop use streaming float updates whose low bits
+    * depend on partitioning — unverifiable against another engine.
+    * Moments are also what you'd persist for INCREMENTAL refits at
+    * 100 TB (they merge by addition; the fit is a cheap epilogue). */
+  def regressionByFlag(lineitem: DataFrame): DataFrame = {
+    def dsum(c: Column) = sum(c).cast("double")
+    val x = col("l_quantity").cast("decimal(30,4)")
+    val y = col("l_extendedprice").cast("decimal(30,4)")
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 4).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 
   /** Exact percentiles (linear interpolation) of order value per
     * priority. */
