@@ -301,6 +301,9 @@ object SparkEntry {
     "func_strdist" -> q((s, d) =>
       FunctionCoverage.stringDistances(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "func_trysafe" -> q((s, d) =>
+      FunctionCoverage.trySafeFuncs(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "func_map" -> q((s, d) =>
       FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
     "func_json" -> q((s, d) =>
@@ -872,6 +875,19 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber,
         |         'l_discount', l_discount FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    // the try_ family's contract, spelled out as explicit guards
+    "func_trysafe" ->
+      s"""WITH $TOKS
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN NULL
+         |       ELSE CAST(doc_id AS DOUBLE) / CAST(doc_id % 2 AS DOUBLE)
+         |  END AS div_mixed,
+         |  t[CAST(doc_id % 300 + 1 AS INT)] AS tok_mixed,
+         |  CASE WHEN length(CAST(doc_id AS VARCHAR)) <= 4
+         |       THEN CAST(CAST(doc_id AS DECIMAL(4,0)) AS DOUBLE)
+         |  END AS num_mixed
+         |FROM toks ORDER BY doc_id""".stripMargin,
 
     "func_strdist" ->
       """SELECT doc_id,

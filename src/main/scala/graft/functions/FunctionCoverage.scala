@@ -39,6 +39,24 @@ object FunctionCoverage {
       reverse(col("lang")).as("lang_rev"),
       concat_ws("-", col("lang"), col("source")).as("lang_src"))
 
+  /** Error-safe arithmetic/casts — the `try_` family that turns
+    * malformed-input failures into NULLs instead of killing a 100 TB
+    * job in its final stage. The oracle mirrors each as an explicit
+    * guard (CASE / TRY_CAST), which is also the semantics contract:
+    * `try_x(args)` ≡ NULL exactly where the guard says so. */
+  def trySafeFuncs(documents: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents.select(
+      col("doc_id"),
+      // denominator doc_id % 2: null for every even id, a real
+      // quotient for odd — per-row mixture, not a constant null
+      try_divide(col("doc_id"), col("doc_id") % 2).as("div_mixed"),
+      try_element_at(toks, (col("doc_id") % 300 + 1).cast("int"))
+        .as("tok_mixed"),
+      try_to_number(col("doc_id").cast("string"), lit("9999"))
+        .cast("double").as("num_mixed"))
+  }
+
   /** Edit-distance surface — the fuzzy-matching primitive for
     * near-dup candidate scoring on SHORT strings (names, titles,
     * codes). Quadratic per pair, so at scale it runs as a verifier
