@@ -72,6 +72,18 @@ class SamplingSpec extends SparkSpec {
     assert(perGroup == Map("0" -> 4, "1" -> 4, "2" -> 4), s"$perGroup")
   }
 
+  test("per-group weighted sample plans with a window group limit") {
+    val base = spark.range(2000).select(col("id"),
+      pmod(col("id"), lit(3)).cast("string").as("g"), lit(1.0).as("w"))
+    val df = Sampling.weightedTopKPerGroup(base, col("g"), col("id"),
+      col("w"), 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed to a group limit:\n$p")
+  }
+
   test("weighted top-k plans as TakeOrderedAndProject, not a global sort") {
     val base = spark.range(1000).select(col("id"), lit(1.0).as("w"))
     val df = Sampling.weightedTopK(base, col("id"), col("w"), 10)
