@@ -249,6 +249,9 @@ object SparkEntry {
     "agg_regression" -> q((s, d) =>
       Relational.regressionByFlag(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
+    "agg_outliers" -> q((s, d) =>
+      Relational.outlierCounts(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
     "q7_nation_volume" -> q((s, d) =>
       Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
@@ -875,6 +878,24 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber,
         |         'l_discount', l_discount FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "agg_outliers" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        |s AS (SELECT flag, n, sx / n AS mu,
+        |        sqrt((sxx - sx * sx / n) / n) AS sigma FROM m)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  count(CASE WHEN abs(CAST(l_extendedprice AS DOUBLE) - mu)
+        |                  > 3.0 * sigma THEN 1 END) AS n_outliers,
+        |  round(max(mu), 4) AS mean_price,
+        |  round(max(sigma), 4) AS stddev_price
+        |FROM lineitem JOIN s ON l_returnflag = flag
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the try_ family's contract, spelled out as explicit guards
     "func_trysafe" ->

@@ -241,6 +241,33 @@ object Relational {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Z-score outlier counts per group from the same decimal-exact
+    * moments as [[regressionByFlag]]: mean and population stddev come
+    * from (n, Σx, Σx²), then each row's |x − μ| > t·σ test is pure
+    * correctly-rounded double arithmetic — portable, and two passes
+    * that both parallelize (moments broadcast back to the scan via a
+    * tiny join, no window over the fact table). */
+  def outlierCounts(lineitem: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val x = col("l_extendedprice").cast("decimal(30,4)")
+    val moments = lineitem.groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+      .select(col("flag"), col("n"),
+        (col("sx") / col("n")).as("mu"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+          .as("sigma"))
+    lineitem.join(broadcast(moments), col("l_returnflag") === col("flag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(
+          abs(col("l_extendedprice").cast("double") - col("mu")) >
+            lit(threshold) * col("sigma"), 1)).as("n_outliers"),
+        round(max(col("mu")), 4).as("mean_price"),
+        round(max(col("sigma")), 4).as("stddev_price"))
+  }
+
   /** Exact percentiles (linear interpolation) of order value per
     * priority. */
   def pricePercentiles(orders: DataFrame): DataFrame =
