@@ -33,7 +33,7 @@ object BloomJoin {
   private def numWords(numBits: Int): Int = (numBits + 63) >>> 6
 
   /** JVM-side probe positions for `key` — must mirror [[probeBit]]. */
-  private[operators] def positions(key: String, numBits: Int,
+  private[graft] def positions(key: String, numBits: Int,
                                    numHashes: Int): Seq[Long] = {
     val hex = MessageDigest.getInstance("MD5")
       .digest(key.getBytes(StandardCharsets.UTF_8))
