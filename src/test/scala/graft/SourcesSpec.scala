@@ -7,6 +7,41 @@ import org.apache.spark.sql.functions._
 /** File-format round-trips and the SQL catalog surface. */
 class SourcesSpec extends SparkSpec {
 
+  test("schema evolution: mergeSchema unions drifted parquet batches") {
+    import spark.implicits._
+    // batch 1 (old writer) lacks the column batch 2 (new writer) adds
+    val dir = Files.createTempDirectory("graft_drift").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir)
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b", 9.5)),
+      "old rows must read the new column as NULL")
+  }
+
+  test("dynamic partition overwrite replaces only the written partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dpo").toString + "/t"
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "d1"), (2L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      // an incremental job rewrites ONLY day=d2
+      Seq((99L, "d2")).toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "d1"), (99L, "d2")),
+        s"static overwrite semantics leaked: $got")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
   test("events round-trip through JSON and CSV with values intact") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val ev = Tables.events(spark, sf("sf0.001"))
