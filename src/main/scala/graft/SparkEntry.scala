@@ -343,6 +343,12 @@ object SparkEntry {
         Tables.documents(s, d).select(
           explode(graft.functions.Portable.tokens(col("text"))).as("term")),
         "term", 20)),
+    "hh_group_terms" -> q((s, d) =>
+      graft.functions.HeavyHitters.exactTopKPerGroup(
+        Tables.documents(s, d).select(col("lang"),
+          explode(graft.functions.Portable.tokens(col("text"))).as("term")),
+        "lang", "term", 5)
+        .orderBy("lang", "rnk")),
     "sample_bernoulli" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 50)
@@ -1612,6 +1618,18 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |SELECT term, count(*) AS cnt FROM tk
         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin,
+
+    "hh_group_terms" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM tk GROUP BY lang, term),
+        |r AS (SELECT lang, term, cnt,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY cnt DESC, term) AS INT) AS rnk
+        |      FROM c)
+        |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
 
     "sample_bernoulli" ->
       """SELECT count(*) AS n,

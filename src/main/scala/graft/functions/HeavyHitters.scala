@@ -122,6 +122,43 @@ object HeavyHitters {
     exactCounts(items, itemCol, k, cands)
   }
 
+  /** Per-group exact top-k: one MG sketch PER GROUP in a single
+    * aggregation pass (bounded state per group), then one exact
+    * re-count filtered to the UNION of all groups' candidates. The
+    * union filter is sound: each group's true top-k is inside its own
+    * candidate set (MG guarantee), and a candidate borrowed from
+    * another group gets an exact count too, so it ranks exactly where
+    * it belongs. The exchange carries ≤ capacity items per (partition,
+    * group) in phase 1 and only candidate rows in phase 2. */
+  def exactTopKPerGroup(items: DataFrame, groupCol: String, itemCol: String,
+                        k: Int, capacity: Int = 4096): DataFrame = {
+    require(k >= 1 && capacity >= k,
+      s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val spark = items.sparkSession
+    val mg = org.apache.spark.sql.functions.udaf(
+      new MisraGries(capacity), org.apache.spark.sql.Encoders.STRING)
+    // the kryo-encoded sketch arrives as binary; decode driver-side
+    val ser = new org.apache.spark.serializer.KryoSerializer(
+      spark.sparkContext.getConf).newInstance()
+    val cands: Seq[String] = items
+      .select(col(groupCol), col(itemCol).cast("string").as("it"))
+      .na.drop()
+      .groupBy(col(groupCol)).agg(mg(col("it")).as("sk"))
+      .collect()
+      .flatMap { r =>
+        ser.deserialize[(Seq[String], Long, Long)](
+          java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("sk")))._1
+      }.distinct.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(itemCol))
+    items.filter(col(itemCol).isin(cands: _*))
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** [[exactTopK]] plus the exactness certificate: throws unless the
     * result is PROVABLY the global top-k — i.e. the k-th candidate's
     * exact count strictly exceeds the sketch's error bound `err` (any

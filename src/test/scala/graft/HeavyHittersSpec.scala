@@ -31,6 +31,23 @@ class HeavyHittersSpec extends SparkSpec {
     assert(run(1) === run(13))
   }
 
+  test("per-group exactTopK equals the per-group exact ranking") {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = (0 until 3).flatMap { g =>
+      (0 until 100).flatMap(i =>
+        Seq.fill(10000 / (i + g * 3 + 1))((s"g$g", s"item$i")))
+    }.toDF("g", "term")
+    val w = Window.partitionBy($"g").orderBy($"cnt".desc, $"term")
+    val expect = grouped.groupBy($"g", $"term")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w)).filter($"rnk" <= 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val got = HeavyHitters.exactTopKPerGroup(grouped, "g", "term", 4,
+        capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect)
+  }
+
   test("certified variant passes with ample capacity, throws when the proof fails") {
     val ok = HeavyHitters.exactTopKCertified(items, "term", 5, capacity = 256)
       .collect()
