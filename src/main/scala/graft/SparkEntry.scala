@@ -228,6 +228,11 @@ object SparkEntry {
       TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
     "ts_twap" -> q((s, d) =>
       TimeSeries.twap(ev(s, d)).orderBy("user_id")),
+    "win_range_frame" -> q((s, d) =>
+      TimeSeries.trailingRangeSums(ev(s, d))
+        .orderBy("user_id", "event_id")),
+    "set_bag_ops" -> q((s, d) =>
+      Relational.bagSetCounts(Tables.orders(s, d))),
     "profile_lineitem" -> q((s, d) =>
       operators.Profiling.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
@@ -1182,6 +1187,30 @@ object SparkEntry {
         |        END, 2) AS kmv_est
         |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin,
+
+    "win_range_frame" ->
+      s"""WITH $EV
+         |SELECT user_id, event_id, sec,
+         |  count(*) OVER rw AS n_win,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER rw AS DOUBLE), 2)
+         |    AS sum_win
+         |FROM ev
+         |WINDOW rw AS (PARTITION BY user_id ORDER BY sec
+         |              RANGE BETWEEN 10 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "set_bag_ops" ->
+      """SELECT
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |     INTERSECT ALL
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+        |    AS n_intersect_all,
+        |  (SELECT count(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |     EXCEPT ALL
+        |     SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996))
+        |    AS n_except_all""".stripMargin,
 
     "ts_twap" ->
       s"""WITH $EV,

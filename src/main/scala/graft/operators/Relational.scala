@@ -241,6 +241,21 @@ object Relational {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    * multiplicity-aware membership — a customer with 3 orders in 1995
+    * and 2 in 1996 contributes min(3,2)=2 to the intersection and
+    * 3-2=1 to the difference, where the DISTINCT set ops collapse
+    * both to 1/0. The remaining members of the set-operator family;
+    * both plan as aggregate-count joins (no row explosion). */
+  def bagSetCounts(orders: DataFrame): DataFrame = {
+    def side(yr: Int) = orders
+      .filter(year(col("o_orderdate")) === yr).select(col("o_custkey"))
+    val a = side(1995)
+    val b = side(1996)
+    a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
+      .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_except_all")))
+  }
+
   /** Z-score outlier counts per group from the same decimal-exact
     * moments as [[regressionByFlag]]: mean and population stddev come
     * from (n, Σx, Σx²), then each row's |x − μ| > t·σ test is pure

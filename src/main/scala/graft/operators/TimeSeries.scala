@@ -106,6 +106,23 @@ object TimeSeries {
         count(lit(1)).as("n_weighted"))
   }
 
+  /** VALUE-based (RANGE) window frame: per event, the count and exact
+    * sum of the same user's events in the trailing `secs`-second
+    * band. RANGE differs from ROWS exactly when the order key has
+    * ties — every row with the same `sec` joins the frame regardless
+    * of physical order, so the result is deterministic where a ROWS
+    * frame over a tied sort is not (the remaining frame type the
+    * window surface needed). */
+  def trailingRangeSums(events: DataFrame, secs: Long = 10L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"))
+      .rangeBetween(-secs, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), col("sec"),
+      count(lit(1)).over(w).as("n_win"),
+      round(sum(col("value").cast("decimal(18,4)")).over(w)
+        .cast("double"), 2).as("sum_win"))
+  }
+
   /** Calendar-month revenue rollup: date_trunc to month boundaries
     * (calendar grains, unlike the fixed-width second/minute buckets). */
   def monthlyRevenue(orders: DataFrame): DataFrame =
