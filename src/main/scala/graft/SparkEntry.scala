@@ -233,6 +233,19 @@ object SparkEntry {
         .orderBy("user_id", "event_id")),
     "set_bag_ops" -> q((s, d) =>
       Relational.bagSetCounts(Tables.orders(s, d))),
+    // correlated LATERAL subquery — the per-row top-N surface in SQL
+    // form (plans as the same ranked join the window formulation uses)
+    "join_lateral" -> q((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+          |WHERE c_custkey < 100
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
     "profile_lineitem" -> q((s, d) =>
       operators.Profiling.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
@@ -1187,6 +1200,15 @@ object SparkEntry {
         |        END, 2) AS kmv_est
         |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) ON TRUE
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "win_range_frame" ->
       s"""WITH $EV
