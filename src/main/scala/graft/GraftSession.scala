@@ -24,6 +24,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the generated-class cache defaults to 100 entries (static conf);
+      // a 120-query suite run in a cycle is a worst-case LRU access
+      // pattern over >100 plans — 100% eviction, so every pass pays
+      // Janino recompilation (~1s) even after a warm-up pass. Size it
+      // to hold the whole suite's codegen units.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")

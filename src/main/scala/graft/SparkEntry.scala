@@ -146,7 +146,7 @@ object SparkEntry {
       Relational.quantityPriceCorr(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
     "agg_sketch" -> q((s, d) =>
-      Relational.sketchStats(Tables.lineitem(s, d))
+      Relational.sketchStatsPortable(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
     "cube_returns" -> q((s, d) =>
       Relational.cubeSummary(Tables.lineitem(s, d))
@@ -835,8 +835,46 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    // agg_sketch intentionally has no oracle: HLL++/KLL sketches are
-    // engine-specific; the driver records a rows-only check.
+    // agg_sketch runs the PORTABLE approximate-aggregate panel
+    // (KMV distinct + exact median) so the sketch row is value-exact
+    // like everything else; the engine-specific HLL++ form stays
+    // available as Relational.sketchStats (API surface, not gated).
+    "agg_sketch" ->
+      """WITH hp AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 13)
+        |         AS BIGINT) AS h
+        |  FROM lineitem GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT l_returnflag, list_sort(list(h)) AS hs, count(*) AS nd
+        |  FROM hp GROUP BY 1),
+        |hq AS (
+        |  SELECT l_returnflag,
+        |    CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 13)
+        |         AS BIGINT) AS h
+        |  FROM lineitem GROUP BY 1, 2),
+        |sq AS (
+        |  SELECT l_returnflag, list_sort(list(h)) AS hs, count(*) AS nd
+        |  FROM hq GROUP BY 1),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT m.l_returnflag,
+        |  round(CASE WHEN sp.nd < 64 THEN CAST(sp.nd AS DOUBLE)
+        |             ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(sp.hs[64] AS DOUBLE)
+        |        END, 2) AS approx_parts,
+        |  round(CASE WHEN sq.nd < 64 THEN CAST(sq.nd AS DOUBLE)
+        |             ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+        |                  / CAST(sq.hs[64] AS DOUBLE)
+        |        END, 2) AS approx_supps,
+        |  m.p50, CAST(m.n AS BIGINT) AS n
+        |FROM m
+        |JOIN sp ON m.l_returnflag = sp.l_returnflag
+        |JOIN sq ON m.l_returnflag = sq.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,

@@ -64,9 +64,12 @@ class MisraGries(capacity: Int)
 
   override def bufferEncoder: Encoder[(Map[String, Long], Long, Long)] =
     Encoders.kryo[(Map[String, Long], Long, Long)]
-  // collected on the driver, never a column — kryo is fine
+  // a real struct<_1:array<string>,_2:bigint,_3:bigint> column, not
+  // kryo binary — downstream plans explode the candidate key-set on
+  // executors (see exactTopKPerGroup) instead of collecting and
+  // decoding sketches on the driver
   override def outputEncoder: Encoder[(Seq[String], Long, Long)] =
-    Encoders.kryo[(Seq[String], Long, Long)]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
 /** Exact distributed top-k by frequency without a full-cardinality
@@ -124,35 +127,38 @@ object HeavyHitters {
 
   /** Per-group exact top-k: one MG sketch PER GROUP in a single
     * aggregation pass (bounded state per group), then one exact
-    * re-count filtered to the UNION of all groups' candidates. The
+    * re-count semi-joined to the UNION of all groups' candidates. The
     * union filter is sound: each group's true top-k is inside its own
     * candidate set (MG guarantee), and a candidate borrowed from
     * another group gets an exact count too, so it ranks exactly where
     * it belongs. The exchange carries ≤ capacity items per (partition,
-    * group) in phase 1 and only candidate rows in phase 2. */
+    * group) in phase 1 and only candidate rows in phase 2.
+    *
+    * The candidate set never touches the driver: the per-group
+    * sketches are struct columns whose key-sets `explode` into a
+    * ≤ (groups × capacity)-row DataFrame, broadcast as a LEFT SEMI
+    * join filter. At millions of groups a driver `collect()` +
+    * `isin(...)` would hold every candidate in driver memory and
+    * embed them all in one giant `In` expression tree; a broadcast
+    * semi-join keeps both the data and the plan O(1) in group count. */
   def exactTopKPerGroup(items: DataFrame, groupCol: String, itemCol: String,
                         k: Int, capacity: Int = 4096): DataFrame = {
     require(k >= 1 && capacity >= k,
       s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
-    val spark = items.sparkSession
     val mg = org.apache.spark.sql.functions.udaf(
       new MisraGries(capacity), org.apache.spark.sql.Encoders.STRING)
-    // the kryo-encoded sketch arrives as binary; decode driver-side
-    val ser = new org.apache.spark.serializer.KryoSerializer(
-      spark.sparkContext.getConf).newInstance()
-    val cands: Seq[String] = items
+    val cands = items
       .select(col(groupCol), col(itemCol).cast("string").as("it"))
       .na.drop()
       .groupBy(col(groupCol)).agg(mg(col("it")).as("sk"))
-      .collect()
-      .flatMap { r =>
-        ser.deserialize[(Seq[String], Long, Long)](
-          java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]]("sk")))._1
-      }.distinct.toSeq
+      .select(explode(col("sk._1")).as("cand_item"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("cnt").desc, col(itemCol))
-    items.filter(col(itemCol).isin(cands: _*))
+    items
+      .join(broadcast(cands), col(itemCol).cast("string") === col("cand_item"),
+        "left_semi")
       .groupBy(col(groupCol), col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(w))

@@ -307,6 +307,24 @@ object Relational {
             lit(10000)), 1), 2).as("approx_p50"),
         count(lit(1)).as("n"))
 
+  /** Approximate-aggregate panel in fully portable form: KMV distinct
+    * estimates for two key columns plus the exact interpolated median —
+    * the same shape as [[sketchStats]] but every value reproducible by
+    * the oracle engine (the k-minimum hash set and `percentile` are
+    * both deterministic), so the correctness gate can hash-match it
+    * rather than fall back to a rows-only check. */
+  def sketchStatsPortable(lineitem: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(kmv(hash52(col("l_partkey"))), 2).as("approx_parts"),
+        round(kmv(hash52(col("l_suppkey"))), 2).as("approx_supps"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        count(lit(1)).as("n"))
+  }
+
   /** KMV distinct sketch next to the exact count: the bounded-state,
     * engine-portable cardinality estimate (see
     * [[graft.functions.KmvSketch]]). Unlike the HLL++ sketch query
@@ -865,7 +883,15 @@ object Relational {
   /** Q21-style waiting-supplier count: for finished multi-supplier
     * orders where EXACTLY one supplier shipped late (90-day rule),
     * charge that supplier — the exists/not-exists pair of the classic
-    * query collapses into one per-order aggregate pass. */
+    * query collapses into one per-order aggregate pass.
+    *
+    * Two distinct-free aggregates instead of two `countDistinct`s in
+    * one: Spark plans multiple distinct aggregates via `Expand`, which
+    * replicates every joined row 3× before the exchange — the dominant
+    * shuffle cost at scale. Pre-aggregating per (orderkey, suppkey)
+    * with a max(late) flag gives the same distinct counts with plain
+    * map-side-combinable aggs, and the second agg's input is already
+    * one row per (order, supplier). */
   def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
                        lineitem: DataFrame): DataFrame = {
     val late = unix_millis(col("l_shipdate").cast("timestamp")) >
@@ -873,12 +899,15 @@ object Relational {
     val perOrder = lineitem
       .join(orders.filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late_supp", when(late, col("l_suppkey")))
+      .withColumn("is_late", late.cast("int"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("is_late")).as("supp_late"))
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("late_supp")).as("n_late"),
-        min(col("late_supp")).as("blamed_supp"))
+        count(lit(1)).as("n_supp"),
+        sum(col("supp_late")).as("n_late"),
+        min(when(col("supp_late") === 1, col("l_suppkey")))
+          .as("blamed_supp"))
       .filter(col("n_supp") >= 2 && col("n_late") === 1)
     perOrder
       .groupBy(col("blamed_supp"))

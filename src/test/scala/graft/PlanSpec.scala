@@ -64,6 +64,19 @@ class PlanSpec extends SparkSpec {
     val p = finalPlan(q("q21_waiting_suppliers"))
     assert(!p.contains("CartesianProduct"), s"q21 planned a cartesian:\n$p")
     assert(p.contains("partial_count"), "per-order aggregate lost its partial phase")
+    // the double-countDistinct formulation planned an Expand that
+    // replicated every joined row 3× before the exchange; the
+    // per-(order, supplier) pre-aggregate must keep the plan Expand-free
+    assert(!p.contains("Expand"), s"q21 reintroduced a distinct-agg Expand:\n$p")
+  }
+
+  test("per-group heavy hitters: candidates arrive via semi-join, not In literal") {
+    val p = finalPlan(q("hh_group_terms"))
+    assert(p.contains("LeftSemi"),
+      s"candidate filter should be a semi-join:\n$p")
+    assert(!p.contains("INSET") && !p.contains(" IN ("),
+      "candidate set embedded in the plan as a literal In/InSet — " +
+        "driver-side materialization leaked back in")
   }
 
   test("q11: scalar-subquery threshold is a broadcast, not a driver collect") {

@@ -247,11 +247,10 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, "hot"), (1L, "c"), (1L, "hot"))
       q.processAllAvailable()
       val row = spark.table("mg_t1").head()
-      // the kryo-encoded sketch lands as binary in the sink; decode it
-      val ser = new org.apache.spark.serializer.KryoSerializer(
-        spark.sparkContext.getConf).newInstance()
-      val (keys, n, err) = ser.deserialize[(Seq[String], Long, Long)](
-        java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]]("sketch")))
+      // the sketch is a real struct column (array of keys, n, err)
+      val sk = row.getStruct(row.fieldIndex("sketch"))
+      val (keys, n, err) =
+        (sk.getSeq[String](0), sk.getLong(1), sk.getLong(2))
       assert(n == 7, s"processed $n rows")
       // "hot" (freq 4 > err bound) must be tracked across micro-batches
       assert(keys.contains("hot"), s"candidates: $keys, err=$err")
