@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scale soak (not part of the driver gate): derive an sf1-like
+  * directory from sf0.1 by laying `copies` independent sf0.1-shaped
+  * universes side by side, then time the heaviest queries at both
+  * scales and print a markdown ratio table (ARCHITECTURE.md carries the
+  * committed results).
+  *
+  * Scaling model — 10× the data with the SAME distributional shape:
+  *  - fact keys (orderkey, event/user ids, doc/vec ids) shift by
+  *    `copy × (max_key + 1)` so every copy's join/window/group
+  *    structure is identical to sf0.1's, never overlapping;
+  *  - dimension tables stay fixed (fan-out per dim key grows 10×,
+  *    which is the stress a bigger fact table puts on a join);
+  *  - document text gets a per-copy vowel-rotation (`translate`), so
+  *    cross-copy shingle/minhash/simhash collisions vanish and the
+  *    near-duplicate RATE stays that of sf0.1 — naive replication
+  *    would make every doc a 10-way exact duplicate and inflate every
+  *    pair-expansion superlinearly, soaking a fiction.
+  *
+  * Usage: runMain graft.Soak [baseDir] [outDir] [copies]
+  */
+object Soak {
+
+  val SoakQueries: Seq[String] = Seq(
+    // heaviest in bench_full.json, plus the shapes VERDICT r3 called
+    // out for the soak: profile's 4n+1 aggs, heatmapAll's two keyed
+    // shuffles, the dedup pair expansions, and a window representative
+    "profile_lineitem", "agg_sketch", "agg_kmv_distinct",
+    "q21_waiting_suppliers", "join_bloom_prune", "func_json",
+    "mov_heatmap_all", "hh_top_terms", "dedup_clusters",
+    "dedup_simhash_pairs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
+    "doc_winnow_fp", "mov_sessions", "win_lag_gaps", "ts_twap")
+
+  private def stride(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head().getLong(0) + 1L
+
+  private def copiesOf(df: DataFrame, copies: Int)
+                      (shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until copies).map(i => shift(df, i)).reduce(_ unionAll _)
+
+  def generate(spark: SparkSession, base: String, out: String,
+               copies: Int): Unit = {
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    // dims: fixed across copies
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      write(Tables.table(spark, base, t), t, 1)
+    }
+
+    val orders = Tables.table(spark, base, "orders")
+    val okStride = stride(orders, "o_orderkey")
+    write(copiesOf(orders, copies) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride))
+    }, "orders", 8)
+
+    val lineitem = Tables.table(spark, base, "lineitem")
+    write(copiesOf(lineitem, copies) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride))
+    }, "lineitem", 32)
+
+    // events.parquet read under nanosAsLong: `ts` arrives as long
+    // nanos and is written back as int64, which the same conf reads
+    // identically — the canonical grains in Tables.events are
+    // unchanged. User ids shift too, so per-user series keep their
+    // sf0.1 lengths (window/session state per key is what matters).
+    val events = Tables.table(spark, base, "events")
+    val evStride = stride(events, "event_id")
+    val userStride = stride(events, "user_id")
+    write(copiesOf(events, copies) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * evStride))
+        .withColumn("user_id", col("user_id") + lit(i * userStride))
+    }, "events", 16)
+
+    val docs = Tables.table(spark, base, "documents")
+    val docStride = stride(docs, "doc_id")
+    val vowels = "aeiou"
+    write(copiesOf(docs, copies) { (d, i) =>
+      val rot = (vowels + vowels).substring(i % 5, i % 5 + 5)
+      d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
+        .withColumn("text", translate(col("text"), vowels, rot))
+    }, "documents", 16)
+
+    val embs = Tables.table(spark, base, "embeddings")
+    val vecStride = stride(embs, "vec_id")
+    write(copiesOf(embs, copies) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+    }, "embeddings", 8)
+  }
+
+  private def timeIn(spark: SparkSession, name: String, dir: String,
+                     passes: Int = 2): Double =
+    (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/soak/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(out, "lineitem.parquet"))) {
+      System.err.println(s"[soak] generating $out = $copies × $base")
+      generate(spark, base, out, copies)
+    }
+    // warm codegen/JIT on the small scale before any timed pass
+    SoakQueries.foreach { n =>
+      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(s"| query | ${base.split('/').last} s | sf1 s | ratio (ideal ≤ ~$copies) |")
+    println("|---|---|---|---|")
+    SoakQueries.foreach { n =>
+      val tB = timeIn(spark, n, base)
+      val tS = timeIn(spark, n, out)
+      println(f"| $n | $tB%.2f | $tS%.2f | ${tS / tB}%.1f× |")
+    }
+    spark.stop()
+  }
+}

@@ -339,6 +339,13 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
     "doc_fingerprint" -> q((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_chunks" -> q((s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d))
+        .orderBy("doc_id", "chunk_idx")),
+    "sample_mix_sources" -> q((s, d) =>
+      operators.Sampling.mixSources(Tables.documents(s, d),
+        Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 60)
+        .orderBy("source", "rnk")),
     "doc_clean_corpus" -> q((s, d) =>
       TextAnalysis.cleanCorpusStats(Tables.documents(s, d))
         .orderBy("source")),
@@ -858,7 +865,7 @@ object SparkEntry {
         |  FROM hq GROUP BY 1),
         |m AS (
         |  SELECT l_returnflag,
-        |    round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |    round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |    count(*) AS n
         |  FROM lineitem GROUP BY 1)
         |SELECT m.l_returnflag,
@@ -1578,6 +1585,32 @@ object SparkEntry {
          |  CAST(json_extract_string(js, '$$.s') AS BIGINT) AS s_parsed,
          |  CAST(to_json([user_id, sec]) AS VARCHAR) AS js_arr
          |FROM j ORDER BY event_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH $TOKS,
+         |c AS (SELECT doc_id, t,
+         |  greatest(1, (len(t) - 16 + 47) // 48) AS nc FROM toks),
+         |u AS (SELECT doc_id, t,
+         |  unnest(generate_series(0, nc - 1)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx,
+         |  len(list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+         |    AS n_chunk_tokens,
+         |  md5(array_to_string(
+         |    list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+         |    AS chunk_md5
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "sample_mix_sources" ->
+      """WITH tgt(source, target) AS (
+        |  VALUES ('src0', 24), ('src1', 18), ('src2', 12), ('src3', 6)),
+        |r AS (
+        |  SELECT d.source, d.doc_id, t.target,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 13)
+        |                    AS BIGINT), d.doc_id) AS rnk
+        |  FROM documents d JOIN tgt t ON d.source = t.source)
+        |SELECT source, rnk, doc_id FROM r WHERE rnk <= target
+        |ORDER BY source, rnk""".stripMargin,
 
     "doc_token_stats" ->
       s"""WITH $TOKS

@@ -321,7 +321,10 @@ object Relational {
       .agg(
         round(kmv(hash52(col("l_partkey"))), 2).as("approx_parts"),
         round(kmv(hash52(col("l_suppkey"))), 2).as("approx_supps"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        // round at 4, not 2: a p50 interpolated between two 2-decimal
+        // values lands exactly on a .xx5 tie at 2 decimals, where the
+        // engines' double rounding can split; at 4 digits no tie exists
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         count(lit(1)).as("n"))
   }
 

@@ -45,6 +45,33 @@ object Sampling {
     df.filter(h >= lit(i.toLong) * scale && h < lit((i + 1).toLong) * scale)
   }
 
+  /** Deterministic dataset mixing: compose a corpus to target source
+    * proportions — the training-data staple ("40% web, 30% books, …").
+    * Each listed source contributes its `round(weight × total)`
+    * lowest-hash documents (unique-key tiebreak), so the mixture is a
+    * pure function of the keys: re-runs, engines and table versions
+    * agree row-for-row, and a source with fewer documents than its
+    * target contributes what it has. Unlisted sources drop out via
+    * the broadcast inner join. Plans as one broadcast join + one
+    * rank-filter window (InferWindowGroupLimit prunes partitions to
+    * the target before the sort) — no full-corpus shuffle beyond the
+    * per-source rank. */
+  def mixSources(docs: DataFrame, weights: Seq[(String, Double)],
+                 total: Int): DataFrame = {
+    require(total > 0 && weights.nonEmpty, "need weights and total > 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = weights
+      .map { case (s, w) => (s, math.round(w * total)) }
+      .toDF("source", "target")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash52(col("doc_id")), col("doc_id"))
+    docs.join(broadcast(targets), "source")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= col("target"))
+      .select(col("source"), col("rnk"), col("doc_id"))
+  }
+
   /** Fixed-size deterministic per-stratum sample: the `n` rows with
     * the smallest key hashes in each stratum (unique-key tiebreak).
     * Plans as a rank-filter window — Spark's InferWindowGroupLimit

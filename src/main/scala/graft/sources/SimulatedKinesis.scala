@@ -56,6 +56,13 @@ object SimulatedKinesis {
     require(nShards >= 1, "need at least one shard")
     private val seq = Array.fill(nShards)(0L)
     private val flushIdx = Array.fill(nShards)(0)
+    // Spark's file source orders same-mtime files arbitrarily, and
+    // sub-second writes collide at ms mtime resolution — stamp every
+    // batch file with a strictly increasing mtime so the stream
+    // replays in write order (the file-sim carrier of what Kinesis
+    // expresses through sequence numbers)
+    private val t0 = System.currentTimeMillis()
+    private var fileNo = 0
     (0 until nShards).foreach { s =>
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(dir, s"shard-$s"))
@@ -84,6 +91,9 @@ object SimulatedKinesis {
             flushIdx(shard) += 1
             java.nio.file.Files.write(f,
               (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+            fileNo += 1
+            java.nio.file.Files.setLastModifiedTime(f,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + fileNo * 1000L))
           }
       }
       calls.size

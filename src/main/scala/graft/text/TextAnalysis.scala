@@ -125,4 +125,34 @@ object TextAnalysis {
       col("doc_id"),
       hex16(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
       length(col("text")).as("n_chars_text"))
+
+  /** Fixed-size token chunking with overlap — the step that turns
+    * documents into training sequences. Chunk `i` covers tokens
+    * `[i·step, i·step + chunkTokens)` with `step = chunkTokens −
+    * overlap`; the tail chunk may run short, and a document shorter
+    * than one chunk still yields exactly one. Emits a digest rather
+    * than the chunk text so results stay compact; the generation is
+    * pure per-row compute (sequence + posexplode — no shuffle, no
+    * state), so at 100 TB it runs at scan speed and the output
+    * partitioning inherits the input's. */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+            overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && chunkTokens > overlap,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val nChunks = greatest(lit(1),
+      expr(s"(size(t) - $overlap + $step - 1) div $step"))
+    val chunkToks =
+      slice(col("t"), col("chunk_idx") * step + 1, lit(chunkTokens))
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        posexplode(sequence(lit(0L), nChunks - 1)))
+      .withColumnRenamed("col", "chunk_idx")
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(chunkToks).as("n_chunk_tokens"),
+        md5(concat_ws(" ", chunkToks)).as("chunk_md5"))
+  }
 }
