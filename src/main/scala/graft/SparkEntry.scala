@@ -342,6 +342,13 @@ object SparkEntry {
     "doc_chunks" -> q((s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d))
         .orderBy("doc_id", "chunk_idx")),
+    "doc_pii_scrub" -> q((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_pack_bins" -> q((s, d) =>
+      TextAnalysis.packBins(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_decontaminate" -> q((s, d) =>
+      graft.dedup.Dedup.benchmarkOverlap(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "sample_mix_sources" -> q((s, d) =>
       operators.Sampling.mixSources(Tables.documents(s, d),
         Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 60)
@@ -1599,6 +1606,49 @@ object SparkEntry {
          |    list_slice(t, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
          |    AS chunk_md5
          |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "doc_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_bins" ->
+      s"""WITH $TOKS,
+         |n AS (SELECT source, doc_id, len(t) AS n_tokens,
+         |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+         |       AS BIGINT) AS h
+         |  FROM toks),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+         |       AS BIGINT) AS cum_tokens
+         |  FROM n)
+         |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  cum_tokens, (cum_tokens - n_tokens) // 512 AS bin
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "doc_decontaminate" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 50 = 0),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM dsh
+         |       WHERE doc_id % 50 <> 0 GROUP BY 1),
+         |ov AS (SELECT d.doc_id, count(*) AS n_overlap
+         |       FROM dsh d JOIN ev USING (shingle)
+         |       WHERE d.doc_id % 50 <> 0 GROUP BY 1)
+         |SELECT ov.doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac
+         |FROM ov JOIN sz ON ov.doc_id = sz.doc_id
+         |ORDER BY overlap_frac DESC, ov.doc_id LIMIT 50""".stripMargin,
 
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (

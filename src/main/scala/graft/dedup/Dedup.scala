@@ -187,9 +187,16 @@ object Dedup {
     * bounds the expansion like [[minhashPairs]]: truncated members
     * still pair with the bucket minimum (the cluster spine). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 10000): DataFrame = {
+                   maxBucket: Int = 10000,
+                   prefixHexChars: Int = 8): DataFrame = {
+    require(prefixHexChars >= 1 && prefixHexChars <= 15,
+      "prefix must leave at least one non-band hex char")
     val bucketed = simhash(documents)
-      .groupBy(substring(col("simhash16"), 1, 8).as("prefix"))
+      // scale knob (soak §7): a longer prefix makes more, smaller
+      // buckets — raise it as the corpus grows to keep in-bucket pair
+      // expansion flat (recall trades off: near-dups must agree on
+      // the whole band)
+      .groupBy(substring(col("simhash16"), 1, prefixHexChars).as("prefix"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash16"))))
         .as("items"))
       .filter(size(col("items")) > 1)
@@ -264,7 +271,8 @@ object Dedup {
     * list (bounded by document frequency), |A∩B| = pair count across
     * buckets, |A∪B| = |A|+|B|−|A∩B|. Returns the top `k` pairs by
     * similarity (deterministic tiebreak). */
-  def ngramJaccardTop(docs: DataFrame, k: Int = 50): DataFrame = {
+  def ngramJaccardTop(docs: DataFrame, k: Int = 50,
+                      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val documents = spread(docs)
     val docShingles = documents
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
@@ -276,6 +284,11 @@ object Dedup {
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+      // scale knob (soak §7): a shingle shared by more than maxDocFreq
+      // docs is boilerplate, not evidence — dropping it bounds the
+      // per-bucket pair expansion as the corpus grows (default keeps
+      // every bucket; intersections then stay exact)
+      .filter(size(col("ids")) <= maxDocFreq)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("n_common"))
@@ -289,5 +302,39 @@ object Dedup {
           (col("n1") + col("n2") - col("n_common")), 4).as("jaccard"))
       .orderBy(col("jaccard").desc, col("id1"), col("id2"))
       .limit(k)
+  }
+
+  /** Benchmark decontamination: rank training documents by their
+    * shingle overlap with an evaluation set — the pre-training check
+    * that keeps test data out of the corpus. The eval set's DISTINCT
+    * shingles broadcast (benchmarks are small — a few MB against a
+    * 100 TB corpus, the textbook broadcast asymmetry); each candidate
+    * doc joins its own distinct shingles against them, so the work is
+    * one scan + one broadcast semi-ish join, no doc-doc pairs at all.
+    * `evalMod` marks `doc_id % evalMod == 0` docs as the eval set (a
+    * deterministic stand-in for a real benchmark table — swap any
+    * DataFrame of shingles in at the call site). */
+  def benchmarkOverlap(docs: DataFrame, evalMod: Int = 50,
+                       topK: Int = 50): DataFrame = {
+    val documents = spread(docs)
+    val isEval = col("doc_id") % evalMod === 0
+    val sh = documents
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
+        .as("shingle"))
+    val evalShingles = sh.filter(isEval).select(col("shingle")).distinct()
+    val sizes = documents.filter(!isEval)
+      .select(col("doc_id"),
+        size(array_distinct(shingles(col("text")))).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    sh.filter(!isEval)
+      .join(broadcast(evalShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_overlap"), col("n_shingles"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 4)
+          .as("overlap_frac"))
+      .orderBy(col("overlap_frac").desc, col("doc_id"))
+      .limit(topK)
   }
 }

@@ -126,6 +126,52 @@ object TextAnalysis {
       hex16(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
       length(col("text")).as("n_chars_text"))
 
+  /** PII scrubbing: count and mask email / IPv4 / phone-shaped spans
+    * (the redaction pass every corpus pipeline runs before training).
+    * Pure regexp projection — scan speed, zero shuffles; patterns kept
+    * to the Java∩RE2 regex subset so any engine applies the identical
+    * transformation. Emits match counts plus a digest of the scrubbed
+    * text (compact, still value-checks the full rewrite). Semantics on
+    * PII-bearing text are spec-tested (the synthetic corpus contains
+    * none, which the oracle also confirms cross-engine). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+    spread(docs).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(ipv4), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** Token-budget packing: assign documents to training shards of
+    * ~`budgetTokens` tokens each, per source. Documents line up in
+    * hash order (deterministic, uniform), the running token total
+    * fills bins greedily, and a document's bin is the budget-quotient
+    * of the tokens BEFORE it — so every bin except the last holds at
+    * least `budgetTokens` and re-runs agree row-for-row. One window
+    * cumsum per source = one hash-partition shuffle; at 100 TB the
+    * per-source sort is the scalable equivalent of the inherently
+    * sequential greedy packer. */
+  def packBins(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash52(col("doc_id")), col("doc_id"))
+    spread(docs)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div $budgetTokens"))
+  }
+
   /** Fixed-size token chunking with overlap — the step that turns
     * documents into training sequences. Chunk `i` covers tokens
     * `[i·step, i·step + chunkTokens)` with `step = chunkTokens −

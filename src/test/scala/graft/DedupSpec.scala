@@ -94,4 +94,54 @@ class DedupSpec extends SparkSpec {
       .map(_.getAs[String]("pred_lang"))
     assert(got.toSeq == Seq("en", "es"))
   }
+
+  test("pii scrub counts and masks emails, ips and phone-shaped spans") {
+    val d = Seq(
+      (0L, "mail bob@example.com and alice.w@sub.domain.org from 10.0.0.1"),
+      (1L, "call 555-867-5309 or 555.867.5309 tomorrow"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(d).orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((2, 1, 0), (0, 0, 2), (0, 0, 0)))
+    // the digest must change iff something was masked
+    val base = d.select(col("doc_id"), md5(col("text")).as("m"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    val scrubbed = TextAnalysis.piiScrub(d).orderBy("doc_id").collect()
+      .map(_.getAs[String]("scrubbed_md5"))
+    assert(scrubbed(0) != base(0) && scrubbed(1) != base(1)
+      && scrubbed(2) == base(2))
+  }
+
+  test("pack bins: per-source bins fill to the budget, deterministic order") {
+    val d = (0L until 40L)
+      .map(i => (i, Seq.fill(16)("w").mkString(" "), if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packBins(d, budgetTokens = 64)
+      .orderBy("source", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    // 20 docs × 16 tokens per source → bins of exactly 4 docs
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).groupBy(identity).forall(_._2.length == 4))
+      assert(rs.map(_._2).toSeq == (1 to 20).map(_ * 16L))
+    }
+    // pure function of the keys: a second run is row-identical
+    val again = TextAnalysis.packBins(d, budgetTokens = 64)
+      .orderBy("source", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("decontamination ranks docs by eval-shingle overlap; eval docs excluded") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval (0 % 2 == 0 with mod 2)
+      (1L, "alpha beta gamma delta other words here"), // heavy overlap
+      (3L, "alpha beta gamma nothing else matches at all"), // some overlap
+      (5L, "totally unrelated content with distinct vocabulary okay")) // none
+      .toDF("doc_id", "text")
+    val got = Dedup.benchmarkOverlap(d, evalMod = 2, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only overlapping non-eval docs appear, ranked by fraction
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    assert(got(0)._2 > got(1)._2)
+  }
 }
