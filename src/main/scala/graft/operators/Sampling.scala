@@ -61,14 +61,18 @@ object Sampling {
     require(total > 0 && weights.nonEmpty, "need weights and total > 0")
     val spark = docs.sparkSession
     import spark.implicits._
-    val targets = weights
-      .map { case (s, w) => (s, math.round(w * total)) }
-      .toDF("source", "target")
+    val counts = weights.map { case (s, w) => (s, math.round(w * total)) }
+    val targets = counts.toDF("source", "target")
     val w = Window.partitionBy(col("source"))
       .orderBy(hash52(col("doc_id")), col("doc_id"))
     docs.join(broadcast(targets), "source")
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= col("target"))
+      // the LITERAL max-target bound is what lets Spark infer a window
+      // group limit (per-partition rank pruning BEFORE the full sort);
+      // the per-source column bound then refines it — a column-only
+      // bound would compute full ranks for every partition
+      .filter(col("rnk") <= lit(counts.map(_._2).max) &&
+        col("rnk") <= col("target"))
       .select(col("source"), col("rnk"), col("doc_id"))
   }
 

@@ -79,6 +79,22 @@ class PlanSpec extends SparkSpec {
         "driver-side materialization leaked back in")
   }
 
+  test("mix sources: broadcast targets, rank pruned before the sort") {
+    val p = finalPlan(q("sample_mix_sources"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source targets must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter should prune partitions before the full sort")
+  }
+
+  test("decontamination: eval shingles broadcast, no doc-doc join") {
+    val p = finalPlan(q("doc_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingle set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here means the corpus shuffled on shingle:\n$p")
+  }
+
   test("q11: scalar-subquery threshold is a broadcast, not a driver collect") {
     val p = finalPlan(q("q11_part_value"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
