@@ -289,4 +289,35 @@ class StreamingSpec extends SparkSpec {
     val r = df.collect()(0)
     assert(r.getAs[Int]("x") == 0 && r.getAs[Int]("y") == 0)
   }
+
+  test("stateless text ops run unchanged on streams (scrub + chunk)") {
+    import graft.text.TextAnalysis
+    // piiScrub and chunk are pure projections (no state, no
+    // aggregation), so the SAME operator code composes onto a
+    // streaming DataFrame in append mode — corpus cleaning as data
+    // arrives, not as a separate batch codepath
+    val in1 = MemoryStream[(Long, String)](spark)
+    val q1 = TextAnalysis.piiScrub(in1.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream_t")
+      .outputMode("append").start()
+    try {
+      in1.addData((1L, "reach me at a@b.co or 10.1.2.3"), (2L, "clean text"))
+      q1.processAllAvailable()
+      val got = spark.table("pii_stream_t").orderBy("doc_id").collect()
+        .map(r => (r.getInt(1), r.getInt(2)))
+      assert(got.toSeq == Seq((1, 1), (0, 0)))
+    } finally q1.stop()
+    val in2 = MemoryStream[(Long, String)](spark)
+    val q2 = TextAnalysis.chunk(in2.toDF().toDF("doc_id", "text"),
+        chunkTokens = 3, overlap = 1)
+      .writeStream.format("memory").queryName("chunk_stream_t")
+      .outputMode("append").start()
+    try {
+      in2.addData((1L, "a b c d e")) // 5 tokens, step 2 → 2 chunks
+      q2.processAllAvailable()
+      val got = spark.table("chunk_stream_t").orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(1), r.getInt(2)))
+      assert(got.toSeq == Seq((0L, 3), (1L, 3)))
+    } finally q2.stop()
+  }
 }
