@@ -344,6 +344,9 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
     "doc_pii_scrub" -> q((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
+    "doc_repetition" -> q((s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "doc_pack_bins" -> q((s, d) =>
       TextAnalysis.packBins(Tables.documents(s, d)).orderBy("doc_id")),
     "doc_decontaminate" -> q((s, d) =>
@@ -1620,6 +1623,22 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      s"""WITH $TOKS,
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(CASE WHEN len(t) >= 2
+         |      THEN list_transform(range(1, len(t)),
+         |           i -> array_to_string(list_slice(t, i, i + 1), ' '))
+         |      ELSE [] END) AS g
+         |  FROM toks),
+         |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_grams,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_frac,
+         |  round(CAST(count(*) AS DOUBLE) / sum(c), 4) AS distinct_gram_ratio
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_pack_bins" ->
       s"""WITH $TOKS,

@@ -126,6 +126,30 @@ object TextAnalysis {
       hex16(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"),
       length(col("text")).as("n_chars_text"))
 
+  /** Repetition statistics — the Gopher-style quality signal that
+    * catches degenerate/boilerplate documents: the share of a doc's
+    * word bigrams taken by its single most frequent bigram, plus the
+    * distinct-bigram ratio. Two keyed aggregations on doc_id, both
+    * map-side combinable; documents shorter than two tokens have no
+    * bigrams and drop out (mirrored by the oracle). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val documents = spread(docs)
+    val counts = documents
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_n"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        round(col("top_n").cast("double") / col("n_grams"), 4)
+          .as("top_gram_frac"),
+        round(col("n_distinct_grams").cast("double") / col("n_grams"), 4)
+          .as("distinct_gram_ratio"))
+  }
+
   /** PII scrubbing: count and mask email / IPv4 / phone-shaped spans
     * (the redaction pass every corpus pipeline runs before training).
     * Pure regexp projection — scan speed, zero shuffles; patterns kept

@@ -131,6 +131,40 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("chunking covers every token; adjacent chunks share exactly the overlap") {
+    // documents of every length mod step, including shorter-than-one-chunk
+    val d = (1L to 23L)
+      .map(i => (i, (1L to i).map(t => s"t$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunk = 6; val overlap = 2; val step = chunk - overlap
+    val got = TextAnalysis.chunk(d, chunk, overlap)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    (1L to 23L).foreach { n =>
+      val chunks = got(n).sortBy(_._2)
+      val expectedChunks = math.max(1, (n + step - 1 - overlap) / step)
+      assert(chunks.length == expectedChunks, s"doc $n: ${chunks.length} chunks")
+      // sizes: all full except possibly the tail; tail covers through token n
+      chunks.init.foreach { case (_, _, sz) => assert(sz == chunk) }
+      val (_, lastIdx, lastSz) = chunks.last
+      assert(lastIdx * step + lastSz == n,
+        s"doc $n: tail chunk ends at ${lastIdx * step + lastSz}")
+    }
+  }
+
+  test("repetition stats flag the degenerate document") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam"),            // one bigram 5×
+      (2L, "all words unique in this sentence okay"),   // no repeats
+      (3L, "x")).toDF("doc_id", "text")                 // no bigrams
+    val got = TextAnalysis.repetitionStats(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 drops out
+    assert(got(0) == ((1L, 5L, 1.0)))          // 5 bigrams, all the same
+    assert(got(1)._3 < 0.2)                    // 6 distinct bigrams of 6
+  }
+
   test("decontamination ranks docs by eval-shingle overlap; eval docs excluded") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"), // eval (0 % 2 == 0 with mod 2)
