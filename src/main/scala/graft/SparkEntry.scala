@@ -439,6 +439,12 @@ object SparkEntry {
       Knn.bruteForce(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_ivf_assign" -> q((s, d) =>
       Knn.ivfAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
+    // threshold 0.4, not the real-world ~0.9: the synthetic embeddings
+    // are near-random (max in-cell cosine ≈ 0.5), so a relaxed bound is
+    // what exercises the drop path end-to-end
+    "emb_semantic_prune" -> q((s, d) =>
+      Knn.semanticPrune(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy("vec_id")),
     "knn_ivf_search" -> q((s, d) =>
       Knn.ivfSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_lsh_buckets" -> q((s, d) =>
@@ -2003,6 +2009,34 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, centroid_id, cos_sim AS centroid_sim
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "emb_semantic_prune" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings WHERE vec_id < 16),
+         |s AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |a AS (
+         |  SELECT r.vec_id, r.centroid_id, e.embedding
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM s) r
+         |  JOIN embeddings e ON r.vec_id = e.vec_id
+         |  WHERE r.rn = 1),
+         |p AS (
+         |  SELECT x.vec_id AS id2, y.vec_id AS id1,
+         |    ${cosSql("x.embedding", "y.embedding")} AS sim
+         |  FROM a x JOIN a y
+         |    ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id),
+         |d AS (
+         |  SELECT id2 AS vec_id, min(id1) AS kept_as, max(sim) AS dup_sim
+         |  FROM p WHERE sim >= 0.4 GROUP BY 1)
+         |SELECT a.vec_id, a.centroid_id, d.kept_as IS NULL AS kept,
+         |  d.kept_as, d.dup_sim
+         |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "knn_ivf_search" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -98,6 +98,46 @@ object Knn {
         col("cos_sim").as("centroid_sim"))
   }
 
+  /** SemDeDup-style semantic pruning (cluster embeddings, then drop
+    * in-cluster near-duplicates — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023): every vector joins its max-cosine centroid's cell, and
+    * inside each cell a vector is DROPPED when some LOWER-ID cell-mate
+    * is at least `threshold`-similar — the min-id spine makes the kept
+    * set a pure function of the data (no iteration order, no chains:
+    * `kept_as` is the smallest qualifying id; kept = never blamed).
+    *
+    * Scale shape: pair expansion happens per cell, and cell size is
+    * the knob — SemDeDup's own regime raises the cluster count with
+    * the corpus so cells stay bounded; centroids broadcast. The cell
+    * grouping feeds both the pair expansion and the per-vector output
+    * through ONE exchange (Spark's ReuseExchange — asserted in specs),
+    * so assignment is not recomputed per branch. */
+  def semanticPrune(emb: DataFrame, nlist: Int = 16,
+                    threshold: Double = 0.9): DataFrame = {
+    val assigned = ivfAssign(emb, nlist)
+      .join(spread(emb).select(col("vec_id"), col("embedding")), "vec_id")
+    val cells = assigned
+      .groupBy(col("centroid_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("items"))
+    val pairs = cells
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + lit(2), size(col("items"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a.vec_id").as("id1"), col("p.b.vec_id").as("id2"),
+        cosine(col("p.a.embedding"), col("p.b.embedding")).as("sim"))
+      .filter(col("sim") >= threshold)
+    val dropped = pairs
+      .groupBy(col("id2").as("vec_id"))
+      .agg(min(col("id1")).as("kept_as"), max(col("sim")).as("dup_sim"))
+    cells.select(col("centroid_id"), explode(col("items")).as("m"))
+      .select(col("m.vec_id").as("vec_id"), col("centroid_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        col("kept_as").isNull.as("kept"), col("kept_as"), col("dup_sim"))
+  }
+
   /** Deterministic broadcast Lloyd k-means — the TRAINED coarse
     * quantizer for IVF ([[ivfAssign]]'s hash-order centroids are the
     * untrained stand-in; this is the FAISS `train()` step). Classic

@@ -54,6 +54,28 @@ class KmeansSpec extends SparkSpec {
     assert(codes2.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap == c)
   }
 
+  test("semantic prune: lowest id in a near-dup group survives, rest blame it") {
+    // the two blobs are internally near-identical in direction (cosine
+    // of two same-blob vectors ≈ 1), so a high threshold prunes each
+    // blob down to its min-id member once cells separate the blobs
+    val pruned = Knn.semanticPrune(blobs, nlist = 2, threshold = 0.999)
+      .collect()
+    val kept = pruned.filter(_.getBoolean(2)).map(_.getLong(0)).sorted
+    // vectors 0 and 50 are the min ids of their cells (centroids =
+    // vec_id < 2 both sit in blob A, so blob B's cell is whichever
+    // centroid its direction favors — either way min-id spine holds)
+    assert(kept.contains(0L), "global min id must always be kept")
+    pruned.filter(!_.getBoolean(2)).foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) < r.getLong(0),
+        s"dropped ${r.getLong(0)} must blame a smaller id")
+    }
+    // determinism: re-run identical
+    val again = Knn.semanticPrune(blobs, nlist = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    assert(again.toSeq ==
+      pruned.map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq)
+  }
+
   test("centroids are identical at any input partitioning") {
     def run(parts: Int) =
       Knn.kmeansCentroids(blobs.repartition(parts), k = 3, iters = 3)

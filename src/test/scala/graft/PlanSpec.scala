@@ -95,6 +95,12 @@ class PlanSpec extends SparkSpec {
       s"a sort-merge join here means the corpus shuffled on shingle:\n$p")
   }
 
+  test("semantic prune: cell grouping exchange is reused, not recomputed") {
+    val p = finalPlan(q("emb_semantic_prune"))
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      s"pair expansion and member explode should share one exchange:\n$p")
+  }
+
   test("q11: scalar-subquery threshold is a broadcast, not a driver collect") {
     val p = finalPlan(q("q11_part_value"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
