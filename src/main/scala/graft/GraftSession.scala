@@ -47,7 +47,13 @@ object GraftSession {
   }
 
   /** Apply graft-required runtime confs to an externally-built session
-    * (e.g. the driver's own). Only sets what is safe to set at runtime. */
+    * (e.g. the driver's own). Only sets what is safe to set at runtime.
+    * NOTE: `spark.sql.codegen.cache.maxEntries` is a STATIC conf and
+    * cannot be applied here — a session that will run the full query
+    * suite repeatedly should be built via [[builder]] (or set that
+    * conf itself at build time), or it pays generated-class
+    * recompilation once the suite exceeds the default 100 cache
+    * entries. */
   def tune(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -352,6 +352,13 @@ object SparkEntry {
     "doc_decontaminate" -> q((s, d) =>
       graft.dedup.Dedup.benchmarkOverlap(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "dedup_delta" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.dedupDelta(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        fresh = docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }),
     "sample_mix_sources" -> q((s, d) =>
       operators.Sampling.mixSources(Tables.documents(s, d),
         Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 60)
@@ -1897,6 +1904,24 @@ object SparkEntry {
     "dedup_minhash_sig" ->
       s"""$MinhashSigSql
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_delta" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |hits AS (
+         |  SELECT a.doc_id, b.doc_id AS other, a.band
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 5 = 0)
+         |SELECT doc_id, min(other) AS dup_of,
+         |  CAST(count(DISTINCT band) AS BIGINT) AS n_band_hits
+         |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_minhash_pairs" -> {
       val bandRows = (0 until Dedup.NumBands).map { b =>

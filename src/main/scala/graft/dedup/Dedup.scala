@@ -304,6 +304,35 @@ object Dedup {
       .limit(k)
   }
 
+  /** Incremental (delta) near-dup check — the daily-ingest shape at
+    * corpus scale: flag each NEW document that shares any LSH band
+    * with the existing corpus or another new document. The corpus
+    * side contributes only its band keys (in production a maintained
+    * band-index table — exactly this frame, appended per ingest), and
+    * buckets without a new member are discarded before any pair work,
+    * so each increment costs O(delta + colliding buckets), never a
+    * corpus×corpus re-pairing.
+    * Output per flagged new doc: the smallest colliding partner
+    * (deterministic blame) and the distinct bands hit. */
+  def dedupDelta(corpus: DataFrame, fresh: DataFrame): DataFrame = {
+    val buckets = minhashBands(corpus).withColumn("is_new", lit(false))
+      .unionAll(minhashBands(fresh).withColumn("is_new", lit(true)))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new"))))
+        .as("items"))
+      .filter(size(col("items")) > 1 &&
+        exists(col("items"), m => m("is_new")))
+    buckets
+      .select(col("band"), col("items"), explode(col("items")).as("m"))
+      .filter(col("m.is_new"))
+      .select(col("band"), col("m.doc_id").as("doc_id"),
+        explode(filter(col("items"),
+          x => x("doc_id") =!= col("m.doc_id"))).as("o"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("o.doc_id")).as("dup_of"),
+        countDistinct(col("band")).as("n_band_hits"))
+  }
+
   /** Benchmark decontamination: rank training documents by their
     * shingle overlap with an evaluation set — the pre-training check
     * that keeps test data out of the corpus. The eval set's DISTINCT

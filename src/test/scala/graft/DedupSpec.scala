@@ -165,6 +165,22 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._3 < 0.2)                    // 6 distinct bigrams of 6
   }
 
+  test("delta dedup flags only new docs, against corpus and other new docs") {
+    val corpus = docs.filter(col("doc_id").isin(0L, 3L))   // 0 = original
+    val fresh = docs.filter(col("doc_id").isin(1L, 2L, 4L)) // 1 exact, 2 near
+    val got = Dedup.dedupDelta(corpus, fresh).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1 (exact dup of corpus doc 0) and 2 (near dup) are flagged and
+    // blame 0; 4 is too short for shingles; corpus docs never appear
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L)))
+    // an increment with NO collisions is empty — corpus-only buckets
+    // must produce nothing
+    val clean = Dedup.dedupDelta(corpus, docs.filter(col("doc_id") === 3L)
+      .withColumn("doc_id", lit(99L))
+      .withColumn("text", lit("entirely new content nothing shared with others here")))
+    assert(clean.count() == 0)
+  }
+
   test("decontamination ranks docs by eval-shingle overlap; eval docs excluded") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"), // eval (0 % 2 == 0 with mod 2)
