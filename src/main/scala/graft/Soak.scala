@@ -33,7 +33,11 @@ object Soak {
     "q21_waiting_suppliers", "join_bloom_prune", "func_json",
     "mov_heatmap_all", "hh_top_terms", "dedup_clusters",
     "dedup_simhash_pairs", "dedup_minhash_pairs", "dedup_ngram_jaccard",
-    "doc_winnow_fp", "mov_sessions", "win_lag_gaps", "ts_twap")
+    "doc_winnow_fp", "mov_sessions", "win_lag_gaps", "ts_twap",
+    // round-4 additions: the corpus-pipeline stages with nontrivial
+    // plan shapes (pair expansion, window cumsum, broadcast contamination)
+    "dedup_delta", "emb_semantic_prune", "doc_decontaminate",
+    "doc_repetition", "doc_chunks", "doc_pack_bins")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
