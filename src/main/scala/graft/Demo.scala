@@ -40,6 +40,25 @@ object Demo {
     val fused = Movements.heatmapFused(ev, userId = 1)
     println(s"fused: ${fused.points.length} points, max=${fused.max}")
 
+    println("--- corpus pipeline: dedup -> scrub -> quality -> chunk -> pack ---")
+    import graft.text.TextAnalysis
+    import graft.dedup.Dedup
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nDocs = docs.count()
+    val exactDups = Dedup.exact(docs).filter(col("group_size") > 1).count()
+    val flagged = Dedup.dedupDelta(
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      fresh = docs.filter(col("doc_id") % 5 === 0)).count()
+    val lowQuality = TextAnalysis.repetitionStats(docs)
+      .filter(col("top_gram_frac") > 0.2).count()
+    val pii = TextAnalysis.piiScrub(docs)
+      .agg(sum(col("n_emails") + col("n_ips") + col("n_phones"))).head().get(0)
+    val chunks = TextAnalysis.chunk(docs).count()
+    val bins = TextAnalysis.packBins(docs)
+      .agg(countDistinct(col("source"), col("bin"))).head().getLong(0)
+    println(s"docs=$nDocs rows-in-dup-groups=$exactDups delta-flagged=$flagged " +
+      s"high-repetition=$lowQuality pii-spans=$pii chunks=$chunks shards=$bins")
+
     spark.stop()
   }
 }

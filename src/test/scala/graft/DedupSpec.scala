@@ -165,6 +165,30 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._3 < 0.2)                    // 6 distinct bigrams of 6
   }
 
+  test("round-4 ops are partitioning-invariant (the determinism premise)") {
+    // same input data, adversarial partitioning: results must be
+    // row-identical — the property that makes retries, AQE re-plans
+    // and cluster-size changes invisible
+    val many = (0L until 120L).map(i =>
+      (i, (0 to (i % 13).toInt).map(j => s"w${(i * 7 + j) % 23}").mkString(" "),
+        s"src${i % 4}")).toDF("doc_id", "text", "source")
+    val shuffled = many.repartition(7, col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(TextAnalysis.packBins(many, 32)) ==
+      rows(TextAnalysis.packBins(shuffled, 32)))
+    assert(rows(TextAnalysis.chunk(many, 6, 2)) ==
+      rows(TextAnalysis.chunk(shuffled, 6, 2)))
+    assert(rows(TextAnalysis.repetitionStats(many)) ==
+      rows(TextAnalysis.repetitionStats(shuffled)))
+    assert(rows(operators.Sampling.mixSources(many,
+        Seq("src0" -> 0.5, "src1" -> 0.5), 20)) ==
+      rows(operators.Sampling.mixSources(shuffled,
+        Seq("src0" -> 0.5, "src1" -> 0.5), 20)))
+    assert(rows(Dedup.benchmarkOverlap(many, evalMod = 10, topK = 20)) ==
+      rows(Dedup.benchmarkOverlap(shuffled, evalMod = 10, topK = 20)))
+  }
+
   test("delta dedup flags only new docs, against corpus and other new docs") {
     val corpus = docs.filter(col("doc_id").isin(0L, 3L))   // 0 = original
     val fresh = docs.filter(col("doc_id").isin(1L, 2L, 4L)) // 1 exact, 2 near
