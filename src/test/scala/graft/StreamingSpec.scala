@@ -290,6 +290,35 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Int]("x") == 0 && r.getAs[Int]("y") == 0)
   }
 
+  test("delta dedup composes stream-static: arriving docs flagged against the corpus index") {
+    import graft.dedup.Dedup
+    // the corpus band index is a static frame (in production: the
+    // maintained band table); arriving documents band stateless and
+    // stream-static join flags collisions in-flight
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (101L, "completely different words about spark shuffles and partitions here"))
+      .toDF("doc_id", "text")
+    val corpusBands = Dedup.minhashBands(corpus)
+      .withColumnRenamed("doc_id", "corpus_id")
+    val in = MemoryStream[(Long, String)](spark)
+    val flagged = Dedup.minhashBands(in.toDF().toDF("doc_id", "text"))
+      .join(corpusBands, Seq("band", "key"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("corpus_id")).as("dup_of"))
+    val q = flagged.writeStream.format("memory").queryName("delta_stream_t")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2L, "entirely novel content sharing nothing with the corpus at all today"))
+      q.processAllAvailable()
+      val got = spark.table("delta_stream_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((1L, 100L)), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateless text ops run unchanged on streams (scrub + chunk)") {
     import graft.text.TextAnalysis
     // piiScrub and chunk are pure projections (no state, no
