@@ -37,7 +37,10 @@ object Soak {
     // round-4 additions: the corpus-pipeline stages with nontrivial
     // plan shapes (pair expansion, window cumsum, broadcast contamination)
     "dedup_delta", "emb_semantic_prune", "doc_decontaminate",
-    "doc_repetition", "doc_chunks", "doc_pack_bins")
+    "doc_repetition", "doc_chunks", "doc_pack_bins",
+    // corpus-analysis additions: vocabulary-keyed join fan-in (tfidf),
+    // gated bigram joins (collocations), per-shard rank windows
+    "doc_tfidf_terms", "doc_collocations", "doc_shuffle_shards")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

@@ -352,6 +352,17 @@ object SparkEntry {
     "doc_decontaminate" -> q((s, d) =>
       graft.dedup.Dedup.benchmarkOverlap(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "doc_tfidf_terms" -> q((s, d) =>
+      TextAnalysis.tfidfTerms(Tables.documents(s, d))
+        .orderBy("lang", "rnk")),
+    "doc_collocations" -> q((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d))
+        .orderBy(col("lift").desc, col("bigram"))),
+    "doc_shuffle_shards" -> q((s, d) =>
+      operators.Sampling.shuffleShards(
+          Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -1681,6 +1692,65 @@ object SparkEntry {
          |  round(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS overlap_frac
          |FROM ov JOIN sz ON ov.doc_id = sz.doc_id
          |ORDER BY overlap_frac DESC, ov.doc_id LIMIT 50""".stripMargin,
+
+    // rational idf (n_docs+1)/(df+1), NOT its log: log is not
+    // correctly rounded across libm implementations; the rational
+    // form is exact conversions + one IEEE division, same ranking
+    "doc_tfidf_terms" ->
+      s"""WITH $TOKS,
+         |tok AS (SELECT doc_id, lang, unnest(t) AS term FROM toks),
+         |tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (SELECT lang, term, tf, df,
+         |        round(CAST(tf AS DOUBLE) *
+         |          (CAST(n_docs + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 4)
+         |          AS score
+         |      FROM tf JOIN df USING (term), n WHERE df >= 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY score DESC, term) AS rnk FROM s)
+         |SELECT lang, rnk, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // lift = P(ab) / (P(a)·P(b)) — PMI without the log (same ranking,
+    // and products/division of exactly-converted counts hash-match)
+    "doc_collocations" ->
+      s"""WITH $TOKS,
+         |uni AS (SELECT unnest(t) AS term FROM toks),
+         |uc AS (SELECT term, count(*) AS n_term FROM uni GROUP BY 1),
+         |nu AS (SELECT count(*) AS n_uni FROM uni),
+         |bi AS (SELECT unnest(CASE WHEN len(t) >= 2
+         |         THEN list_transform(range(1, len(t)),
+         |              i -> array_to_string(list_slice(t, i, i + 1), ' '))
+         |         ELSE [] END) AS bigram FROM toks),
+         |bc AS (SELECT bigram, count(*) AS n_ab FROM bi GROUP BY 1
+         |       HAVING count(*) >= 5),
+         |nb AS (SELECT count(*) AS n_bi FROM bi),
+         |j AS (SELECT bigram, n_ab,
+         |        string_split(bigram, ' ')[1] AS w1,
+         |        string_split(bigram, ' ')[2] AS w2 FROM bc),
+         |s AS (SELECT bigram, n_ab, a.n_term AS n_a, b.n_term AS n_b,
+         |        round(CAST(n_ab AS DOUBLE) * CAST(n_uni AS DOUBLE) *
+         |          CAST(n_uni AS DOUBLE) /
+         |          (CAST(n_bi AS DOUBLE) * CAST(a.n_term AS DOUBLE) *
+         |            CAST(b.n_term AS DOUBLE)), 4) AS lift
+         |      FROM j JOIN uc a ON j.w1 = a.term
+         |             JOIN uc b ON j.w2 = b.term, nu, nb)
+         |SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+         |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, lift
+         |FROM s ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
+
+    "doc_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |       AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, (h * 4) // 4503599627370496 AS shard,
+        |  row_number() OVER (PARTITION BY (h * 4) // 4503599627370496
+        |    ORDER BY h, doc_id) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (

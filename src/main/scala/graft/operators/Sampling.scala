@@ -127,4 +127,26 @@ object Sampling {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Deterministic training-order shuffle + sharding — the
+    * reshuffle-per-epoch primitive: every row gets a seeded 52-bit
+    * hash position, its shard is the hash's high-order quotient
+    * (range partitioning on a uniform key, so shards balance without
+    * counting first), and its within-shard position is the hash rank.
+    * The permutation is a pure function of (seed, key): identical
+    * under retries, input partitioning, and engine (the oracle
+    * replays it row-for-row); a different seed is an independent
+    * permutation. One window shuffle on shard — shard-local sorts,
+    * never a global total order, which is exactly how a 100 TB epoch
+    * order has to be materialized (each shard is one reader's
+    * sequential slice). nShards is capped so `hash * nShards` stays
+    * inside int64 (hash < 2^52). */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int = 4,
+                    seed: Int = 42): DataFrame = {
+    require(nShards >= 1 && nShards <= 1024, "nShards in [1, 1024]")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), key)
+    df.withColumn("h", hash52(concat_ws(":", lit(seed), key)))
+      .withColumn("shard", expr(s"(h * $nShards) div 4503599627370496"))
+      .withColumn("pos", row_number().over(w))
+  }
 }

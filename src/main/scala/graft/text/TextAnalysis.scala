@@ -196,6 +196,89 @@ object TextAnalysis {
         expr(s"(cum_tokens - n_tokens) div $budgetTokens"))
   }
 
+  /** Distinctive terms per language by TF-IDF, with a RATIONAL idf
+    * `(n_docs+1)/(df+1)` in place of its logarithm: `log` is not
+    * correctly rounded and differs across libm implementations, while
+    * the rational form is exact int→double conversions plus one
+    * correctly-rounded IEEE division — strictly decreasing in df just
+    * like log-idf, so the RANKING is identical and the value
+    * hash-matches any engine (the same reasoning as weightedTopK's
+    * priority). Plan shape: one token explode feeding two keyed
+    * aggregations (term frequency per (lang, term); document frequency
+    * per term over the deduped (doc, term) pairs), a term-keyed
+    * shuffle join between them, the corpus doc count as a 1-row
+    * broadcast (the scalar-subquery idiom), and per-lang top-k as a
+    * rank-filter window that InferWindowGroupLimit prunes before the
+    * full sort. Nothing is driver-side: df lives in a vocabulary-sized
+    * aggregate, never a collected map, so the shape holds at 100 TB. */
+  def tfidfTerms(docs: DataFrame, topK: Int = 10, minDf: Int = 2): DataFrame = {
+    require(topK > 0 && minDf >= 1, s"need topK > 0, minDf >= 1")
+    val tok = spread(docs).select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") /
+            (col("df") + 1).cast("double")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"), col("rnk"), col("term"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Bigram collocations by LIFT — the observed bigram probability
+    * over the product of its words' unigram probabilities. This is
+    * PMI without the log (log is not correctly rounded across libm
+    * implementations; lift is exact conversions, correctly-rounded
+    * products and one division, so it is bit-identical in any engine —
+    * and log's monotonicity means the ranking equals log-PMI's). The
+    * min-count gate drops the hapax-bigram tail BEFORE the unigram
+    * joins, so join input is the interesting head, not the raw bigram
+    * table. Plan: two explodes → two keyed counts, two term-keyed
+    * shuffle joins (vocabulary-sized sides), corpus totals as 1-row
+    * broadcasts, and the global top-k as TakeOrderedAndProject (no
+    * full result sort). */
+  def collocations(docs: DataFrame, minCount: Int = 5,
+                   topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK > 0, "need minCount >= 1, topK > 0")
+    val documents = spread(docs)
+    val uni = documents.select(explode(tokens(col("text"))).as("term"))
+    val uniCounts = uni.groupBy(col("term")).agg(count(lit(1)).as("n_term"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = documents.select(explode(shingles(col("text"), 2)).as("bigram"))
+    val biCounts = bi.groupBy(col("bigram")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    biCounts
+      // tokens are split on single spaces, so the bigram's separator
+      // space is unambiguous — the halves recover the exact words
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(uniCounts.select(col("term").as("w1"), col("n_term").as("n_a")),
+        "w1")
+      .join(uniCounts.select(col("term").as("w2"), col("n_term").as("n_b")),
+        "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .withColumn("lift", round(
+        col("n_ab").cast("double") * col("n_uni").cast("double") *
+          col("n_uni").cast("double") /
+          (col("n_bi").cast("double") * col("n_a").cast("double") *
+            col("n_b").cast("double")), 4))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("lift"))
+  }
+
   /** Fixed-size token chunking with overlap — the step that turns
     * documents into training sequences. Chunk `i` covers tokens
     * `[i·step, i·step + chunkTokens)` with `step = chunkTokens −

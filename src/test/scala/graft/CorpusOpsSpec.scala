@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.text.TextAnalysis
+
+/** Round-4 corpus-analysis operators: TF-IDF distinctive terms,
+  * lift-scored collocations, deterministic shuffle-sharding. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two "languages" with one distinctive term each plus a ubiquitous
+  // filler term: idf must demote the filler, not raw frequency
+  private val docs = Seq(
+    (0L, "en", "alpha filler common words here"),
+    (1L, "en", "alpha filler more words again"),
+    (2L, "en", "alpha filler yet other words"),
+    (3L, "fr", "omega filler common words here"),
+    (4L, "fr", "omega filler more words again"),
+    (5L, "fr", "omega filler yet other words"))
+    .toDF("doc_id", "lang", "text")
+    .withColumn("source", lit("src0"))
+
+  test("tfidf ranks the lang-specific term above the ubiquitous one") {
+    val got = TextAnalysis.tfidfTerms(docs, topK = 3, minDf = 2)
+      .orderBy("lang", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(5)))
+    val en = got.filter(_._1 == "en")
+    // alpha: tf=3, df=3 → score = 3 * 7/4 = 5.25
+    // filler: tf=3, df=6 → score = 3 * 7/7 = 3.0
+    assert(en.head._3 == "alpha" && en.head._4 == 5.25)
+    assert(en.map(_._3).contains("filler"))
+    val enScores = en.map(_._4)
+    assert(enScores.zip(enScores.tail).forall(p => p._1 >= p._2),
+      "scores must be ranked descending")
+    val fr = got.filter(_._1 == "fr")
+    assert(fr.head._3 == "omega")
+  }
+
+  test("tfidf minDf gate drops terms seen in fewer documents") {
+    // every non-filler term appears in >= 2 docs except the doc-unique
+    // ones ("common"/"more"/"yet"... appear twice, once per lang block)
+    val all = TextAnalysis.tfidfTerms(docs, topK = 100, minDf = 4).collect()
+      .map(_.getString(2)).toSet
+    assert(all == Set("filler", "words")) // df=6 and df=6; others df<4
+  }
+
+  test("collocations: the repeated adjacent pair wins on lift") {
+    // "new york" repeats; every other bigram is doc-unique, and the
+    // words also occur apart so independence would predict lift ~ 1
+    val coll = Seq.tabulate(6)(i =>
+      (i.toLong, s"new york alpha$i beta$i gamma$i")) ++ Seq(
+      (6L, "new words and york words"),
+      (7L, "more new things and york here"))
+    val d = coll.toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(d, minCount = 5, topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    assert(got.nonEmpty && got.head._1 == "new york")
+    assert(got.head._2 == 6L)
+    // "new york" co-occurs far above independence: lift >> 1
+    assert(got.head._3 > 1.0)
+  }
+
+  test("collocations min-count gate drops rare bigrams") {
+    val d = Seq((0L, "a b a b a b"), (1L, "c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(d, minCount = 3, topK = 10).collect()
+      .map(_.getString(0)).toSet
+    assert(got.contains("a b"))
+    assert(!got.contains("c d")) // count 1 < 3
+  }
+
+  test("shuffle shards: total cover, bounded shard ids, contiguous positions") {
+    val d = spark.range(200).select(col("id").as("doc_id"))
+    val got = Sampling.shuffleShards(d, col("doc_id"), nShards = 4)
+      .select(col("doc_id"), col("shard"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 200)
+    assert(got.map(_._1).toSet == (0L until 200L).toSet)
+    assert(got.forall(r => r._2 >= 0 && r._2 < 4))
+    // positions are 1..size within each shard, no gaps
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // a uniform hash keeps shards balanced without a count pass
+    val sizes = got.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 200 / 4 / 2, s"degenerate shard split: $sizes")
+  }
+
+  test("shuffle shards are partitioning-invariant and seed-sensitive") {
+    val d = spark.range(100).select(col("id").as("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard", "pos").orderBy("shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val base = rows(Sampling.shuffleShards(d, col("doc_id")))
+    assert(rows(Sampling.shuffleShards(d.repartition(7), col("doc_id"))) == base)
+    assert(rows(Sampling.shuffleShards(d.coalesce(1), col("doc_id"))) == base)
+    val other = rows(Sampling.shuffleShards(d, col("doc_id"), seed = 7))
+    assert(other != base, "a different seed must yield a different permutation")
+    assert(other.map(_._1).toSet == base.map(_._1).toSet)
+  }
+
+  test("tfidf and collocations are partitioning-invariant") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val shuffled = docs.repartition(5)
+    assert(rows(TextAnalysis.tfidfTerms(docs).orderBy("lang", "rnk")) ==
+      rows(TextAnalysis.tfidfTerms(shuffled).orderBy("lang", "rnk")))
+    assert(rows(TextAnalysis.collocations(docs, minCount = 2)
+        .orderBy(col("lift").desc, col("bigram"))) ==
+      rows(TextAnalysis.collocations(shuffled, minCount = 2)
+        .orderBy(col("lift").desc, col("bigram"))))
+  }
+}

@@ -106,4 +106,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"single-row total should broadcast:\n$p")
   }
+
+  test("tfidf: doc count broadcasts; per-lang top-k rank is group-limited") {
+    val p = finalPlan(q("doc_tfidf_terms"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row doc count must broadcast (scalar-subquery idiom):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-lang rank filter should prune partitions before the sort:\n$p")
+  }
+
+  test("collocations: global top-k is TakeOrderedAndProject, totals broadcast") {
+    val p = finalPlan(q("doc_collocations"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not materialize a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus totals must broadcast:\n$p")
+  }
+
+  test("shuffle shards: one exchange on shard, no global sort of the input") {
+    val df = operators.Sampling.shuffleShards(
+      Tables.documents(spark, sf("sf0.001")),
+      org.apache.spark.sql.functions.col("doc_id"))
+    val p = finalPlan(df)
+      .split("== Initial Plan ==").head // AQE dumps final + initial
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly one hash exchange (on shard), got $exchanges:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a range exchange means a global total order materialized:\n$p")
+  }
 }
