@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
   *    would make every doc a 10-way exact duplicate and inflate every
   *    pair-expansion superlinearly, soaking a fiction.
   *
-  * Usage: runMain graft.Soak [baseDir] [outDir] [copies]
+  * Usage: runMain graft.Soak [baseDir] [outDir] [copies] [queryCsv]
+  * (queryCsv = optional comma-separated subset of SoakQueries.)
   */
 object Soak {
 
@@ -40,7 +41,10 @@ object Soak {
     "doc_repetition", "doc_chunks", "doc_pack_bins",
     // corpus-analysis additions: vocabulary-keyed join fan-in (tfidf),
     // gated bigram joins (collocations), per-shard rank windows
-    "doc_tfidf_terms", "doc_collocations", "doc_shuffle_shards")
+    "doc_tfidf_terms", "doc_collocations", "doc_shuffle_shards",
+    // retrieval: one corpus pass + broadcast query vocab, then
+    // query-set-sized fusion — ratio should be scan-bound
+    "ret_bm25", "ret_rrf_hybrid")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
@@ -113,6 +117,14 @@ object Soak {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/soak/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated subset of SoakQueries, so a
+    // new operator can be soaked without re-timing the whole list
+    val wanted = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val soakQueries = wanted match {
+      case Some(ws) => SoakQueries.filter(ws)
+      case None     => SoakQueries
+    }
     val spark = GraftSession.get()
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(out, "lineitem.parquet"))) {
@@ -120,13 +132,13 @@ object Soak {
       generate(spark, base, out, copies)
     }
     // warm codegen/JIT on the small scale before any timed pass
-    SoakQueries.foreach { n =>
+    soakQueries.foreach { n =>
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
     }
     println(s"| query | ${base.split('/').last} s | sf1 s | ratio (ideal ≤ ~$copies) |")
     println("|---|---|---|---|")
-    SoakQueries.foreach { n =>
+    soakQueries.foreach { n =>
       val tB = timeIn(spark, n, base)
       val tS = timeIn(spark, n, out)
       println(f"| $n | $tB%.2f | $tS%.2f | ${tS / tB}%.1f× |")

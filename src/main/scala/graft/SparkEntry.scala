@@ -363,6 +363,24 @@ object SparkEntry {
           Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
+    "ret_bm25" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      graft.text.Retrieval.bm25(Tables.documents(s, d), qs)
+        .orderBy("qid", "rnk")
+    }),
+    "ret_rrf_hybrid" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val lex = graft.text.Retrieval.bm25(Tables.documents(s, d), qs)
+        .select(col("qid"), col("doc_id").as("item"), col("rnk"))
+      val sem = graft.text.Retrieval.semanticTopK(
+          Tables.embeddings(s, d), Map(1L -> 100L, 2L -> 200L))
+        .select(col("qid"), col("vec_id").as("item"), col("rnk"))
+      graft.text.Retrieval.rrfFuse(lex, sem).orderBy("qid", "rnk")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -558,6 +576,37 @@ object SparkEntry {
        |shagg AS (SELECT doc_id, $sums FROM tk GROUP BY doc_id),
        |sim AS (SELECT doc_id, $bits AS simhash16 FROM shagg)""".stripMargin
   }
+
+  /** BM25 CTE chain over `toks` ending in bm25r(qid, doc_id, score,
+    * rnk) — mirrors Retrieval.bm25's arithmetic exactly: rational
+    * Robertson idf (no log — libm), binary-exact k1=1.25 / b=0.75
+    * literals, per-term weight rounded at 4 then summed in
+    * DECIMAL(18,4). Shared by ret_bm25 and ret_rrf_hybrid. */
+  private val Bm25Sql =
+    """q(qid, query) AS (
+      |  VALUES (1, 'spark window agg'), (2, 'customer join filter')),
+      |qt AS (SELECT qid, unnest(string_split(query, ' ')) AS term FROM q),
+      |dtok AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM dtok
+      |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, sum(len(t)) AS sum_dl FROM toks),
+      |sc AS (SELECT qt.qid, tf.doc_id,
+      |         round(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+      |                (CAST(df AS DOUBLE) + 0.5)) *
+      |               ((CAST(tf AS DOUBLE) * 2.25) /
+      |                (CAST(tf AS DOUBLE) + 1.25 *
+      |                 (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+      |                   (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+      |           4) AS w
+      |       FROM tf JOIN qt USING (term) JOIN dfr USING (term), st),
+      |ag AS (SELECT qid, doc_id,
+      |         round(CAST(sum(CAST(w AS DECIMAL(18,4))) AS DOUBLE), 4)
+      |           AS score
+      |       FROM sc GROUP BY 1, 2),
+      |bm25r AS (SELECT qid, doc_id, score, row_number() OVER (
+      |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+      |       FROM ag)""".stripMargin
 
   private def dotSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
@@ -1751,6 +1800,36 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY (h * 4) // 4503599627370496
         |    ORDER BY h, doc_id) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    "ret_bm25" ->
+      s"""WITH $TOKS, $Bm25Sql
+         |SELECT CAST(qid AS BIGINT) AS qid, rnk, doc_id, score
+         |FROM bm25r WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+
+    "ret_rrf_hybrid" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |lex AS (SELECT qid, doc_id AS item, rnk FROM bm25r WHERE rnk <= 10),
+         |qv AS (SELECT 1 AS qid, vec_id AS vid, embedding AS qvec
+         |       FROM embeddings WHERE vec_id = 100
+         |       UNION ALL
+         |       SELECT 2, vec_id, embedding FROM embeddings WHERE vec_id = 200),
+         |ss AS (SELECT qv.qid, e.vec_id,
+         |         ${cosSql("qvec", "e.embedding")} AS cos_sim
+         |       FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> qv.vid),
+         |sr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cos_sim DESC, vec_id) AS rnk FROM ss),
+         |sem AS (SELECT qid, vec_id AS item, rnk FROM sr WHERE rnk <= 10),
+         |fu AS (SELECT coalesce(l.qid, s.qid) AS qid,
+         |         coalesce(l.item, s.item) AS item,
+         |         round(coalesce(1.0 / CAST(l.rnk + 60 AS DOUBLE), 0.0) +
+         |               coalesce(1.0 / CAST(s.rnk + 60 AS DOUBLE), 0.0), 6)
+         |           AS rrf
+         |       FROM lex l FULL OUTER JOIN sem s
+         |         ON l.qid = s.qid AND l.item = s.item),
+         |fr AS (SELECT qid, item, rrf, row_number() OVER (PARTITION BY qid
+         |         ORDER BY rrf DESC, item) AS rnk FROM fu)
+         |SELECT CAST(qid AS BIGINT) AS qid, rnk, item, rrf
+         |FROM fr WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (

@@ -1,0 +1,136 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Lexical retrieval + rank fusion — the RAG-side counterpart of the
+  * ANN stack in [[graft.similarity.Knn]]: score documents against a
+  * small query set (BM25 family) and fuse lexical with semantic
+  * rankings (reciprocal-rank fusion), all oracle-exact.
+  *
+  * Portability decisions (the repo-wide no-libm rule):
+  *  - idf is the RATIONAL Robertson form `(N − df + 0.5)/(df + 0.5)`
+  *    without the log wrapper: log is not correctly rounded and
+  *    differs across libm implementations. Per term the rational form
+  *    is a monotone transform of log-idf (same per-term ordering);
+  *    the summed document score is a well-defined scoring function in
+  *    its own right — what the gate needs is that BOTH engines
+  *    compute the identical value, which exact conversions and
+  *    correctly-rounded IEEE ops guarantee.
+  *  - k1/b DEFAULTS ARE BINARY-EXACT doubles (1.25, 0.75): every
+  *    engine parses these decimal literals to the same double, where
+  *    1.2 + 1.0 computed in one engine's double vs 2.2 parsed in
+  *    another's decimal could differ in the last ulp.
+  *  - per-term weights round at 4 decimals then sum in DECIMAL(18,4),
+  *    so the aggregation is order-independent (double addition is
+  *    not associative; decimal addition is).
+  */
+object Retrieval {
+
+  /** See Dedup.spread — parallelize per-row text work past a
+    * single-file scan. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** BM25-scored top-k documents per query.
+    *
+    * Plan shape, scan-out-first: the distinct query vocabulary
+    * broadcasts into the token explode, so term frequencies are
+    * aggregated over query-vocab tokens only — the corpus-sized
+    * explode feeds ONE exchange, which AQE reuses for the df branch
+    * (same subtree, ReusedExchange — asserted in PlanSpec). Document
+    * frequencies and corpus stats are vocabulary-sized / single-row
+    * and broadcast back; the per-query ranking is a rank-filter
+    * window pruned by InferWindowGroupLimit. Nothing driver-side, no
+    * all-pairs: at 100 TB this is one corpus pass plus query-vocab-
+    * sized small tables. */
+  def bm25(docs: DataFrame, queries: DataFrame, k1: Double = 1.25,
+           b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val qterms = queries.select(col("qid"),
+      explode(tokens(col("query"))).as("term"))
+    val qvocab = qterms.select(col("term")).distinct()
+    val toks = spread(docs).select(col("doc_id"),
+        size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qvocab), "term")
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val wTerm = round(
+      idf * ((tfd * lit(k1 + 1.0)) / (tfd + lit(k1) * norm)), 4)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w_term", wTerm.cast("decimal(18,4)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("w_term")).cast("double"), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** Cosine top-k per query over an id-keyed vector table, with an
+    * explicit (qid → vector id) mapping — the semantic side of hybrid
+    * retrieval, shaped like Knn.bruteForce but addressable by query
+    * id so it can be rank-fused with a lexical ranking. Query vectors
+    * broadcast (k × dim floats); candidates stream through one scan;
+    * per-query ranking is a rank-filter window. The query vector
+    * itself is excluded from its own result. */
+  def semanticTopK(emb: DataFrame, queryVecs: Map[Long, Long],
+                   topK: Int = 10): DataFrame = {
+    require(queryVecs.nonEmpty && topK > 0, "need queries and topK > 0")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qmap = queryVecs.toSeq.sorted.toDF("qid", "vid")
+    val qv = emb.join(broadcast(qmap), col("vec_id") === col("vid"))
+      .select(col("qid"), col("vid"), col("embedding").as("qvec"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    emb.join(broadcast(qv), col("vec_id") =!= col("vid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fused score = Σ over systems of `1/(k + rank)`. Rank-based, so
+    * the two systems' score scales never need calibrating — the
+    * classic lexical+semantic hybrid-retrieval combiner. Each side
+    * contributes one correctly-rounded IEEE division; a full-outer
+    * join on (qid, item) lets an item ranked by only one system keep
+    * its single contribution (coalesce fixes the addition order, so
+    * the two-term sum is deterministic). Both inputs are already
+    * top-k (small per query); the join and re-rank are
+    * query-set-sized, not corpus-sized. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(k >= 0 && topK > 0, "need k >= 0, topK > 0")
+    def side(df: DataFrame, out: String) = df.select(col("qid"), col("item"),
+      (lit(1.0) / (col("rnk") + lit(k)).cast("double")).as(out))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf").desc, col("item"))
+    side(a, "ra").join(side(b, "rb"), Seq("qid", "item"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(col("ra"), lit(0.0)) + coalesce(col("rb"), lit(0.0)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("item"), col("rrf"))
+  }
+}

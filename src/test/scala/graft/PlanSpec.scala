@@ -123,6 +123,17 @@ class PlanSpec extends SparkSpec {
       s"the 1-row corpus totals must broadcast:\n$p")
   }
 
+  test("bm25: corpus exchange reused for the df branch; rank group-limited") {
+    val p = finalPlan(q("ret_bm25"))
+    assert(p.contains("ReusedExchange"),
+      s"the tf exchange should be reused by the df branch " +
+        s"(one corpus explode, not two):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "per-query rank filter should prune partitions before the sort")
+    assert(!p.contains("SortMergeJoin"),
+      s"query vocab / df / stats sides must broadcast, not shuffle-join:\n$p")
+  }
+
   test("shuffle shards: one exchange on shard, no global sort of the input") {
     val df = operators.Sampling.shuffleShards(
       Tables.documents(spark, sf("sf0.001")),

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "apple apple banana fig"),          // tf(apple)=2, dl=4
+    (1L, "apple banana fig cherry"),         // tf(apple)=1, dl=4
+    (2L, "banana fig cherry date"),          // no apple
+    (3L, "apple"),                           // tf=1, dl=1 (short doc boost)
+    (4L, "kiwi lime mango papaya"))
+    .toDF("doc_id", "text")
+  private val queries = Seq((1L, "apple")).toDF("qid", "query")
+
+  test("bm25: more matches rank higher; non-matching docs absent") {
+    val got = Retrieval.bm25(docs, queries).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._3).toSet == Set(0L, 1L, 3L)) // docs with 'apple'
+    // doc 3 (dl=1): tf-norm ≈ tf/(tf + k1·small) beats doc 0's dl=4
+    // but both beat doc 1 (tf=1, dl=4)
+    assert(got.last._3 == 1L, s"tf=1/dl=4 must rank last: ${got.toSeq}")
+    // scores strictly ordered with rank
+    assert(got.map(_._4).zip(got.tail.map(_._4)).forall(p => p._1 >= p._2))
+  }
+
+  test("bm25 score matches the closed-form arithmetic") {
+    val got = Retrieval.bm25(docs, queries).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // N=5, df=3, sum_dl=17, avgdl=17/5; k1=1.25, b=0.75
+    val n = 5.0; val df = 3.0; val avgdl = 17.0 / 5.0
+    def w(tf: Double, dl: Double): Double = {
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val norm = 0.25 + 0.75 * (dl / avgdl)
+      val t = idf * ((tf * 2.25) / (tf + 1.25 * norm))
+      math.rint(t * 1e4) / 1e4
+    }
+    assert(got(0L) == w(2, 4), s"doc0: ${got(0L)} vs ${w(2, 4)}")
+    assert(got(3L) == w(1, 1), s"doc3: ${got(3L)} vs ${w(1, 1)}")
+  }
+
+  test("bm25 multi-term query sums per-term weights; invariant to partitioning") {
+    val q2 = Seq((7L, "apple cherry")).toDF("qid", "query")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Retrieval.bm25(d, q2).orderBy("rnk").collect().map(_.toSeq).toSeq
+    val base = rows(docs)
+    assert(rows(docs.repartition(7)) == base)
+    // doc 1 matches both terms — must beat every single-term doc
+    assert(base.head(2) == 1L)
+  }
+
+  test("semanticTopK: identical vector ranks first, self excluded") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), // 1 duplicates 0
+      (2L, Array(0f, 1f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.semanticTopK(emb, Map(5L -> 0L), topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.forall(_._1 == 5L))
+    assert(!got.exists(_._3 == 0L), "query vector must not match itself")
+    assert(got.head._3 == 1L && got.head._4 == 1.0)
+  }
+
+  test("rrf: items ranked by both systems beat single-system items; exact values") {
+    val a = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "item", "rnk")
+    val b = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("qid", "item", "rnk")
+    val got = Retrieval.rrfFuse(a, b).orderBy("rnk").collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    def rr(r: Int) = 1.0 / (r + 60)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.head == ((10L, r6(rr(1) + rr(2))))) // both systems
+    assert(got.map(_._1).toSeq == Seq(10L, 12L, 11L))
+    assert(got(1) == ((12L, r6(rr(1)))))
+    assert(got(2) == ((11L, r6(rr(2)))))
+  }
+
+  test("rrf fusion of bm25 + semantic is partitioning-invariant") {
+    val emb = Seq.tabulate(20)(i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 10).toFloat)))
+      .toDF("vec_id", "embedding")
+    def fused(d: org.apache.spark.sql.DataFrame,
+              e: org.apache.spark.sql.DataFrame) = {
+      val lex = Retrieval.bm25(d, queries)
+        .select(col("qid"), col("doc_id").as("item"), col("rnk"))
+      val sem = Retrieval.semanticTopK(e, Map(1L -> 0L), topK = 5)
+        .select(col("qid"), col("vec_id").as("item"), col("rnk"))
+      Retrieval.rrfFuse(lex, sem).orderBy("qid", "rnk")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(fused(docs, emb) == fused(docs.repartition(5), emb.repartition(3)))
+  }
+}
