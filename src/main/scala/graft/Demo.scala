@@ -59,6 +59,22 @@ object Demo {
     println(s"docs=$nDocs rows-in-dup-groups=$exactDups delta-flagged=$flagged " +
       s"high-repetition=$lowQuality pii-spans=$pii chunks=$chunks shards=$bins")
 
+    println("--- retrieval + epoch order: bm25 -> rrf fuse -> shuffle shards ---")
+    import spark.implicits._
+    val qs = Seq((1L, "spark window agg")).toDF("qid", "query")
+    val lex = graft.text.Retrieval.bm25(docs, qs)
+    lex.show(3, truncate = false)
+    val sem = graft.text.Retrieval.semanticTopK(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), Map(1L -> 10L))
+    val fusedRet = graft.text.Retrieval.rrfFuse(
+      lex.select(col("qid"), col("doc_id").as("item"), col("rnk")),
+      sem.select(col("qid"), col("vec_id").as("item"), col("rnk")))
+    fusedRet.show(3, truncate = false)
+    val order = operators.Sampling.shuffleShards(docs, col("doc_id"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n")).orderBy("shard")
+    println("epoch-order shards: " + order.collect()
+      .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
+
     spark.stop()
   }
 }

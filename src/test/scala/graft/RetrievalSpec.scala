@@ -78,6 +78,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2) == ((11L, r6(rr(2)))))
   }
 
+  test("bm25: queries with only out-of-vocabulary terms return no rows") {
+    val q = Seq((9L, "zzz qqq")).toDF("qid", "query")
+    assert(Retrieval.bm25(docs, q).count() == 0)
+  }
+
+  test("bm25: an absent query term contributes nothing (scores unchanged)") {
+    val mixed = Retrieval.bm25(docs, Seq((9L, "apple zzz"))
+      .toDF("qid", "query")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val pure = Retrieval.bm25(docs, Seq((9L, "apple"))
+      .toDF("qid", "query")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(mixed == pure)
+  }
+
   test("rrf fusion of bm25 + semantic is partitioning-invariant") {
     val emb = Seq.tabulate(20)(i =>
       (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 10).toFloat)))
