@@ -349,4 +349,32 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == Seq((0L, 3), (1L, 3)))
     } finally q2.stop()
   }
+
+  test("streaming corpus index: df counts maintained in-flight equal the batch index") {
+    // the lexical index behind Retrieval.bm25 is two aggregates
+    // (per-(doc, term) tf, per-term df). Both are incrementally
+    // maintainable as update/complete-mode streaming aggregations —
+    // arriving docs flow through the SAME tokenization, stateful
+    // dropDuplicates dedups (doc, term) pairs across batches, and the
+    // running df equals a batch recompute at every point. (Production
+    // would watermark doc arrival time to bound the dedup state; the
+    // corpus here is tiny and unexpired.)
+    val in = MemoryStream[(Long, String)](spark)
+    val dfCounts = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+      .dropDuplicates("doc_id", "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val q = dfCounts.writeStream.format("memory").queryName("df_stream_t")
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, "apple banana"), (2L, "apple fig"))
+      q.processAllAvailable()
+      in.addData((3L, "banana apple apple")) // repeat counts once per doc
+      q.processAllAvailable()
+      val got = spark.table("df_stream_t").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("apple" -> 3L, "banana" -> 2L, "fig" -> 1L))
+    } finally q.stop()
+  }
 }
