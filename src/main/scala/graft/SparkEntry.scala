@@ -35,6 +35,23 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
 
+  /** Deterministic old/new snapshot pair for the CDC queries: the new
+    * snapshot drops keys ≡7 (mod 10), bumps the price of keys ≡3 by
+    * 100, and inserts a negated-key row for every key ≡1 — same
+    * derivation the oracle SQL replays. */
+  private def cdcSnapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(s, dir)
+    val oldS = o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val newS = o.where(pmod(col("o_orderkey"), lit(10)) =!= 7)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(pmod(col("o_orderkey"), lit(10)) === 3, col("o_totalprice") + 100)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(o.where(pmod(col("o_orderkey"), lit(10)) === 1)
+        .select((-col("o_orderkey")).as("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 0.5).as("o_totalprice")))
+    (oldS, newS)
+  }
+
   private type Q = (SparkSession, String) => DataFrame
 
   private def q(f: (SparkSession, String) => DataFrame): Q =
@@ -420,6 +437,35 @@ object SparkEntry {
           explode(graft.functions.Portable.tokens(col("text"))).as("term")),
         "lang", "term", 5)
         .orderBy("lang", "rnk")),
+    "cdc_diff" -> q((s, d) => {
+      val (oldS, newS) = cdcSnapshots(s, d)
+      operators.Cdc.snapshotDiff(oldS, newS,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+    "cdc_scd2" -> q((s, d) => {
+      val (oldS, newS) = cdcSnapshots(s, d)
+      val dim = oldS.withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+      val diff = operators.Cdc.snapshotDiff(oldS, newS,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      operators.Cdc.scd2Apply(dim, diff,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), ts = 1L)
+        .where(pmod(abs(col("o_orderkey")), lit(10)).isin(1, 3, 7))
+        .orderBy("o_orderkey", "valid_from")
+    }),
+    "cms_term_counts" -> q((s, d) => {
+      val tk = Tables.documents(s, d).select(
+        explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+      val sk = graft.functions.CountMin.sketch(tk, "term", depth = 5, width = 512)
+      val top = tk.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), col("term")).limit(20)
+      graft.functions.CountMin.estimate(sk, top, "term", depth = 5, width = 512)
+        .join(top, Seq("term"))
+        .select(col("term"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(desc("exact_cnt"), col("term"))
+    }),
     "sample_bernoulli" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 50)
@@ -1983,6 +2029,93 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "cdc_diff" ->
+      """WITH olds AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |news AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_totalprice + 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |       WHEN n.o_orderkey IS NULL THEN 'D'
+        |       WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |       THEN 'U' END AS change_type,
+        |  o.o_orderstatus AS old_o_orderstatus,
+        |  o.o_totalprice AS old_o_totalprice,
+        |  n.o_orderstatus AS new_o_orderstatus,
+        |  n.o_totalprice AS new_o_totalprice
+        |FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |ORDER BY 1""".stripMargin,
+
+    "cdc_scd2" ->
+      """WITH olds AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |news AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_totalprice + 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 1),
+        |d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         ELSE 'U' END AS change_type,
+        |    n.o_orderstatus AS new_o_orderstatus,
+        |    n.o_totalprice AS new_o_totalprice
+        |  FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey
+        |  WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |     OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |     OR o.o_totalprice IS DISTINCT FROM n.o_totalprice),
+        |applied AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CASE WHEN d.change_type IN ('U', 'D')
+        |         THEN CAST(1 AS BIGINT) END AS valid_to
+        |  FROM olds o LEFT JOIN d ON o.o_orderkey = d.o_orderkey
+        |  UNION ALL
+        |  SELECT o_orderkey, new_o_orderstatus, new_o_totalprice,
+        |    CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM d WHERE change_type IN ('I', 'U'))
+        |SELECT * FROM applied
+        |WHERE abs(o_orderkey) % 10 IN (1, 3, 7)
+        |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "cms_term_counts" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |rows_i AS (SELECT unnest(range(5)) AS row_i),
+        |cells AS (
+        |  SELECT row_i,
+        |    CAST('0x' || substr(md5(CAST(row_i AS VARCHAR) || ':' || term),
+        |         1, 13) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM tk CROSS JOIN rows_i GROUP BY 1, 2),
+        |top AS (SELECT term, count(*) AS exact_cnt FROM tk GROUP BY 1
+        |        ORDER BY exact_cnt DESC, term LIMIT 20),
+        |est AS (
+        |  SELECT t.term, min(coalesce(c.cnt, 0)) AS cms_est
+        |  FROM top t CROSS JOIN rows_i r
+        |  LEFT JOIN cells c ON c.row_i = r.row_i AND c.bucket =
+        |    CAST('0x' || substr(md5(CAST(r.row_i AS VARCHAR) || ':' || t.term),
+        |         1, 13) AS BIGINT) % 512
+        |  GROUP BY 1)
+        |SELECT t.term, t.exact_cnt, e.cms_est,
+        |  e.cms_est - t.exact_cnt AS overcount
+        |FROM top t JOIN est e USING (term)
+        |ORDER BY t.exact_cnt DESC, t.term""".stripMargin,
 
     "sample_bernoulli" ->
       """SELECT count(*) AS n,

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture primitives for snapshot-based ingest: diff two
+  * keyed snapshots into an I/U/D change set, and apply a change set
+  * to a slowly-changing-dimension (SCD type 2) history table.
+  *
+  * Scale posture (100 TB): [[snapshotDiff]] is ONE key-partitioned
+  * full-outer join — the minimal plan for a diff; both sides shuffle
+  * once on the key and AQE picks sort-merge vs broadcast from actual
+  * sizes. Watched columns travel as a single struct, so adding
+  * columns widens the row but never adds joins. [[scd2Apply]] joins
+  * the (small) change set against only the OPEN slice of the history
+  * table: closed versions stream through untouched with no join at
+  * all, so cost is proportional to the live dimension + change batch,
+  * not to accumulated history.
+  */
+object Cdc {
+
+  /** Diff `newDf` against `oldDf` on `keys`, watching `watch` columns.
+    * Returns one row per changed key: the keys, `change_type`
+    * ('I'nsert | 'U'pdate | 'D'elete), and `old_<c>` / `new_<c>` for
+    * every watched column (null on the absent side of an I/D).
+    * Unchanged keys (null-safe equality over ALL watched columns) are
+    * dropped. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keys: Seq[String], watch: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && watch.nonEmpty, "cdc: keys and watch must be non-empty")
+    val o = oldDf.select(keys.map(col) :+ struct(watch.map(col): _*).as("__old"): _*)
+    val n = newDf.select(keys.map(col) :+ struct(watch.map(col): _*).as("__new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__old").isNull, lit("I"))
+          .when(col("__new").isNull, lit("D"))
+          .when(!(col("__old") <=> col("__new")), lit("U")))
+      .where(col("change_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_type")) ++
+        watch.map(c => col(s"__old.$c").as(s"old_$c")) ++
+        watch.map(c => col(s"__new.$c").as(s"new_$c")): _*)
+  }
+
+  /** Apply a [[snapshotDiff]]-shaped change set to an SCD2 history
+    * table at version time `ts`. `dim` carries `watch` plus
+    * `valid_from`/`valid_to` (BIGINT version stamps; open = null
+    * valid_to). Per change: U/D close the open version at `ts`; I/U
+    * open a new version (`new_<c>` values, valid_from = ts). Closed
+    * history rows and untouched open rows pass through unchanged. */
+  def scd2Apply(dim: DataFrame, changes: DataFrame,
+                keys: Seq[String], watch: Seq[String], ts: Long): DataFrame = {
+    val closed = dim.where(col("valid_to").isNotNull)
+    val open = dim.where(col("valid_to").isNull)
+    val byKey = changes.select(
+      keys.map(col) :+ col("change_type") :+
+        struct(watch.map(c => col(s"new_$c").as(c)): _*).as("__new"): _*)
+    // close the open version of every touched key (U and D alike)
+    val openAfter = open.join(byKey.select(keys.map(col) :+ col("change_type"): _*),
+        keys, "left")
+      .withColumn("valid_to",
+        when(col("change_type").isin("U", "D"), lit(ts))
+          .otherwise(col("valid_to")))
+      .drop("change_type")
+    // open a fresh version for every I and U
+    val opened = byKey.where(col("change_type").isin("I", "U"))
+      .select(keys.map(col) ++ watch.map(c => col(s"__new.$c").as(c)): _*)
+      .withColumn("valid_from", lit(ts))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+    closed.unionByName(openAfter).unionByName(opened)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Cdc
+
+/** Snapshot-diff / SCD2 semantics on hand-built snapshots: exact
+  * I/U/D classification, null-safe watched-column comparison, and the
+  * version algebra of repeated applies. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val oldS = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, null: String, 40.0))
+    .toDF("k", "status", "price")
+  private lazy val newS = Seq(
+    (1L, "a", 10.0),            // unchanged
+    (2L, "b", 25.0),            // price update
+    (4L, null: String, 40.0),   // unchanged with a null watched col
+    (5L, "e", 50.0))            // insert; 3 deleted
+    .toDF("k", "status", "price")
+
+  test("diff classifies I/U/D and drops unchanged keys (null-safe)") {
+    val got = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("status", "price"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "U"), (3L, "D"), (5L, "I")))
+  }
+
+  test("diff of a snapshot against itself is empty") {
+    assert(Cdc.snapshotDiff(newS, newS, Seq("k"), Seq("status", "price")).isEmpty)
+  }
+
+  test("scd2 apply closes updated/deleted versions and opens new ones") {
+    val dim = oldS.withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+    val diff = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("status", "price"))
+    val after = Cdc.scd2Apply(dim, diff, Seq("k"), Seq("status", "price"), ts = 1L)
+    val rows = after.orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 10.0, 0L, -1L),            // untouched, still open
+      (2L, 20.0, 0L, 1L),             // closed at ts=1
+      (2L, 25.0, 1L, -1L),            // new open version
+      (3L, 30.0, 0L, 1L),             // delete: closed, nothing reopened
+      (4L, 40.0, 0L, -1L),            // untouched (null watched col)
+      (5L, 50.0, 1L, -1L)))           // insert: open at ts=1
+  }
+
+  test("scd2 apply with the open slice reflecting newS then re-diffing is a fixpoint") {
+    val dim = oldS.withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+    val diff = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("status", "price"))
+    val after = Cdc.scd2Apply(dim, diff, Seq("k"), Seq("status", "price"), ts = 1L)
+    // the open slice IS the new snapshot — so diffing again yields nothing
+    val open = after.where(col("valid_to").isNull).select("k", "status", "price")
+    assert(Cdc.snapshotDiff(open, newS, Seq("k"), Seq("status", "price")).isEmpty)
+  }
+}
