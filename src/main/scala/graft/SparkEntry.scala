@@ -513,6 +513,11 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
+    "graph_pagerank" -> q((s, d) =>
+      operators.GraphOps.pageRank(
+          Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"),
+          iterations = 10)
+        .orderBy(desc("pr"), col("node")).limit(50)),
     "dedup_embedding_cosine" -> q((s, d) =>
       Knn.nearDupPairs(Tables.embeddings(s, d))),
 
@@ -2262,6 +2267,45 @@ object SparkEntry {
          |ham AS (SELECT id1, id2, $hammingTerms AS hamming FROM pairs)
          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    "graph_pagerank" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      // the fixed-iteration integer recurrence, unrolled: recursive
+      // CTEs restrict aggregation in the recursive term, so ten
+      // mechanical CTE steps replay pr0..pr10 exactly
+      val iterCtes = (1 to 10).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node,
+           |    (1000000000000 * 15) // 100 // (SELECT n_nodes FROM nn) +
+           |    (85 * coalesce(c.s, CAST(0 AS BIGINT))) // 100 AS pr
+           |  FROM nodesv n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+           |    FROM edges e
+           |      JOIN pr${i - 1} p ON p.node = e.src
+           |      JOIN deg dg ON dg.src = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SimhashSql,
+         |pre AS (SELECT doc_id, simhash16, substr(simhash16, 1, 8) AS prefix FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM ed0
+         |          UNION SELECT id2, id1 FROM ed0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodesv AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodesv),
+         |pr0 AS (SELECT node, 1000000000000 // (SELECT n_nodes FROM nn) AS pr
+         |        FROM nodesv),
+         |$iterCtes
+         |SELECT node, pr FROM pr10
+         |ORDER BY pr DESC, node LIMIT 50""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->

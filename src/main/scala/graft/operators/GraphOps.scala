@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames — the second
+  * graph family next to Dedup.nearDupClusters (label propagation).
+  * PageRank here scores nodes of the near-dup similarity graph:
+  * within a duplicate cluster the highest-rank node is the natural
+  * canonical representative (most-connected copy), a standard
+  * curation signal when picking which duplicate to KEEP.
+  *
+  * All arithmetic is scaled-integer with floor division, so every
+  * iteration is engine-exact and partitioning-invariant: no float
+  * accumulation, no rounding-mode ambiguity — the DuckDB oracle
+  * replays the identical recurrence and the gate hash-matches.
+  *
+  * Scale posture (100 TB): each iteration is one join of the edge
+  * list against the rank vector (both partitioned by src) plus one
+  * groupBy(dst) — the canonical distributed PageRank shape; the edge
+  * list is materialized ONCE up front so the (possibly expensive)
+  * pair-producing pipeline doesn't re-execute per round, and each
+  * round's rank vector is materialized to truncate lineage (reliable
+  * checkpoint when a checkpoint dir is set, localCheckpoint
+  * otherwise — same policy as Dedup). The node count enters as a
+  * 1-row broadcast aggregate (crossJoin idiom), never a driver
+  * collect. */
+object GraphOps {
+
+  /** See Dedup.materialize — same tradeoff, same policy. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Fixed-iteration PageRank over an UNDIRECTED edge list `pairs`
+    * (columns id1, id2; symmetrized and deduplicated internally).
+    * Returns (node, pr) where pr is the rank scaled by `scale`:
+    * pr₀ = scale/n, prₖ₊₁(v) = (scale·(1−d))/n + d·Σᵤ→ᵥ prₖ(u)/deg(u),
+    * d = dampNum/dampDen, every division a floor division. */
+  def pageRank(pairs: DataFrame, iterations: Int = 10,
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRank: need at least one iteration")
+    require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
+    val edges = materialize(
+      pairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nDf = nodes.agg(count(lit(1)).as("n_nodes")) // 1-row broadcast
+    var pr = materialize(nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$scale div n_nodes").as("pr")))
+    for (_ <- 1 to iterations) {
+      val contrib = pr.join(deg, pr("node") === deg("src"))
+        .select(deg("src").as("csrc"), expr("pr div deg").as("contrib"))
+      val inbound = edges.join(contrib, edges("src") === col("csrc"))
+        .groupBy(col("dst")).agg(sum("contrib").as("in_sum"))
+      pr = materialize(nodes
+        .join(inbound, nodes("node") === inbound("dst"), "left")
+        .crossJoin(nDf)
+        .select(col("node"),
+          (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
+            expr(s"($dampNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr")))
+    }
+    pr
+  }
+}

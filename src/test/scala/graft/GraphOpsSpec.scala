@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+
+/** Integer-exact PageRank: structural sanity (symmetry, hubs win),
+  * partitioning invariance, and mass accounting under floor
+  * division. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("path graph a-b-c: endpoints tie, middle node ranks highest") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val pr = GraphOps.pageRank(pairs, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) == pr(3L), "symmetric endpoints must tie exactly")
+    assert(pr(2L) > pr(1L), "the middle node has both endpoints feeding it")
+  }
+
+  test("star graph: the hub outranks every leaf; leaves tie") {
+    val pairs = (2L to 6L).map(l => (1L, l)).toDF("id1", "id2")
+    val pr = GraphOps.pageRank(pairs, iterations = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val leaves = (2L to 6L).map(pr)
+    assert(leaves.distinct.size == 1, "leaves are interchangeable")
+    assert(pr(1L) > leaves.head)
+  }
+
+  test("partitioning invariance: identical ranks at 1 and 7 partitions") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 300).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val a = GraphOps.pageRank(pairs.repartition(1), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = GraphOps.pageRank(pairs.repartition(7), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("mass is conserved up to floor-division loss: sum(pr) in (scale - n·(iters+2), scale]") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("id1", "id2")
+    val iters = 10
+    val total = GraphOps.pageRank(pairs, iters).agg(sum("pr")).collect()(0).getLong(0)
+    // floor-division loss per iteration < Σdeg (contrib divs) + n
+    // (damping div) + n+1 (base div) = 10+4+5 = 19 for this graph;
+    // 1000 over-covers 10 iterations + init — still 1e-9 of scale
+    val maxLoss = 1000L
+    assert(total <= Scale && total > Scale - maxLoss, s"total=$total")
+  }
+}
