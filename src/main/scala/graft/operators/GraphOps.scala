@@ -37,12 +37,20 @@ object GraphOps {
     * (columns id1, id2; symmetrized and deduplicated internally).
     * Returns (node, pr) where pr is the rank scaled by `scale`:
     * pr₀ = scale/n, prₖ₊₁(v) = (scale·(1−d))/n + d·Σᵤ→ᵥ prₖ(u)/deg(u),
-    * d = dampNum/dampDen, every division a floor division. */
+    * d = dampNum/dampDen, every division a floor division.
+    *
+    * The rank lineage is a CHAIN (each prₖ feeds only prₖ₊₁), so
+    * per-round materialization would only add a full job per round —
+    * instead the edge list materializes once and the rank vector only
+    * every `checkpointEvery` rounds, bounding both plan depth and the
+    * recomputation a lost executor could trigger at scale. */
   def pageRank(pairs: DataFrame, iterations: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
+    require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
     val edges = materialize(
       pairs.select(col("id1").as("src"), col("id2").as("dst"))
         .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
@@ -50,20 +58,25 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val nDf = nodes.agg(count(lit(1)).as("n_nodes")) // 1-row broadcast
-    var pr = materialize(nodes.crossJoin(nDf)
-      .select(col("node"), expr(s"$scale div n_nodes").as("pr")))
-    for (_ <- 1 to iterations) {
-      val contrib = pr.join(deg, pr("node") === deg("src"))
-        .select(deg("src").as("csrc"), expr("pr div deg").as("contrib"))
-      val inbound = edges.join(contrib, edges("src") === col("csrc"))
-        .groupBy(col("dst")).agg(sum("contrib").as("in_sum"))
-      pr = materialize(nodes
-        .join(inbound, nodes("node") === inbound("dst"), "left")
+    var pr = nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$scale div n_nodes").as("pr"))
+    for (i <- 1 to iterations) {
+      // alias-qualified joins: after round 1 the rank vector's lineage
+      // contains edges/deg themselves, so unqualified Dataset-column
+      // references would be ambiguous self-join attributes
+      val contrib = pr.as("p").join(deg.as("g"), col("p.node") === col("g.src"))
+        .select(col("g.src").as("csrc"), expr("pr div deg").as("contrib"))
+      val inbound = edges.as("e").join(contrib.as("c"), col("e.src") === col("c.csrc"))
+        .groupBy(col("e.dst")).agg(sum("contrib").as("in_sum"))
+        .select(col("dst").as("idst"), col("in_sum"))
+      pr = nodes.as("n")
+        .join(inbound.as("i"), col("n.node") === col("i.idst"), "left")
         .crossJoin(nDf)
         .select(col("node"),
           (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
             expr(s"($dampNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("pr")))
+            .as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
     pr
   }
