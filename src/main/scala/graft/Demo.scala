@@ -59,6 +59,21 @@ object Demo {
     println(s"docs=$nDocs rows-in-dup-groups=$exactDups delta-flagged=$flagged " +
       s"high-repetition=$lowQuality pii-spans=$pii chunks=$chunks shards=$bins")
 
+    println("--- canonical pick: near-dup clusters x PageRank ---")
+    // within each duplicate cluster, keep the most-connected copy:
+    // cluster membership from label propagation, the keep-choice from
+    // PageRank over the SAME similarity graph (ties -> min doc_id)
+    val pairs = Dedup.simhashPairs(docs).select("id1", "id2").localCheckpoint()
+    val clusters = Dedup.nearDupClusters(pairs)
+    val pr = operators.GraphOps.pageRank(pairs, iterations = 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("pr").desc, col("doc_id"))
+    val canonical = clusters.join(pr, clusters("doc_id") === pr("node"))
+      .select(col("cluster_id"), col("doc_id"), col("pr"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    println(s"clusters=${canonical.count()} canonical picks, e.g.:")
+    canonical.orderBy(col("pr").desc).show(3, truncate = false)
+
     println("--- retrieval + epoch order: bm25 -> rrf fuse -> shuffle shards ---")
     import spark.implicits._
     val qs = Seq((1L, "spark window agg")).toDF("qid", "query")

@@ -51,6 +51,27 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[sketch]] from PRE-AGGREGATED (item, weight) rows: cell counts
+    * are weight sums, mathematically identical to feeding the raw
+    * stream (a counter matrix aggregates whatever lands in the cell).
+    * Feeding an existing per-item aggregate instead of the raw stream
+    * shrinks the sketch input from stream-sized to vocabulary-sized —
+    * and when the same aggregate also feeds the exact/top-k branch of
+    * a query, the plans share one exchange (AQE ReuseExchange), so
+    * the underlying table is scanned ONCE. */
+  def sketchWeighted(counts: DataFrame, itemCol: String, weightCol: String,
+                     depth: Int = 5, width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, "count-min needs depth >= 1, width >= 2")
+    counts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row_i"),
+        col(itemCol).as("__cms_item"), col(weightCol).as("__cms_w"))
+      .select(col("row_i"),
+        bucketExpr(col("row_i"), col("__cms_item"), width).as("bucket"),
+        col("__cms_w"))
+      .groupBy("row_i", "bucket")
+      .agg(sum("__cms_w").as("cnt"))
+  }
+
   /** Point-estimate the count of each `candidates` row's `itemCol`:
     * min over the depth rows of the matching cell. `sk` is tiny
     * (≤ depth×width rows) and is broadcast — the only shuffle is the

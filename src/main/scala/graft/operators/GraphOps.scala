@@ -51,31 +51,32 @@ object GraphOps {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
-    val edges = materialize(
-      pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .distinct())
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    // degree travels WITH each edge: one materialized (src, dst, deg)
+    // relation means each round is a single join + a single groupBy —
+    // the division per edge row recomputes a per-src constant, which
+    // is free next to the exchange it avoids
+    val edgesDeg = materialize(edges.as("e")
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src"))
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val nDf = nodes.agg(count(lit(1)).as("n_nodes")) // 1-row broadcast
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$scale div n_nodes").as("pr"))
     for (i <- 1 to iterations) {
-      // alias-qualified joins: after round 1 the rank vector's lineage
-      // contains edges/deg themselves, so unqualified Dataset-column
-      // references would be ambiguous self-join attributes
-      val contrib = pr.as("p").join(deg.as("g"), col("p.node") === col("g.src"))
-        .select(col("g.src").as("csrc"), expr("pr div deg").as("contrib"))
-      val inbound = edges.as("e").join(contrib.as("c"), col("e.src") === col("c.csrc"))
-        .groupBy(col("e.dst")).agg(sum("contrib").as("in_sum"))
-        .select(col("dst").as("idst"), col("in_sum"))
-      pr = nodes.as("n")
-        .join(inbound.as("i"), col("n.node") === col("i.idst"), "left")
+      // alias-qualified join: after round 1 the rank vector's lineage
+      // contains edgesDeg itself, so unqualified Dataset-column
+      // references would be ambiguous self-join attributes. Every node
+      // of an undirected graph has in-edges, so the groupBy(dst)
+      // already covers the full node set — no dangling-node re-join.
+      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
         .crossJoin(nDf)
-        .select(col("node"),
+        .select(col("dst").as("node"),
           (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
-            expr(s"($dampNum * coalesce(in_sum, CAST(0 AS BIGINT))) div $dampDen"))
-            .as("pr"))
+            expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
     pr

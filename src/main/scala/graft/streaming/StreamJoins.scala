@@ -3,9 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Stream-stream joins with bounded state — the missing piece between
-  * the stream-static joins (dedup_delta) and the stateful per-key ops
-  * (StatefulOps): correlate two live streams (impression→click,
+/** Stream-stream joins with bounded state — the schema-generic form
+  * of [[MouseStream.correlate]] (fixed mouse schema, inner only):
+  * arbitrary key/time columns, configurable range, and the outer
+  * flavors, for correlating two live streams (impression→click,
   * order→fulfillment) without ever materializing either.
   *
   * Spark's engine keeps both sides' state and emits matches as rows

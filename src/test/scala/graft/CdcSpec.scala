@@ -48,6 +48,42 @@ class CdcSpec extends SparkSpec {
       (5L, 50.0, 1L, -1L)))           // insert: open at ts=1
   }
 
+  test("scd2 applies change batches arriving on a stream (foreachBatch upsert)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val changes = MemoryStream[(Long, String, String, Double)](spark)
+    // version 0 of the dimension
+    var dim = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "status", "price")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+    val query = changes.toDF()
+      .toDF("k", "change_type", "new_status", "new_price")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // each micro-batch is one dimension version; localCheckpoint
+        // truncates the accreting lineage batch-over-batch
+        dim = graft.operators.Cdc.scd2Apply(dim, batch,
+          Seq("k"), Seq("status", "price"), ts = id + 1).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      changes.addData((2L, "U", "b", 25.0), (3L, "I", "c", 30.0))
+      query.processAllAvailable()
+      changes.addData((1L, "D", null, 0.0), (3L, "U", "c", 35.0))
+      query.processAllAvailable()
+      val rows = dim.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))
+      assert(rows.toSeq == Seq(
+        (1L, 10.0, 0L, 2L),   // deleted in batch 2 → closed at ts=2
+        (2L, 20.0, 0L, 1L),   // updated in batch 1 → closed at ts=1
+        (2L, 25.0, 1L, -1L),  // current version
+        (3L, 30.0, 1L, 2L),   // inserted at ts=1, updated at ts=2
+        (3L, 35.0, 2L, -1L))) // current version
+    } finally query.stop()
+  }
+
   test("scd2 apply with the open slice reflecting newS then re-diffing is a fixpoint") {
     val dim = oldS.withColumn("valid_from", lit(0L))
       .withColumn("valid_to", lit(null).cast("bigint"))

@@ -39,6 +39,13 @@ class CountMinSpec extends SparkSpec {
     assert(cells(terms) == merged)
   }
 
+  test("weighted sketch over per-item counts equals the raw-stream sketch") {
+    val counts = terms.groupBy("term").agg(count(lit(1)).as("w"))
+    val weighted = CountMin.sketchWeighted(counts, "term", "w", depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(weighted == cells(terms))
+  }
+
   test("estimates never under-count, and are exact when a cell is collision-free") {
     val sk = CountMin.sketch(terms, "term", depth, width)
     val exact = terms.groupBy("term").agg(count(lit(1)).as("exact")).as("e")

@@ -40,6 +40,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("canonical pick composition: per-cluster argmax(pr) selects each cluster's hub") {
+    import org.apache.spark.sql.expressions.Window
+    // two disjoint stars — cluster ids are the min member label
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (10L, 12L))
+      .toDF("id1", "id2")
+    val clusters = graft.dedup.Dedup.nearDupClusters(pairs)
+    val pr = GraphOps.pageRank(pairs, iterations = 10)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("pr").desc, col("doc_id"))
+    val picks = clusters.join(pr, clusters("doc_id") === pr("node"))
+      .select(col("cluster_id"), col("doc_id"), col("pr"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(picks == Map(1L -> 1L, 10L -> 10L))
+  }
+
   test("mass is conserved up to floor-division loss: sum(pr) in (scale - n·(iters+2), scale]") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)).toDF("id1", "id2")
     val iters = 10
