@@ -437,6 +437,12 @@ object SparkEntry {
           explode(graft.functions.Portable.tokens(col("text"))).as("term")),
         "lang", "term", 5)
         .orderBy("lang", "rnk")),
+    "agg_hist_quantiles" -> q((s, d) => {
+      val h = graft.functions.HistogramSketch.histogram(
+        Tables.lineitem(s, d), "l_extendedprice", 1000.0)
+      graft.functions.HistogramSketch.quantiles(h, Seq(0.5, 0.9, 0.99), 1000.0)
+        .orderBy("q")
+    }),
     "cdc_diff" -> q((s, d) => {
       val (oldS, newS) = cdcSnapshots(s, d)
       operators.Cdc.snapshotDiff(oldS, newS,
@@ -2041,6 +2047,24 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "agg_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+        |c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS cum FROM h),
+        |qs AS (SELECT CAST(unnest(['0.5', '0.9', '0.99']) AS DOUBLE) AS q),
+        |sel AS (
+        |  SELECT q, nt.n, min(bin) AS qbin
+        |  FROM c CROSS JOIN nt CROSS JOIN qs
+        |  WHERE cum >= CAST(ceil(q * nt.n) AS BIGINT)
+        |  GROUP BY q, nt.n)
+        |SELECT q, n, CAST(qbin + 1 AS DOUBLE) * 1000.0 AS est
+        |FROM sel ORDER BY q""".stripMargin,
 
     "cdc_diff" ->
       """WITH olds AS (

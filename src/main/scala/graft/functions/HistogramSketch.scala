@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-bin histogram sketch: the bounded-state, MERGEABLE quantile
+  * estimator next to the exact `percentile` aggregate (full sort,
+  * unbounded state) and the deterministic-sample quantiles
+  * (`sample_quantiles`, bounded but not mergeable).
+  *
+  * The sketch is the relation (bin, cnt) with bin = floor(v/width) —
+  * an ordinary groupBy, so it is map-side combinable, additive under
+  * union (same argument as [[CountMin]]), and its size is bounded by
+  * the value RANGE over the bin width, independent of row count. A
+  * quantile estimate is the upper edge of the first bin whose
+  * cumulative count reaches ceil(q·n): a deterministic rule with
+  * error ≤ one bin width, reproducible bit-for-bit in any engine —
+  * no interpolation, no float accumulation (counts are longs; the
+  * only float op is the final edge multiply).
+  *
+  * Scale posture (100 TB): the histogram exchange carries bins, not
+  * rows; the quantile pass is a window cumsum over the bin table
+  * (range-sized, tiny). At petabyte row counts this answers p50/p99
+  * in one scan + one bin-table pass where exact percentile would
+  * sort-shuffle every value. */
+object HistogramSketch {
+
+  /** Build the (bin, cnt) histogram of `valueCol` at `binWidth`. */
+  def histogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "histogram: binWidth must be positive")
+    df.select(floor(col(valueCol) / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate quantiles `qs` (each in (0, 1]) from a histogram:
+    * per q, the upper edge of the first bin whose cumulative count
+    * reaches ceil(q·n). Returns (q, n, est) rows. */
+  def quantiles(hist: DataFrame, qs: Seq[Double], binWidth: Double): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles: each q must be in (0, 1]")
+    val spark = hist.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    // cumulative counts over the bin table — range-sized, so the
+    // unpartitioned window is a non-issue by construction
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(hist.agg(sum("cnt").as("n"))) // 1-row broadcast
+    val qDf = spark.createDataFrame(
+      qs.map(q => Tuple1(q))).toDF("q")
+    cum.crossJoin(broadcast(qDf))
+      .where(col("cum") >= ceil(col("q") * col("n")).cast("long"))
+      .groupBy(col("q"), col("n"))
+      .agg(min("bin").as("__qbin"))
+      .select(col("q"), col("n"),
+        ((col("__qbin") + 1).cast("double") * binWidth).as("est"))
+  }
+}

@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
       s"pair expansion and member explode should share one exchange:\n$p")
   }
 
+  test("cms: the per-term aggregate exchange is shared by sketch, top-k and exact branches") {
+    val p = finalPlan(q("cms_term_counts"))
+    assert(p.contains("ReusedExchange"),
+      s"sketch/top-k/exact must consume ONE term aggregate (one scan):\n$p")
+  }
+
+  test("pagerank: rank vector broadcasts against the edge list each round") {
+    val p = finalPlan(q("graph_pagerank"))
+    assert(!p.contains("SortMergeJoin"),
+      s"at bench scale the rank vector should broadcast (AQE):\n$p")
+  }
+
   test("q11: scalar-subquery threshold is a broadcast, not a driver collect") {
     val p = finalPlan(q("q11_part_value"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
