@@ -82,7 +82,13 @@ object Portable {
   /** 52-bit portable hash: first 13 hex chars of md5 as a long —
     * inside the double-exact range, so ratios of hash values are
     * engine-identical. DuckDB mirror:
-    * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`. */
+    * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`. Routes through
+    * the native [[Hash52]] kernel (no hex round trip); [[hash52Ref]]
+    * is the declarative reference it is tested against. */
   def hash52(c: Column): Column =
+    call_function("graft_hash52", c.cast("string"))
+
+  /** Declarative reference formulation of [[hash52]]. */
+  def hash52Ref(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 13), 16, 10).cast("long")
 }

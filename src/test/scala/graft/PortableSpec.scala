@@ -21,6 +21,23 @@ class PortableSpec extends SparkSpec {
     }
   }
 
+  test("hash52 native kernel equals the declarative md5-hex reference on varied inputs") {
+    val rnd = new scala.util.Random(99)
+    val inputs = (1 to 500).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "0", "-1", "3:abc", "é中文", "a|b|c")
+    val rows = inputs.distinct.toDF("s")
+      .select(Portable.hash52(col("s")).as("native"),
+        Portable.hash52Ref(col("s")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // and on a non-string input (the cast path)
+    val num = Seq(42L, -7L, 0L).toDF("n")
+      .select(Portable.hash52(col("n")).as("native"),
+        Portable.hash52Ref(col("n")).as("ref")).collect()
+    num.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine: self-similarity is 1, symmetric, in [-1, 1]") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
