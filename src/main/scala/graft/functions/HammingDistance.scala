@@ -81,6 +81,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash52", exprs => Hash52(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash64", exprs => Hash64(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash", exprs => MinHashSig(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => ShingleArray(exprs(0)), "built-in")

@@ -48,6 +48,33 @@ case class Hash52(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[Hash52]]'s 64-bit sibling: the first 16 hex digits of md5 as one
+  * long (bytes 0-7 big-endian; may be negative as a signed long). Its
+  * unsigned high/low 32-bit halves are the classic double-hash pair
+  * (h1, h2) — [[graft.operators.BloomJoin]] derives both from ONE
+  * digest with two shifts instead of two hex-substring parses. */
+case class Hash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    Hash52.digest64(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hash52$$.MODULE$$.digest64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash64 =
+    copy(child = newChild)
+}
+
 object Hash52 {
   // MessageDigest is stateful; one instance per thread, reset per use
   private val mdPool: ThreadLocal[MessageDigest] =
@@ -63,5 +90,16 @@ object Hash52 {
       ((d(2) & 0xFFL) << 28) | ((d(3) & 0xFFL) << 20) |
       ((d(4) & 0xFFL) << 12) | ((d(5) & 0xFFL) << 4) |
       ((d(6) & 0xF0L) >>> 4)
+  }
+
+  /** First 16 hex digits of md5(s) as one (possibly negative) long. */
+  def digest64(s: UTF8String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
   }
 }

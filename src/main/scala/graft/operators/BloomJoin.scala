@@ -84,16 +84,19 @@ object BloomJoin {
       .head()
   }
 
-  /** Catalyst-side membership probe — built-in expressions only
-    * (md5/conv/shiftright/bitwise), so it runs inside whole-stage
-    * codegen and pushes no UDF into the hot path. NULL keys probe as
-    * NULL and are filtered out (SQL semi-join semantics). */
+  /** Catalyst-side membership probe — codegen expressions only, so it
+    * runs inside whole-stage codegen and pushes no UDF into the hot
+    * path. The (h1, h2) double-hash pair is the unsigned high/low
+    * half of ONE native `graft_hash64` digest (same value as the two
+    * hex-substring parses it replaces; codegen subexpression
+    * elimination evaluates the shared digest once). NULL keys probe
+    * as NULL and are filtered out (SQL semi-join semantics). */
   def mightContain(bits: Array[Long], key: Column, numBits: Int,
                    numHashes: Int): Column = {
     val bitsCol = typedLit(bits)
-    val hex = md5(key.cast("string"))
-    val h1 = conv(substring(hex, 1, 8), 16, 10).cast("long")
-    val h2 = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    val h64 = call_function("graft_hash64", key.cast("string"))
+    val h1 = shiftrightunsigned(h64, 32)
+    val h2 = h64.bitwiseAND(lit(0xFFFFFFFFL))
     (0 until numHashes).map { i =>
       val idx = pmod(h1 + lit(i.toLong) * h2, lit(numBits.toLong))
       val word = element_at(bitsCol, (idx / 64).cast("int") + 1)

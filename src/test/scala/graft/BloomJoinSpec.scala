@@ -66,8 +66,8 @@ class BloomJoinSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(p.contains("LeftSemi"), s"missing semi join:\n$p")
-    // the md5 probe must appear in a Filter, not inside the join itself
-    assert("Filter .*md5".r.findFirstIn(p).isDefined,
+    // the digest probe must appear in a Filter, not inside the join itself
+    assert("Filter .*(graft_hash64|md5)".r.findFirstIn(p).isDefined,
       s"bloom probe filter missing from the plan:\n$p")
   }
 }
