@@ -44,7 +44,12 @@ object Soak {
     "doc_tfidf_terms", "doc_collocations", "doc_shuffle_shards",
     // retrieval: one corpus pass + broadcast query vocab, then
     // query-set-sized fusion — ratio should be scan-bound
-    "ret_bm25", "ret_rrf_hybrid")
+    "ret_bm25", "ret_rrf_hybrid",
+    // round-4 session-2 additions: iterative graph rounds (pagerank),
+    // the shared-aggregate sketch, the full-outer diff + SCD2 apply,
+    // and the bin-table quantile pass
+    "graph_pagerank", "cms_term_counts", "cdc_diff", "cdc_scd2",
+    "agg_hist_quantiles")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

@@ -63,6 +63,31 @@ class CountMinSpec extends SparkSpec {
     assert(perRow.length == depth && perRow.forall(_ == n))
   }
 
+  test("the sketch maintains incrementally on a stream: final cells equal the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    // the same declarative cell formulation, in update mode — a
+    // streaming groupBy IS the incremental sketch maintenance
+    val cellsStream = CountMin.sketch(
+      input.toDF().toDF("term"), "term", depth, width)
+    val query = cellsStream.writeStream.format("memory")
+      .queryName("cms_stream").outputMode("update").start()
+    try {
+      val (a, b) = termSeq.splitAt(1700)
+      input.addData(a: _*)
+      query.processAllAvailable()
+      input.addData(b: _*)
+      query.processAllAvailable()
+      // update mode re-emits revised cells; the max per cell is the
+      // current value (counts only grow)
+      val streamed = spark.table("cms_stream")
+        .groupBy("row_i", "bucket")
+        .agg(max("cnt").as("cnt")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == cells(terms))
+    } finally query.stop()
+  }
+
   test("unseen items estimate from empty cells as >= 0 (never negative, usually 0 at wide width)") {
     val sk = CountMin.sketch(terms, "term", depth, width = 4096)
     val unseen = Seq("never-seen-a", "never-seen-b").toDF("term")
