@@ -173,6 +173,21 @@ object SparkEntry {
         .orderBy("event_type", "user_id")),
     "join_range_bands" -> q((s, d) =>
       Relational.priceBandCounts(Tables.orders(s, d)).orderBy("band")),
+    "join_session_overlap" -> q((s, d) => {
+      val sess = Movements.sessionBounds(ev(s, d), SessionGapSec)
+      val l = sess.select(col("user_id").as("u1"),
+        col("min_us").as("lo1"), (col("max_us") + 1).as("hi1"))
+      val r = sess.select(col("user_id").as("u2"),
+        col("min_us").as("lo2"), (col("max_us") + 1).as("hi2"))
+      operators.RangeJoin.intervalOverlap(
+          l, r, "lo1", "hi1", "lo2", "hi2", binWidth = 600000000.0)
+        .where(col("u1") < col("u2"))
+        .groupBy("u1", "u2")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("hi1"), col("hi2")) -
+            greatest(col("lo1"), col("lo2"))).as("overlap_us"))
+        .orderBy("u1", "u2")
+    }),
     "join_range_binned" -> q((s, d) => {
       import s.implicits._
       val bands = (0 until 8)
@@ -2047,6 +2062,31 @@ object SparkEntry {
         |      FROM c)
         |SELECT lang, term, cnt, rnk FROM r WHERE rnk <= 5
         |ORDER BY lang, rnk""".stripMargin,
+
+    "join_session_overlap" ->
+      s"""WITH $EV,
+         |g AS (
+         |  SELECT user_id, ts_us, event_id,
+         |    CASE WHEN lag(ts_us) OVER lw IS NULL
+         |           OR ts_us - lag(ts_us) OVER lw > ${SessionGapSec}000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM g),
+         |sb AS (
+         |  SELECT user_id, session_id, min(ts_us) AS lo, max(ts_us) + 1 AS hi
+         |  FROM s GROUP BY 1, 2)
+         |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps,
+         |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+         |    AS overlap_us
+         |FROM sb a JOIN sb b
+         |  ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "agg_hist_quantiles" ->
       """WITH h AS (

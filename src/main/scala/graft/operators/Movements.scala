@@ -301,7 +301,15 @@ object Movements {
     * reference's implicit per-poll batching to a real session op).
     * A new session starts when the gap to the previous event of the
     * same user exceeds `gapSec`. */
-  def sessions(events: DataFrame, gapSec: Long): DataFrame = {
+  def sessions(events: DataFrame, gapSec: Long): DataFrame =
+    sessionBounds(events, gapSec)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        expr("(max_us - min_us) div 1000000").as("duration_sec"))
+
+  /** The gap-based sessionization with its time BOUNDS kept — one row
+    * per (user, session) with [min_us, max_us]: the input shape for
+    * interval analytics over sessions (overlap joins, concurrency). */
+  def sessionBounds(events: DataFrame, gapSec: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val flagged = events
@@ -319,7 +327,5 @@ object Movements {
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("min_us"),
         max(col("ts_us")).as("max_us"))
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        expr("(max_us - min_us) div 1000000").as("duration_sec"))
   }
 }

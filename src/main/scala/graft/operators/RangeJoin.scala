@@ -119,4 +119,49 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(bin)
   }
+
+  /** Interval-overlap join: pair every `left` row with every `right`
+    * row whose half-open ranges intersect (`lLo < rHi && rLo < lHi`).
+    * Column sets must be disjoint — rename before joining.
+    *
+    * Both sides replicate to their covered bins and equi-join on the
+    * bin, turning the inequality join linear in coverage where a
+    * nested loop is |L|×|R|. A pair sharing k bins would match k
+    * times; instead of a distinct over the output, each pair is kept
+    * only in its ANCHOR bin — the bin of `greatest(lLo, rLo)`, the
+    * first bin where both intervals are present — so the join emits
+    * each pair exactly once by construction (no dedup exchange).
+    * `maxBinsPerInterval` caps per-row replication exactly as in
+    * [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      lLo: String, lHi: String, rLo: String, rHi: String,
+                      binWidth: Double,
+                      maxBinsPerInterval: Long = 1 << 20): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalOverlap: column collision ${overlap.mkString(", ")} — rename first")
+    val bin = {
+      val taken = (left.columns ++ right.columns).toSet
+      Iterator.from(0).map(i => s"_graft_bin$i").filterNot(taken).next()
+    }
+    def binsOf(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loBin = floor(col(lo) / binWidth).cast("long")
+      val hiBin = floor(col(hi) / binWidth).cast("long")
+      df.withColumn(bin, explode(when(
+        hiBin - loBin < lit(maxBinsPerInterval), sequence(loBin, hiBin))
+        .otherwise(raise_error(concat(
+          lit("RangeJoin.intervalOverlap: interval ["), col(lo),
+          lit(", "), col(hi),
+          lit(s") spans more than $maxBinsPerInterval bins of width " +
+            s"$binWidth; raise maxBinsPerInterval or widen binWidth"))))))
+    }
+    binsOf(left, lLo, lHi)
+      .join(binsOf(right, rLo, rHi), Seq(bin))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi))
+      .filter(col(bin) ===
+        floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
+      .drop(bin)
+  }
 }

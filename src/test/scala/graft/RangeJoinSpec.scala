@@ -86,6 +86,40 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage.contains("invalid column name"), ex.getMessage)
   }
 
+  test("intervalOverlap matches the brute-force overlap join exactly, once per pair") {
+    val rnd = new scala.util.Random(21)
+    val mk = (pfx: String) => (1 to 120).map { i =>
+      val lo = rnd.nextInt(1000).toDouble
+      (s"$pfx$i", lo, lo + 1 + rnd.nextInt(150))
+    }
+    val l = mk("L").toDF("lid", "lo1", "hi1")
+    val r = mk("R").toDF("rid", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(l, r, "lo1", "hi1", "lo2", "hi2",
+        binWidth = 40.0)
+      .select($"lid", $"rid").collect().map(x => (x.getString(0), x.getString(1)))
+    // exact-once: no duplicate pairs from multi-bin co-coverage
+    assert(got.length == got.distinct.length, "a pair was emitted more than once")
+    val brute = l.crossJoin(r)
+      .where($"lo1" < $"hi2" && $"lo2" < $"hi1")
+      .select($"lid", $"rid").collect().map(x => (x.getString(0), x.getString(1)))
+    assert(got.toSet == brute.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("intervalOverlap rejects colliding column names and spans over the cap") {
+    val l = Seq(("a", 0.0, 10.0)).toDF("id", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(l, l, "lo", "hi", "lo", "hi", 1.0)
+    }
+    val r = Seq(("b", 0.0, 1e9)).toDF("rid", "lo2", "hi2")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(l.toDF("id", "lo1", "hi1"), r,
+        "lo1", "hi1", "lo2", "hi2", binWidth = 0.001, maxBinsPerInterval = 100)
+        .collect()
+    }
+    assert(ex.getMessage.contains("spans more than"), ex.getMessage)
+  }
+
   test("plan stays an equi-join: no nested-loop anywhere") {
     val points = spark.range(100).select(col("id").cast("double").as("p"),
       col("id").as("pid"))
