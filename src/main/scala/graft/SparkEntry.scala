@@ -458,6 +458,20 @@ object SparkEntry {
       graft.functions.HistogramSketch.quantiles(h, Seq(0.5, 0.9, 0.99), 1000.0)
         .orderBy("q")
     }),
+    "agg_hist_by_flag" -> q((s, d) => {
+      val h = graft.functions.HistogramSketch.histogramBy(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", 1000.0)
+      graft.functions.HistogramSketch.quantilesBy(
+          h, Seq("l_returnflag"), Seq(0.5, 0.95), 1000.0)
+        .orderBy("l_returnflag", "q")
+    }),
+    "ts_concurrency" -> q((s, d) => {
+      val sess = Movements.sessionBounds(ev(s, d), SessionGapSec)
+        .select(col("min_us").as("lo"), (col("max_us") + 1).as("hi"))
+      operators.TimeSeries.sweepConcurrency(sess, "lo", "hi",
+          bucketUs = 3600000000L)
+        .orderBy("bucket")
+    }),
     "cdc_diff" -> q((s, d) => {
       val (oldS, newS) = cdcSnapshots(s, d)
       operators.Cdc.snapshotDiff(oldS, newS,
@@ -2105,6 +2119,69 @@ object SparkEntry {
         |  GROUP BY q, nt.n)
         |SELECT q, n, CAST(qbin + 1 AS DOUBLE) * 1000.0 AS est
         |FROM sel ORDER BY q""".stripMargin,
+
+    "agg_hist_by_flag" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM h),
+        |qs AS (SELECT CAST(unnest(['0.5', '0.95']) AS DOUBLE) AS q),
+        |sel AS (
+        |  SELECT l_returnflag, q, n, min(bin) AS qbin
+        |  FROM c CROSS JOIN qs
+        |  WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, q, n, CAST(qbin + 1 AS DOUBLE) * 1000.0 AS est
+        |FROM sel ORDER BY l_returnflag, q""".stripMargin,
+
+    "ts_concurrency" ->
+      s"""WITH $EV,
+         |g AS (
+         |  SELECT user_id, ts_us, event_id,
+         |    CASE WHEN lag(ts_us) OVER lw IS NULL
+         |           OR ts_us - lag(ts_us) OVER lw > ${SessionGapSec}000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM ev
+         |  WINDOW lw AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS session_id
+         |  FROM g),
+         |sb AS (
+         |  SELECT min(ts_us) AS lo, max(ts_us) + 1 AS hi
+         |  FROM s GROUP BY user_id, session_id),
+         |edges AS (
+         |  SELECT lo AS t, CAST(1 AS BIGINT) AS delta FROM sb
+         |  UNION ALL
+         |  SELECT hi, CAST(-1 AS BIGINT) FROM sb),
+         |b AS (SELECT t, delta, t // 3600000000 AS bucket FROM edges),
+         |l AS (
+         |  SELECT bucket, delta,
+         |    CAST(sum(delta) OVER (PARTITION BY bucket ORDER BY t, delta
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS lc
+         |  FROM b),
+         |pb AS (SELECT bucket, CAST(sum(delta) AS BIGINT) AS tot,
+         |              max(lc) AS maxlc
+         |       FROM l GROUP BY bucket),
+         |o AS (
+         |  SELECT bucket, maxlc,
+         |    coalesce(CAST(sum(tot) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      CAST(0 AS BIGINT)) AS off
+         |  FROM pb)
+         |SELECT bucket, off + greatest(maxlc, 0) AS max_concurrent
+         |FROM o ORDER BY bucket""".stripMargin,
 
     "cdc_diff" ->
       """WITH olds AS (

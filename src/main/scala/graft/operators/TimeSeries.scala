@@ -16,6 +16,45 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Sweep-line concurrency over half-open intervals [loCol, hiCol):
+    * how many intervals are simultaneously open, as the MAX level per
+    * time bucket (`bucketUs` micros). The classic use: concurrent
+    * sessions / connections / jobs per hour.
+    *
+    * Distributed sweep without a global sort: +1/−1 edge events
+    * cumsum WITHIN their bucket (window partitioned by bucket), then
+    * bucket-level totals prefix-sum into per-bucket offsets — that
+    * second window is global but runs over the bucket SUMMARY
+    * (range/bucketUs rows, e.g. 720 for a month of hours), never the
+    * events. level = offset + local cumsum; ends sort before starts
+    * at the same instant (delta −1 < +1), matching half-open
+    * semantics. Buckets with no edge events are absent (their level
+    * is the previous bucket's closing level; emit-on-change form).
+    * Per-bucket max is tie-order-independent: rows tied on (t, delta)
+    * are identical, so their cumsum prefix SET is fixed under any
+    * ordering — deterministic, engine-exact. */
+  def sweepConcurrency(intervals: DataFrame, loCol: String, hiCol: String,
+                       bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "sweepConcurrency: bucketUs must be positive")
+    val edges = intervals.select(col(loCol).as("t"), lit(1L).as("delta"))
+      .unionByName(intervals.select(col(hiCol).as("t"), lit(-1L).as("delta")))
+      .withColumn("bucket", expr(s"t div ${bucketUs}L"))
+    val wLocal = Window.partitionBy("bucket").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = edges.withColumn("lc", sum("delta").over(wLocal))
+    val perBucket = local.groupBy("bucket")
+      .agg(sum("delta").as("tot"), max("lc").as("maxlc"))
+    val wOff = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("off", coalesce(sum("tot").over(wOff), lit(0L)))
+      // max over the bucket's TIME span = max(carry-in level, levels
+      // after each edge) — when the bucket's first edges are ends,
+      // the carry-in (offset + 0) is the max, hence the clamp at 0
+      .select(col("bucket"),
+        (col("off") + greatest(col("maxlc"), lit(0L))).as("max_concurrent"))
+  }
+
   /** As-of join inside the events table: for every purchase event, the
     * most recent strictly-earlier click event of the same user.
     * Returns (user_id, purchase event_id, ns, matched click event_id,

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Sweep-line concurrency: hand-checked levels, the half-open tie
+  * rule (an end and a start at the same instant never overlap), and
+  * cross-bucket offset carry. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sweep concurrency: known levels, half-open ties, bucket carryover") {
+    // [0,10) [5,15) [10,20): level 2 on [5,10) and [10,15); at t=10
+    // the first interval's end processes before the third's start.
+    // Bucket 2's only edge is the final end at t=20 — its max is the
+    // CARRY-IN level 1 (one interval open over [20, 20)... i.e. the
+    // instant before), not the post-edge 0
+    val iv = Seq((0L, 10L), (5L, 15L), (10L, 20L)).toDF("lo", "hi")
+    val got = TimeSeries.sweepConcurrency(iv, "lo", "hi", bucketUs = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+  }
+
+  test("sweep concurrency: an interval spanning silent buckets carries its level") {
+    // one interval [0, 35) plus a short one inside bucket 3 — buckets
+    // 1 and 2 have no edges and are absent (emit-on-change), but the
+    // offset into bucket 3 must still count the long interval
+    val iv = Seq((0L, 35L), (31L, 33L)).toDF("lo", "hi")
+    val got = TimeSeries.sweepConcurrency(iv, "lo", "hi", bucketUs = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 3L -> 2L))
+  }
+
+  test("sweep concurrency matches a brute-force per-instant check on random intervals") {
+    val rnd = new scala.util.Random(31)
+    val ivs = (1 to 300).map { _ =>
+      val lo = rnd.nextInt(500).toLong
+      (lo, lo + 1 + rnd.nextInt(80))
+    }
+    val got = TimeSeries.sweepConcurrency(
+      ivs.toDF("lo", "hi"), "lo", "hi", bucketUs = 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force over CONTINUOUS time: per emitted bucket, the max of
+    // the carry-in level (at the bucket's first edge instant, just
+    // before it) and the level after each edge instant in the bucket
+    def levelAt(t: Long) = ivs.count(i => i._1 <= t && t < i._2)
+    val edgeTs = ivs.flatMap(i => Seq(i._1, i._2)).distinct
+    val expect = edgeTs.groupBy(_ / 50L).view.map { case (b, ts) =>
+      val carryIn = levelAt(ts.min - 1)
+      b -> (carryIn +: ts.map(levelAt)).max
+    }.toMap
+    assert(got == expect)
+  }
+}
