@@ -101,6 +101,9 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_rangejoin",
       exprs => graft.operators.RangeJoin.tableFunction(exprs), "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_overlapjoin",
+      exprs => graft.operators.RangeJoin.overlapTableFunction(exprs), "built-in")
     spark
   }
 }

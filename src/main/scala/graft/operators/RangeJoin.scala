@@ -74,6 +74,55 @@ object RangeJoin {
     org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
   }
 
+  /** SQL table-valued form of [[intervalOverlap]], registered as
+    * `graft_overlapjoin`:
+    * {{{ SELECT * FROM graft_overlapjoin('l', 'r', 'lo1','hi1','lo2','hi2', '10.0') }}}
+    * Same validation + parse strategy as [[tableFunction]]; output =
+    * left columns then right columns (bin key projected away). The
+    * anchor-bin filter gives exact-once pairs, as in the Column API. */
+  def overlapTableFunction(
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    def str(i: Int): String = args(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_overlapjoin: argument ${i + 1} must be a string literal, got $other")
+    }
+    require(args.length == 7 || args.length == 8,
+      "graft_overlapjoin(left, right, lLo, lHi, rLo, rHi, binWidth[, maxBins])")
+    val (lt, rt) = (str(0), str(1))
+    Seq(lt, rt).foreach(t => require(TableIdent.findFirstIn(t).isDefined,
+      s"graft_overlapjoin: invalid table name '$t'"))
+    val Seq(lLo, lHi, rLo, rHi) = (2 to 5).map(str)
+    Seq(lLo, lHi, rLo, rHi).foreach(c => require(Ident.findFirstIn(c).isDefined,
+      s"graft_overlapjoin: invalid column name '$c'"))
+    val bw = str(6).toDouble
+    require(bw > 0, "graft_overlapjoin: binWidth must be positive")
+    val cap = if (args.length == 8) str(7).toLong else 1L << 20
+    require(cap > 0, "graft_overlapjoin: maxBinsPerInterval must be positive")
+    def side(t: String, lo: String, hi: String): String =
+      s"""(SELECT *, explode(CASE
+         |    WHEN CAST(floor($hi / $bw) AS BIGINT)
+         |         - CAST(floor($lo / $bw) AS BIGINT) < $cap
+         |    THEN sequence(CAST(floor($lo / $bw) AS BIGINT),
+         |                  CAST(floor($hi / $bw) AS BIGINT))
+         |    ELSE raise_error(concat(
+         |      'graft_overlapjoin: interval [', $lo, ', ', $hi,
+         |      ') spans more than $cap bins of width $bw'))
+         |    END) AS _graft_bin
+         |  FROM $t)""".stripMargin
+    val sql =
+      s"""SELECT gl.* EXCEPT (_graft_bin), gr.* EXCEPT (_graft_bin)
+         |FROM ${side(lt, lLo, lHi)} gl
+         |JOIN ${side(rt, rLo, rHi)} gr
+         |  ON gl._graft_bin = gr._graft_bin
+         | AND gl.$lLo < gr.$rHi AND gr.$rLo < gl.$lHi
+         | AND gl._graft_bin =
+         |     CAST(floor(greatest(gl.$lLo, gr.$rLo) / $bw) AS BIGINT)""".stripMargin
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+  }
+
   /** Join `points` to every `intervals` row whose [loCol, hiCol)
     * half-open range contains the point. Output = point columns then
     * interval columns (minus the internal bin key).

@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.RangeJoin.getClass.getName, "graft_rangejoin"),
       (children: Seq[Expression]) =>
         graft.operators.RangeJoin.tableFunction(children)))
+    e.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_overlapjoin"),
+      new ExpressionInfo(
+        graft.operators.RangeJoin.getClass.getName, "graft_overlapjoin"),
+      (children: Seq[Expression]) =>
+        graft.operators.RangeJoin.overlapTableFunction(children)))
   }
 }
 

@@ -106,6 +106,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("graft_overlapjoin SQL TVF equals the Column API, and validates identifiers") {
+    val rnd = new scala.util.Random(43)
+    val l = (1 to 80).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (s"L$i", lo, lo + 1 + rnd.nextInt(60))
+    }.toDF("lid", "lo1", "hi1")
+    val r = (1 to 80).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (s"R$i", lo, lo + 1 + rnd.nextInt(60))
+    }.toDF("rid", "lo2", "hi2")
+    l.createOrReplaceTempView("goj_l")
+    r.createOrReplaceTempView("goj_r")
+    val viaSql = spark.sql(
+      """SELECT lid, rid FROM graft_overlapjoin(
+        |  'goj_l', 'goj_r', 'lo1', 'hi1', 'lo2', 'hi2', '25.0')""".stripMargin)
+    val viaApi = RangeJoin.intervalOverlap(l, r, "lo1", "hi1", "lo2", "hi2", 25.0)
+      .select($"lid", $"rid")
+    assert(viaSql.count() > 0)
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty,
+      "SQL TVF diverges from the Column API")
+    val ex = intercept[Exception](spark.sql(
+      """SELECT * FROM graft_overlapjoin(
+        |  'goj_l', 'goj_r', 'lo1); DROP TABLE x; --', 'hi1', 'lo2', 'hi2',
+        |  '25.0')""".stripMargin))
+    assert(ex.getMessage.contains("invalid column name"), ex.getMessage)
+  }
+
   test("intervalOverlap rejects colliding column names and spans over the cap") {
     val l = Seq(("a", 0.0, 10.0)).toDF("id", "lo", "hi")
     intercept[IllegalArgumentException] {
