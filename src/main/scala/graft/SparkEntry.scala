@@ -465,6 +465,9 @@ object SparkEntry {
           h, Seq("l_returnflag"), Seq(0.5, 0.95), 1000.0)
         .orderBy("l_returnflag", "q")
     }),
+    "ts_sliding_distinct" -> q((s, d) =>
+      operators.TimeSeries.slidingDistinct(ev(s, d), "user_id")
+        .orderBy("bucket")),
     "ts_concurrency" -> q((s, d) => {
       val sess = Movements.sessionBounds(ev(s, d), SessionGapSec)
         .select(col("min_us").as("lo"), (col("max_us") + 1).as("hi"))
@@ -2141,6 +2144,30 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT l_returnflag, q, n, CAST(qbin + 1 AS DOUBLE) * 1000.0 AS est
         |FROM sel ORDER BY l_returnflag, q""".stripMargin,
+
+    "ts_sliding_distinct" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT sec // 300 AS bucket,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+         |      AS BIGINT) AS h
+         |  FROM ev),
+         |bm AS (
+         |  SELECT bucket,
+         |    list_slice(list_sort(list_distinct(list(h))), 1, 64) AS mins
+         |  FROM b GROUP BY bucket),
+         |wm AS (
+         |  SELECT bucket,
+         |    list_slice(list_sort(list_distinct(flatten(
+         |      list(mins) OVER (ORDER BY bucket
+         |        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)))), 1, 64) AS win
+         |  FROM bm)
+         |SELECT bucket,
+         |  round(CASE WHEN len(win) < 64 THEN CAST(len(win) AS DOUBLE)
+         |        ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+         |             / CAST(win[64] AS DOUBLE) END, 2)
+         |    AS distinct_est
+         |FROM wm ORDER BY bucket""".stripMargin,
 
     "ts_concurrency" ->
       s"""WITH $EV,

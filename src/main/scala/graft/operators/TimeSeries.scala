@@ -16,6 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Sliding-window distinct counts WITHOUT re-scanning the raw data
+    * per window — the payoff of a MERGEABLE sketch: one pass builds a
+    * k-min array per time bucket ([[graft.functions.KmvMins]]), and a
+    * sliding window is answered by composing bucket sketches with
+    * array algebra (union → sort → first k = the union's k-min set,
+    * exactly). At 100 TB the raw scan happens once; every window
+    * after that is bucket-summary work (range/bucketSec rows). The
+    * window frame is a RANGE frame on the bucket value, so gaps in
+    * time don't stretch the window. Estimate rule = KmvSketch.finish,
+    * reproduced by the oracle bit-for-bit. Buckets with no events are
+    * absent from the output. */
+  def slidingDistinct(events: DataFrame, keyCol: String,
+                      bucketSec: Long = 300, windowBuckets: Int = 6,
+                      k: Int = 64): DataFrame = {
+    require(bucketSec > 0 && windowBuckets >= 1 && k >= 2,
+      "slidingDistinct: bucketSec > 0, windowBuckets >= 1, k >= 2")
+    val mins = udaf(new graft.functions.KmvMins(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val byBucket = events
+      .withColumn("bucket", expr(s"sec div ${bucketSec}L"))
+      .groupBy("bucket")
+      .agg(mins(graft.functions.Portable.hash52(col(keyCol))).as("mins"))
+    val w = Window.orderBy("bucket")
+      .rangeBetween(-(windowBuckets - 1L), 0L)
+    byBucket
+      .withColumn("win_mins", slice(array_sort(array_distinct(
+        flatten(collect_list(col("mins")).over(w)))), 1, k))
+      .select(col("bucket"),
+        round(when(size(col("win_mins")) < k,
+          size(col("win_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * 4503599627370496.0) /
+            element_at(col("win_mins"), k)), 2).as("distinct_est"))
+  }
+
   /** Sweep-line concurrency over half-open intervals [loCol, hiCol):
     * how many intervals are simultaneously open, as the MAX level per
     * time bucket (`bucketUs` micros). The classic use: concurrent

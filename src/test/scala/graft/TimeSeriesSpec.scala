@@ -32,6 +32,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Map(0L -> 1L, 3L -> 2L))
   }
 
+  test("sliding distinct: exact when windows hold < k distinct keys; windows obey the range frame") {
+    val rnd = new scala.util.Random(41)
+    // 40 distinct keys (< k=64): every estimate must be EXACT
+    val rows = (1 to 2000).map { _ =>
+      (rnd.nextInt(3000).toLong, s"u${rnd.nextInt(40)}")
+    }
+    val df = rows.toDF("sec", "uid")
+    val got = TimeSeries.slidingDistinct(df, "uid",
+      bucketSec = 300, windowBuckets = 6, k = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = rows.map { case (s, u) => (s / 300, u) }.distinct
+      .groupBy(_._1).keys.toSeq.sorted.map { b =>
+      val inWin = rows.filter { case (s, _) =>
+        val sb = s / 300; sb <= b && sb >= b - 5 }
+      b -> inWin.map(_._2).distinct.size.toDouble
+    }.toMap
+    assert(got == expect)
+  }
+
   test("sweep concurrency matches a brute-force per-instant check on random intervals") {
     val rnd = new scala.util.Random(31)
     val ivs = (1 to 300).map { _ =>
