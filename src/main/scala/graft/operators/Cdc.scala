@@ -46,7 +46,12 @@ object Cdc {
     * `valid_from`/`valid_to` (BIGINT version stamps; open = null
     * valid_to). Per change: U/D close the open version at `ts`; I/U
     * open a new version (`new_<c>` values, valid_from = ts). Closed
-    * history rows and untouched open rows pass through unchanged. */
+    * history rows and untouched open rows pass through unchanged.
+    *
+    * PRECONDITION: `changes` has at most one row per key — true by
+    * construction for [[snapshotDiff]] output (a full-outer join on
+    * the keys). A hand-built change set with duplicate keys would
+    * silently fan out the open rows it joins. */
   def scd2Apply(dim: DataFrame, changes: DataFrame,
                 keys: Seq[String], watch: Seq[String], ts: Long): DataFrame = {
     val closed = dim.where(col("valid_to").isNotNull)

@@ -26,7 +26,8 @@ object TimeSeries {
     * window frame is a RANGE frame on the bucket value, so gaps in
     * time don't stretch the window. Estimate rule = KmvSketch.finish,
     * reproduced by the oracle bit-for-bit. Buckets with no events are
-    * absent from the output. */
+    * absent from the output. `events` must carry a `sec` column
+    * (epoch seconds — the graft events convention, see Tables). */
   def slidingDistinct(events: DataFrame, keyCol: String,
                       bucketSec: Long = 300, windowBuckets: Int = 6,
                       k: Int = 64): DataFrame = {
@@ -66,7 +67,10 @@ object TimeSeries {
     * is the previous bucket's closing level; emit-on-change form).
     * Per-bucket max is tie-order-independent: rows tied on (t, delta)
     * are identical, so their cumsum prefix SET is fixed under any
-    * ordering — deterministic, engine-exact. */
+    * ordering — deterministic, engine-exact.
+    *
+    * Inputs must satisfy lo ≤ hi; an empty interval (lo == hi) is
+    * never counted (its end edge sorts before its start edge). */
   def sweepConcurrency(intervals: DataFrame, loCol: String, hiCol: String,
                        bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "sweepConcurrency: bucketUs must be positive")

@@ -37,6 +37,10 @@ object StreamJoins {
     require(rangeSec > 0, s"intervalJoin: rangeSec must be positive, got $rangeSec")
     require(Set("inner", "leftOuter", "rightOuter")(joinType),
       s"intervalJoin: joinType must be inner|leftOuter|rightOuter, got '$joinType'")
+    val dupNonKey =
+      left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    require(dupNonKey.isEmpty,
+      s"intervalJoin: non-key column collision ${dupNonKey.mkString(", ")} — rename first")
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
     val keyEq = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
