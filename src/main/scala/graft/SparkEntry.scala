@@ -475,6 +475,12 @@ object SparkEntry {
           bucketUs = 3600000000L)
         .orderBy("bucket")
     }),
+    "profile_checksum" -> q((s, d) =>
+      operators.Profiling.checksum(Tables.orders(s, d), "o_orderstatus",
+          Seq("o_orderkey", "o_custkey", "o_orderpriority"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          col("content_sum").cast("string").as("content_sum"))
+        .orderBy("o_orderstatus")),
     "cdc_diff" -> q((s, d) => {
       val (oldS, newS) = cdcSnapshots(s, d)
       operators.Cdc.snapshotDiff(oldS, newS,
@@ -2209,6 +2215,14 @@ object SparkEntry {
          |  FROM pb)
          |SELECT bucket, off + greatest(maxlc, 0) AS max_concurrent
          |FROM o ORDER BY bucket""".stripMargin,
+
+    "profile_checksum" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(CAST('0x' || substr(md5(concat_ws(chr(1),
+        |        CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |        o_orderpriority)), 1, 13) AS BIGINT) AS DECIMAL(38,0)))
+        |    AS VARCHAR) AS content_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_diff" ->
       """WITH olds AS (

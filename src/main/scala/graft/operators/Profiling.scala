@@ -26,6 +26,28 @@ object Profiling {
 
   private val NullSentinel = "__graft_null__"
 
+  /** Order-independent content checksum per group: row count plus the
+    * exact DECIMAL(38,0) sum of each row's 52-bit content hash over
+    * `cols`. Integer addition commutes, so the fingerprint is
+    * identical under ANY partitioning/ordering/engine — the
+    * cross-system migration check (did every row survive, unchanged?)
+    * that this repo's own oracle gate is built on, packaged as an
+    * operator. Map-side combinable; the exchange carries one
+    * (count, decimal) pair per group. NULL columns fold into the
+    * row hash via the same sentinel as [[profile]], so a value
+    * flipping to NULL changes the checksum. */
+  def checksum(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "checksum: need at least one content column")
+    // unit separator between columns: ("ab","c") and ("a","bc") must
+    // not collide; same portability rule as profile — int/string
+    // columns only (float formatting differs across engines)
+    val rowHash = hash52(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit(NullSentinel))): _*))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash.cast("decimal(38,0)")).as("content_sum"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String], k: Int = 64): DataFrame = {
     require(cols.nonEmpty, "profile: need at least one column")
     val kmv = udaf(new KmvSketch(k), Encoders.scalaLong)

@@ -37,6 +37,31 @@ class ProfilingSpec extends SparkSpec {
     assert(scans == 1, s"expected a single scan, got $scans:\n$plan")
   }
 
+  test("checksum: partitioning-invariant; any single-value or null flip changes it") {
+    import org.apache.spark.sql.functions._
+    val base = (1 to 500).map(i => (i % 3, i.toLong, s"v$i"))
+      .toDF("g", "k", "s")
+    def sums(df: org.apache.spark.sql.DataFrame): Map[Int, BigDecimal] =
+      Profiling.checksum(df, "g", Seq("k", "s")).collect()
+        .map(r => r.getInt(0) -> BigDecimal(r.getDecimal(2))).toMap
+    assert(sums(base.repartition(1)) == sums(base.repartition(7)))
+    // flip one value
+    val flipped = base.withColumn("s",
+      when(col("k") === 250L, lit("vX")).otherwise(col("s")))
+    assert(sums(base)(250 % 3) != sums(flipped)(250 % 3))
+    // flip one value to NULL (sentinel must register)
+    val nulled = base.withColumn("s",
+      when(col("k") === 250L, lit(null: String)).otherwise(col("s")))
+    assert(sums(base)(250 % 3) != sums(nulled)(250 % 3))
+    // column-boundary integrity: ("ab","c") vs ("a","bc") differ
+    val a = Seq((0, "ab", "c")).toDF("g", "x", "y")
+    val b = Seq((0, "a", "bc")).toDF("g", "x", "y")
+    assert(sums2(a) != sums2(b))
+  }
+  private def sums2(df: org.apache.spark.sql.DataFrame): Map[Int, BigDecimal] =
+    Profiling.checksum(df, "g", Seq("x", "y")).collect()
+      .map(r => r.getInt(0) -> BigDecimal(r.getDecimal(2))).toMap
+
   test("TWAP weights values by holding time; the last sample drops") {
     val ev = Seq(
       // user 1: v=10 held 10us, v=20 held 20us -> (100+400)/30
