@@ -441,6 +441,23 @@ object SparkEntry {
         col("lang"), col("doc_id"), col("n_chars"), 5)
         .select(col("lang"), col("rnk"), col("doc_id"), col("priority"))
         .orderBy("lang", "rnk")),
+    "sample_temperature" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val t = operators.Sampling.temperatureTargets(docs, total = 200L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(graft.functions.Portable.hash52(col("doc_id")), col("doc_id"))
+      val sel = docs.join(broadcast(t.select("source", "target")), "source")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= lit(200L) && col("rnk") <= col("target"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"), sum(col("doc_id")).as("sum_ids"))
+      t.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n"), col("target"),
+          coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
+        .orderBy("source")
+    }),
     "hh_top_terms" -> q((s, d) =>
       graft.functions.HeavyHitters.exactTopK(
         Tables.documents(s, d).select(
@@ -2286,6 +2303,31 @@ object SparkEntry {
         |SELECT * FROM applied
         |WHERE abs(o_orderkey) % 10 IN (1, 3, 7)
         |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+        |          AS w_int
+        |      FROM c),
+        |t AS (SELECT source, n,
+        |        (200 * w_int) //
+        |          CAST((SELECT sum(w_int) FROM w) AS BIGINT) AS target
+        |      FROM w),
+        |r AS (SELECT d.source, d.doc_id,
+        |        row_number() OVER (PARTITION BY d.source
+        |          ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |            1, 13) AS BIGINT), doc_id) AS rnk
+        |      FROM documents d),
+        |sel AS (SELECT r.source, count(*) AS n_sel,
+        |          CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |        FROM r JOIN t USING (source)
+        |        WHERE rnk <= t.target GROUP BY 1)
+        |SELECT t.source, t.n, t.target,
+        |  coalesce(sel.n_sel, 0) AS n_sel,
+        |  coalesce(sel.sum_ids, 0) AS sum_ids
+        |FROM t LEFT JOIN sel USING (source)
+        |ORDER BY t.source""".stripMargin,
 
     "cms_term_counts" ->
       """WITH tk AS (

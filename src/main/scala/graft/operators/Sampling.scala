@@ -76,6 +76,27 @@ object Sampling {
       .select(col("source"), col("rnk"), col("doc_id"))
   }
 
+  /** Temperature-balanced mixing targets: target_s ∝ n_s^α with
+    * α = 0.5 — the standard rebalancing for multilingual/multi-source
+    * corpora (upweight small sources, damp the head) at the one α
+    * that stays ENGINE-EXACT: sqrt is correctly rounded under
+    * IEEE-754 in every engine, unlike pow/log. The sqrt weight is
+    * floored into a scaled integer, the weight total is an exact
+    * BIGINT sum (1-row broadcast), and each target is a floor
+    * division — no float accumulation anywhere, so the mixture is
+    * reproducible across runs, partitionings and engines. Returns
+    * (source, n, target). */
+  def temperatureTargets(docs: DataFrame, total: Long,
+                         scale: Long = 1000000L): DataFrame = {
+    require(total > 0 && scale > 0, "temperatureTargets: total, scale > 0")
+    val weighted = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w_int",
+        floor(sqrt(col("n").cast("double")) * scale).cast("long"))
+    weighted.crossJoin(weighted.agg(sum("w_int").as("w_sum")))
+      .select(col("source"), col("n"),
+        expr(s"(${total}L * w_int) div w_sum").as("target"))
+  }
+
   /** Fixed-size deterministic per-stratum sample: the `n` rows with
     * the smallest key hashes in each stratum (unique-key tiebreak).
     * Plans as a rank-filter window — Spark's InferWindowGroupLimit

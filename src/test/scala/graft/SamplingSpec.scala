@@ -147,4 +147,25 @@ class SamplingSpec extends SparkSpec {
     (0L until 7L).foreach(s => assert(got(s) == (5L, 5)))
     assert(got(99L) == (3L, 3), "small stratum keeps all rows")
   }
+
+  test("temperature targets: sqrt-damped shares, exact arithmetic, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // head source 1600 docs, tail source 100: proportional share would
+    // be 16:1, sqrt-damped share is 4:1
+    val docs = ((1 to 1600).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (10000L + i, "small"))).toSeq
+      .toDF("doc_id", "source")
+    def run(parts: Int) = Sampling.temperatureTargets(
+      docs.repartition(parts), total = 500L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = run(1)
+    assert(got == run(7))
+    val (bigT, smallT) = (got("big")._2, got("small")._2)
+    // sqrt weights 40:10 → targets 400:100 (floor division exact here)
+    assert(bigT == 400L && smallT == 100L, s"got big=$bigT small=$smallT")
+    // damped: the small source's share (1/5) far exceeds its
+    // proportional row share (100/1700)
+    assert(smallT.toDouble / (bigT + smallT) > 100.0 / 1700.0 * 2)
+  }
 }
