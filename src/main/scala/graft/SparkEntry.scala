@@ -608,6 +608,12 @@ object SparkEntry {
       Knn.rpLshSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "emb_norms" -> q((s, d) =>
       Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "emb_quantize" -> q((s, d) =>
+      similarity.Quantize.quantizeInt8(Tables.embeddings(s, d))
+        .orderBy("vec_id")),
+    "knn_quantized" -> q((s, d) =>
+      similarity.Quantize.searchQuantized(Tables.embeddings(s, d))
+        .orderBy("qid", "rnk")),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> q((s, d) =>
@@ -636,6 +642,18 @@ object SparkEntry {
           graft.sources.Layout.zValue(
             coalesce(col("x"), lit(0)), coalesce(col("y"), lit(0)), 8).as("z"))
         .orderBy("event_id")),
+    // salting changes DISTRIBUTION, never the result: the oracle is
+    // the plain unsalted join — that equality IS the contract
+    "join_salted" -> q((s, d) =>
+      operators.SkewJoin.revenueByPrioritySalted(
+          Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("o_orderpriority")),
+    "qc_expectations" -> q((s, d) =>
+      operators.Expectations.lineitemSuite(Tables.lineitem(s, d))
+        .orderBy("rule")),
+    "er_neighbors" -> q((s, d) =>
+      dedup.Blocking.customerNeighbors(Tables.customer(s, d))
+        .orderBy("c_nationkey", "id1", "dist")),
   )
 
   // ================= oracle SQL =================
@@ -2715,6 +2733,128 @@ object SparkEntry {
          |  CAST(coalesce(x, 0) AS BIGINT) & 255 AS xm,
          |  CAST(coalesce(y, 0) AS BIGINT) & 255 AS ym FROM pos)
          |SELECT event_id, $terms AS z FROM m ORDER BY event_id""".stripMargin
+    },
+
+    // ---- int8 quantization ----
+    "emb_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |qx AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CAST(
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE greatest(-127.0, least(127.0,
+        |                  round(CAST(x AS DOUBLE) / scale, 0))) END
+        |      AS INT)) AS qvec
+        |  FROM s),
+        |er AS (
+        |  SELECT vec_id,
+        |    sum(CAST(abs(CAST(x AS DOUBLE) - q * scale)
+        |        AS DECIMAL(28,18))) AS errs,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS q_norm2
+        |  FROM (SELECT vec_id, scale, unnest(embedding) AS x,
+        |               unnest(qvec) AS q FROM qx)
+        |  GROUP BY vec_id)
+        |SELECT q.vec_id, q.qvec, round(q.scale, 8) AS scale8, e.q_norm2,
+        |  round(CAST(e.errs AS DOUBLE) / e.n, 8) AS mae8
+        |FROM qx q JOIN er e USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // integer dot products in double are EXACT (|q| <= 127, dim 64),
+    // so no decimal accumulation is needed anywhere here
+    "knn_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q8 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE greatest(-127.0, least(127.0,
+        |                  round(CAST(x AS DOUBLE) / scale, 0))) END
+        |      AS DOUBLE)) AS qv
+        |  FROM s),
+        |qq AS (SELECT vec_id AS qid, qv AS qqv FROM q8 WHERE vec_id < 5),
+        |sc AS (
+        |  SELECT qid, e.vec_id,
+        |    round(list_dot_product(qqv, e.qv) /
+        |      (sqrt(list_dot_product(qqv, qqv)) *
+        |       sqrt(list_dot_product(e.qv, e.qv))), 4) AS qcos
+        |  FROM q8 e CROSS JOIN qq WHERE e.vec_id <> qid),
+        |r AS (SELECT qid, vec_id, qcos,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY qcos DESC, vec_id) AS rnk
+        |      FROM sc)
+        |SELECT qid, rnk, vec_id, qcos FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
+    // salting is result-transparent: the oracle is the PLAIN join —
+    // that equality is the operator's contract
+    "join_salted" ->
+      """SELECT o_orderpriority,
+        |  count(*) AS n_lines,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                 CAST(1.0 - l_discount AS DECIMAL(18,4)))
+        |        AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "qc_expectations" -> {
+      val rules = Seq(
+        "quantity_in_1_50" -> "l_quantity >= 1 AND l_quantity <= 50",
+        "discount_in_0_10pct" -> "l_discount >= 0.0 AND l_discount <= 0.10",
+        "tax_in_0_8pct" -> "l_tax >= 0.0 AND l_tax <= 0.08",
+        "price_positive" -> "l_extendedprice > 0.0",
+        "returnflag_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+        "linestatus_domain" -> "l_linestatus IN ('O', 'F')",
+        "shipdate_not_null" -> "l_shipdate IS NOT NULL",
+        "orderkey_positive" -> "l_orderkey > 0")
+      val vcols = rules.zipWithIndex.map { case ((_, pred), i) =>
+        s"CAST(sum(CASE WHEN NOT coalesce($pred, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+      }.mkString(",\n        |    ")
+      val rows = rules.zipWithIndex.map { case ((name, _), i) =>
+        s"SELECT '$name' AS rule, v$i AS violations, total FROM t"
+      } :+ "SELECT 'pk_unique' AS rule, total - uniq AS violations, total FROM t"
+      s"""WITH t AS (
+        |  SELECT count(*) AS total,
+        |    $vcols,
+        |    count(DISTINCT l_orderkey * 10 + l_linenumber) AS uniq
+        |  FROM lineitem),
+        |u AS (${rows.mkString("\n        |      UNION ALL ")})
+        |SELECT rule, violations, total,
+        |  round(1.0 - CAST(violations AS DOUBLE) / total, 6) AS pass_rate
+        |FROM u ORDER BY rule""".stripMargin
+    },
+
+    "er_neighbors" -> {
+      val leads = (1 to 2).map(i =>
+        s"""lead(c_custkey, $i) OVER win AS id2_$i,
+           |    lead(c_acctbal, $i) OVER win AS bal_$i,
+           |    lead(c_name, $i) OVER win AS nm_$i""".stripMargin)
+        .mkString(",\n    ")
+      val arms = (1 to 2).map(i =>
+        s"""SELECT c_nationkey, c_custkey AS id1, id2_$i AS id2,
+           |    CAST($i AS INT) AS dist,
+           |    round(abs(bal_$i - c_acctbal), 2) AS bal_gap,
+           |    CAST(levenshtein(c_name, nm_$i) AS INT) AS name_dist
+           |  FROM w""".stripMargin)
+      s"""WITH w AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal, c_name,
+        |    $leads
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal, c_custkey)),
+        |u AS (
+        |  ${arms.mkString("\n  UNION ALL\n  ")})
+        |SELECT * FROM u WHERE id2 IS NOT NULL
+        |ORDER BY c_nationkey, id1, dist""".stripMargin
     },
   )
 }

@@ -1,0 +1,83 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity-resolution candidate generation by blocking + sorted
+  * neighborhood — the classic way to turn an O(n²) record-linkage
+  * problem into a linear pass (Hernández & Stolfo, "The merge/purge
+  * problem for large databases", SIGMOD 1995).
+  *
+  * Records are partitioned into BLOCKS by a coarse key (only records
+  * sharing the block key can ever pair — the standard blocking
+  * assumption), sorted within each block by a similarity-correlated
+  * sort key, and each record is paired with its next `w` neighbors in
+  * sort order. Candidate count is ≤ w·n — linear, not quadratic.
+  *
+  * Scale shape: ONE shuffle (the window's partition-by-block sort);
+  * pair emission is `lead()` columns inside the window — no join, no
+  * explode, no all-pairs anywhere. Block sizes bound reducer memory
+  * the same way they do for [[Dedup]]'s LSH buckets; a block key that
+  * is too coarse shows up as a hot partition, the fix is a finer key,
+  * not a bigger executor. The within-window pairs then feed a real
+  * matcher (string distance here; [[graft.similarity.Knn]] or
+  * MinHash for content keys).
+  */
+object Blocking {
+
+  /** Candidate pairs by sorted neighborhood: for each record, pair it
+    * with its 1..w successors in `sortKey` order within its
+    * `blockKey` block. `id` must be unique per record (it breaks sort
+    * ties, making the neighborhood deterministic). Output: blockKey
+    * column, id1, id2 (the i-th successor's id), dist (successor
+    * index 1..w). */
+  def sortedNeighborhood(df: DataFrame, blockKey: Column, sortKey: Column,
+                         id: Column, w: Int = 2): DataFrame = {
+    require(w >= 1, "neighborhood width must be >= 1")
+    val win = Window.partitionBy(col("block")).orderBy(col("_sk"), col("id1"))
+    val withLeads = (1 to w).foldLeft(
+      df.select(blockKey.as("block"), sortKey.as("_sk"), id.as("id1"))) {
+      case (acc, i) => acc.withColumn(s"_lead$i", lead(col("id1"), i).over(win))
+    }
+    val pairs = (1 to w).map(i =>
+      struct(lit(i).as("dist"), col(s"_lead$i").as("id2")))
+    withLeads
+      .select(col("block"), col("id1"),
+        explode(array(pairs: _*)).as("p"))
+      .filter(col("p.id2").isNotNull)
+      .select(col("block"), col("id1"), col("p.id2").as("id2"),
+        col("p.dist").as("dist"))
+  }
+
+  /** The shipped suite: customers blocked by nation, sorted by
+    * account balance — "similar balance in the same nation" as the
+    * cheap similarity proxy — each paired with its next 2 neighbors,
+    * scored with balance gap and name edit distance. The payload
+    * (balance, name) rides the window in a struct `lead`, so the
+    * whole operator is the ONE block-sort shuffle — no join back to
+    * the input. The downstream matcher would threshold on these; this
+    * operator's contract is the exact candidate set. */
+  def customerNeighbors(customer: DataFrame, w: Int = 2): DataFrame = {
+    val win = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("_p1.bal"), col("_p1.id"))
+    val me = struct(col("c_custkey").as("id"),
+      col("c_acctbal").as("bal"), col("c_name").as("name"))
+    val withLeads = (1 to w).foldLeft(
+      customer.select(col("c_nationkey"), me.as("_p1"))) {
+      case (acc, i) => acc.withColumn(s"_lead$i", lead(col("_p1"), i).over(win))
+    }
+    val pairs = (1 to w).map(i =>
+      struct(lit(i).as("dist"), col(s"_lead$i").as("p2")))
+    withLeads
+      .select(col("c_nationkey"), col("_p1").as("p1"),
+        explode(array(pairs: _*)).as("pp"))
+      .filter(col("pp.p2").isNotNull)
+      .select(
+        col("c_nationkey"),
+        col("p1.id").as("id1"), col("pp.p2.id").as("id2"),
+        col("pp.dist").as("dist"),
+        round(abs(col("pp.p2.bal") - col("p1.bal")), 2).as("bal_gap"),
+        levenshtein(col("p1.name"), col("pp.p2.name")).as("name_dist"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Int8 embedding quantization — the standard storage/bandwidth
+  * reduction for large embedding corpora (float32 → int8 is 4×; at
+  * 100 TB of vectors that is the difference between spilling and
+  * fitting the working set in executor memory / page cache).
+  *
+  * Scheme: per-vector symmetric linear quantization, the shape used
+  * by FAISS's `ScalarQuantizer` (QT_8bit_direct family) and the
+  * int8 paths of public vector stores:
+  *
+  *   scale = max_i |x_i| / 127
+  *   q_i   = clamp(round(x_i / scale), -127, 127)     (q_i = 0 when scale = 0)
+  *
+  * Properties this module relies on and tests assert:
+  *  - reconstruction `q_i * scale` is within `scale/2` of `x_i`
+  *    (round-half bound), so mean-abs-error ≤ scale/2;
+  *  - cosine over quantized vectors needs NO dequantization — the
+  *    per-vector scales cancel: dot(qa,qb)·sa·sb / (‖qa‖sa·‖qb‖sb)
+  *    = dot(qa,qb)/(‖qa‖‖qb‖). Search runs on pure int math;
+  *  - int products are ≤ 127² and dims are small, so sums of
+  *    products are integer-exact in double REGARDLESS of summation
+  *    order — the quantized similarity is portable across engines
+  *    with no decimal-accumulation tricks.
+  *
+  * All arithmetic is declarative (transform/aggregate HOFs + the
+  * codegen'd graft_dot kernel) — one projection, no shuffle; the
+  * only shuffle in [[searchQuantized]] is the final per-query top-k.
+  */
+object Quantize {
+
+  /** See Dedup.spread — parallelize vector math past a single-file
+    * scan. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Per-vector symmetric int8 scale: max|x|/127 as double. */
+  private def scaleOf(emb: Column): Column =
+    array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Quantized vector as array<int> in [-127, 127]; all-zero when the
+    * input vector is all-zero (scale 0 guard). round() is HALF_UP
+    * (away from zero) in both Spark and the oracle engine, so the
+    * codes are engine-exact. */
+  private def quantize(emb: Column, scale: Column): Column =
+    transform(emb, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(greatest(lit(-127.0),
+          least(lit(127.0), round(x.cast("double") / scale, 0))))
+        .cast("int"))
+
+  /** Quantization report per vector: the int8 codes plus the numbers
+    * a pipeline QA step checks — integer squared norm (exact), the
+    * scale, and the mean absolute reconstruction error. The error
+    * accumulates in DECIMAL so the sum is summation-order independent
+    * (engine-portable); see Portable's exactSum convention. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val sc = scaleOf(col("embedding"))
+    spread(emb)
+      .withColumn("scale", sc)
+      .withColumn("qvec", quantize(col("embedding"), col("scale")))
+      .select(
+        col("vec_id"),
+        col("qvec"),
+        round(col("scale"), 8).as("scale8"),
+        aggregate(col("qvec"), lit(0L), (acc, v) => acc + v * v)
+          .as("q_norm2"),
+        round(
+          aggregate(
+            zip_with(col("embedding"), col("qvec"),
+              (x, q) => abs(x.cast("double") - q * col("scale"))
+                .cast("decimal(28,18)")),
+            lit(new java.math.BigDecimal(0)).cast("decimal(28,18)"),
+            (acc, e) => (acc + e).cast("decimal(28,18)"))
+            .cast("double") / size(col("qvec")), 8)
+          .as("mae8"))
+  }
+
+  /** Brute-force top-k cosine in the QUANTIZED space: scales cancel,
+    * so this is integer dot / integer norms — exact, portable, and
+    * 4× lighter on memory bandwidth than the float path. Mirrors
+    * [[Knn.bruteForce]]'s contract (queries = vec_id < nQueries,
+    * deterministic vec_id tiebreak). */
+  def searchQuantized(emb: DataFrame, nQueries: Int = 5, k: Int = 5)
+      : DataFrame = {
+    val q8 = spread(emb)
+      .select(col("vec_id"),
+        quantize(col("embedding"), scaleOf(col("embedding")))
+          .cast("array<float>").as("qvec"))
+    val q = q8.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("qvec").as("qq"))
+    val scored = q8.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Portable.dot(col("qq"), col("qvec")) /
+          (sqrt(Portable.dot(col("qq"), col("qq"))) *
+           sqrt(Portable.dot(col("qvec"), col("qvec")))), 4)
+          .as("qcos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qcos"))
+  }
+}

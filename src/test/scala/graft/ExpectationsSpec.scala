@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Expectations
+import graft.operators.Expectations.Rule
+
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("violation counts are exact and null predicate results violate") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (null, "a"), (5L, "zz"), (-1L, "a"))
+      .toDF("k", "tag")
+    val rep = Expectations.report(df, Seq(
+        Rule("k_positive", $"k" > 0L),          // null k -> null pred -> violation
+        Rule("tag_domain", $"tag".isin("a", "b"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep("k_positive") == ((2L, 5L, 0.6)))   // null + (-1)
+    assert(rep("tag_domain") == ((1L, 5L, 0.8)))   // "zz"
+  }
+
+  test("uniqueness rule counts duplicate keys via the same single pass") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 2), (2L, 1), (2L, 1))
+      .toDF("k", "sub")
+    val rep = Expectations.report(df,
+        Seq(Rule("k_nonneg", $"k" >= 0)),
+        uniqueKey = Some(("pk_unique", Seq($"k" * 10 + $"sub"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep("pk_unique") == 2L) // 5 rows, 3 distinct (k,sub)
+    assert(rep("k_nonneg") == 0L)
+  }
+
+  test("the whole report is one aggregate: a single scan of the input") {
+    val rep = Expectations.lineitemSuite(
+      Tables.lineitem(spark, sf("sf0.001")))
+    // count logical relations (the executed plan hides behind the AQE
+    // leaf before materialization)
+    val scans = rep.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"expected one scan, got:\n${rep.queryExecution}")
+    val rows = rep.collect()
+    assert(rows.length == 9)
+    // all domain rules hold on the generated data; pk duplicates exist
+    val byRule = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRule("returnflag_domain") == 0L)
+    assert(byRule("pk_unique") > 0L)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Knn, Quantize}
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("int8 codes stay in [-127,127] and hit ±127 at the max component") {
+    val df = embDf(Seq(
+      (1L, Seq(0.5f, -2.0f, 1.0f)),
+      (2L, Seq(3.0f, 0.0f, -1.5f))))
+    val out = Quantize.quantizeInt8(df)
+      .select($"vec_id", $"qvec").as[(Long, Seq[Int])].collect().toMap
+    out.values.foreach(q => assert(q.forall(v => v >= -127 && v <= 127)))
+    // the max-|x| component quantizes to exactly ±127 by construction
+    assert(out(1L)(1) == -127)
+    assert(out(2L)(0) == 127)
+  }
+
+  test("all-zero vector quantizes to zeros with scale 0, no NaN") {
+    val row = Quantize.quantizeInt8(embDf(Seq((1L, Seq(0f, 0f, 0f)))))
+      .collect()(0)
+    assert(row.getSeq[Int](row.fieldIndex("qvec")).toList == List(0, 0, 0))
+    assert(row.getAs[Double]("scale8") == 0.0)
+    assert(row.getAs[Long]("q_norm2") == 0L)
+    assert(row.getAs[Double]("mae8") == 0.0)
+  }
+
+  test("reconstruction error honors the round-half bound mae <= scale/2") {
+    val out = Quantize.quantizeInt8(
+      Tables.embeddings(spark, sf("sf0.001")))
+      .select($"scale8", $"mae8").as[(Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (scale, mae) =>
+      assert(mae <= scale / 2 + 1e-9, s"mae $mae vs scale $scale")
+    }
+  }
+
+  test("quantized search is exact cosine when inputs are already int8") {
+    // integer-valued embeddings with max |x| = 127: scale is exactly 1,
+    // codes equal inputs, so quantized cosine == float cosine and the
+    // two searches agree bit-for-bit
+    val rows = (0L to 9L).map { i =>
+      (i, 127f +: Seq.tabulate(7)(d => (((i * 7 + d * 13) % 255) - 127).toFloat))
+    }
+    val df = embDf(rows)
+    val exact = Knn.bruteForce(df, nQueries = 3, k = 3)
+      .select($"qid", $"rnk", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val quant = Quantize.searchQuantized(df, nQueries = 3, k = 3)
+      .select($"qid", $"rnk", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(quant == exact)
+  }
+}

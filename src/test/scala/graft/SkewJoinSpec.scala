@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoin
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a deliberately skewed left side: 90% of rows share key 1
+  private lazy val skewed = (1 to 1000).map(i =>
+    (if (i <= 900) 1L else (i % 50).toLong, i.toLong))
+    .toDF("k", "v")
+  private lazy val dim = (0L to 49L).map(k => (k, s"name_$k"))
+    .toDF("k", "name")
+
+  test("salted join result multiset equals the plain join, any nSalts") {
+    val plain = skewed.join(dim, "k")
+      .select($"k", $"v", $"name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    for (n <- Seq(1, 3, 8)) {
+      val salted = SkewJoin.saltedJoin(skewed, dim, "k", nSalts = n)
+        .select($"k", $"v", $"name").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      assert(salted == plain, s"nSalts=$n")
+    }
+  }
+
+  test("the hot key spreads across salt partitions") {
+    val l = skewed.withColumn("_graft_salt",
+      pmod(hash(skewed.columns.toSeq.map(col): _*), lit(8)))
+    val saltsUsed = l.filter($"k" === 1L)
+      .select(countDistinct($"_graft_salt")).as[Long].collect()(0)
+    assert(saltsUsed > 1L,
+      "the 900-row hot key must land on more than one salt")
+  }
+
+  test("revenue-by-priority through the salt matches the unsalted plan") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val salted = SkewJoin.revenueByPrioritySalted(li, o)
+      .orderBy("o_orderpriority").collect().toSeq
+    val plain = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Portable.exactSumProd(
+          $"l_extendedprice", lit(1.0) - $"l_discount").as("revenue"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted == plain)
+  }
+}
