@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.SkewJoin
+import graft.sources.Layout
 
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -19,7 +20,7 @@ class SkewJoinSpec extends SparkSpec {
       .select($"k", $"v", $"name").as[(Long, Long, String)]
       .collect().sorted.toSeq
     for (n <- Seq(1, 3, 8)) {
-      val salted = SkewJoin.saltedJoin(skewed, dim, "k", nSalts = n)
+      val salted = Layout.saltedJoin(skewed, dim, "k", saltFactor = n)
         .select($"k", $"v", $"name").as[(Long, Long, String)]
         .collect().sorted.toSeq
       assert(salted == plain, s"nSalts=$n")
@@ -27,10 +28,10 @@ class SkewJoinSpec extends SparkSpec {
   }
 
   test("the hot key spreads across salt partitions") {
-    val l = skewed.withColumn("_graft_salt",
-      pmod(hash(skewed.columns.toSeq.map(col): _*), lit(8)))
+    val l = skewed.withColumn("_salt",
+      pmod(hash($"k", monotonically_increasing_id()), lit(8)))
     val saltsUsed = l.filter($"k" === 1L)
-      .select(countDistinct($"_graft_salt")).as[Long].collect()(0)
+      .select(countDistinct($"_salt")).as[Long].collect()(0)
     assert(saltsUsed > 1L,
       "the 900-row hot key must land on more than one salt")
   }
