@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.operators.Expectations
@@ -45,5 +46,32 @@ class ExpectationsSpec extends SparkSpec {
     val byRule = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byRule("returnflag_domain") == 0L)
     assert(byRule("pk_unique") > 0L)
+  }
+
+  test("the gate composes with streaming: per-micro-batch quality report") {
+    // the standard deploy shape: Expectations.report inside
+    // foreachBatch gates each ingest micro-batch before it lands
+    val input = MemoryStream[(Long, String)](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDS().toDF("k", "tag")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rep = Expectations.report(batch,
+          Seq(Rule("k_positive", col("k") > 0L))).collect()(0)
+        seen.synchronized { seen += ((id, rep.getLong(1), rep.getLong(2))) }
+        ()
+      }
+      .start()
+    try {
+      input.addData((1L, "a"), (-2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      input.addData((4L, "d"))
+      q.processAllAvailable()
+      val byBatch = seen.synchronized(seen.toList).map {
+        case (id, v, t) => id -> ((v, t))
+      }.toMap
+      assert(byBatch(0L) == ((1L, 3L))) // -2 violates in batch 0
+      assert(byBatch(1L) == ((0L, 1L)))
+    } finally q.stop()
   }
 }
