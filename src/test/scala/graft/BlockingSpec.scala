@@ -31,6 +31,16 @@ class BlockingSpec extends SparkSpec {
     assert(pairs == Set((10L, 20L))) // tie -> id order; 30 is alone
   }
 
+  test("candidate pairs are partitioning-invariant") {
+    val cust = Tables.customer(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Blocking.customerNeighbors(cust)
+        .orderBy("c_nationkey", "id1", "dist")) ==
+      rows(Blocking.customerNeighbors(cust.repartition(7))
+        .orderBy("c_nationkey", "id1", "dist")))
+  }
+
   test("customer neighborhood is linear in rows and join-free") {
     val cust = Tables.customer(spark, sf("sf0.001"))
     val out = Blocking.customerNeighbors(cust, w = 2)

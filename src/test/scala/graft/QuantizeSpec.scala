@@ -42,6 +42,17 @@ class QuantizeSpec extends SparkSpec {
     }
   }
 
+  test("quantization and quantized search are partitioning-invariant") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Quantize.quantizeInt8(emb).orderBy("vec_id")) ==
+      rows(Quantize.quantizeInt8(emb.repartition(7)).orderBy("vec_id")))
+    assert(rows(Quantize.searchQuantized(emb).orderBy("qid", "rnk")) ==
+      rows(Quantize.searchQuantized(emb.repartition(7))
+        .orderBy("qid", "rnk")))
+  }
+
   test("quantized search is exact cosine when inputs are already int8") {
     // integer-valued embeddings with max |x| = 127: scale is exactly 1,
     // codes equal inputs, so quantized cosine == float cosine and the

@@ -36,6 +36,20 @@ class SkewJoinSpec extends SparkSpec {
       "the 900-row hot key must land on more than one salt")
   }
 
+  test("result is invariant though the SALT itself is partitioning-dependent") {
+    // position-derived salts change under repartition; the join result
+    // must not — that is the whole safety argument for salting
+    val a = SkewJoin.revenueByPrioritySalted(
+      Tables.lineitem(spark, sf("sf0.001")),
+      Tables.orders(spark, sf("sf0.001")))
+      .orderBy("o_orderpriority").collect().toSeq
+    val b = SkewJoin.revenueByPrioritySalted(
+      Tables.lineitem(spark, sf("sf0.001")).repartition(7),
+      Tables.orders(spark, sf("sf0.001")).repartition(3))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(a == b)
+  }
+
   test("revenue-by-priority through the salt matches the unsalted plan") {
     val li = Tables.lineitem(spark, sf("sf0.001"))
     val o = Tables.orders(spark, sf("sf0.001"))
