@@ -49,7 +49,12 @@ object Soak {
     // the shared-aggregate sketch, the full-outer diff + SCD2 apply,
     // and the bin-table quantile pass
     "graph_pagerank", "cms_term_counts", "cdc_diff", "cdc_scd2",
-    "agg_hist_quantiles")
+    "agg_hist_quantiles",
+    // session-3 additions: the 8× replicated salted join, the
+    // single-pass expectation gate, quantized search, neighborhood
+    // window pairs
+    "join_salted", "qc_expectations", "emb_quantize", "knn_quantized",
+    "er_neighbors")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
