@@ -90,6 +90,19 @@ object Demo {
     println("epoch-order shards: " + order.collect()
       .map(r => s"${r.getLong(0)}:${r.getLong(1)}").mkString(" "))
 
+    println("--- quality gate + int8 embedding store ---")
+    // the ingest gate every batch passes before admission...
+    val gate = operators.Expectations.lineitemSuite(
+      Tables.lineitem(spark, "/root/testdata/sf0.001"))
+    gate.orderBy(col("pass_rate"), col("rule")).show(4, truncate = false)
+    // ...and the 4×-smaller vector store the ANN tier serves from
+    val q8 = similarity.Quantize.quantizeInt8(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val mae = q8.agg(max(col("mae8"))).head().getDouble(0)
+    val hits = similarity.Quantize.searchQuantized(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")).count()
+    println(s"quantized vectors=${q8.count()} worst-mae=$mae topk-rows=$hits")
+
     spark.stop()
   }
 }
