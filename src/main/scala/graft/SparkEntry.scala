@@ -651,6 +651,9 @@ object SparkEntry {
     "qc_expectations" -> q((s, d) =>
       operators.Expectations.lineitemSuite(Tables.lineitem(s, d))
         .orderBy("rule")),
+    "qc_drift" -> q((s, d) =>
+      operators.Expectations.orderPriceDrift(Tables.orders(s, d))
+        .orderBy("bin")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .orderBy("c_nationkey", "id1", "dist")),
@@ -2832,6 +2835,34 @@ object SparkEntry {
         |  round(1.0 - CAST(violations AS DOUBLE) / total, 6) AS pass_rate
         |FROM u ORDER BY rule""".stripMargin
     },
+
+    // triangular-discrimination drift: rational arithmetic only, so
+    // per-bin contributions are bit-identical across engines
+    "qc_drift" ->
+      """WITH r AS (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |         count(*) AS ref_n
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |c AS (
+        |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |         count(*) AS cur_n
+        |  FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(r.bin, c.bin) AS bin,
+        |         CAST(coalesce(ref_n, 0) AS BIGINT) AS ref_n,
+        |         CAST(coalesce(cur_n, 0) AS BIGINT) AS cur_n
+        |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |t AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+        |             CAST(sum(cur_n) AS BIGINT) AS ct FROM j)
+        |SELECT bin, ref_n, cur_n,
+        |  round(CASE
+        |    WHEN CAST(ref_n AS DOUBLE) / rt + CAST(cur_n AS DOUBLE) / ct = 0
+        |      THEN 0.0
+        |    ELSE (CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct) *
+        |         (CAST(ref_n AS DOUBLE) / rt - CAST(cur_n AS DOUBLE) / ct) /
+        |         (CAST(ref_n AS DOUBLE) / rt + CAST(cur_n AS DOUBLE) / ct)
+        |    END, 8) AS contrib8
+        |FROM j, t ORDER BY bin""".stripMargin,
 
     "er_neighbors" -> {
       val leads = (1 to 2).map(i =>

@@ -62,6 +62,48 @@ object Expectations {
           col("_total"), 6).as("pass_rate"))
   }
 
+  /** Distribution drift between a reference and a current snapshot of
+    * one numeric column — the monitoring counterpart of [[report]]
+    * (PSI-style dashboards in the public monitoring stacks; Lin 1991's
+    * triangular discrimination as the statistic).
+    *
+    * Values are binned to `binWidth`; each side reduces to (bin, n)
+    * counts — the exchange carries bins, never rows, exactly like the
+    * histogram-quantile sketch. The per-bin contribution is
+    *
+    *   (p_ref − p_cur)² / (p_ref + p_cur)
+    *
+    * — the SYMMETRIC chi-square (triangular discrimination): bounded
+    * [0, 2], zero iff the binned distributions agree, and — unlike
+    * PSI/KL — entirely rational arithmetic: no log/exp, so every term
+    * is bit-identical on any engine (libm-free per the Portable
+    * convention). Totals ride 1-row broadcasts; per-bin output keeps
+    * the statistic attributable (which bins drifted), the scalar is
+    * one tiny agg away. */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, value: Column,
+                     binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, n: String): DataFrame =
+      df.groupBy(floor(value / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as(n))
+    val r = binned(ref, "ref_n")
+    val c = binned(cur, "cur_n")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.agg(
+      sum(col("ref_n")).as("ref_total"), sum(col("cur_n")).as("cur_total"))
+    val pr = col("ref_n").cast("double") / col("ref_total")
+    val pc = col("cur_n").cast("double") / col("cur_total")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        round(
+          when(pr + pc === 0.0, 0.0)
+            .otherwise((pr - pc) * (pr - pc) / (pr + pc)), 8)
+          .as("contrib8"))
+  }
+
   /** The shipped expectation suite over `lineitem` — the battery a
     * TPC-H-shaped ingest would gate on. Violation counts are real
     * (the synthetic generator is allowed to produce out-of-domain
@@ -86,4 +128,16 @@ object Expectations {
       // semantics on every engine
       uniqueKey = Some(("pk_unique",
         Seq(col("l_orderkey") * 10 + col("l_linenumber")))))
+
+  /** Shipped drift check: even- vs odd-orderkey order-price
+    * distributions (a deterministic stand-in for "last week vs this
+    * week"). Even/odd split via divisibility (`=== 0` / `=!= 0`), not
+    * remainder equality — the sign convention of `%` on negative keys
+    * differs across engines, divisibility does not. */
+  def orderPriceDrift(orders: DataFrame,
+                      binWidth: Double = 50000.0): DataFrame =
+    histogramDrift(
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
+      col("o_totalprice"), binWidth)
 }

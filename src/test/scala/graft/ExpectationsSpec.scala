@@ -48,6 +48,30 @@ class ExpectationsSpec extends SparkSpec {
     assert(byRule("pk_unique") > 0L)
   }
 
+  test("drift is zero on identical snapshots, 2 on disjoint supports") {
+    val a = Seq(1.0, 2.0, 3.0, 11.0, 12.0).toDF("v")
+    val same = Expectations.histogramDrift(a, a, col("v"), 10.0)
+      .agg(sum($"contrib8")).head().getDouble(0)
+    assert(same == 0.0)
+    val b = Seq(21.0, 22.0, 35.0).toDF("v")
+    val disjoint = Expectations.histogramDrift(a, b, col("v"), 10.0)
+      .agg(sum($"contrib8")).head().getDouble(0)
+    // triangular discrimination hits its upper bound 2 when the
+    // supports never overlap
+    assert(math.abs(disjoint - 2.0) < 1e-6)
+  }
+
+  test("drift localizes: only the shifted bin contributes") {
+    val ref = Seq(1.0, 2.0, 11.0, 12.0).toDF("v")
+    val cur = Seq(1.0, 2.0, 11.0, 21.0).toDF("v")
+    val rows = Expectations.histogramDrift(ref, cur, col("v"), 10.0)
+      .orderBy("bin").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(0L) == 0.0)        // both sides: 2 of 4
+    assert(rows(1L) > 0.0)         // 2/4 vs 1/4
+    assert(rows(2L) > 0.0)         // 0 vs 1/4
+  }
+
   test("the gate composes with streaming: per-micro-batch quality report") {
     // the standard deploy shape: Expectations.report inside
     // foreachBatch gates each ingest micro-batch before it lands
