@@ -614,6 +614,13 @@ object SparkEntry {
     "knn_quantized" -> q((s, d) =>
       similarity.Quantize.searchQuantized(Tables.embeddings(s, d))
         .orderBy("qid", "rnk")),
+    "knn_mrl" -> q((s, d) =>
+      similarity.Quantize.searchPrefix(Tables.embeddings(s, d), dims = 16)
+        .orderBy("qid", "rnk")),
+    "doc_forget" -> q((s, d) =>
+      operators.Forget.corpusAudit(
+          Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy("artifact")),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> q((s, d) =>
@@ -2835,6 +2842,48 @@ object SparkEntry {
         |  round(1.0 - CAST(violations AS DOUBLE) / total, 6) AS pass_rate
         |FROM u ORDER BY rule""".stripMargin
     },
+
+    "knn_mrl" ->
+      s"""WITH p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS pv
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, pv AS qq FROM p WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, p.vec_id, ${cosSql("qq", "p.pv")} AS pcos
+         |  FROM p CROSS JOIN q WHERE p.vec_id <> qid),
+         |r AS (SELECT qid, vec_id, pcos,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY pcos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, rnk, vec_id, pcos FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // chunk counts come from the same closed form the doc_chunks
+    // oracle uses — no need to materialize chunks to audit them
+    "doc_forget" ->
+      s"""WITH $TOKS,
+         |cc AS (SELECT doc_id,
+         |         greatest(1, (len(t) - 16 + 47) // 48) AS nc FROM toks),
+         |u AS (
+         |  SELECT 'chunks' AS artifact,
+         |    CAST(sum(nc) AS BIGINT) AS rows_before,
+         |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN nc ELSE 0 END)
+         |         AS BIGINT) AS rows_removed
+         |  FROM cc
+         |  UNION ALL
+         |  SELECT 'documents',
+         |    count(*),
+         |    CAST(sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT)
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'embeddings',
+         |    count(*),
+         |    CAST(sum(CASE WHEN vec_id % 97 = 0 THEN 1 ELSE 0 END)
+         |         AS BIGINT)
+         |  FROM embeddings)
+         |SELECT artifact, rows_before, rows_removed,
+         |  rows_before - rows_removed AS rows_after
+         |FROM u ORDER BY artifact""".stripMargin,
 
     // triangular-discrimination drift: rational arithmetic only, so
     // per-bin contributions are bit-identical across engines

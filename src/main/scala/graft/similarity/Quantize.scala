@@ -82,6 +82,34 @@ object Quantize {
           .as("mae8"))
   }
 
+  /** Matryoshka (MRL) prefix search: top-k cosine over only the FIRST
+    * `dims` components (Kusupati et al., "Matryoshka representation
+    * learning", NeurIPS 2022 — prefixes of an MRL-trained embedding
+    * are themselves valid embeddings). The funnel pattern at scale:
+    * a dims/full fraction of the scan bandwidth ranks a candidate
+    * pool, the full vector only re-scores survivors. Cosine over a
+    * slice needs no re-normalization — the prefix norms ARE the
+    * normalizer. Same contract as [[Knn.bruteForce]] (queries =
+    * vec_id < nQueries, deterministic tiebreak). */
+  def searchPrefix(emb: DataFrame, dims: Int, nQueries: Int = 5,
+                   k: Int = 5): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val cut = spread(emb)
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, dims).as("pvec"))
+    val q = cut.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("pvec").as("qq"))
+    val scored = cut.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qq"), col("pvec")).as("pcos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("pcos").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("pcos"))
+  }
+
   /** Brute-force top-k cosine in the QUANTIZED space: scales cancel,
     * so this is integer dot / integer norms — exact, portable, and
     * 4× lighter on memory bandwidth than the float path. Mirrors

@@ -53,6 +53,20 @@ class QuantizeSpec extends SparkSpec {
         .orderBy("qid", "rnk")))
   }
 
+  test("prefix (MRL) search equals full search when dims covers the vector") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val full = Knn.bruteForce(emb)
+      .select($"qid", $"rnk", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val pfx = Quantize.searchPrefix(emb, dims = 64)
+      .select($"qid", $"rnk", $"vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(pfx == full)
+    // a true prefix is cheaper but still returns k ranked rows per query
+    val cut = Quantize.searchPrefix(emb, dims = 8).collect()
+    assert(cut.length == 25)
+  }
+
   test("quantized search is exact cosine when inputs are already int8") {
     // integer-valued embeddings with max |x| = 127: scale is exactly 1,
     // codes equal inputs, so quantized cosine == float cosine and the
