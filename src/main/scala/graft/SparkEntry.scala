@@ -617,6 +617,9 @@ object SparkEntry {
     "knn_mrl" -> q((s, d) =>
       similarity.Quantize.searchPrefix(Tables.embeddings(s, d), dims = 16)
         .orderBy("qid", "rnk")),
+    "knn_funnel" -> q((s, d) =>
+      similarity.Quantize.searchFunnel(Tables.embeddings(s, d))
+        .orderBy("qid", "rnk")),
     "doc_forget" -> q((s, d) =>
       operators.Forget.corpusAudit(
           Tables.documents(s, d), Tables.embeddings(s, d))
@@ -2855,6 +2858,34 @@ object SparkEntry {
          |          ORDER BY pcos DESC, vec_id) AS rnk
          |      FROM s)
          |SELECT qid, rnk, vec_id, pcos FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // the funnel is deterministic per stage: prefix pool of 50, then a
+    // full-width re-rank of only the pool
+    "knn_funnel" ->
+      s"""WITH p AS (SELECT vec_id, embedding,
+         |             list_slice(embedding, 1, 16) AS pv
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, pv AS qq, embedding AS qvec
+         |      FROM p WHERE vec_id < 5),
+         |s1 AS (
+         |  SELECT qid, p.vec_id, ${cosSql("qq", "p.pv")} AS pcos
+         |  FROM p CROSS JOIN q WHERE p.vec_id <> qid),
+         |pool AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY pcos DESC, vec_id) AS prnk FROM s1)
+         |  WHERE prnk <= 50),
+         |s2 AS (
+         |  SELECT pool.qid, pool.vec_id,
+         |    ${cosSql("q.qvec", "e.embedding")} AS cos_sim
+         |  FROM pool
+         |  JOIN embeddings e ON e.vec_id = pool.vec_id
+         |  JOIN q ON q.qid = pool.qid),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM s2)
+         |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
 
     // chunk counts come from the same closed form the doc_chunks

@@ -110,6 +110,34 @@ object Quantize {
       .select(col("qid"), col("rnk"), col("vec_id"), col("pcos"))
   }
 
+  /** The MRL funnel composed: [[searchPrefix]] ranks a `pool`-sized
+    * candidate set per query on the first `dims` components, then ONLY
+    * those candidates are re-scored with the full vector. At scale the
+    * full-width data is touched for pool·nQueries rows instead of the
+    * corpus — the candidate join is id-keyed, the query set broadcasts.
+    * Exactness is per-stage (the funnel is deterministic, so the
+    * oracle replays both stages); recall vs brute force is governed by
+    * `pool`, spec-checked. */
+  def searchFunnel(emb: DataFrame, dims: Int = 16, pool: Int = 50,
+                   nQueries: Int = 5, k: Int = 5): DataFrame = {
+    require(pool >= k, "pool must be at least k")
+    val cand = searchPrefix(emb, dims, nQueries, k = pool)
+      .select(col("qid"), col("vec_id"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = cand
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qvec"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Brute-force top-k cosine in the QUANTIZED space: scales cancel,
     * so this is integer dot / integer norms — exact, portable, and
     * 4× lighter on memory bandwidth than the float path. Mirrors

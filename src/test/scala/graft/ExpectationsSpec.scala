@@ -72,6 +72,30 @@ class ExpectationsSpec extends SparkSpec {
     assert(rows(2L) > 0.0)         // 0 vs 1/4
   }
 
+  test("drift composes with streaming: each micro-batch vs a static reference") {
+    val ref = Seq(1.0, 2.0, 11.0, 12.0).toDF("v")
+    val input = MemoryStream[Double](spark)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = input.toDS().toDF("v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val total = Expectations.histogramDrift(ref, batch, col("v"), 10.0)
+          .agg(sum(col("contrib8"))).head().getDouble(0)
+        seen.synchronized { seen += ((id, total)) }
+        ()
+      }
+      .start()
+    try {
+      input.addData(1.0, 2.0, 11.0, 12.0) // same shape -> zero drift
+      q.processAllAvailable()
+      input.addData(21.0, 22.0)           // disjoint -> max drift 2
+      q.processAllAvailable()
+      val byBatch = seen.synchronized(seen.toList).toMap
+      assert(byBatch(0L) == 0.0)
+      assert(math.abs(byBatch(1L) - 2.0) < 1e-6)
+    } finally q.stop()
+  }
+
   test("the gate composes with streaming: per-micro-batch quality report") {
     // the standard deploy shape: Expectations.report inside
     // foreachBatch gates each ingest micro-batch before it lands

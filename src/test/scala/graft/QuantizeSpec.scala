@@ -67,6 +67,28 @@ class QuantizeSpec extends SparkSpec {
     assert(cut.length == 25)
   }
 
+  test("funnel with a corpus-sized pool recovers brute force exactly") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val n = emb.count().toInt
+    val full = Knn.bruteForce(emb)
+      .select($"qid", $"rnk", $"vec_id", $"cos_sim")
+      .collect().map(_.toSeq).toSeq
+    val funnel = Quantize.searchFunnel(emb, dims = 16, pool = n)
+      .select($"qid", $"rnk", $"vec_id", $"cos_sim")
+      .collect().map(_.toSeq).toSeq
+    assert(funnel == full)
+    // recall is governed by pool and must grow with it (the synthetic
+    // embeddings are near-random, so absolute recall at small pools is
+    // a data property, not a contract — monotonicity is the contract)
+    val top = full.map(r => (r(0), r(2))).toSet
+    def recall(pool: Int) = Quantize.searchFunnel(emb, pool = pool)
+      .select($"qid", $"vec_id").collect().map(r => (r.get(0), r.get(1)))
+      .count(top.contains)
+    val (r50, r200) = (recall(50), recall(200))
+    assert(r50 >= 5 && r50 <= r200 && r200 <= 25,
+      s"recall not monotone: pool50=$r50 pool200=$r200")
+  }
+
   test("quantized search is exact cosine when inputs are already int8") {
     // integer-valued embeddings with max |x| = 127: scale is exactly 1,
     // codes equal inputs, so quantized cosine == float cosine and the
