@@ -49,7 +49,7 @@ object Soak {
     // the shared-aggregate sketch, the full-outer diff + SCD2 apply,
     // and the bin-table quantile pass
     "graph_pagerank", "cms_term_counts", "cdc_diff", "cdc_scd2",
-    "agg_hist_quantiles",
+    "agg_hist_quantiles", "qc_drift", "doc_forget", "knn_mrl", "knn_funnel",
     // session-3 additions: the 8× replicated salted join, the
     // single-pass expectation gate, quantized search, neighborhood
     // window pairs
