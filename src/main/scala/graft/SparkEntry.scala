@@ -664,6 +664,9 @@ object SparkEntry {
     "qc_drift" -> q((s, d) =>
       operators.Expectations.orderPriceDrift(Tables.orders(s, d))
         .orderBy("bin")),
+    "qc_drift_seg" -> q((s, d) =>
+      operators.Expectations.orderPriceDriftBySegment(Tables.orders(s, d))
+        .orderBy("seg", "bin")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .orderBy("c_nationkey", "id1", "dist")),
@@ -2943,6 +2946,40 @@ object SparkEntry {
         |         (CAST(ref_n AS DOUBLE) / rt + CAST(cur_n AS DOUBLE) / ct)
         |    END, 8) AS contrib8
         |FROM j, t ORDER BY bin""".stripMargin,
+
+    "qc_drift_seg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS seg,
+        |         CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |         count(*) AS ref_n
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority AS seg,
+        |         CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |         count(*) AS cur_n
+        |  FROM orders WHERE o_orderkey % 2 <> 0 GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(r.seg, c.seg) AS seg,
+        |         coalesce(r.bin, c.bin) AS bin,
+        |         CAST(coalesce(ref_n, 0) AS BIGINT) AS ref_n,
+        |         CAST(coalesce(cur_n, 0) AS BIGINT) AS cur_n
+        |  FROM r FULL OUTER JOIN c ON r.seg = c.seg AND r.bin = c.bin),
+        |t AS (
+        |  SELECT seg, bin, ref_n, cur_n,
+        |    CAST(sum(ref_n) OVER (PARTITION BY seg) AS DOUBLE) AS rt,
+        |    CAST(sum(cur_n) OVER (PARTITION BY seg) AS DOUBLE) AS ct
+        |  FROM j),
+        |p AS (
+        |  SELECT seg, bin, ref_n, cur_n,
+        |    CASE WHEN rt = 0 THEN 0.0
+        |         ELSE CAST(ref_n AS DOUBLE) / rt END AS pr,
+        |    CASE WHEN ct = 0 THEN 0.0
+        |         ELSE CAST(cur_n AS DOUBLE) / ct END AS pc
+        |  FROM t)
+        |SELECT seg, bin, ref_n, cur_n,
+        |  round(CASE WHEN pr + pc = 0 THEN 0.0
+        |        ELSE (pr - pc) * (pr - pc) / (pr + pc) END, 8) AS contrib8
+        |FROM p ORDER BY seg, bin""".stripMargin,
 
     "er_neighbors" -> {
       val leads = (1 to 2).map(i =>

@@ -129,6 +129,40 @@ object Expectations {
       uniqueKey = Some(("pk_unique",
         Seq(col("l_orderkey") * 10 + col("l_linenumber")))))
 
+  /** [[histogramDrift]] per segment: drift computed INDEPENDENTLY
+    * within each value of `seg` — the dashboard query that localizes
+    * "the corpus drifted" to "the `web` source drifted". Same plan
+    * economics with the segment riding every key: (seg, bin) counts,
+    * one full-outer join, per-seg totals via a window over the BIN
+    * table (bins × segments rows, never input rows). */
+  def histogramDriftBy(ref: DataFrame, cur: DataFrame, seg: Column,
+                       value: Column, binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, n: String): DataFrame =
+      df.groupBy(seg.as("seg"),
+          floor(value / binWidth).cast("long").as("bin"))
+        .agg(count(lit(1)).as(n))
+    val joined = binned(ref, "ref_n")
+      .join(binned(cur, "cur_n"), Seq("seg", "bin"), "full_outer")
+      .select(col("seg"), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+    val rt = sum(col("ref_n")).over(w)
+    val ct = sum(col("cur_n")).over(w)
+    // a segment entirely absent from one snapshot has total 0 there:
+    // its proportions are 0 by definition, not a division error
+    val pr = when(rt === 0L, 0.0)
+      .otherwise(col("ref_n").cast("double") / rt)
+    val pc = when(ct === 0L, 0.0)
+      .otherwise(col("cur_n").cast("double") / ct)
+    joined.select(col("seg"), col("bin"), col("ref_n"), col("cur_n"),
+      round(
+        when(pr + pc === 0.0, 0.0)
+          .otherwise((pr - pc) * (pr - pc) / (pr + pc)), 8)
+        .as("contrib8"))
+  }
+
   /** Shipped drift check: even- vs odd-orderkey order-price
     * distributions (a deterministic stand-in for "last week vs this
     * week"). Even/odd split via divisibility (`=== 0` / `=!= 0`), not
@@ -140,4 +174,13 @@ object Expectations {
       orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
       orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
       col("o_totalprice"), binWidth)
+
+  /** Shipped per-segment drift: the same even/odd split, localized by
+    * order priority. */
+  def orderPriceDriftBySegment(orders: DataFrame,
+                               binWidth: Double = 50000.0): DataFrame =
+    histogramDriftBy(
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+      orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
+      col("o_orderpriority"), col("o_totalprice"), binWidth)
 }

@@ -72,6 +72,18 @@ class ExpectationsSpec extends SparkSpec {
     assert(rows(2L) > 0.0)         // 0 vs 1/4
   }
 
+  test("segmented drift is independent per segment, incl. one-sided ones") {
+    val ref = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("c", 5.0))
+      .toDF("s", "v")
+    val cur = Seq(("a", 1.0), ("a", 2.0), ("b", 11.0)).toDF("s", "v")
+    val bySeg = Expectations.histogramDriftBy(ref, cur, col("s"), col("v"), 10.0)
+      .groupBy("seg").agg(sum($"contrib8").as("d"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(bySeg("a") == 0.0)                    // identical shape
+    assert(math.abs(bySeg("b") - 2.0) < 1e-6)    // disjoint bins
+    assert(math.abs(bySeg("c") - 1.0) < 1e-6)    // one-sided: sum(pr) = 1
+  }
+
   test("drift composes with streaming: each micro-batch vs a static reference") {
     val ref = Seq(1.0, 2.0, 11.0, 12.0).toDF("v")
     val input = MemoryStream[Double](spark)

@@ -31,6 +31,25 @@ class ForgetSpec extends SparkSpec {
     assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((2L, 1L, 1L)))
   }
 
+  test("deletion applies in-flight: stream-static anti-join drops forgotten ids") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val forget = Seq(Tuple1(2L), Tuple1(4L)).toDF("doc_id")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDS().toDF("doc_id", "text")
+      .join(broadcast(forget), Seq("doc_id"), "left_anti")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("forget_stream").start()
+    try {
+      input.addData((1L, "keep"), (2L, "drop"), (3L, "keep"))
+      q.processAllAvailable()
+      input.addData((4L, "drop"), (5L, "keep"))
+      q.processAllAvailable()
+      val kept = spark.table("forget_stream")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("the deletion the audit reports is the anti-join the pipeline runs") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val ids = docs.filter(pmod($"doc_id", lit(97)) === 0).select("doc_id")
