@@ -282,6 +282,8 @@ object SparkEntry {
       operators.Profiling.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
           "l_linestatus")).orderBy("col_name")),
+    "ts_funnel" -> q((s, d) =>
+      TimeSeries.conversionFunnel(ev(s, d)).orderBy("step")),
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
         .orderBy("user_id", "bucket_start")),
@@ -1443,6 +1445,33 @@ object SparkEntry {
          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
          |FROM ev GROUP BY user_id, bucket_start
          |ORDER BY user_id, bucket_start""".stripMargin,
+
+    // first-touch funnel: step i = earliest event of its type strictly
+    // after step i-1's time; NULL propagates "never reached"
+    "ts_funnel" ->
+      s"""WITH $EV,
+         |u1 AS (SELECT user_id,
+         |         min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+         |       FROM ev GROUP BY 1),
+         |u2 AS (SELECT e.user_id,
+         |         min(CASE WHEN event_type = 'click' AND ts_us > t1
+         |             THEN ts_us END) AS t2
+         |       FROM ev e JOIN u1 USING (user_id) GROUP BY 1),
+         |u3 AS (SELECT e.user_id,
+         |         min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+         |             THEN ts_us END) AS t3
+         |       FROM ev e JOIN u2 USING (user_id) GROUP BY 1),
+         |j AS (SELECT u1.user_id, t1, t2, t3
+         |      FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id)),
+         |t AS (SELECT count(*) AS total_u, count(t1) AS n1,
+         |             count(t2) AS n2, count(t3) AS n3 FROM j),
+         |u AS (
+         |  SELECT '1:view' AS step, n1 AS reached, total_u FROM t
+         |  UNION ALL SELECT '2:click', n2, total_u FROM t
+         |  UNION ALL SELECT '3:purchase', n3, total_u FROM t)
+         |SELECT step, reached AS users,
+         |  round(CAST(reached AS DOUBLE) / total_u, 8) AS conv8
+         |FROM u ORDER BY step""".stripMargin,
 
     "ts_monthly_revenue" ->
       """SELECT epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,

@@ -221,4 +221,49 @@ object TimeSeries {
         count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
           .as("sum_value"))
+
+  /** Ordered conversion funnel: per user, step i is reached at the
+    * EARLIEST event of `steps(i)`'s type that is strictly after the
+    * step i−1 time (first-touch semantics — the standard product
+    * funnel). Output: one row per step with users reached and the
+    * conversion rate off the total user base.
+    *
+    * Plan shape: each step is a conditional `min` window over the SAME
+    * user partition — Catalyst chains the Window ops behind ONE
+    * exchange+sort, so an N-step funnel costs one shuffle of the
+    * events, not N self-joins (the naive formulation) and never a
+    * sequence explode. The final rollup aggregates per-user step
+    * times — one row per user — then unpivots step counts from a
+    * single result row, Expectations-style. */
+  def conversionFunnel(events: DataFrame,
+                       steps: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val w = Window.partitionBy(col("user_id"))
+    val stepped = steps.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), col("ts_us"))) {
+      case (df, (step, i)) =>
+        val reachable = if (i == 0) lit(true)
+                        else col("ts_us") > col(s"_t${i - 1}")
+        df.withColumn(s"_t$i",
+          min(when(col("event_type") === step && reachable, col("ts_us")))
+            .over(w))
+    }
+    val stepMins = steps.indices.map(i => min(col(s"_t$i")).as(s"_t$i"))
+    val perUser = stepped.groupBy(col("user_id"))
+      .agg(stepMins.head, stepMins.tail: _*)
+    val countAggs = count(lit(1)).as("_users") +:
+      steps.indices.map(i => count(col(s"_t$i")).as(s"_n$i"))
+    val counts = perUser.agg(countAggs.head, countAggs.tail: _*)
+    val pairs = steps.zipWithIndex.map { case (s, i) =>
+      s"'${i + 1}:${s.replace("'", "''")}', _n$i"
+    }
+    counts
+      .select(col("_users"),
+        expr(s"stack(${pairs.length}, ${pairs.mkString(", ")})")
+          .as(Seq("step", "users")))
+      .select(col("step"), col("users"),
+        round(col("users").cast("double") / col("_users"), 8)
+          .as("conv8"))
+  }
 }

@@ -71,4 +71,40 @@ class TimeSeriesSpec extends SparkSpec {
     }.toMap
     assert(got == expect)
   }
+
+  test("funnel: steps require strict order; out-of-order types don't convert") {
+    import spark.implicits._
+    // u1 completes view->click->purchase; u2 purchases BEFORE clicking
+    // (no conversion past step 2); u3 only views
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "view", 100L), (2L, "purchase", 150L), (2L, "click", 200L),
+      (3L, "view", 100L),
+      (4L, "error", 50L))
+      .toDF("user_id", "event_type", "ts_us")
+    val rows = graft.operators.TimeSeries.conversionFunnel(ev)
+      .orderBy("step").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      ("1:view", 3L, 0.75),      // u4 never views
+      ("2:click", 2L, 0.5),      // u1, u2
+      ("3:purchase", 1L, 0.25))) // only u1 purchases after clicking
+  }
+
+  test("funnel windows chain behind a single exchange") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    val plan = graft.operators.TimeSeries.conversionFunnel(ev)
+      .queryExecution.optimizedPlan
+    val exchanges = plan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // all three step windows share the user partition; no explicit
+    // repartitions sneak in
+    assert(exchanges.isEmpty)
+    assert(windows.forall(_.partitionSpec.length == 1))
+  }
 }
