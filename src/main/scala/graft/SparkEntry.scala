@@ -284,6 +284,8 @@ object SparkEntry {
           "l_linestatus")).orderBy("col_name")),
     "ts_funnel" -> q((s, d) =>
       TimeSeries.conversionFunnel(ev(s, d)).orderBy("step")),
+    "ts_retention" -> q((s, d) =>
+      TimeSeries.cohortRetention(ev(s, d)).orderBy("cohort", "offset")),
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
         .orderBy("user_id", "bucket_start")),
@@ -1445,6 +1447,21 @@ object SparkEntry {
          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
          |FROM ev GROUP BY user_id, bucket_start
          |ORDER BY user_id, bucket_start""".stripMargin,
+
+    "ts_retention" ->
+      s"""WITH $EV,
+         |uw AS (SELECT DISTINCT user_id, sec // 86400 AS period FROM ev),
+         |ch AS (SELECT user_id, min(period) AS cohort FROM uw GROUP BY 1),
+         |m AS (SELECT cohort, period - cohort AS "offset",
+         |        count(DISTINCT user_id) AS n_users
+         |      FROM uw JOIN ch USING (user_id) GROUP BY 1, 2),
+         |s AS (SELECT cohort, "offset", n_users,
+         |        max(CASE WHEN "offset" = 0 THEN n_users END)
+         |          OVER (PARTITION BY cohort) AS c0
+         |      FROM m)
+         |SELECT cohort, "offset", n_users,
+         |  round(CAST(n_users AS DOUBLE) / c0, 8) AS retention8
+         |FROM s ORDER BY cohort, "offset" """.stripMargin,
 
     // first-touch funnel: step i = earliest event of its type strictly
     // after step i-1's time; NULL propagates "never reached"

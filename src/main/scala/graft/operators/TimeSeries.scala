@@ -222,6 +222,37 @@ object TimeSeries {
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
           .as("sum_value"))
 
+  /** Cohort retention: users grouped by their FIRST active period
+    * (day grain), then for each later period the fraction of the
+    * cohort still active — the other half of the product-analytics
+    * pair with [[conversionFunnel]].
+    *
+    * Plan shape: activity collapses to distinct (user, period) FIRST
+    * — everything downstream is per-user-period, never per-event —
+    * then the cohort is a min window over the user partition, the
+    * matrix one (cohort, offset) count, and cohort size a window max
+    * over the (tiny) matrix itself, not the input. Three keyed
+    * exchanges total, each narrower than the last. */
+  def cohortRetention(events: DataFrame,
+                      periodSec: Long = 86400L): DataFrame = {
+    require(periodSec > 0, "periodSec must be positive")
+    val activity = events
+      .select(col("user_id"), expr(s"sec div $periodSec").as("period"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id"))
+    val matrix = activity
+      .withColumn("cohort", min(col("period")).over(w))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val wc = Window.partitionBy(col("cohort"))
+    matrix
+      .withColumn("c0",
+        max(when(col("offset") === 0L, col("n_users"))).over(wc))
+      .select(col("cohort"), col("offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("c0"), 8)
+          .as("retention8"))
+  }
+
   /** Ordered conversion funnel: per user, step i is reached at the
     * EARLIEST event of `steps(i)`'s type that is strictly after the
     * step i−1 time (first-touch semantics — the standard product

@@ -91,6 +91,25 @@ class TimeSeriesSpec extends SparkSpec {
       ("3:purchase", 1L, 0.25))) // only u1 purchases after clicking
   }
 
+  test("retention: cohort = first active period; rates are cohort-relative") {
+    import spark.implicits._
+    // cohort 0: u1 (active periods 0,1,2), u2 (0,2); cohort 1: u3 (1)
+    val ev = Seq(
+      (1L, 0L), (1L, 100000L), (1L, 200000L),
+      (2L, 50L), (2L, 210000L),
+      (3L, 100000L))
+      .toDF("user_id", "sec")
+    val rows = graft.operators.TimeSeries
+      .cohortRetention(ev, periodSec = 100000L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 2L, 1.0),
+      (0L, 1L, 1L, 0.5),   // only u1 returns in period 1
+      (0L, 2L, 2L, 1.0),   // both return in period 2
+      (1L, 0L, 1L, 1.0)))  // u3's own cohort
+  }
+
   test("funnel windows chain behind a single exchange") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val plan = graft.operators.TimeSeries.conversionFunnel(ev)
