@@ -286,6 +286,10 @@ object SparkEntry {
       TimeSeries.conversionFunnel(ev(s, d)).orderBy("step")),
     "ts_retention" -> q((s, d) =>
       TimeSeries.cohortRetention(ev(s, d)).orderBy("cohort", "offset")),
+    "ts_ab_lift" -> q((s, d) =>
+      TimeSeries.abConversion(ev(s, d))),
+    "ts_paths" -> q((s, d) =>
+      TimeSeries.topPaths(ev(s, d))),
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
         .orderBy("user_id", "bucket_start")),
@@ -1447,6 +1451,49 @@ object SparkEntry {
          |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
          |FROM ev GROUP BY user_id, bucket_start
          |ORDER BY user_id, bucket_start""".stripMargin,
+
+    "ts_ab_lift" ->
+      s"""WITH $EV,
+         |pu AS (SELECT user_id,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |           AS conv,
+         |         user_id % 2 AS arm
+         |       FROM ev GROUP BY user_id),
+         |t AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS users_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS users_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+         |      AS conv_b
+         |  FROM pu),
+         |r AS (SELECT *,
+         |        CAST(conv_a AS DOUBLE) / users_a AS ra,
+         |        CAST(conv_b AS DOUBLE) / users_b AS rb FROM t),
+         |s AS (SELECT *,
+         |        sqrt(ra * (1.0 - ra) / users_a +
+         |             rb * (1.0 - rb) / users_b) AS se FROM r)
+         |SELECT users_a, conv_a, round(ra, 8) AS rate_a8,
+         |  users_b, conv_b, round(rb, 8) AS rate_b8,
+         |  round(ra - rb, 8) AS diff8, round(se, 8) AS se8,
+         |  round(CASE WHEN se = 0 THEN 0.0 ELSE (ra - rb) / se END, 8)
+         |    AS z8
+         |FROM s""".stripMargin,
+
+    "ts_paths" ->
+      s"""WITH $EV,
+         |f AS (SELECT user_id, event_type,
+         |        row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts_us, event_id) AS rn
+         |      FROM ev),
+         |p AS (SELECT user_id,
+         |        string_agg(event_type, '->' ORDER BY rn) AS path
+         |      FROM f WHERE rn <= 3 GROUP BY user_id)
+         |SELECT path, count(*) AS n_users
+         |FROM p GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "ts_retention" ->
       s"""WITH $EV,

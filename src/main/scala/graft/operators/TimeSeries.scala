@@ -222,6 +222,68 @@ object TimeSeries {
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
           .as("sum_value"))
 
+  /** Two-arm A/B conversion readout: users split by id parity (the
+    * deterministic stand-in for an assignment column), conversion =
+    * any `convType` event. One row: per-arm counts/rates, the rate
+    * difference, its standard error and z-score — sqrt is IEEE-exact
+    * and everything else is rational, so even the z-score
+    * hash-matches across engines (the same libm discipline as the
+    * drift statistic).
+    *
+    * Plan: per-user collapse (one shuffle) → ONE global conditional
+    * aggregate (1-row result). Nothing here grows with event count
+    * past the first agg. */
+  def abConversion(events: DataFrame,
+                   convType: String = "purchase"): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === convType, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val n = (a: Int) => sum(when(col("arm") === a, 1L).otherwise(0L))
+    val c = (a: Int) => sum(when(col("arm") === a, col("conv"))
+      .otherwise(0L))
+    val agg = perUser.agg(
+      n(0).as("users_a"), c(0).as("conv_a"),
+      n(1).as("users_b"), c(1).as("conv_b"))
+    val ra = col("conv_a").cast("double") / col("users_a")
+    val rb = col("conv_b").cast("double") / col("users_b")
+    val se = sqrt(
+      ra * (lit(1.0) - ra) / col("users_a") +
+        rb * (lit(1.0) - rb) / col("users_b"))
+    agg.select(
+      col("users_a"), col("conv_a"), round(ra, 8).as("rate_a8"),
+      col("users_b"), col("conv_b"), round(rb, 8).as("rate_b8"),
+      round(ra - rb, 8).as("diff8"),
+      round(se, 8).as("se8"),
+      round(when(se === 0.0, 0.0).otherwise((ra - rb) / se), 8)
+        .as("z8"))
+  }
+
+  /** Common opening paths: each user's first `k` events (by time,
+    * event_id tiebreak) joined into a path string, counted across
+    * users. Top paths by support. The per-user sequence rides one
+    * user-partitioned window; the path table is users-sized, and the
+    * final count is path-keyed — event volume is touched once. */
+  def topPaths(events: DataFrame, k: Int = 3, top: Int = 20): DataFrame = {
+    require(k >= 1 && top >= 1, "k and top must be positive")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= k)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")), "->").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(top)
+  }
+
   /** Cohort retention: users grouped by their FIRST active period
     * (day grain), then for each later period the fraction of the
     * cohort still active — the other half of the product-analytics

@@ -110,6 +110,40 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, 0L, 1L, 1.0)))  // u3's own cohort
   }
 
+  test("A/B readout: exact per-arm rates, diff, and z from parity arms") {
+    import spark.implicits._
+    // arm 0: users 2,4 (one converts); arm 1: users 1,3 (both convert)
+    val ev = Seq(
+      (1L, "purchase", 1L, 10L), (1L, "view", 2L, 20L),
+      (2L, "purchase", 3L, 10L), (3L, "purchase", 4L, 10L),
+      (4L, "view", 5L, 10L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val r = graft.operators.TimeSeries.abConversion(ev).collect()(0)
+    assert(r.getAs[Long]("users_a") == 2L && r.getAs[Long]("conv_a") == 1L)
+    assert(r.getAs[Long]("users_b") == 2L && r.getAs[Long]("conv_b") == 2L)
+    assert(r.getAs[Double]("rate_a8") == 0.5 && r.getAs[Double]("rate_b8") == 1.0)
+    assert(r.getAs[Double]("diff8") == -0.5)
+    // rb(1-rb)=0, so se = sqrt(0.25/2) and z = -0.5/se
+    val se = math.sqrt(0.125)
+    assert(math.abs(r.getAs[Double]("se8") -
+      BigDecimal(se).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z8") -
+      BigDecimal(-0.5 / se).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("paths: first-k sequence per user with deterministic tiebreaks") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 1L, 10L), (1L, "click", 2L, 20L), (1L, "purchase", 3L, 30L),
+      (1L, "error", 4L, 40L), // beyond k=3, ignored
+      (2L, "view", 5L, 10L), (2L, "click", 6L, 20L), (2L, "purchase", 7L, 30L),
+      (3L, "signup", 8L, 10L))
+      .toDF("user_id", "event_type", "event_id", "ts_us")
+    val rows = graft.operators.TimeSeries.topPaths(ev)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("view->click->purchase", 2L), ("signup", 1L)))
+  }
+
   test("funnel windows chain behind a single exchange") {
     val ev = Tables.events(spark, sf("sf0.001"))
     val plan = graft.operators.TimeSeries.conversionFunnel(ev)
