@@ -678,6 +678,10 @@ object SparkEntry {
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .orderBy("c_nationkey", "id1", "dist")),
+    "graph_triangles" -> q((s, d) =>
+      operators.GraphOps.triangleCensus(
+        dedup.Blocking.customerNeighbors(Tables.customer(s, d))
+          .select(col("id1"), col("id2")))),
   )
 
   // ================= oracle SQL =================
@@ -3011,6 +3015,36 @@ object SparkEntry {
          |SELECT artifact, rows_before, rows_removed,
          |  rows_before - rows_removed AS rows_after
          |FROM u ORDER BY artifact""".stripMargin,
+
+    // ordered-wedge triangle census over the sorted-neighborhood
+    // candidate graph; every triangle found exactly once (a<b<c)
+    "graph_triangles" ->
+      """WITH w AS (
+        |  SELECT c_custkey,
+        |    lead(c_custkey, 1) OVER win AS l1,
+        |    lead(c_custkey, 2) OVER win AS l2
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal, c_custkey)),
+        |pr AS (
+        |  SELECT c_custkey AS id1, l1 AS id2 FROM w WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey, l2 FROM w WHERE l2 IS NOT NULL),
+        |e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+        |      FROM pr WHERE id1 <> id2),
+        |nn AS (SELECT count(DISTINCT v) AS n_nodes FROM
+        |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
+        |ec AS (SELECT count(*) AS n_edges FROM e),
+        |wg AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+        |       FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |wcnt AS (SELECT count(*) AS n_wedges FROM wg),
+        |tc AS (SELECT count(*) AS n_triangles
+        |       FROM wg JOIN e e3 ON wg.wa = e3.a AND wg.wc = e3.b)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(CASE WHEN n_wedges = 0 THEN 0.0
+        |        ELSE 3 * CAST(n_triangles AS DOUBLE) / n_wedges END, 8)
+        |    AS closure8
+        |FROM nn, ec, wcnt, tc""".stripMargin,
 
     // triangular-discrimination drift: rational arithmetic only, so
     // per-bin contributions are bit-identical across engines

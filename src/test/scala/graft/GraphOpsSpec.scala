@@ -66,4 +66,31 @@ class GraphOpsSpec extends SparkSpec {
     val maxLoss = 1000L
     assert(total <= Scale && total > Scale - maxLoss, s"total=$total")
   }
+
+  test("triangle census: exact counts on a hand-built graph") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus a pendant edge 3-4; reversed/duplicate rows
+    // must collapse to the same canonical edges
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L),          // reverse duplicate -> same canonical edge
+      (4L, 3L))          // duplicate
+      .toDF("id1", "id2")
+    val r = graft.operators.GraphOps.triangleCensus(pairs).collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    // ordered wedges: (1,2)-(2,3), (1,3)-(3,4), (2,3)-(3,4) -> 3
+    assert(r.getAs[Long]("n_wedges") == 3L)
+    assert(r.getAs[Double]("closure8") == 1.0)
+  }
+
+  test("triangle census: self-loops and empty graphs are safe") {
+    import spark.implicits._
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("id1", "id2")
+    val r = graft.operators.GraphOps.triangleCensus(loops).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 0L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Double]("closure8") == 0.0)
+  }
 }
