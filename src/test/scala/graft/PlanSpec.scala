@@ -158,4 +158,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       s"a range exchange means a global total order materialized:\n$p")
   }
+
+  test("forget audit: the forget-set broadcasts; artifacts never shuffle for it") {
+    val p = finalPlan(q("doc_forget"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"forget-set must broadcast against each artifact:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"an artifact shuffled to meet the (tiny) forget-set:\n$p")
+  }
+
+  test("MRL funnel: query set broadcasts in both stages") {
+    val p = finalPlan(q("knn_funnel"))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"candidate re-rank lost its broadcast:\n$p")
+  }
+
+  test("salted join: the join key carries the salt") {
+    val p = finalPlan(q("join_salted"))
+    assert(p.contains("_salt"),
+      s"salted join plan shows no salt in its keys:\n$p")
+  }
+
+  test("expectation gate: one scan feeds one aggregate") {
+    val p = finalPlan(q("qc_expectations"))
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
+  }
 }
