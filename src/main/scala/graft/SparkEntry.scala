@@ -682,6 +682,9 @@ object SparkEntry {
       operators.GraphOps.triangleCensus(
         dedup.Blocking.customerNeighbors(Tables.customer(s, d))
           .select(col("id1"), col("id2")))),
+    "basket_rules" -> q((s, d) =>
+      operators.MarketBasket.pairRules(Tables.lineitem(s, d),
+        col("l_orderkey"), col("l_partkey"))),
   )
 
   // ================= oracle SQL =================
@@ -3015,6 +3018,27 @@ object SparkEntry {
          |SELECT artifact, rows_before, rows_removed,
          |  rows_before - rows_removed AS rows_after
          |FROM u ORDER BY artifact""".stripMargin,
+
+    "basket_rules" ->
+      """WITH base AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |sized AS (
+        |  SELECT bk, it FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY bk) AS bs FROM base)
+        |  WHERE bs <= 64),
+        |p AS (SELECT a.it AS item1, b.it AS item2, count(*) AS pair_n
+        |      FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+        |      GROUP BY 1, 2),
+        |m AS (SELECT it, count(*) AS n FROM sized GROUP BY 1),
+        |t AS (SELECT count(DISTINCT bk) AS baskets FROM sized)
+        |SELECT item1, item2, pair_n, m1.n AS n1, m2.n AS n2,
+        |  round(CAST(pair_n AS DOUBLE) / baskets, 8) AS support8,
+        |  round(CAST(pair_n AS DOUBLE) / m1.n, 8) AS conf8,
+        |  round(CAST(pair_n AS DOUBLE) * baskets / (m1.n * m2.n), 8)
+        |    AS lift8
+        |FROM p JOIN m m1 ON p.item1 = m1.it
+        |       JOIN m m2 ON p.item2 = m2.it, t
+        |ORDER BY pair_n DESC, item1, item2 LIMIT 20""".stripMargin,
 
     // ordered-wedge triangle census over the sorted-neighborhood
     // candidate graph; every triangle found exactly once (a<b<c)

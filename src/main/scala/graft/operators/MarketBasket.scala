@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence — the pair-counting prep behind
+  * item-item collaborative filtering and association-rule mining
+  * (Agrawal & Srikant's support/confidence frame, VLDB 1994; lift as
+  * the interest measure).
+  *
+  * The scale discipline is the SAME as the dedup pair expanders: all
+  * pair volume is basket-bounded. Baskets larger than `maxBasket`
+  * are dropped BEFORE the self-join (the standard practice — a
+  * degenerate "basket" is a crawler or a bug, and its pair count is
+  * quadratic garbage), so expansion is ≤ maxBasket²/2 per basket and
+  * the join is an equi-join on the basket key that AQE can split.
+  * Item marginals and the basket total are side aggregates (item- and
+  * 1-sized); every rule metric is rational arithmetic off exact
+  * counts — support, confidence, and lift all hash-match the oracle. */
+object MarketBasket {
+
+  /** Top co-occurring item pairs with rule metrics. `items` must have
+    * (basket, item) columns — pass e.g. lineitem's (l_orderkey,
+    * l_partkey). Output per pair (item1 < item2): pair_n, n1, n2,
+    * support8 = pair_n/baskets, conf8 = pair_n/n1 (the 1→2 rule),
+    * lift8 = pair_n·baskets/(n1·n2), top `top` by (pair_n desc,
+    * item1, item2). */
+  def pairRules(items: DataFrame, basket: Column, item: Column,
+                maxBasket: Int = 64, top: Int = 20): DataFrame = {
+    require(maxBasket >= 2, "maxBasket must allow pairs")
+    val base = items.select(basket.as("bk"), item.as("it")).distinct()
+    val sized = base
+      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("_bs") <= maxBasket)
+      .select(col("bk"), col("it"))
+    val pairs = sized.alias("a")
+      .join(sized.alias("b"), col("a.bk") === col("b.bk") &&
+        col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item1"), col("b.it").as("item2"))
+      .agg(count(lit(1)).as("pair_n"))
+    val marginals = sized.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val totals = sized.agg(countDistinct(col("bk")).as("baskets"))
+    pairs
+      .join(marginals.select(col("it").as("item1"), col("n").as("n1")),
+        "item1")
+      .join(marginals.select(col("it").as("item2"), col("n").as("n2")),
+        "item2")
+      .crossJoin(broadcast(totals))
+      .select(col("item1"), col("item2"), col("pair_n"), col("n1"),
+        col("n2"),
+        round(col("pair_n").cast("double") / col("baskets"), 8)
+          .as("support8"),
+        round(col("pair_n").cast("double") / col("n1"), 8).as("conf8"),
+        round(col("pair_n").cast("double") * col("baskets") /
+          (col("n1") * col("n2")), 8).as("lift8"))
+      .orderBy(col("pair_n").desc, col("item1"), col("item2"))
+      .limit(top)
+  }
+}
