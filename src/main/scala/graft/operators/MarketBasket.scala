@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Market-basket co-occurrence — the pair-counting prep behind
@@ -29,18 +28,27 @@ object MarketBasket {
   def pairRules(items: DataFrame, basket: Column, item: Column,
                 maxBasket: Int = 64, top: Int = 20): DataFrame = {
     require(maxBasket >= 2, "maxBasket must allow pairs")
-    val base = items.select(basket.as("bk"), item.as("it")).distinct()
-    val sized = base
-      .withColumn("_bs", count(lit(1)).over(Window.partitionBy(col("bk"))))
-      .filter(col("_bs") <= maxBasket)
-      .select(col("bk"), col("it"))
-    val pairs = sized.alias("a")
-      .join(sized.alias("b"), col("a.bk") === col("b.bk") &&
-        col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("item1"), col("b.it").as("item2"))
+    // ONE basket-keyed exchange: collect_set dedupes in the aggregate,
+    // the size gate drops degenerate baskets before any pair exists,
+    // and pairs expand IN-BASKET from the sorted array (the same
+    // in-cell expansion shape as Dedup's LSH pair miners) — no window
+    // pass, no self-join
+    val baskets = items
+      .groupBy(basket.as("bk"))
+      .agg(sort_array(collect_set(item)).as("its"))
+      .filter(size(col("its")) <= maxBasket)
+    val pairExprs = explode(flatten(transform(col("its"),
+      (x, i) => transform(
+        slice(col("its"), i + lit(2), size(col("its"))),
+        y => struct(x.as("item1"), y.as("item2"))))))
+    val pairs = baskets
+      .select(pairExprs.as("p"))
+      .groupBy(col("p.item1").as("item1"), col("p.item2").as("item2"))
       .agg(count(lit(1)).as("pair_n"))
-    val marginals = sized.groupBy(col("it")).agg(count(lit(1)).as("n"))
-    val totals = sized.agg(countDistinct(col("bk")).as("baskets"))
+    val marginals = baskets
+      .select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val totals = baskets.agg(count(lit(1)).as("baskets"))
     pairs
       .join(marginals.select(col("it").as("item1"), col("n").as("n1")),
         "item1")
