@@ -289,21 +289,24 @@ object TimeSeries {
     * cohort still active — the other half of the product-analytics
     * pair with [[conversionFunnel]].
     *
-    * Plan shape: activity collapses to distinct (user, period) FIRST
-    * — everything downstream is per-user-period, never per-event —
-    * then the cohort is a min window over the user partition, the
-    * matrix one (cohort, offset) count, and cohort size a window max
-    * over the (tiny) matrix itself, not the input. Three keyed
-    * exchanges total, each narrower than the last. */
+    * Plan shape: ONE user-keyed aggregate collects each user's
+    * distinct period set (collect_set dedupes map-side; the set is
+    * bounded by the calendar, not the event count), cohort =
+    * `array_min` of the set, offsets explode from it — so event
+    * volume crosses exactly one exchange. The matrix is one
+    * (cohort, offset) count and cohort size a window max over the
+    * (tiny) matrix itself. Three keyed exchanges total, each
+    * narrower than the last. */
   def cohortRetention(events: DataFrame,
                       periodSec: Long = 86400L): DataFrame = {
     require(periodSec > 0, "periodSec must be positive")
-    val activity = events
+    val perUser = events
       .select(col("user_id"), expr(s"sec div $periodSec").as("period"))
-      .distinct()
-    val w = Window.partitionBy(col("user_id"))
-    val matrix = activity
-      .withColumn("cohort", min(col("period")).over(w))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("period")).as("ps"))
+      .select(col("user_id"), array_min(col("ps")).as("cohort"),
+        explode(col("ps")).as("period"))
+    val matrix = perUser
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
     val wc = Window.partitionBy(col("cohort"))
