@@ -94,6 +94,8 @@ object SparkEntry {
         .orderBy("user_id", "cx", "cy")),
     "mov_sentinel_stats" -> q((s, d) =>
       Movements.sentinelStats(ev(s, d)).orderBy("user_id")),
+    "mov_bot_signals" -> q((s, d) =>
+      Movements.botSignals(ev(s, d)).orderBy("user_id")),
     "mov_sessions" -> q((s, d) =>
       Movements.sessions(ev(s, d), SessionGapSec)
         .orderBy("user_id", "session_id")),
@@ -896,6 +898,49 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS sentinels,
          |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS moves
          |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // integer cross-product collinearity + decimal gap moments: the
+    // whole readout is engine-exact (sqrt is IEEE; no log/exp)
+    "mov_bot_signals" ->
+      s"""WITH $POS,
+         |m AS (SELECT user_id, sec, ts_us, event_id, x, y
+         |      FROM pos WHERE x IS NOT NULL),
+         |t AS (SELECT user_id, sec, x, y,
+         |        lead(x, 1) OVER win AS x2, lead(y, 1) OVER win AS y2,
+         |        lead(x, 2) OVER win AS x3, lead(y, 2) OVER win AS y3,
+         |        ts_us - lag(ts_us, 1) OVER win AS gap
+         |      FROM m
+         |      WINDOW win AS (PARTITION BY user_id
+         |                     ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, sec, gap,
+         |        CASE WHEN x3 IS NOT NULL THEN
+         |          CASE WHEN CAST(x2 - x AS BIGINT) * (y3 - y2) -
+         |                    CAST(y2 - y AS BIGINT) * (x3 - x2) = 0
+         |               THEN 1 ELSE 0 END END AS lin
+         |      FROM t),
+         |pu AS (SELECT user_id, count(*) AS n_moves,
+         |         CAST(sum(lin) AS BIGINT) AS n_straight,
+         |         count(lin) AS n_triples,
+         |         sum(CAST(gap AS DECIMAL(38,0))) AS gs,
+         |         sum(CAST(gap AS DECIMAL(19,0)) *
+         |             CAST(gap AS DECIMAL(19,0))) AS gss,
+         |         count(gap) AS gn
+         |       FROM s GROUP BY 1),
+         |b AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_sec FROM
+         |        (SELECT user_id, sec, count(*) AS c FROM m GROUP BY 1, 2)
+         |      GROUP BY 1)
+         |SELECT pu.user_id, n_moves, max_per_sec,
+         |  round(CASE WHEN n_triples = 0 THEN 0.0
+         |        ELSE CAST(n_straight AS DOUBLE) / n_triples END, 8)
+         |    AS straight8,
+         |  round(CASE WHEN gn = 0 THEN 0.0
+         |        ELSE CAST(gs AS DOUBLE) / gn END, 4) AS mean_gap_us4,
+         |  round(CASE WHEN gn = 0 THEN 0.0
+         |        ELSE sqrt(greatest(
+         |          CAST(gss AS DOUBLE) / gn -
+         |          (CAST(gs AS DOUBLE) / gn) * (CAST(gs AS DOUBLE) / gn),
+         |          CAST(0 AS DOUBLE))) END, 4) AS sd_gap_us4
+         |FROM pu JOIN b USING (user_id) ORDER BY user_id""".stripMargin,
 
     "mov_sessions" ->
       s"""WITH $EV,

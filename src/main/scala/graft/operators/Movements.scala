@@ -253,6 +253,68 @@ object Movements {
       .collect()(0)
   }
 
+  /** Bot-detection signals per user — the abuse-filtering pass a real
+    * clickstream ingest runs before the data is trusted (rate limits,
+    * scripted-mouse detection). Three engine-exact heuristics:
+    *
+    *  - **straightness**: fraction of consecutive positioned triples
+    *    that are collinear — the cross product
+    *    (x2−x1)(y3−y2) − (y2−y1)(x3−x2) is INTEGER arithmetic, so the
+    *    collinearity bit is exact on any engine. Scripted movement is
+    *    straight; human mouse traces wiggle.
+    *  - **burst**: max events in any one second (rate-limit signal).
+    *  - **cadence**: mean and standard deviation of inter-event gaps —
+    *    gap sums accumulate in DECIMAL(38,0) (order-independent), the
+    *    final moments are a fixed double expression, deterministic
+    *    bit-for-bit even where the subtraction loses precision.
+    *
+    * Plan: one user-partitioned window pass (leads/lags), one user
+    * aggregate on the same partitioning, plus the (user, sec) burst
+    * aggregate joined back user-keyed. Event volume crosses two keyed
+    * exchanges. */
+  def botSignals(events: DataFrame): DataFrame = {
+    val p = positioned(events).filter(col("x").isNotNull)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val x2 = lead(col("x"), 1).over(w)
+    val y2 = lead(col("y"), 1).over(w)
+    val x3 = lead(col("x"), 2).over(w)
+    val y3 = lead(col("y"), 2).over(w)
+    val cross = (x2 - col("x")).cast("long") * (y3 - y2) -
+      (y2 - col("y")).cast("long") * (x3 - x2)
+    val gap = col("ts_us") - lag(col("ts_us"), 1).over(w)
+    val staged = p.select(col("user_id"), col("sec"),
+      when(x3.isNotNull, when(cross === 0L, 1L).otherwise(0L))
+        .as("lin"),
+      gap.as("gap"))
+    val perUser = staged.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_moves"),
+      sum(col("lin")).as("n_straight"),
+      count(col("lin")).as("n_triples"),
+      sum(col("gap").cast("decimal(38,0)")).as("_gs"),
+      // square in DECIMAL: a week-long µs gap squared overflows long
+      sum(col("gap").cast("decimal(19,0)") *
+        col("gap").cast("decimal(19,0)")).as("_gss"),
+      count(col("gap")).as("_gn"))
+    val bursts = p.groupBy(col("user_id"), col("sec"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id")).agg(max(col("c")).as("max_per_sec"))
+    val meanGap = col("_gs").cast("double") / col("_gn")
+    val varGap = col("_gss").cast("double") / col("_gn") -
+      meanGap * meanGap
+    perUser.join(bursts, "user_id")
+      .select(
+        col("user_id"), col("n_moves"), col("max_per_sec"),
+        round(when(col("n_triples") === 0L, 0.0)
+          .otherwise(col("n_straight").cast("double") / col("n_triples")),
+          8).as("straight8"),
+        round(when(col("_gn") === 0L, 0.0).otherwise(meanGap), 4)
+          .as("mean_gap_us4"),
+        round(when(col("_gn") === 0L, 0.0)
+          .otherwise(sqrt(greatest(varGap, lit(0.0)))), 4)
+          .as("sd_gap_us4"))
+  }
+
   /** P5/A6 — sentinel vs movement counts per user (functions.js:365;
     * running total events_tracked, functions.js:19,257). */
   def sentinelStats(events: DataFrame): DataFrame =

@@ -150,4 +150,34 @@ class MovementsSpec extends SparkSpec {
     assert(movs.map(m => (m.getLong(0), m.getInt(1), m.getInt(2))) ==
       Seq((5L * S + 123L, 2, 7)))
   }
+
+  test("bot signals: scripted straight line maxes straightness; human wiggle doesn't") {
+    // u1 moves on the line y = x (collinear everywhere); u2 zigzags
+    val ev = mkEvents(Seq(
+      (1L, 1L, "move", 10.0, 1), (2L, 1L, "move", 20.0, 2),
+      (3L, 1L, "move", 30.0, 3), (4L, 1L, "move", 40.0, 4),
+      (11L, 2L, "move", 10.0, 1), (12L, 2L, "move", 20.0, 9),
+      (13L, 2L, "move", 30.0, 1), (14L, 2L, "move", 40.0, 9)))
+    val out = Movements.botSignals(ev).orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Double]("straight8") == 1.0)
+    assert(out(2L).getAs[Double]("straight8") == 0.0)
+    // 1 event/sec cadence: every gap exactly 1s -> sd 0, mean 1e6
+    assert(out(1L).getAs[Double]("mean_gap_us4") == 1000000.0)
+    assert(out(1L).getAs[Double]("sd_gap_us4") == 0.0)
+    assert(out(1L).getAs[Long]("max_per_sec") == 1L)
+  }
+
+  test("bot signals: burst counting and sentinel exclusion") {
+    // three events in one second; sentinels carry no position and
+    // must not join the trajectory
+    val ev = mkEvents(Seq(
+      (1L, 1L, "move", 10.0, 1), (2L, 1L, "error", 0.0, 0),
+      (3L, 1L, "move", 30.0, 3)))
+      .withColumn("ts_us", lit(5L * S) + col("event_id")) // all in sec 5
+      .withColumn("sec", expr("ts_us div 1000000"))
+    val r = Movements.botSignals(ev).collect()(0)
+    assert(r.getAs[Long]("n_moves") == 2L)     // sentinel excluded
+    assert(r.getAs[Long]("max_per_sec") == 2L) // burst of positioned events
+  }
 }
