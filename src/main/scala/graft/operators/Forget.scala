@@ -25,14 +25,21 @@ object Forget {
   def report(artifacts: Seq[(String, DataFrame, String)],
              forgetIds: DataFrame): DataFrame = {
     require(artifacts.nonEmpty, "need at least one artifact")
+    // working columns are namespaced and checked — a silent collision
+    // with an artifact column would corrupt the audit (cf. the
+    // RangeJoin '_bin' lesson)
+    val fid = "_graft_forget_id"
+    artifacts.foreach { case (name, df, _) =>
+      require(!df.columns.contains(fid),
+        s"artifact '$name' already has a $fid column")
+    }
     val ids = broadcast(
-      forgetIds.select(col("doc_id").as("_fid")).distinct()
-        .withColumn("_f", lit(1)))
+      forgetIds.select(col("doc_id").as(fid)).distinct())
     artifacts.map { case (name, df, idCol) =>
-      df.join(ids, col(idCol) === col("_fid"), "left")
+      df.join(ids, col(idCol) === col(fid), "left")
         .agg(
           count(lit(1)).as("rows_before"),
-          sum(when(col("_f").isNotNull, 1L).otherwise(0L))
+          sum(when(col(fid).isNotNull, 1L).otherwise(0L))
             .as("rows_removed"))
         .select(
           lit(name).as("artifact"),

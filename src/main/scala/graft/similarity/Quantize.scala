@@ -142,7 +142,11 @@ object Quantize {
     * so this is integer dot / integer norms — exact, portable, and
     * 4× lighter on memory bandwidth than the float path. Mirrors
     * [[Knn.bruteForce]]'s contract (queries = vec_id < nQueries,
-    * deterministic vec_id tiebreak). */
+    * deterministic vec_id tiebreak). An all-zero vector has norm 0
+    * and divides to IEEE ±Infinity/NaN — identically in Spark and
+    * the oracle engine (both evaluate the same op tree), so even the
+    * degenerate case stays hash-stable; filter zero vectors upstream
+    * if they can occur. */
   def searchQuantized(emb: DataFrame, nQueries: Int = 5, k: Int = 5)
       : DataFrame = {
     val q8 = spread(emb)
