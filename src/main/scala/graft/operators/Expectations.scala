@@ -36,8 +36,12 @@ object Expectations {
   def report(df: DataFrame, rules: Seq[Rule],
              uniqueKey: Option[(String, Seq[Column])] = None): DataFrame = {
     require(rules.nonEmpty, "Expectations.report needs at least one rule")
+    // coalesce(0): sum over an EMPTY table is null, and an empty
+    // ingest batch must read "0 violations", not null
     val ruleAggs = rules.zipWithIndex.map { case (r, i) =>
-      sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L)).as(s"_v$i")
+      coalesce(
+        sum(when(coalesce(r.holds, lit(false)), 0L).otherwise(1L)),
+        lit(0L)).as(s"_v$i")
     }
     val uniqAgg = uniqueKey.toSeq.map { case (_, cols) =>
       countDistinct(cols.head, cols.tail: _*).as("_uniq")
@@ -58,8 +62,11 @@ object Expectations {
         col("rule"),
         col("violations"),
         col("_total").as("total"),
-        round(lit(1.0) - col("violations").cast("double") /
-          col("_total"), 6).as("pass_rate"))
+        // an empty batch passes vacuously (and ANSI mode makes 0/0 an
+        // ERROR, not a NaN — the guard is required, not cosmetic)
+        when(col("_total") === 0L, 1.0)
+          .otherwise(round(lit(1.0) - col("violations").cast("double") /
+            col("_total"), 6)).as("pass_rate"))
   }
 
   /** Distribution drift between a reference and a current snapshot of

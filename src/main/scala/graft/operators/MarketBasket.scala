@@ -26,14 +26,35 @@ object MarketBasket {
     * lift8 = pair_n·baskets/(n1·n2), top `top` by (pair_n desc,
     * item1, item2). */
   def pairRules(items: DataFrame, basket: Column, item: Column,
-                maxBasket: Int = 64, top: Int = 20): DataFrame = {
+                maxBasket: Int = 64, top: Int = 20,
+                preGate: Boolean = false): DataFrame = {
     require(maxBasket >= 2, "maxBasket must allow pairs")
     // ONE basket-keyed exchange: collect_set dedupes in the aggregate,
     // the size gate drops degenerate baskets before any pair exists,
     // and pairs expand IN-BASKET from the sorted array (the same
     // in-cell expansion shape as Dedup's LSH pair miners) — no window
-    // pass, no self-join
-    val baskets = items
+    // pass, no self-join.
+    //
+    // CAVEAT: the gate runs on the COLLECTED set, so a pathological
+    // basket (a crawler session with millions of items) is still
+    // built in one aggregation buffer before being dropped. For
+    // corpora where that can happen, `preGate = true` spends one
+    // extra (bk)-keyed counting aggregate to drop oversize baskets
+    // BEFORE anything collects — the memory-safe path, at one more
+    // exchange of (bk, n) pairs.
+    val gated =
+      if (!preGate) items
+      else {
+        val sizes = items.select(basket.as("_graft_bk"), item.as("it"))
+          .distinct()
+          .groupBy(col("_graft_bk")).agg(count(lit(1)).as("_bs"))
+          .filter(col("_bs") <= maxBasket)
+          .select(col("_graft_bk"))
+        // left-semi on the surviving keys: that key set can be nearly
+        // basket-cardinality-sized, so it shuffles — never broadcasts
+        items.join(sizes, basket === col("_graft_bk"), "left_semi")
+      }
+    val baskets = gated
       .groupBy(basket.as("bk"))
       .agg(sort_array(collect_set(item)).as("its"))
       .filter(size(col("its")) <= maxBasket)

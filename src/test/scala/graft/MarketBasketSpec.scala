@@ -29,12 +29,24 @@ class MarketBasketSpec extends SparkSpec {
     val big = (1 to 100).map(i => (1L, s"i$i")) // one 100-item basket
     val ok = Seq((2L, "x"), (2L, "y"))
     val items = (big ++ ok).toDF("bk", "it")
-    val rows = MarketBasket.pairRules(items, $"bk", $"it", maxBasket = 64)
+    for (pre <- Seq(false, true)) {
+      val rows = MarketBasket.pairRules(items, $"bk", $"it",
+        maxBasket = 64, preGate = pre).collect()
+      assert(rows.length == 1, s"preGate=$pre") // only the small basket pairs
+      assert(rows(0).getString(0) == "x" && rows(0).getString(1) == "y")
+      // and the dropped basket is excluded from the totals too
+      assert(rows(0).getAs[Double]("support8") == 1.0)
+    }
+  }
+
+  test("empty-input expectation report still reads zero violations") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val empty = Seq.empty[(Long, String)].toDF("k", "tag")
+    val rows = Expectations.report(empty, Seq(Rule("k_pos", $"k" > 0L)))
       .collect()
-    assert(rows.length == 1) // only the small basket's single pair
-    assert(rows(0).getString(0) == "x" && rows(0).getString(1) == "y")
-    // and the dropped basket is excluded from the totals too
-    assert(rows(0).getAs[Double]("support8") == 1.0)
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 0L) // violations 0, not null
   }
 
   private implicit class RoundTo(d: Double) {
