@@ -53,7 +53,7 @@ object Soak {
     // session-3 additions: the 8× replicated salted join, the
     // single-pass expectation gate, quantized search, neighborhood
     // window pairs
-    "join_salted", "qc_expectations", "emb_quantize", "knn_quantized", "qc_drift_seg", "ts_funnel", "ts_retention", "ts_ab_lift", "ts_paths", "graph_triangles", "basket_rules", "mov_bot_signals",
+    "join_salted", "qc_expectations", "emb_quantize", "knn_quantized", "qc_drift_seg", "ts_funnel", "ts_retention", "ts_ab_lift", "ts_paths", "graph_triangles", "basket_rules", "mov_bot_signals", "knn_ivf_sq8",
     "er_neighbors")
 
   private def stride(df: DataFrame, key: String): Long =

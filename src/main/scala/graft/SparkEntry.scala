@@ -630,6 +630,9 @@ object SparkEntry {
     "knn_funnel" -> q((s, d) =>
       similarity.Quantize.searchFunnel(Tables.embeddings(s, d))
         .orderBy("qid", "rnk")),
+    "knn_ivf_sq8" -> q((s, d) =>
+      similarity.Quantize.ivfSearchQuantized(Tables.embeddings(s, d))
+        .orderBy("qid", "rnk")),
     "doc_forget" -> q((s, d) =>
       operators.Forget.corpusAudit(
           Tables.documents(s, d), Tables.embeddings(s, d))
@@ -3034,6 +3037,49 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rnk
          |      FROM s2)
          |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // IVFSQ8: full-precision cell assignment, int8 in-cell scoring
+    "knn_ivf_sq8" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(
+         |      CASE WHEN scale = 0 THEN 0
+         |           ELSE greatest(-127.0, least(127.0,
+         |                  round(CAST(x AS DOUBLE) / scale, 0))) END
+         |      AS DOUBLE)) AS qv
+         |  FROM s),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |      FROM embeddings WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |a AS (SELECT vec_id, centroid_id FROM (
+         |    SELECT vec_id, centroid_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos_sim DESC, centroid_id)
+         |      AS rn FROM sc)
+         |  WHERE rn = 1),
+         |aq AS (SELECT a.vec_id, a.centroid_id, q8.qv
+         |       FROM a JOIN q8 USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, centroid_id AS qcell, qv AS qq
+         |      FROM aq WHERE vec_id < 5),
+         |s2 AS (
+         |  SELECT qid, aq.vec_id,
+         |    round(list_dot_product(qq, aq.qv) /
+         |      (sqrt(list_dot_product(qq, qq)) *
+         |       sqrt(list_dot_product(aq.qv, aq.qv))), 4) AS qcos
+         |  FROM aq JOIN q ON aq.centroid_id = qcell
+         |              AND aq.vec_id <> qid),
+         |r AS (SELECT qid, vec_id, qcos, row_number() OVER (
+         |        PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rnk
+         |      FROM s2)
+         |SELECT qid, rnk, vec_id, qcos FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
 
     // chunk counts come from the same closed form the doc_chunks

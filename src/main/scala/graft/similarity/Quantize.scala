@@ -44,6 +44,12 @@ object Quantize {
   private def scaleOf(emb: Column): Column =
     array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
 
+  /** Int8 codes as array<float> (ints ≤127 are float-exact), ready
+    * for the graft_dot kernel — the column form other operators
+    * (e.g. [[ivfSearchQuantized]]) compose with. */
+  def codesF(emb: Column): Column =
+    quantize(emb, scaleOf(emb)).cast("array<float>")
+
   /** Quantized vector as array<int> in [-127, 127]; all-zero when the
     * input vector is all-zero (scale 0 guard). round() is HALF_UP
     * (away from zero) in both Spark and the oracle engine, so the
@@ -108,6 +114,37 @@ object Quantize {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id"), col("pcos"))
+  }
+
+  /** IVF + int8 — the FAISS `IVFSQ8` shape, the standard
+    * billion-scale ANN configuration: coarse cells are assigned in
+    * FULL precision (training-side work, done once), while the
+    * in-cell scan — the part that touches the whole corpus per
+    * query — runs on int8 codes. At 100 TB that is 1/nlist of the
+    * data per probe × 4× less bandwidth per vector read. Scales
+    * cancel in cosine, so the in-cell scoring is pure integer math
+    * with no dequantization (see [[searchQuantized]]). */
+  def ivfSearchQuantized(emb: DataFrame, nQueries: Int = 5, k: Int = 3,
+                         nlist: Int = 16): DataFrame = {
+    val q8 = spread(emb).select(col("vec_id"), codesF(col("embedding")).as("qv"))
+    val assigned = Knn.ivfAssign(emb, nlist)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(q8, "vec_id")
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("centroid_id").as("qcell"),
+        col("qv").as("qq"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+    assigned
+      .join(broadcast(q), col("centroid_id") === col("qcell") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(Portable.dot(col("qq"), col("qv")) /
+          (sqrt(Portable.dot(col("qq"), col("qq"))) *
+           sqrt(Portable.dot(col("qv"), col("qv")))), 4).as("qcos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("qcos"))
   }
 
   /** The MRL funnel composed: [[searchPrefix]] ranks a `pool`-sized

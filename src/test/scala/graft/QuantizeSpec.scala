@@ -67,6 +67,21 @@ class QuantizeSpec extends SparkSpec {
     assert(cut.length == 25)
   }
 
+  test("IVFSQ8: cells match full-precision IVF; in-cell rank is quantized") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val sq8 = Quantize.ivfSearchQuantized(emb)
+      .select($"qid", $"rnk", $"vec_id").as[(Long, Int, Long)]
+      .collect()
+    assert(sq8.length == 15) // 5 queries x k=3
+    // every returned candidate must live in its query's probed cell
+    val cells = Knn.ivfAssign(emb)
+      .select($"vec_id", $"centroid_id").as[(Long, Long)]
+      .collect().toMap
+    sq8.foreach { case (qid, _, vid) =>
+      assert(cells(vid) == cells(qid), s"$vid not in $qid's cell")
+    }
+  }
+
   test("funnel with a corpus-sized pool recovers brute force exactly") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val n = emb.count().toInt
