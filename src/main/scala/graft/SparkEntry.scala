@@ -690,6 +690,15 @@ object SparkEntry {
     "basket_rules" -> q((s, d) =>
       operators.MarketBasket.pairRules(Tables.lineitem(s, d),
         col("l_orderkey"), col("l_partkey"))),
+    "qc_mad_outliers" -> q((s, d) =>
+      operators.Expectations.orderPriceOutliers(Tables.orders(s, d))
+        .orderBy("grp")),
+    "dedup_dup_spans" -> q((s, d) =>
+      Dedup.dupSpans(Tables.documents(s, d))
+        .orderBy("doc_id", "span_start")),
+    "doc_lm_coverage" -> q((s, d) =>
+      TextAnalysis.lmCoverageScore(Tables.documents(s, d), vocabSize = 200)
+        .orderBy("doc_id")),
   )
 
   // ================= oracle SQL =================
@@ -3246,5 +3255,74 @@ object SparkEntry {
         |SELECT * FROM u WHERE id2 IS NOT NULL
         |ORDER BY c_nationkey, id1, dist""".stripMargin
     },
+
+    "qc_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS med
+        |  FROM orders GROUP BY 1),
+        |mad AS (
+        |  SELECT m.grp,
+        |    quantile_cont(abs(CAST(o_totalprice AS DOUBLE) - med), 0.5) AS mad,
+        |    max(med) AS med
+        |  FROM orders o JOIN med m ON o.o_orderpriority = m.grp
+        |  GROUP BY m.grp)
+        |SELECT m.grp, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(med), 4) AS median4,
+        |  round(max(mad), 4) AS mad4,
+        |  CAST(sum(CASE WHEN abs(CAST(o_totalprice AS DOUBLE) - med)
+        |                     > mad * 1.8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN abs(CAST(o_totalprice AS DOUBLE) - med)
+        |                           > mad * 1.8 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS outlier_frac
+        |FROM orders o JOIN mad m ON o.o_orderpriority = m.grp
+        |GROUP BY m.grp ORDER BY grp""".stripMargin,
+
+    // shp zips two parallel unnests (DuckDB pairs equal-length lists):
+    // pos = i - 1 matches Spark's 0-based posexplode
+    "dedup_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |shp AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(t) - 1)) - 1 AS pos,
+        |    substr(md5(unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))), 1, 16)
+        |      AS h
+        |  FROM toks),
+        |df AS (
+        |  SELECT h FROM shp GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (
+        |  SELECT s.doc_id, s.pos,
+        |    s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+        |      AS island
+        |  FROM shp s JOIN df USING (h))
+        |SELECT doc_id,
+        |  CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) AS BIGINT) AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
+        |FROM d GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "doc_lm_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        |  FROM toks),
+        |vc AS (
+        |  SELECT g, count(*) AS c FROM bg GROUP BY g
+        |  ORDER BY c DESC, g LIMIT 200)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(count(v.g) AS BIGINT) AS n_in_vocab,
+        |  round(CAST(count(v.g) AS DOUBLE) / count(*), 4) AS iv_rate
+        |FROM bg b LEFT JOIN vc v ON b.g = v.g
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
   )
 }

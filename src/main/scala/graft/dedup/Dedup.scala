@@ -366,4 +366,44 @@ object Dedup {
       .orderBy(col("overlap_frac").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Cross-document duplicated-SPAN detection — the substring-level
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022), re-expressed without suffix arrays:
+    * a token position is "duplicated" when its k-token shingle occurs
+    * in ≥ `minDf` distinct documents, and maximal runs of duplicated
+    * positions are merged into spans (the unit a cleaning pipeline
+    * would cut). Output: one row per maximal span —
+    * (doc_id, span_start, span_end, n_shingles, span_tokens).
+    *
+    * Scale shape: positions explode once; document frequency is a
+    * hash-partitioned groupBy on the 64-bit shingle hash (map-side
+    * combinable); only positions whose hash survives the df gate are
+    * joined back (the duplicated subset, typically a small fraction
+    * of the corpus); the gaps-and-islands merge is one window per
+    * doc. No suffix array, no self-join, no all-pairs work — the same
+    * bucket-bounded posture as the rest of this file. */
+  def dupSpans(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val k = 3 // token width of Portable.shingles
+    val sh = spread(docs)
+      .select(col("doc_id"),
+        posexplode(shingles(col("text"))).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), hex16(col("shingle")).as("h"))
+    val dupHashes = sh
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(dupHashes, "h")
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        max(col("pos")).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_shingles"),
+        (col("span_end") - col("span_start") + k).as("span_tokens"))
+  }
 }

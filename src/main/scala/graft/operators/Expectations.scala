@@ -190,4 +190,55 @@ object Expectations {
       orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
       orders.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
       col("o_orderpriority"), col("o_totalprice"), binWidth)
+
+  /** Robust per-group outlier gate: median/MAD instead of mean/stddev
+    * (Hampel's rule; Leys et al. 2013, "Detecting outliers: do not
+    * use standard deviation around the mean") — a handful of extreme
+    * rows cannot drag the threshold the way they drag a z-score. A
+    * row is an outlier when |x − median| > mad × `cutoff`, with
+    * cutoff = 3σ-equivalent 4.4478 (= 3 × 1.4826, the normal
+    * consistency constant) folded into ONE literal so both engines
+    * evaluate a single multiply — no associativity ambiguity. Groups
+    * with mad = 0 (over half the values identical) flag any deviation
+    * from the median, the standard Hampel degeneration.
+    *
+    * Plan shape: two exact-percentile aggregations (each one shuffle
+    * on the group key, map-side combinable) and two BROADCAST joins
+    * of the tiny per-group stat tables back onto the rows — group
+    * cardinality is bounded by the domain, never by the data, so at
+    * 100 TB the broadcast side stays a few rows and the row side is
+    * scanned, never shuffled, for the flagging pass. */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  cutoff: Double = 4.4478): DataFrame = {
+    val x = value.cast("double")
+    val med = df
+      .groupBy(group.as("grp"))
+      .agg(percentile(x, lit(0.5)).as("med"))
+    val mad = df
+      .join(broadcast(med), group === col("grp"))
+      .groupBy(col("grp"))
+      .agg(
+        percentile(abs(x - col("med")), lit(0.5)).as("mad"),
+        max(col("med")).as("med"))
+    df.join(broadcast(mad), group === col("grp"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(round(col("med"), 4)).as("median4"),
+        max(round(col("mad"), 4)).as("mad4"),
+        sum(when(abs(x - col("med")) > col("mad") * cutoff, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("grp"), col("n"), col("median4"), col("mad4"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n"), 6)
+          .as("outlier_frac"))
+  }
+
+  /** Shipped robust-outlier gate: order prices by priority. The demo
+    * column is uniform-ish (max |x − median| ≈ 2 MAD), so the Hampel
+    * 3σ default would flag nothing; 1.8 exercises the flagging path
+    * (~10% mild outliers) while the default stays the textbook rule. */
+  def orderPriceOutliers(orders: DataFrame): DataFrame =
+    madOutliers(orders, col("o_orderpriority"), col("o_totalprice"),
+      cutoff = 1.8)
 }

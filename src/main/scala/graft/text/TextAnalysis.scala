@@ -308,4 +308,38 @@ object TextAnalysis {
         size(chunkToks).as("n_chunk_tokens"),
         md5(concat_ws(" ", chunkToks)).as("chunk_md5"))
   }
+
+  /** Language-model quality proxy without a language model: the
+    * fraction of a document's bigrams that fall inside the corpus's
+    * top-`vocabSize` bigram vocabulary (an in-vocabulary / n-gram
+    * coverage rate — the libm-free stand-in for the "perplexity of a
+    * small LM" filter in public pipeline descriptions like CCNet and
+    * Gopher's quality rules; gibberish and boilerplate both score
+    * low). Documents shorter than 2 tokens have no bigrams and are
+    * absent from the output, same as the oracle.
+    *
+    * Scale shape: bigram counting is one map-side-combinable groupBy;
+    * the vocabulary is `orderBy(count desc).limit(V)` — planned as
+    * TakeOrderedAndProject, so no global sort materializes — and is
+    * tiny by construction, so scoring is one BROADCAST join against
+    * the exploded bigrams followed by a per-doc aggregate. Tie at the
+    * vocabulary boundary breaks deterministically by bigram string. */
+  def lmCoverageScore(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val bg = spread(docs)
+      .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))
+    val vocab = bg
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("g"))
+      .limit(vocabSize)
+      .select(col("g"), lit(1L).as("hit"))
+    bg.join(broadcast(vocab), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_in_vocab"),
+        round(col("n_in_vocab").cast("double") / col("n_bigrams"), 4)
+          .as("iv_rate"))
+  }
 }

@@ -111,4 +111,23 @@ class CorpusOpsSpec extends SparkSpec {
       rows(TextAnalysis.collocations(shuffled, minCount = 2)
         .orderBy(col("lift").desc, col("bigram"))))
   }
+
+  test("LM coverage scores by top-V bigram membership; short docs drop") {
+    val d = Seq(
+      (0L, "a b a b a b"),   // bigrams: "a b" x3, "b a" x2
+      (1L, "c d e"),         // bigrams: "c d", "d e" — once each
+      (2L, "solo"))          // no bigrams -> absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmCoverageScore(d, vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vocab = {"a b", "b a"}: doc 0 fully in-vocab, doc 1 fully out
+    assert(got.toSeq == Seq((0L, 5L, 5L, 1.0), (1L, 2L, 0L, 0.0)))
+    // boundary tie at count 1 breaks by bigram string: vocabSize 3
+    // admits "c d" (lexicographically before "d e")
+    val tied = TextAnalysis.lmCoverageScore(d, vocabSize = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(tied.toSeq == Seq((0L, 5L), (1L, 1L)))
+  }
 }

@@ -218,4 +218,35 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 3L))
     assert(got(0)._2 > got(1)._2)
   }
+
+  test("dup spans merge adjacent duplicated shingles into maximal runs") {
+    val d = Seq(
+      (0L, "a b c d e f"),       // shingles: abc bcd cde def
+      (1L, "x x a b c d y"),     // shingles: xxa xab abc bcd cdy
+      (2L, "p q r"))             // unique shingle, no dup
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpans(d).orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // "a b c" and "b c d" occur in docs 0 and 1: doc 0 positions 0-1,
+    // doc 1 positions 2-3 — each one maximal 4-token span; doc 2 clean
+    assert(got.toSeq == Seq(
+      (0L, 0L, 1L, 2L, 4L),
+      (1L, 2L, 3L, 2L, 4L)))
+  }
+
+  test("dup spans split on gaps and honor the minDf gate") {
+    // shared run at both ends of doc 0 with a unique middle -> 2 spans
+    val d = Seq(
+      (0L, "a b c z z z d e f"),
+      (1L, "a b c q q q d e f"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupSpans(d).orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L), (0L, 6L, 6L),
+      (1L, 0L, 0L), (1L, 6L, 6L)))
+    // raising minDf above the doc frequency empties the result
+    assert(Dedup.dupSpans(d, minDf = 3).count() == 0)
+  }
 }

@@ -134,4 +134,30 @@ class ExpectationsSpec extends SparkSpec {
       assert(byBatch(1L) == ((0L, 1L)))
     } finally q.stop()
   }
+
+  test("MAD outlier gate is robust to the outlier itself; mad=0 degenerates") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+      ("b", 5.0), ("b", 5.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val got = Expectations.madOutliers(df, $"g", $"v").orderBy("grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    // group a: median 3, mad 1 — the 100 cannot drag the threshold the
+    // way it would drag mean/stddev (z-score would flag nothing: the
+    // stddev itself is ~43); only 100 crosses 3 +/- 4.4478
+    assert(got(0) == (("a", 5L, 3.0, 1.0, 1L, 0.2)))
+    // group b: over half identical -> mad 0 -> any deviation flags
+    assert(got(1) == (("b", 4L, 5.0, 0.0, 1L, 0.25)))
+  }
+
+  test("MAD outlier gate broadcasts the per-group stats, never the rows") {
+    val rep = Expectations.orderPriceOutliers(
+      Tables.orders(spark, sf("sf0.001")))
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"),
+      s"expected broadcast joins of the stat tables:\n$plan")
+    assert(rep.collect().length == 5) // one row per priority
+  }
 }
