@@ -32,12 +32,20 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
     val spark = GraftSession.get()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+    // comma-separated allowlist for isolated reruns (mirrors
+    // SPARK_GRAFT_VERIFY_ONLY); absent = the full suite. Warm-up is
+    // restricted too: an isolated run measures the query alone, not
+    // the full suite's codegen-cache state.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+        }
       }
-    }
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
@@ -53,6 +61,7 @@ object Bench {
     // min is taken over the passes that succeeded
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = ordered.map { case (name, fn) =>
       val ts = (1 to passes).map(_ => timeOnce(name, fn))
       val ok = ts.filter(_ >= 0)

@@ -57,9 +57,14 @@ object GraphOps {
     // degree travels WITH each edge: one materialized (src, dst, deg)
     // relation means each round is a single join + a single groupBy —
     // the division per edge row recomputes a per-src constant, which
-    // is free next to the exchange it avoids
+    // is free next to the exchange it avoids. Materialized ALREADY
+    // hash-partitioned on src (checkpoint preserves partitioning):
+    // every round's join on e.src = p.node then satisfies its
+    // distribution from the checkpointed layout, so only the rank
+    // vector — |V| rows, not |E| — crosses the wire per round.
     val edgesDeg = materialize(edges.as("e")
-      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src"))
+      .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src")
+      .repartition(col("src")))
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val nDf = nodes.agg(count(lit(1)).as("n_nodes")) // 1-row broadcast
     var pr = nodes.crossJoin(nDf)
