@@ -699,6 +699,11 @@ object SparkEntry {
     "doc_lm_coverage" -> q((s, d) =>
       TextAnalysis.lmCoverageScore(Tables.documents(s, d), vocabSize = 200)
         .orderBy("doc_id")),
+    "ts_anomaly" -> q((s, d) =>
+      TimeSeries.rateAnomalies(ev(s, d))
+        .orderBy("event_type", "bucket_start")),
+    "dedup_containment" -> q((s, d) =>
+      Dedup.containmentTop(Tables.documents(s, d))),
   )
 
   // ================= oracle SQL =================
@@ -3306,6 +3311,50 @@ object SparkEntry {
         |  CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
         |FROM d GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "ts_anomaly" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT event_type, sec // 3600 * 3600 AS bucket_start,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |w AS (
+         |  SELECT event_type, bucket_start, n,
+         |    count(*) OVER win AS base_cnt,
+         |    sum(n) OVER win AS base_sum,
+         |    sum(CAST(n AS HUGEINT) * n) OVER win AS base_sumsq
+         |  FROM b
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+         |                 RANGE BETWEEN 36000 PRECEDING AND 3600 PRECEDING))
+         |SELECT event_type, bucket_start, n,
+         |  CAST(base_cnt AS BIGINT) AS base_cnt,
+         |  CASE WHEN base_cnt > 0
+         |       THEN round(CAST(base_sum AS DOUBLE) / base_cnt, 4)
+         |  END AS mean4,
+         |  CAST(CASE WHEN base_cnt >= 5
+         |         AND CAST(base_cnt * n - base_sum AS HUGEINT)
+         |             * (base_cnt * n - base_sum)
+         |             > 9 * (base_cnt * base_sumsq
+         |                    - CAST(base_sum AS HUGEINT) * base_sum)
+         |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+         |FROM w ORDER BY event_type, bucket_start""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_common
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(least(s1.n_sh, s2.n_sh) AS BIGINT) AS n_small,
+         |  round(CAST(n_common AS DOUBLE) / least(s1.n_sh, s2.n_sh), 4)
+         |    AS containment
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |ORDER BY containment DESC, id1, id2 LIMIT 50""".stripMargin,
 
     "doc_lm_coverage" ->
       """WITH toks AS (

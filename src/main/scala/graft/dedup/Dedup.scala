@@ -304,6 +304,43 @@ object Dedup {
       .limit(k)
   }
 
+  /** Asymmetric n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) over
+    * distinct shingle sets (Broder's containment measure): detects
+    * quote/near-superset relationships Jaccard under-scores, e.g. a
+    * short document wholly embedded in a long one scores 1.0 here
+    * but near 0 on Jaccard. Same inverted-index posting-list shape
+    * as [[ngramJaccardTop]] — pair expansion bounded by per-shingle
+    * document frequency, never an all-pairs join. Returns the top
+    * `k` pairs (id1 < id2) by containment, deterministic tiebreak. */
+  def containmentTop(docs: DataFrame, k: Int = 50,
+                     maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val documents = spread(docs)
+    val docShingles = documents
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
+        .as("shingle"))
+    val sizes = documents.select(col("doc_id"),
+      size(array_distinct(shingles(col("text")))).as("n_shingles"))
+    val common = docShingles
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) <= maxDocFreq)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_shingles", "n1")), "id1")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_shingles", "n2")), "id2")
+      .select(col("id1"), col("id2"), col("n_common"),
+        least(col("n1"), col("n2")).cast("long").as("n_small"),
+        round(col("n_common").cast("double") /
+          least(col("n1"), col("n2")), 4).as("containment"))
+      .orderBy(col("containment").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
   /** Incremental (delta) near-dup check — the daily-ingest shape at
     * corpus scale: flag each NEW document that shares any LSH band
     * with the existing corpus or another new document. The corpus

@@ -362,4 +362,49 @@ object TimeSeries {
         round(col("users").cast("double") / col("_users"), 8)
           .as("conv8"))
   }
+
+  /** Rolling-baseline rate-anomaly flags over bucketed event counts
+    * (default hourly), keyed by event_type: a bucket is anomalous when
+    * its count sits more than `tau` baseline standard deviations from
+    * the mean of the PRECEDING `windowBuckets` buckets (a trailing frame — the bucket
+    * under test never pollutes its own baseline). The z-test runs
+    * entirely in integer arithmetic: with S = Σnᵢ and SS = Σnᵢ² over
+    * the w trailing buckets, |n − S/w| > τ·σ  ⇔  (w·n − S)² >
+    * τ²·(w·SS − S²) — no sqrt, no division, engine-exact on both
+    * sides of the oracle. Buckets with fewer than `minPrior` trailing
+    * observations are never flagged (cold start).
+    *
+    * Scale shape: the bucket table is one map-side-combinable groupBy,
+    * and its cardinality is bounded by types × elapsed minutes — time-
+    * bounded, not data-bounded, so the windowed pass stays small at
+    * any input scale and parallelizes across event_type partitions.
+    * Squares accumulate in DECIMAL(38,0) (HUGEINT on the oracle side)
+    * so the identity holds far past long overflow. */
+  def rateAnomalies(events: DataFrame, windowBuckets: Int = 10,
+                    minPrior: Int = 5, tau: Int = 3,
+                    bucketSec: Long = 3600L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val buckets = events
+      .groupBy(col("event_type"),
+        expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
+      .rangeBetween(-bucketSec * windowBuckets, -bucketSec)
+    val scored = buckets
+      .withColumn("base_cnt", count(lit(1)).over(w))
+      .withColumn("base_sum", sum(col("n")).over(w))
+      .withColumn("base_sumsq",
+        sum((col("n") * col("n")).cast(d38)).over(w))
+    val dev = (col("base_cnt") * col("n") - col("base_sum")).cast(d38)
+    val varTimesW2 = col("base_cnt").cast(d38) * col("base_sumsq") -
+      col("base_sum").cast(d38) * col("base_sum").cast(d38)
+    scored.select(
+      col("event_type"), col("bucket_start"), col("n"), col("base_cnt"),
+      when(col("base_cnt") > 0,
+        round(col("base_sum").cast("double") / col("base_cnt"), 4))
+        .as("mean4"),
+      when(col("base_cnt") >= minPrior &&
+           dev * dev > lit(tau.toLong * tau).cast(d38) * varTimesW2,
+        lit(1)).otherwise(lit(0)).as("is_anomaly"))
+  }
 }

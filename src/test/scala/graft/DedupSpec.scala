@@ -219,6 +219,21 @@ class DedupSpec extends SparkSpec {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("containment scores an embedded document 1.0 where jaccard cannot") {
+    val d = Seq(
+      (0L, "a b c d e"),                          // 3 shingles
+      (1L, "x y a b c d e p q r s t u v w"),      // contains all of doc 0
+      (2L, "entirely different tokens in this document here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentTop(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // all 3 of doc 0's shingles appear in doc 1: containment 1.0 even
+    // though jaccard is 3/12 = 0.25
+    assert(got.head == ((0L, 1L, 3L, 3L, 1.0)))
+    assert(got.length == 1) // doc 2 shares nothing
+  }
+
   test("dup spans merge adjacent duplicated shingles into maximal runs") {
     val d = Seq(
       (0L, "a b c d e f"),       // shingles: abc bcd cde def

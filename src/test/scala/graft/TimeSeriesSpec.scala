@@ -160,4 +160,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(exchanges.isEmpty)
     assert(windows.forall(_.partitionSpec.length == 1))
   }
+
+  test("rate anomalies: spike over a flat baseline flags; cold start never") {
+    // 10 buckets of exactly 10 events, then a 100-event spike
+    val ev = ((0 until 10).flatMap(b => Seq.fill(10)(b.toLong * 60)) ++
+      Seq.fill(100)(600L))
+      .map(s => ("click", s)).toDF("event_type", "sec")
+    val got = TimeSeries.rateAnomalies(ev, bucketSec = 60L)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(5)))
+    // flat baseline: zero variance AND zero deviation -> never flagged
+    assert(got.take(10).forall(_._3 == 0))
+    // the spike: deviation 900, variance 0 -> flagged
+    assert(got(10) == ((600L, 100L, 1)))
+    // a spike at bucket 2 has only 2 trailing buckets -> cold start,
+    // not flagged regardless of deviation
+    val cold = (Seq.fill(10)(0L) ++ Seq.fill(10)(60L) ++ Seq.fill(100)(120L))
+      .map(s => ("click", s)).toDF("event_type", "sec")
+    val coldGot = TimeSeries.rateAnomalies(cold, bucketSec = 60L)
+      .orderBy("bucket_start").collect().map(_.getInt(5))
+    assert(coldGot.forall(_ == 0))
+  }
 }
