@@ -54,7 +54,12 @@ object Soak {
     // single-pass expectation gate, quantized search, neighborhood
     // window pairs
     "join_salted", "qc_expectations", "emb_quantize", "knn_quantized", "qc_drift_seg", "ts_funnel", "ts_retention", "ts_ab_lift", "ts_paths", "graph_triangles", "basket_rules", "mov_bot_signals", "knn_ivf_sq8",
-    "er_neighbors")
+    "er_neighbors",
+    // session-4 additions: the span-merge dedup (explode + df gate +
+    // window), the posting-list containment expansion, the broadcast
+    // vocab/stat joins, and the time-bounded anomaly window
+    "dedup_dup_spans", "dedup_containment", "doc_lm_coverage",
+    "qc_mad_outliers", "ts_anomaly")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
