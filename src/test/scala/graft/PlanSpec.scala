@@ -187,4 +187,41 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected one lineitem scan, got $scans:\n$p")
   }
+
+  test("MAD gate: per-group stat tables broadcast; rows never sort-merge") {
+    val p = finalPlan(q("qc_mad_outliers"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"stat-table joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"row side fell into a sort-merge exchange:\n$p")
+  }
+
+  test("LM coverage: vocab is top-k, broadcast against the bigrams") {
+    val p = finalPlan(q("doc_lm_coverage"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab selection materialized a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast:\n$p")
+  }
+
+  test("dup spans: exactly one window pass, partitioned by document") {
+    val p = finalPlan(q("dedup_dup_spans"))
+      .split("== Initial Plan ==").head
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"expected one gaps-and-islands window, got $windows")
+  }
+
+  test("rate anomalies: the window runs over bucket summaries, not events") {
+    val plan = SparkEntry.queries("ts_anomaly")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    // the aggregate must sit BELOW the window: the windowed relation
+    // is the (type, bucket) summary, whose cardinality is time-bounded
+    val winChildren = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.child
+    }
+    assert(winChildren.nonEmpty)
+    assert(winChildren.forall(c => c.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty), "window must consume the bucket aggregate, not raw events")
+  }
 }
