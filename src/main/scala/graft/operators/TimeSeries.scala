@@ -382,12 +382,25 @@ object TimeSeries {
     * so the identity holds far past long overflow. */
   def rateAnomalies(events: DataFrame, windowBuckets: Int = 10,
                     minPrior: Int = 5, tau: Int = 3,
-                    bucketSec: Long = 3600L): DataFrame = {
+                    bucketSec: Long = 3600L): DataFrame =
+    scoreBuckets(
+      events.groupBy(col("event_type"),
+          expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
+        .agg(count(lit(1)).as("n")),
+      windowBuckets, minPrior, tau, bucketSec)
+
+  /** The scoring half of [[rateAnomalies]], split out so a STREAMING
+    * pipeline can compose it: maintain (event_type, bucket_start, n)
+    * counts incrementally (an update-mode windowed aggregation or a
+    * foreachBatch upsert — additive counts merge trivially) and
+    * re-score the summary table per micro-batch. The summary is
+    * time-bounded, so re-scoring it whole is cheap at any input rate
+    * and batch/stream results agree exactly — same gate, same
+    * integer z-test, no drift between the two planes. */
+  def scoreBuckets(buckets: DataFrame, windowBuckets: Int = 10,
+                   minPrior: Int = 5, tau: Int = 3,
+                   bucketSec: Long = 3600L): DataFrame = {
     val d38 = "decimal(38,0)"
-    val buckets = events
-      .groupBy(col("event_type"),
-        expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
-      .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
       .rangeBetween(-bucketSec * windowBuckets, -bucketSec)
     val scored = buckets

@@ -181,4 +181,51 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("bucket_start").collect().map(_.getInt(5))
     assert(coldGot.forall(_ == 0))
   }
+
+  test("anomaly gate composes with micro-batch bucket maintenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val allEvents = ((0 until 10).flatMap(b => Seq.fill(10)(b.toLong * 60)) ++
+      Seq.fill(100)(600L)).map(s => ("click", s))
+    val input = MemoryStream[(String, Long)]
+    // additive bucket counts maintained across batches (the upsert-
+    // store stand-in); the full summary re-scores each batch
+    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
+    val flags = scala.collection.mutable.Map.empty[(String, Long), Int]
+    val q = input.toDF().toDF("event_type", "sec")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = batch
+          .groupBy(col("event_type"), expr("sec div 60 * 60").as("b"))
+          .agg(count(lit(1)).as("n")).collect()
+        acc.synchronized {
+          counts.foreach { r =>
+            val k = (r.getString(0), r.getLong(1))
+            acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+          }
+          val buckets = acc.toSeq.map { case ((t, b), n) => (t, b, n) }
+            .toDF("event_type", "bucket_start", "n")
+          flags.clear()
+          TimeSeries.scoreBuckets(buckets, bucketSec = 60L).collect()
+            .foreach(r => flags((r.getString(0), r.getLong(1))) = r.getInt(5))
+        }
+      }
+      .start()
+    try {
+      // the spike bucket arrives SPLIT across two batches — only the
+      // merged count crosses the threshold
+      val (head, tail) = allEvents.splitAt(allEvents.length - 40)
+      input.addData(head: _*)
+      q.processAllAvailable()
+      input.addData(tail: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchFlags = TimeSeries
+      .rateAnomalies(allEvents.toDF("event_type", "sec"), bucketSec = 60L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(5)).toMap
+    // stream and batch planes agree exactly
+    assert(flags.toMap == batchFlags)
+    assert(flags(("click", 600L)) == 1)
+  }
 }
