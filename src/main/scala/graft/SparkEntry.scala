@@ -704,6 +704,9 @@ object SparkEntry {
         .orderBy("event_type", "bucket_start")),
     "dedup_containment" -> q((s, d) =>
       Dedup.containmentTop(Tables.documents(s, d))),
+    "er_entities" -> q((s, d) =>
+      dedup.Blocking.customerEntities(Tables.customer(s, d))
+        .orderBy("entity_id")),
   )
 
   // ================= oracle SQL =================
@@ -729,6 +732,31 @@ object SparkEntry {
 
   private val TOKS =
     "toks AS (SELECT *, string_split(text, ' ') AS t FROM documents)"
+
+  /** Sorted-neighborhood candidate chain ending in u(c_nationkey,
+    * id1, id2, dist, bal_gap, name_dist) — the SQL mirror of
+    * Blocking.customerNeighbors; shared by er_neighbors/er_entities. */
+  private val ErNeighborsSql = {
+    val leads = (1 to 2).map(i =>
+      s"""lead(c_custkey, $i) OVER win AS id2_$i,
+         |    lead(c_acctbal, $i) OVER win AS bal_$i,
+         |    lead(c_name, $i) OVER win AS nm_$i""".stripMargin)
+      .mkString(",\n    ")
+    val arms = (1 to 2).map(i =>
+      s"""SELECT c_nationkey, c_custkey AS id1, id2_$i AS id2,
+         |    CAST($i AS INT) AS dist,
+         |    round(abs(bal_$i - c_acctbal), 2) AS bal_gap,
+         |    CAST(levenshtein(c_name, nm_$i) AS INT) AS name_dist
+         |  FROM w""".stripMargin)
+    s"""w AS (
+       |  SELECT c_nationkey, c_custkey, c_acctbal, c_name,
+       |    $leads
+       |  FROM customer
+       |  WINDOW win AS (PARTITION BY c_nationkey
+       |                 ORDER BY c_acctbal, c_custkey)),
+       |u AS (
+       |  ${arms.mkString("\n  UNION ALL\n  ")})""".stripMargin
+  }
 
   private val ShinglesSql =
     """sh AS (
@@ -3237,29 +3265,28 @@ object SparkEntry {
         |        ELSE (pr - pc) * (pr - pc) / (pr + pc) END, 8) AS contrib8
         |FROM p ORDER BY seg, bin""".stripMargin,
 
-    "er_neighbors" -> {
-      val leads = (1 to 2).map(i =>
-        s"""lead(c_custkey, $i) OVER win AS id2_$i,
-           |    lead(c_acctbal, $i) OVER win AS bal_$i,
-           |    lead(c_name, $i) OVER win AS nm_$i""".stripMargin)
-        .mkString(",\n    ")
-      val arms = (1 to 2).map(i =>
-        s"""SELECT c_nationkey, c_custkey AS id1, id2_$i AS id2,
-           |    CAST($i AS INT) AS dist,
-           |    round(abs(bal_$i - c_acctbal), 2) AS bal_gap,
-           |    CAST(levenshtein(c_name, nm_$i) AS INT) AS name_dist
-           |  FROM w""".stripMargin)
-      s"""WITH w AS (
-        |  SELECT c_nationkey, c_custkey, c_acctbal, c_name,
-        |    $leads
-        |  FROM customer
-        |  WINDOW win AS (PARTITION BY c_nationkey
-        |                 ORDER BY c_acctbal, c_custkey)),
-        |u AS (
-        |  ${arms.mkString("\n  UNION ALL\n  ")})
+    "er_neighbors" ->
+      s"""WITH $ErNeighborsSql
         |SELECT * FROM u WHERE id2 IS NOT NULL
-        |ORDER BY c_nationkey, id1, dist""".stripMargin
-    },
+        |ORDER BY c_nationkey, id1, dist""".stripMargin,
+
+    "er_entities" ->
+      s"""WITH RECURSIVE $ErNeighborsSql,
+        |m AS (
+        |  SELECT id1, id2 FROM u
+        |  WHERE id2 IS NOT NULL AND name_dist <= 3 AND bal_gap <= 50),
+        |e AS (SELECT id1 AS a, id2 AS b FROM m
+        |      UNION SELECT id2, id1 FROM m),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS node, least(a, min(b)) AS ent
+        |        FROM reach GROUP BY a)
+        |SELECT ent AS entity_id,
+        |  CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(node) AS BIGINT) AS max_member
+        |FROM lbl GROUP BY ent ORDER BY entity_id""".stripMargin,
 
     "qc_mad_outliers" ->
       """WITH med AS (

@@ -80,4 +80,30 @@ object Blocking {
         round(abs(col("pp.p2.bal") - col("p1.bal")), 2).as("bal_gap"),
         levenshtein(col("p1.name"), col("pp.p2.name")).as("name_dist"))
   }
+
+  /** The ER pipeline's closing stage: candidate pairs → match gate →
+    * transitive closure → RESOLVED ENTITIES. Pairs from
+    * [[customerNeighbors]] that pass both similarity gates (edit
+    * distance on the name, absolute gap on the balance) become match
+    * edges; connected components over the match graph (the min-label
+    * propagation of [[Dedup.nearDupClusters]] — one shuffle per
+    * round, rounds = component diameter) collapse matched records
+    * into entities. One row per resolved entity: (entity_id = the
+    * smallest member key, n_members, max_member). Records with no
+    * accepted match are singleton entities and are not emitted — the
+    * output is the MERGE WORKLIST, not a full assignment.
+    *
+    * The gates compare the ROUNDED bal_gap (2 decimals) exactly as
+    * emitted, so the decision is engine-portable at the boundary. */
+  def customerEntities(customer: DataFrame, maxNameDist: Int = 3,
+                       maxBalGap: Double = 50.0): DataFrame = {
+    val matches = customerNeighbors(customer)
+      .filter(col("name_dist") <= maxNameDist &&
+        col("bal_gap") <= maxBalGap)
+      .select(col("id1"), col("id2"))
+    Dedup.nearDupClusters(matches)
+      .groupBy(col("cluster_id").cast("long").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("doc_id")).cast("long").as("max_member"))
+  }
 }

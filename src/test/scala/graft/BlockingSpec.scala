@@ -55,4 +55,24 @@ class BlockingSpec extends SparkSpec {
     // name_dist is a real edit distance: symmetric-free sanity check
     assert(out.filter($"name_dist" < 0).count() == 0)
   }
+
+  test("entities collapse transitive matches; singletons never emitted") {
+    val cust = Tables.customer(spark, sf("sf0.001"))
+    val ents = Blocking.customerEntities(cust).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ents.nonEmpty)
+    // every entity merges at least two records, and the id is the
+    // smallest member (so max_member strictly exceeds it)
+    assert(ents.forall(_._2 >= 2))
+    assert(ents.forall(e => e._3 > e._1))
+    // entity ids are distinct roots
+    assert(ents.map(_._1).distinct.length == ents.length)
+    // members partition: total membership equals the label count the
+    // closure produced, and no record lands in two entities
+    val matches = Blocking.customerNeighbors(cust)
+      .filter($"name_dist" <= 3 && $"bal_gap" <= 50.0)
+    val nodes = matches.select($"id1").union(matches.select($"id2"))
+      .distinct().count()
+    assert(ents.map(_._2).sum == nodes)
+  }
 }
