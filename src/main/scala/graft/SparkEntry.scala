@@ -707,6 +707,14 @@ object SparkEntry {
     "er_entities" -> q((s, d) =>
       dedup.Blocking.customerEntities(Tables.customer(s, d))
         .orderBy("entity_id")),
+    "ts_seasonal" -> q((s, d) =>
+      TimeSeries.seasonalDecompose(ev(s, d))
+        .orderBy("event_type", "bucket_start")),
+    "sample_balanced" -> q((s, d) =>
+      operators.Sampling.balanced(ev(s, d), col("event_type"), col("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sel"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")),
   )
 
   // ================= oracle SQL =================
@@ -3382,6 +3390,39 @@ object SparkEntry {
          |  JOIN sizes s1 ON s1.doc_id = id1
          |  JOIN sizes s2 ON s2.doc_id = id2
          |ORDER BY containment DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "ts_seasonal" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT event_type, sec // 3600 * 3600 AS bucket_start,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |bh AS (SELECT *, bucket_start // 3600 % 24 AS hod FROM b),
+         |p AS (
+         |  SELECT event_type AS _t, hod AS _h,
+         |    round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS expected4
+         |  FROM bh GROUP BY 1, 2)
+         |SELECT event_type, bucket_start, hod, n, expected4,
+         |  round(n - expected4, 4) AS resid4
+         |FROM bh JOIN p ON event_type = _t AND hod = _h
+         |ORDER BY event_type, bucket_start""".stripMargin,
+
+    "sample_balanced" ->
+      s"""WITH $EV,
+         |cap AS (
+         |  SELECT min(cnt) AS m FROM (
+         |    SELECT count(*) AS cnt FROM ev GROUP BY event_type)),
+         |r AS (
+         |  SELECT event_type, event_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+         |                                   1, 13) AS BIGINT), event_id)
+         |      AS rnk
+         |  FROM ev)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_sel,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_ids
+         |FROM r, cap WHERE rnk <= m
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "doc_lm_coverage" ->
       """WITH toks AS (

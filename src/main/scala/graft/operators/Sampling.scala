@@ -170,4 +170,26 @@ object Sampling {
       .withColumn("shard", expr(s"(h * $nShards) div 4503599627370496"))
       .withColumn("pos", row_number().over(w))
   }
+
+  /** Class-balanced downsample: every class keeps exactly the
+    * MINORITY class's row count — the standard rebalancing move
+    * before training on skewed labels. Selection is the smallest
+    * key-hashes per class ([[stratified]]'s rule), so the kept set
+    * is deterministic, partitioning-invariant, and oracle-exact; the
+    * cap itself comes FROM the data (a 1-row broadcast of
+    * min(class count)), not from a caller guess.
+    *
+    * Plan shape: one map-side-combinable count pass collapses to a
+    * single row, broadcast against the rank-filter window — the data
+    * is shuffled once (the per-class window), the cap never moves
+    * more than 8 bytes. */
+  def balanced(df: DataFrame, cls: Column, key: Column): DataFrame = {
+    val cap = df.groupBy(cls.as("_c")).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n")).as("_m"))
+    val w = Window.partitionBy(cls).orderBy(hash52(key), key)
+    df.withColumn("rnk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rnk") <= col("_m"))
+      .drop("_m")
+  }
 }

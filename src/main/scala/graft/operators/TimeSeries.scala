@@ -389,6 +389,40 @@ object TimeSeries {
         .agg(count(lit(1)).as("n")),
       windowBuckets, minPrior, tau, bucketSec)
 
+  /** Seasonal-naive decomposition of the hourly event rate: each
+    * (event_type, hour bucket) count splits into the type's
+    * HOUR-OF-DAY baseline (the mean count over every bucket sharing
+    * the same hour slot — the classic seasonal profile) and the
+    * residual against it. The residual series is what a forecaster
+    * or anomaly gate should consume once the daily cycle is known —
+    * [[rateAnomalies]] on raw counts flags rush hours; on residuals
+    * it flags genuine deviations FROM the cycle.
+    *
+    * Determinism: the baseline is rounded to 4 decimals first and the
+    * residual is computed against the ROUNDED baseline, so both
+    * engines subtract identical doubles. Plan shape: bucket groupBy →
+    * profile groupBy (24 × types rows) → broadcast join back; both
+    * aggregations map-side combinable, nothing data-bounded is ever
+    * shuffled twice. */
+  def seasonalDecompose(events: DataFrame,
+                        bucketSec: Long = 3600L): DataFrame = {
+    val buckets = events
+      .groupBy(col("event_type"),
+        expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hod", expr(s"bucket_start div $bucketSec % 24"))
+    val profile = buckets
+      .groupBy(col("event_type").as("_t"), col("hod").as("_h"))
+      .agg(round(sum(col("n")).cast("double") / count(lit(1)), 4)
+        .as("expected4"))
+    buckets
+      .join(broadcast(profile),
+        col("event_type") === col("_t") && col("hod") === col("_h"))
+      .select(col("event_type"), col("bucket_start"), col("hod"),
+        col("n"), col("expected4"),
+        round(col("n") - col("expected4"), 4).as("resid4"))
+  }
+
   /** The scoring half of [[rateAnomalies]], split out so a STREAMING
     * pipeline can compose it: maintain (event_type, bucket_start, n)
     * counts incrementally (an update-mode windowed aggregation or a

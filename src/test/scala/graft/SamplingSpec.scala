@@ -168,4 +168,23 @@ class SamplingSpec extends SparkSpec {
     // proportional row share (100/1700)
     assert(smallT.toDouble / (bigT + smallT) > 100.0 / 1700.0 * 2)
   }
+
+  test("balanced downsample equalizes every class at the minority count") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 130).map(i => (i.toLong, "b")) ++
+      (131 to 137).map(i => (i.toLong, "c"))).toDF("id", "cls")
+    val kept = Sampling.balanced(df, $"cls", $"id")
+    val byCls = kept.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // minority class c has 7 rows; every class keeps exactly 7
+    assert(byCls == Map("a" -> 7L, "b" -> 7L, "c" -> 7L))
+    // minority rows all survive
+    assert(kept.filter($"cls" === "c").count() == 7)
+    // selection is partitioning-invariant
+    val again = Sampling.balanced(df.repartition(7), $"cls", $"id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }

@@ -182,6 +182,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(coldGot.forall(_ == 0))
   }
 
+  test("seasonal decomposition: residuals vanish on a pure cycle") {
+    // two days of a perfect daily cycle: hour h always has h+1 events
+    val ev = (for {
+      day <- 0 until 2; h <- 0 until 24; i <- 0 to h
+    } yield ("click", day * 86400L + h * 3600L))
+      .toDF("event_type", "sec")
+    val got = TimeSeries.seasonalDecompose(ev)
+      .orderBy("bucket_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 48)
+    // expected = the hour-of-day mean = the count itself; resid 0
+    assert(got.forall { case (hod, n, exp, res) =>
+      n == hod + 1 && exp == (hod + 1).toDouble && res == 0.0 })
+    // break the cycle once: the residual lands on the deviation
+    val bent = ev.union(Seq(("click", 86400L + 5 * 3600L))
+      .toDF("event_type", "sec"))
+    val r5 = TimeSeries.seasonalDecompose(bent)
+      .filter($"hod" === 5).orderBy("bucket_start").collect()
+      .map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // hod 5 now averages (6 + 7) / 2 = 6.5
+    assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
+  }
+
   test("anomaly gate composes with micro-batch bucket maintenance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.DataFrame
