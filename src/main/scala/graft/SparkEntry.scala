@@ -715,6 +715,9 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sel"), sum(col("event_id")).as("sum_ids"))
         .orderBy("event_type")),
+    "ts_anomaly_deseason" -> q((s, d) =>
+      TimeSeries.rateAnomaliesDeseasonalized(ev(s, d))
+        .orderBy("event_type", "bucket_start")),
   )
 
   // ================= oracle SQL =================
@@ -3406,6 +3409,42 @@ object SparkEntry {
          |  round(n - expected4, 4) AS resid4
          |FROM bh JOIN p ON event_type = _t AND hod = _h
          |ORDER BY event_type, bucket_start""".stripMargin,
+
+    "ts_anomaly_deseason" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT event_type, sec // 3600 * 3600 AS bucket_start,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |bh AS (SELECT *, bucket_start // 3600 % 24 AS hod FROM b),
+         |p AS (
+         |  SELECT event_type AS _t, hod AS _h,
+         |    round(CAST(sum(n) AS DOUBLE) / count(*), 4) AS expected4
+         |  FROM bh GROUP BY 1, 2),
+         |res AS (
+         |  SELECT event_type, bucket_start,
+         |    CAST(round(round(n - expected4, 4) * 10000) AS BIGINT) AS n
+         |  FROM bh JOIN p ON event_type = _t AND hod = _h),
+         |w AS (
+         |  SELECT event_type, bucket_start, n,
+         |    count(*) OVER win AS base_cnt,
+         |    sum(n) OVER win AS base_sum,
+         |    sum(CAST(n AS HUGEINT) * n) OVER win AS base_sumsq
+         |  FROM res
+         |  WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+         |                 RANGE BETWEEN 36000 PRECEDING AND 3600 PRECEDING))
+         |SELECT event_type, bucket_start, n,
+         |  CAST(base_cnt AS BIGINT) AS base_cnt,
+         |  CASE WHEN base_cnt > 0
+         |       THEN round(CAST(base_sum AS DOUBLE) / base_cnt, 4)
+         |  END AS mean4,
+         |  CAST(CASE WHEN base_cnt >= 5
+         |         AND CAST(base_cnt * n - base_sum AS HUGEINT)
+         |             * (base_cnt * n - base_sum)
+         |             > 9 * (base_cnt * base_sumsq
+         |                    - CAST(base_sum AS HUGEINT) * base_sum)
+         |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+         |FROM w ORDER BY event_type, bucket_start""".stripMargin,
 
     "sample_balanced" ->
       s"""WITH $EV,

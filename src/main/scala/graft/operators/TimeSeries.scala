@@ -423,6 +423,23 @@ object TimeSeries {
         round(col("n") - col("expected4"), 4).as("resid4"))
   }
 
+  /** [[rateAnomalies]] over the DESEASONALIZED series: decompose the
+    * hourly rate against its hour-of-day baseline, scale the rounded
+    * residual ×10⁴ into an exact integer (resid4 has 4 decimals, so
+    * the scaling is lossless), and run the same integer z-test. Raw
+    * counts flag every rush hour; residual scoring flags departures
+    * FROM the cycle — the composition is two operators end to end
+    * with no new math and no precision loss anywhere. */
+  def rateAnomaliesDeseasonalized(events: DataFrame,
+                                  windowBuckets: Int = 10,
+                                  minPrior: Int = 5, tau: Int = 3,
+                                  bucketSec: Long = 3600L): DataFrame =
+    scoreBuckets(
+      seasonalDecompose(events, bucketSec)
+        .select(col("event_type"), col("bucket_start"),
+          round(col("resid4") * 10000).cast("long").as("n")),
+      windowBuckets, minPrior, tau, bucketSec)
+
   /** The scoring half of [[rateAnomalies]], split out so a STREAMING
     * pipeline can compose it: maintain (event_type, bucket_start, n)
     * counts incrementally (an update-mode windowed aggregation or a

@@ -205,6 +205,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
   }
 
+  test("deseasonalized anomalies flag the off-cycle spike, not the cycle") {
+    // three days of a strong daily ramp, one off-cycle spike on day 2
+    val base = for {
+      day <- 0 until 3; h <- 0 until 24; _ <- 0 until (h + 1) * 2
+    } yield ("click", day * 86400L + h * 3600L)
+    val spikeAt = 2 * 86400L + 3 * 3600L
+    val ev = (base ++ Seq.fill(50)(("click", spikeAt)))
+      .toDF("event_type", "sec")
+    val deseason = TimeSeries.rateAnomaliesDeseasonalized(ev)
+      .filter($"is_anomaly" === 1).collect().map(_.getLong(1)).toSet
+    assert(deseason.contains(spikeAt), "the injected spike must flag")
+    // the daily hard reset (hour 0's drop from hour 23) is cycle, not
+    // anomaly, once deseasonalized — but the RAW gate flags it
+    assert(!deseason.contains(86400L) && !deseason.contains(2 * 86400L))
+    val raw = TimeSeries.rateAnomalies(ev)
+      .filter($"is_anomaly" === 1).collect().map(_.getLong(1)).toSet
+    assert(raw.contains(86400L),
+      "raw counts must flag the cycle reset the residual gate ignores")
+  }
+
   test("anomaly gate composes with micro-batch bucket maintenance") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.DataFrame
