@@ -718,6 +718,9 @@ object SparkEntry {
     "ts_anomaly_deseason" -> q((s, d) =>
       TimeSeries.rateAnomaliesDeseasonalized(ev(s, d))
         .orderBy("event_type", "bucket_start")),
+    "ts_changepoint" -> q((s, d) =>
+      TimeSeries.changepoint(ev(s, d))
+        .orderBy("event_type")),
   )
 
   // ================= oracle SQL =================
@@ -3445,6 +3448,39 @@ object SparkEntry {
          |                    - CAST(base_sum AS HUGEINT) * base_sum)
          |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
          |FROM w ORDER BY event_type, bucket_start""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT event_type, sec // 3600 * 3600 AS bucket_start,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |s AS (
+         |  SELECT event_type, bucket_start, n,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY bucket_start) AS k,
+         |    sum(n) OVER (PARTITION BY event_type ORDER BY bucket_start
+         |                 ROWS UNBOUNDED PRECEDING) AS prefix,
+         |    count(*) OVER (PARTITION BY event_type) AS nb,
+         |    sum(n) OVER (PARTITION BY event_type) AS total
+         |  FROM b),
+         |t AS (
+         |  SELECT *, abs(CAST(nb AS HUGEINT) * prefix
+         |                - CAST(k AS HUGEINT) * total) AS stat
+         |  FROM s),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |              ORDER BY stat DESC, bucket_start) AS rnk
+         |  FROM t)
+         |SELECT event_type, bucket_start AS cp_bucket,
+         |  CAST(stat AS BIGINT) AS stat,
+         |  CAST(nb AS BIGINT) AS n_buckets,
+         |  CAST(total AS BIGINT) AS total_n,
+         |  round(CAST(prefix AS DOUBLE) / k, 4) AS mean_before4,
+         |  CASE WHEN nb > k
+         |       THEN round(CAST(total - prefix AS DOUBLE) / (nb - k), 4)
+         |  END AS mean_after4
+         |FROM r WHERE rnk = 1 ORDER BY event_type""".stripMargin,
 
     "sample_balanced" ->
       s"""WITH $EV,

@@ -440,6 +440,52 @@ object TimeSeries {
           round(col("resid4") * 10000).cast("long").as("n")),
       windowBuckets, minPrior, tau, bucketSec)
 
+  /** Single changepoint per event_type by the CUSUM maximizer — the
+    * location step of binary segmentation (Page 1954; Scott & Knott
+    * 1974): the bucket k where the cumulative deviation from the
+    * global mean peaks. The statistic is kept EXACT by clearing the
+    * mean's denominator: |prefix_k − k·(S/N)| maximizes where
+    * |N·prefix_k − k·S| does, and the latter is pure integer
+    * arithmetic (DECIMAL(38,0) against overflow). Ties break on the
+    * earliest bucket. One row per type: the changepoint bucket, the
+    * scaled peak statistic, and the mean rate on each side of the
+    * cut — the before/after summary a drift report needs.
+    *
+    * Scale shape: everything after the bucket groupBy runs on the
+    * time-bounded summary; two windows (cumsum, rank) and the final
+    * filter — per-type partitions, no global pass. */
+  def changepoint(events: DataFrame,
+                  bucketSec: Long = 3600L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val buckets = events
+      .groupBy(col("event_type"),
+        expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = buckets
+      .withColumn("k", row_number().over(wOrd))
+      .withColumn("prefix", sum(col("n")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("stat",
+        abs(col("nb").cast(d38) * col("prefix") -
+          col("k").cast(d38) * col("total")))
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("stat").desc, col("bucket_start"))
+    scored
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") === 1)
+      .select(col("event_type"), col("bucket_start").as("cp_bucket"),
+        col("stat").cast("long").as("stat"),
+        col("nb").as("n_buckets"), col("total").as("total_n"),
+        round(col("prefix").cast("double") / col("k"), 4).as("mean_before4"),
+        when(col("nb") > col("k"),
+          round((col("total") - col("prefix")).cast("double") /
+            (col("nb") - col("k")), 4)).as("mean_after4"))
+  }
+
   /** The scoring half of [[rateAnomalies]], split out so a STREAMING
     * pipeline can compose it: maintain (event_type, bucket_start, n)
     * counts incrementally (an update-mode windowed aggregation or a

@@ -205,6 +205,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
   }
 
+  test("changepoint lands on a step change; flat series peaks at the edge") {
+    // 20 buckets at rate 5, then 20 at rate 15: the cut is bucket 19
+    val ev = (for {
+      b <- 0 until 40; _ <- 0 until (if (b < 20) 5 else 15)
+    } yield ("click", b.toLong * 3600L)).toDF("event_type", "sec")
+    val got = TimeSeries.changepoint(ev).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    // CUSUM peaks at the LAST bucket of the first regime
+    assert(got.toSeq == Seq(("click", 19L * 3600L, 5.0, 15.0)))
+    // a perfectly flat series has stat 0 everywhere -> earliest bucket
+    val flat = (for { b <- 0 until 10; _ <- 0 until 7 }
+      yield ("click", b.toLong * 3600L)).toDF("event_type", "sec")
+    val f = TimeSeries.changepoint(flat).collect().head
+    assert(f.getLong(1) == 0L && f.getLong(2) == 0L)
+  }
+
   test("deseasonalized anomalies flag the off-cycle spike, not the cycle") {
     // three days of a strong daily ramp, one off-cycle spike on day 2
     val base = for {
