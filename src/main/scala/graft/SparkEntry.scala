@@ -721,6 +721,12 @@ object SparkEntry {
     "ts_changepoint" -> q((s, d) =>
       TimeSeries.changepoint(ev(s, d))
         .orderBy("event_type")),
+    "func_variant" -> q((s, d) =>
+      FunctionCoverage.variantFuncs(Tables.events(s, d))
+        .orderBy("event_id")),
+    "agg_bitmap_distinct" -> q((s, d) =>
+      FunctionCoverage.bitmapDistinct(Tables.lineitem(s, d))
+        .orderBy("l_returnflag")),
   )
 
   // ================= oracle SQL =================
@@ -3448,6 +3454,25 @@ object SparkEntry {
          |                    - CAST(base_sum AS HUGEINT) * base_sum)
          |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
          |FROM w ORDER BY event_type, bucket_start""".stripMargin,
+
+    "func_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS missing_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 + 1
+        |    AS k_derived,
+        |  json_extract_string(props, '$.k') IS NOT NULL AS k_present
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the equality against COUNT(DISTINCT) IS the contract, like the
+    // salted join: bitmaps change the aggregation mechanics, never
+    // the answer
+    "agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "ts_changepoint" ->
       s"""WITH $EV,

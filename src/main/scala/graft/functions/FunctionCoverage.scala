@@ -178,4 +178,38 @@ object FunctionCoverage {
         .as("first5_sorted"),
       element_at(toks, 1).as("head_token"))
   }
+
+  /** Spark 4 VARIANT surface: `parse_json` into the binary variant
+    * form, field access with `variant_get` / `try_variant_get`, and
+    * `is_variant_null`. Extracted VALUES are the portable output (the
+    * variant binary itself is engine-specific, like HLL registers);
+    * the oracle reads the same fields with its own JSON accessors —
+    * the contract is that variant-typed access loses nothing. */
+  def variantFuncs(events: DataFrame): DataFrame = {
+    val v = parse_json(col("props"))
+    events.select(
+      col("event_id"),
+      try_variant_get(v, "$.k", "long").as("k_long"),
+      try_variant_get(v, "$.k", "string").as("k_str"),
+      try_variant_get(v, "$.missing", "string").as("missing_str"),
+      (try_variant_get(v, "$.k", "long") * 2 + 1).as("k_derived"),
+      try_variant_get(v, "$.k", "string").isNotNull.as("k_present"))
+  }
+
+  /** Spark 3.5 bitmap aggregates as an EXACT distinct count: keys
+    * bucket into 32k-bit bitmaps (`bitmap_bucket_number` /
+    * `bitmap_bit_position`), one `bitmap_construct_agg` per
+    * (group, bucket), popcounts summed per group. The oracle is plain
+    * COUNT(DISTINCT) — the equality IS the contract, same shape as
+    * the salted-join query. Scale: the shuffle carries ≤ 4 KB bitmap
+    * segments per (group, bucket) instead of one row per distinct
+    * key, and segments OR-merge map-side. */
+  def bitmapDistinct(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"),
+        bitmap_bucket_number(col("l_partkey")).as("_b"))
+      .agg(bitmap_count(bitmap_construct_agg(
+        bitmap_bit_position(col("l_partkey")))).as("_c"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("_c")).as("n_distinct_parts"))
 }

@@ -127,4 +127,29 @@ class PortableSpec extends SparkSpec {
       .agg(sum("cnt")).collect()(0).getLong(0)
     assert(total == summed)
   }
+
+  test("variant access: typed get, missing path null, type-mismatch null") {
+    val df = Seq(
+      (1L, """{"k": 42}"""),
+      (2L, """{"k": "text"}"""),   // string k: long-get must null out
+      (3L, """{"other": 1}"""))    // no k at all
+      .toDF("event_id", "props")
+    val got = graft.functions.FunctionCoverage.variantFuncs(df)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getBoolean(5)))
+    assert(got(0) == ((1L, Some(42L), Some("42"), true)))
+    // try_variant_get returns null on a failed cast, never throws
+    assert(got(1) == ((2L, None, Some("text"), true)))
+    assert(got(2) == ((3L, None, None, false)))
+  }
+
+  test("bitmap distinct equals exact distinct across bucket boundaries") {
+    // keys straddle the 32768-bit bucket boundary and repeat
+    val df = ((1L to 40000L) ++ (1L to 40000L) ++ Seq(100000L))
+      .map(k => ("A", k)).toDF("l_returnflag", "l_partkey")
+    val got = graft.functions.FunctionCoverage.bitmapDistinct(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 40001L))
+  }
 }
