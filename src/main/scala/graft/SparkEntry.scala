@@ -727,6 +727,12 @@ object SparkEntry {
     "agg_bitmap_distinct" -> q((s, d) =>
       FunctionCoverage.bitmapDistinct(Tables.lineitem(s, d))
         .orderBy("l_returnflag")),
+    "doc_dup_rate" -> q((s, d) =>
+      Dedup.dupRate(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "ts_asof_tolerance" -> q((s, d) =>
+      TimeSeries.asofNativeTolerance(ev(s, d))
+        .orderBy("user_id", "event_id")),
   )
 
   // ================= oracle SQL =================
@@ -752,6 +758,35 @@ object SparkEntry {
 
   private val TOKS =
     "toks AS (SELECT *, string_split(text, ' ') AS t FROM documents)"
+
+  /** Duplicated-span chain ending in spans(doc_id, span_start,
+    * span_end, n_shingles) — the SQL mirror of Dedup.dupSpans. shp
+    * zips two parallel unnests (DuckDB pairs equal-length lists);
+    * pos = i - 1 matches Spark's 0-based posexplode. */
+  private val DupSpansSql =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shp AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(t) - 1)) - 1 AS pos,
+      |    substr(md5(unnest(list_transform(range(1, len(t) - 1),
+      |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))), 1, 16)
+      |      AS h
+      |  FROM toks),
+      |df AS (
+      |  SELECT h FROM shp GROUP BY h
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (
+      |  SELECT s.doc_id, s.pos,
+      |    s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+      |      AS island
+      |  FROM shp s JOIN df USING (h)),
+      |spans AS (
+      |  SELECT doc_id,
+      |    CAST(min(pos) AS BIGINT) AS span_start,
+      |    CAST(max(pos) AS BIGINT) AS span_end,
+      |    CAST(count(*) AS BIGINT) AS n_shingles
+      |  FROM d GROUP BY doc_id, island)""".stripMargin
 
   /** Sorted-neighborhood candidate chain ending in u(c_nationkey,
     * id1, id2, dist, bal_gap, name_dist) — the SQL mirror of
@@ -1547,6 +1582,22 @@ object SparkEntry {
          |      GROUP BY user_id, ts_us)
          |SELECT p.user_id, p.event_id, p.ts_us, c.click_id,
          |  (p.ts_us - c.click_us) // 1000000 AS gap_sec
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "ts_asof_tolerance" ->
+      s"""WITH $EV,
+         |p AS (SELECT user_id, event_id, ts_us FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+         |      FROM ev WHERE event_type = 'click'
+         |      GROUP BY user_id, ts_us)
+         |SELECT p.user_id, p.event_id, p.ts_us,
+         |  CASE WHEN p.ts_us - c.click_us <= 60000000
+         |       THEN c.click_id END AS click_id,
+         |  CASE WHEN p.ts_us - c.click_us <= 60000000
+         |       THEN (p.ts_us - c.click_us) // 1000000 END AS gap_sec
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us
          |ORDER BY p.user_id, p.event_id""".stripMargin,
@@ -3331,33 +3382,42 @@ object SparkEntry {
         |FROM orders o JOIN mad m ON o.o_orderpriority = m.grp
         |GROUP BY m.grp ORDER BY grp""".stripMargin,
 
-    // shp zips two parallel unnests (DuckDB pairs equal-length lists):
-    // pos = i - 1 matches Spark's 0-based posexplode
     "dedup_dup_spans" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |shp AS (
-        |  SELECT doc_id,
-        |    unnest(range(1, len(t) - 1)) - 1 AS pos,
-        |    substr(md5(unnest(list_transform(range(1, len(t) - 1),
-        |      i -> array_to_string(list_slice(t, i, i + 2), ' ')))), 1, 16)
-        |      AS h
-        |  FROM toks),
-        |df AS (
-        |  SELECT h FROM shp GROUP BY h
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |d AS (
-        |  SELECT s.doc_id, s.pos,
-        |    s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
-        |      AS island
-        |  FROM shp s JOIN df USING (h))
-        |SELECT doc_id,
-        |  CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(pos) AS BIGINT) AS span_end,
-        |  CAST(count(*) AS BIGINT) AS n_shingles,
-        |  CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_tokens
-        |FROM d GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $DupSpansSql
+        |SELECT doc_id, span_start, span_end, n_shingles,
+        |  span_end - span_start + 3 AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "doc_dup_rate" ->
+      s"""WITH $DupSpansSql,
+        |sp AS (SELECT doc_id, span_start AS s, span_end + 2 AS e
+        |       FROM spans),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |fl AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |                 THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |cov AS (
+        |  SELECT doc_id, island, max(e) - min(s) + 1 AS covered
+        |  FROM isl GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(covered) AS dup_tokens
+        |        FROM cov GROUP BY 1),
+        |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents)
+        |SELECT sz.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 4)
+        |    AS dup_frac
+        |FROM sz LEFT JOIN dup ON sz.doc_id = dup.doc_id
+        |ORDER BY sz.doc_id""".stripMargin,
 
     "ts_anomaly" ->
       s"""WITH $EV,

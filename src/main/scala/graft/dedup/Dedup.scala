@@ -443,4 +443,41 @@ object Dedup {
         col("n_shingles"),
         (col("span_end") - col("span_start") + k).as("span_tokens"))
   }
+
+  /** Per-document duplicated-token FRACTION, exact. [[dupSpans]]'s
+    * spans cover token intervals [span_start, span_end + 2] which can
+    * OVERLAP by one token (islands two shingle-positions apart share
+    * a token), so summing span_tokens overcounts; here the intervals
+    * merge first by the classic cummax rule (a span opens a new
+    * island only when it starts past everything seen), then coverage
+    * sums disjoint island lengths. Docs with no duplicated span
+    * report 0.0 — the output is a full per-doc assignment, ready to
+    * threshold as a cleaning gate.
+    *
+    * Scale: inherits [[dupSpans]]'s shape; the merge windows run over
+    * the SPAN table (a small fraction of positions), per-doc. */
+  def dupRate(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val spans = dupSpans(docs, minDf)
+      .select(col("doc_id"), col("span_start").as("s"),
+        (col("span_end") + 2).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val covered = spans
+      .withColumn("pme",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("s")) + 1).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_frac"))
+  }
 }

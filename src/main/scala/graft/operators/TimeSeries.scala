@@ -144,6 +144,26 @@ object TimeSeries {
         expr("(ts_us - click_us) div 1000000").as("gap_sec"))
   }
 
+  /** [[asofNative]] with the native operator's TOLERANCE: a purchase
+    * only matches a click at most `tolSec` back — a stale click is no
+    * attribution signal. The most-recent-overall candidate is the
+    * most-recent-within-tolerance whenever one exists, so the oracle
+    * is the plain ASOF join with matches beyond tolerance nulled. */
+  def asofNativeTolerance(events: DataFrame, tolSec: Long = 60L): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us").as("click_us"), col("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts_us", rightTimeCol = "click_us",
+        toleranceUs = Some(tolSec * 1000000L))
+      .toDF("user_id", "event_id", "ts_us", "r_user_id", "click_us", "click_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("click_id"),
+        expr("(ts_us - click_us) div 1000000").as("gap_sec"))
+  }
+
   /** Sliding-frame average: mean of the current and two previous event
     * values per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
     * Decimal accumulation so the result is engine-exact. */

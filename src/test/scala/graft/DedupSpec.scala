@@ -234,6 +234,26 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 1) // doc 2 shares nothing
   }
 
+  test("dup rate merges overlapping span intervals before counting") {
+    // doc 0 duplicates shingles at positions 0 and 2 (gap at 1): the
+    // token intervals [0,2] and [2,4] OVERLAP at token 2 — naive
+    // span_tokens summing would count 6 of 5 tokens
+    val d = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c x c d e"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupRate(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((0L, 5L, 5L, 1.0)))
+    // doc 1: positions 0 and 4 -> [0,2] and [4,6], disjoint: 6 of 7
+    assert(got(1) == ((1L, 7L, 6L, 0.8571)))
+    // a clean doc reports 0.0, not an absent row
+    val clean = Seq((0L, "p q r s t"), (1L, "p q r s t"),
+      (2L, "totally different words here now")).toDF("doc_id", "text")
+    val r2 = Dedup.dupRate(clean).orderBy("doc_id").collect()
+    assert(r2.length == 3 && r2(2).getDouble(3) == 0.0)
+  }
+
   test("dup spans merge adjacent duplicated shingles into maximal runs") {
     val d = Seq(
       (0L, "a b c d e f"),       // shingles: abc bcd cde def

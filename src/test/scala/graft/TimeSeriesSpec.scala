@@ -205,6 +205,22 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
   }
 
+  test("asof tolerance: stale clicks null out, fresh ones still match") {
+    val ev = Seq(
+      (1L, 10L, "click", 95L * 1000000),
+      (1L, 11L, "purchase", 100L * 1000000),  // gap 5 s  -> match
+      (1L, 12L, "purchase", 300L * 1000000),  // gap 205 s -> null
+      (2L, 20L, "purchase", 50L * 1000000))   // no click at all
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val got = TimeSeries.asofNativeTolerance(ev, tolSec = 60L)
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4))))
+    assert(got.toSeq == Seq(
+      (11L, Some(10L), Some(5L)),
+      (12L, None, None),
+      (20L, None, None)))
+  }
+
   test("changepoint lands on a step change; flat series peaks at the edge") {
     // 20 buckets at rate 5, then 20 at rate 15: the cut is bucket 19
     val ev = (for {
