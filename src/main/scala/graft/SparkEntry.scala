@@ -733,6 +733,9 @@ object SparkEntry {
     "ts_asof_tolerance" -> q((s, d) =>
       TimeSeries.asofNativeTolerance(ev(s, d))
         .orderBy("user_id", "event_id")),
+    "ts_asof_forward" -> q((s, d) =>
+      TimeSeries.asofNextPurchase(ev(s, d))
+        .orderBy("user_id", "event_id")),
   )
 
   // ================= oracle SQL =================
@@ -1601,6 +1604,20 @@ object SparkEntry {
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us
          |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "ts_asof_forward" ->
+      s"""WITH $EV,
+         |cl AS (SELECT user_id, event_id, ts_us FROM ev
+         |       WHERE event_type = 'click'),
+         |pu AS (SELECT user_id, ts_us AS purchase_us,
+         |         max(event_id) AS purchase_id
+         |       FROM ev WHERE event_type = 'purchase'
+         |       GROUP BY user_id, ts_us)
+         |SELECT cl.user_id, cl.event_id, cl.ts_us, pu.purchase_id,
+         |  (pu.purchase_us - cl.ts_us) // 1000000 AS lead_sec
+         |FROM cl ASOF LEFT JOIN pu
+         |  ON cl.user_id = pu.user_id AND cl.ts_us <= pu.purchase_us
+         |ORDER BY cl.user_id, cl.event_id""".stripMargin,
 
     "ts_sliding_avg" ->
       s"""WITH $EV

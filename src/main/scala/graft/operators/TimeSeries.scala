@@ -164,6 +164,29 @@ object TimeSeries {
         expr("(ts_us - click_us) div 1000000").as("gap_sec"))
   }
 
+  /** FORWARD as-of through the native operator: for every click, the
+    * next purchase of the same user at or after it — the
+    * click-to-conversion lead time. Mirrors DuckDB's forward ASOF
+    * (`l.ts <= r.ts`), so the oracle is symmetric with
+    * [[asofNative]]'s backward form. */
+  def asofNextPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("purchase_id"))
+      .select(col("user_id"), col("ts_us").as("purchase_us"),
+        col("purchase_id"))
+    graft.plans.AsOfJoin.asofForward(clicks, purchases,
+        on = Seq("user_id"), leftTimeCol = "ts_us",
+        rightTimeCol = "purchase_us")
+      .toDF("user_id", "event_id", "ts_us", "r_user_id", "purchase_us",
+        "purchase_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("purchase_id"),
+        expr("(purchase_us - ts_us) div 1000000").as("lead_sec"))
+  }
+
   /** Sliding-frame average: mean of the current and two previous event
     * values per user (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW).
     * Decimal accumulation so the result is engine-exact. */

@@ -221,6 +221,23 @@ class TimeSeriesSpec extends SparkSpec {
       (20L, None, None)))
   }
 
+  test("forward asof picks the NEXT purchase, inclusive at same instant") {
+    val ev = Seq(
+      (1L, 10L, "click", 100L * 1000000),
+      (1L, 11L, "purchase", 100L * 1000000),  // same instant -> matches
+      (1L, 12L, "click", 150L * 1000000),
+      (1L, 13L, "purchase", 220L * 1000000),  // next for click 12
+      (2L, 20L, "click", 500L * 1000000))     // no purchase follows
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val got = TimeSeries.asofNextPurchase(ev)
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4))))
+    assert(got.toSeq == Seq(
+      (10L, Some(11L), Some(0L)),
+      (12L, Some(13L), Some(70L)),
+      (20L, None, None)))
+  }
+
   test("changepoint lands on a step change; flat series peaks at the edge") {
     // 20 buckets at rate 5, then 20 at rate 15: the cut is bucket 19
     val ev = (for {
