@@ -736,6 +736,12 @@ object SparkEntry {
     "ts_asof_forward" -> q((s, d) =>
       TimeSeries.asofNextPurchase(ev(s, d))
         .orderBy("user_id", "event_id")),
+    "ts_asof_strict" -> q((s, d) =>
+      TimeSeries.asofNativeStrict(ev(s, d))
+        .orderBy("user_id", "event_id")),
+    "knn_recall" -> q((s, d) =>
+      Knn.recallAtK(Tables.embeddings(s, d))
+        .orderBy("qid")),
   )
 
   // ================= oracle SQL =================
@@ -1603,6 +1609,19 @@ object SparkEntry {
          |       THEN (p.ts_us - c.click_us) // 1000000 END AS gap_sec
          |FROM p ASOF LEFT JOIN c
          |  ON p.user_id = c.user_id AND p.ts_us >= c.click_us
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "ts_asof_strict" ->
+      s"""WITH $EV,
+         |p AS (SELECT user_id, event_id, ts_us FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts_us AS click_us, max(event_id) AS click_id
+         |      FROM ev WHERE event_type = 'click'
+         |      GROUP BY user_id, ts_us)
+         |SELECT p.user_id, p.event_id, p.ts_us, c.click_id,
+         |  (p.ts_us - c.click_us) // 1000000 AS gap_sec
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts_us > c.click_us
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
     "ts_asof_forward" ->
@@ -2903,6 +2922,53 @@ object SparkEntry {
          |      FROM s)
          |SELECT vec_id, centroid_id, cos_sim AS centroid_sim
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "knn_recall" ->
+      s"""WITH bq AS (SELECT vec_id AS qid, embedding AS qvec
+         |            FROM embeddings WHERE vec_id < 5),
+         |bs AS (
+         |  SELECT qid, e.vec_id, ${cosSql("qvec", "e.embedding")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> qid),
+         |br AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos_sim DESC, vec_id) AS rnk
+         |       FROM bs),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |      FROM embeddings WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT s.vec_id, s.centroid_id, e.embedding
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM sc) s
+         |  JOIN embeddings e ON s.vec_id = e.vec_id
+         |  WHERE s.rn = 1),
+         |iq AS (SELECT vec_id AS qid, centroid_id AS qcell, embedding AS qvec
+         |       FROM assigned WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, a.vec_id,
+         |    ${cosSql("qvec", "a.embedding")} AS cos_sim
+         |  FROM assigned a JOIN iq
+         |    ON a.centroid_id = iq.qcell AND a.vec_id <> iq.qid),
+         |ir AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos_sim DESC, vec_id) AS rnk
+         |       FROM probe),
+         |hits AS (
+         |  SELECT b.qid, count(*) AS n_hit
+         |  FROM br b JOIN ir i ON b.qid = i.qid AND b.vec_id = i.vec_id
+         |  WHERE b.rnk <= 3 AND i.rnk <= 3
+         |  GROUP BY b.qid),
+         |qids AS (SELECT DISTINCT qid FROM br)
+         |SELECT qids.qid,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 3, 4) AS recall4
+         |FROM qids LEFT JOIN hits ON qids.qid = hits.qid
+         |ORDER BY qids.qid""".stripMargin,
 
     "emb_semantic_prune" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec

@@ -164,6 +164,25 @@ object TimeSeries {
         expr("(ts_us - click_us) div 1000000").as("gap_sec"))
   }
 
+  /** [[asofNative]] in STRICT mode: a same-instant click is NOT
+    * visible to the purchase (l.ts > r.ts). With the inclusive,
+    * tolerance and forward queries this puts every mode of the
+    * native operator behind a value-exact oracle. */
+  def asofNativeStrict(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts_us").as("click_us"), col("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks,
+        on = Seq("user_id"), leftTimeCol = "ts_us", rightTimeCol = "click_us",
+        strict = true)
+      .toDF("user_id", "event_id", "ts_us", "r_user_id", "click_us", "click_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("click_id"),
+        expr("(ts_us - click_us) div 1000000").as("gap_sec"))
+  }
+
   /** FORWARD as-of through the native operator: for every click, the
     * next purchase of the same user at or after it — the
     * click-to-conversion lead time. Mirrors DuckDB's forward ASOF

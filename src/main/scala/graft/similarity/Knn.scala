@@ -366,4 +366,27 @@ object Knn {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
+
+  /** Recall@k of the IVF probe against the brute-force ground truth —
+    * the measurement every ANN deployment needs BEFORE trading recall
+    * for probe cost. Per query: |approx ∩ exact| / k over the same
+    * k and tiebreak rules, so 1.0 means the probe's single cell held
+    * the full true neighborhood. Queries the probe missed entirely
+    * still report (recall 0), never drop. Both searches reuse their
+    * shipped plans; the eval adds one tiny join + aggregate. */
+  def recallAtK(embeddings: DataFrame, nQueries: Int = 5,
+                k: Int = 3, nlist: Int = 16): DataFrame = {
+    val exact = bruteForce(embeddings, nQueries, k)
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfSearch(embeddings, nQueries, k, nlist)
+      .select(col("qid"), col("vec_id"))
+    val hits = approx.join(exact, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+    exact.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
+          .as("recall4"))
+  }
 }

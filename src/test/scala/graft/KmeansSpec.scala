@@ -81,4 +81,20 @@ class KmeansSpec extends SparkSpec {
       Knn.kmeansCentroids(blobs.repartition(parts), k = 3, iters = 3)
     assert(run(1) == run(13), "k-means must not depend on partitioning")
   }
+
+  test("recall eval: a single-cell IVF reproduces brute force exactly") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    // nlist = 1 puts every vector in the probe cell: the approximate
+    // search degenerates to exact, so recall must be 1.0 everywhere —
+    // the eval's own correctness anchor
+    val r = Knn.recallAtK(emb, nQueries = 3, k = 3, nlist = 1).collect()
+    assert(r.length == 3 && r.forall(_.getDouble(2) == 1.0),
+      r.mkString(", "))
+    // the shipped 16-cell configuration trades some recall for a
+    // 1/nlist probe; the eval reports it per query without dropping
+    // zero-hit queries
+    val shipped = Knn.recallAtK(emb).collect()
+    assert(shipped.length == 5)
+    assert(shipped.forall(x => x.getDouble(2) >= 0.0 && x.getDouble(2) <= 1.0))
+  }
 }
