@@ -742,6 +742,13 @@ object SparkEntry {
     "knn_recall" -> q((s, d) =>
       Knn.recallAtK(Tables.embeddings(s, d))
         .orderBy("qid")),
+    "doc_admission_gate" -> q((s, d) =>
+      // thresholds tuned to the synthetic corpus's signal range
+      // (median dup_frac 0.93, median iv_rate 0.28) so both gates
+      // actually discriminate; library defaults stay real-world
+      TextAnalysis.admissionGate(Tables.documents(s, d),
+          maxDupFrac = 0.9, minIvRate = 0.2)
+        .orderBy("doc_id")),
   )
 
   // ================= oracle SQL =================
@@ -3666,6 +3673,56 @@ object SparkEntry {
          |  CAST(sum(event_id) AS BIGINT) AS sum_ids
          |FROM r, cap WHERE rnk <= m
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "doc_admission_gate" ->
+      s"""WITH $DupSpansSql,
+        |sp AS (SELECT doc_id, span_start AS s, span_end + 2 AS e
+        |       FROM spans),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |fl AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |                 THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |cov AS (
+        |  SELECT doc_id, island, max(e) - min(s) + 1 AS covered
+        |  FROM isl GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(covered) AS dup_tokens
+        |        FROM cov GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        |  FROM toks),
+        |vc AS (
+        |  SELECT g, count(*) AS c FROM bg GROUP BY g
+        |  ORDER BY c DESC, g LIMIT 200),
+        |covr AS (
+        |  SELECT b.doc_id,
+        |    round(CAST(count(v.g) AS DOUBLE) / count(*), 4) AS iv_rate
+        |  FROM bg b LEFT JOIN vc v ON b.g = v.g GROUP BY b.doc_id),
+        |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents),
+        |base AS (
+        |  SELECT sz.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 4)
+        |      AS dup_frac
+        |  FROM sz LEFT JOIN dup ON sz.doc_id = dup.doc_id)
+        |SELECT base.doc_id, n_tokens, dup_frac,
+        |  coalesce(iv_rate, 0.0) AS iv_rate,
+        |  (dup_frac <= 0.9 AND coalesce(iv_rate, 0.0) >= 0.2) AS keep,
+        |  CASE WHEN dup_frac > 0.9 THEN 'duplication'
+        |       WHEN coalesce(iv_rate, 0.0) < 0.2 THEN 'low_quality'
+        |  END AS reason
+        |FROM base LEFT JOIN covr ON base.doc_id = covr.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
 
     "doc_lm_coverage" ->
       """WITH toks AS (

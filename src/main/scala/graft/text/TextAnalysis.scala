@@ -324,6 +324,36 @@ object TextAnalysis {
     * tiny by construction, so scoring is one BROADCAST join against
     * the exploded bigrams followed by a per-doc aggregate. Tie at the
     * vocabulary boundary breaks deterministically by bigram string. */
+  /** Per-document ADMISSION GATE — the cleaning decision composed
+    * from two session signals: substring-level duplication
+    * ([[graft.dedup.Dedup.dupRate]] — boilerplate and cross-doc
+    * copies) and n-gram vocabulary coverage ([[lmCoverageScore]] —
+    * gibberish and vocabulary-foreign text). A doc keeps only when
+    * BOTH gates pass; `reason` names the FIRST failed gate so a
+    * rejected corpus can be triaged by cause. Docs too short to have
+    * bigrams score iv_rate 0 and fail the quality gate — short
+    * fragments are exactly what the filter should drop.
+    *
+    * One row per input document, always — a gate that silently drops
+    * rows can't be audited. Plan: the two signal pipelines join on
+    * doc_id; each is the shipped query's plan unchanged. */
+  def admissionGate(docs: DataFrame, maxDupFrac: Double = 0.5,
+                    minIvRate: Double = 0.15,
+                    vocabSize: Int = 200): DataFrame = {
+    val dup = graft.dedup.Dedup.dupRate(docs)
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"))
+    val cov = lmCoverageScore(docs, vocabSize)
+      .select(col("doc_id"), col("iv_rate"))
+    dup.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        coalesce(col("iv_rate"), lit(0.0)).as("iv_rate"))
+      .withColumn("keep",
+        col("dup_frac") <= maxDupFrac && col("iv_rate") >= minIvRate)
+      .withColumn("reason",
+        when(col("dup_frac") > maxDupFrac, lit("duplication"))
+          .when(col("iv_rate") < minIvRate, lit("low_quality")))
+  }
+
   def lmCoverageScore(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val bg = spread(docs)
       .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))

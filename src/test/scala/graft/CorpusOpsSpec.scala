@@ -112,6 +112,23 @@ class CorpusOpsSpec extends SparkSpec {
         .orderBy(col("lift").desc, col("bigram"))))
   }
 
+  test("admission gate: both reasons fire; every input doc gets a row") {
+    val d = Seq(
+      (0L, "a b a b a b"),          // in-vocab, no cross-doc dup -> keep
+      (1L, "c d e"),                // out-of-vocab bigrams -> low_quality
+      (2L, "p q r s t u"),          // identical to 3 -> duplication
+      (3L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.admissionGate(d, vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(4), Option(r.get(5))))
+    assert(got.toSeq == Seq(
+      (0L, true, None),
+      (1L, false, Some("low_quality")),
+      (2L, false, Some("duplication")),
+      (3L, false, Some("duplication"))))
+  }
+
   test("LM coverage scores by top-V bigram membership; short docs drop") {
     val d = Seq(
       (0L, "a b a b a b"),   // bigrams: "a b" x3, "b a" x2
