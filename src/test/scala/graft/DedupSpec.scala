@@ -234,6 +234,18 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 1) // doc 2 shares nothing
   }
 
+  test("session-4 dedup ops are partitioning-invariant") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val shuffled = docs.repartition(7)
+    assert(rows(Dedup.dupSpans(docs).orderBy("doc_id", "span_start")) ==
+      rows(Dedup.dupSpans(shuffled).orderBy("doc_id", "span_start")))
+    assert(rows(Dedup.dupRate(docs).orderBy("doc_id")) ==
+      rows(Dedup.dupRate(shuffled).orderBy("doc_id")))
+    assert(rows(Dedup.containmentTop(docs)) ==
+      rows(Dedup.containmentTop(shuffled)))
+  }
+
   test("dup rate merges overlapping span intervals before counting") {
     // doc 0 duplicates shingles at positions 0 and 2 (gap at 1): the
     // token intervals [0,2] and [2,4] OVERLAP at token 2 — naive

@@ -205,6 +205,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
   }
 
+  test("session-4 monitoring ops are partitioning-invariant") {
+    val ev = Tables.events(spark, sf("sf0.001"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    for (op <- Seq[org.apache.spark.sql.DataFrame =>
+                   org.apache.spark.sql.DataFrame](
+        TimeSeries.rateAnomalies(_).orderBy("event_type", "bucket_start"),
+        TimeSeries.seasonalDecompose(_).orderBy("event_type", "bucket_start"),
+        TimeSeries.rateAnomaliesDeseasonalized(_)
+          .orderBy("event_type", "bucket_start"),
+        TimeSeries.changepoint(_).orderBy("event_type"))) {
+      assert(rows(op(ev)) == rows(op(ev.repartition(7))))
+    }
+  }
+
   test("asof tolerance: stale clicks null out, fresh ones still match") {
     val ev = Seq(
       (1L, 10L, "click", 95L * 1000000),
