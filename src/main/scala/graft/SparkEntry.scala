@@ -742,6 +742,9 @@ object SparkEntry {
     "knn_recall" -> q((s, d) =>
       Knn.recallAtK(Tables.embeddings(s, d))
         .orderBy("qid")),
+    "knn_recall_lsh" -> q((s, d) =>
+      Knn.lshRecallAtK(Tables.embeddings(s, d))
+        .orderBy("qid")),
     "doc_admission_gate" -> q((s, d) =>
       // thresholds tuned to the synthetic corpus's signal range
       // (median dup_frac 0.93, median iv_rate 0.28) so both gates
@@ -3054,6 +3057,41 @@ object SparkEntry {
          |      FROM scored)
          |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    "knn_recall_lsh" ->
+      s"""$RpLshSigSql,
+         |sj AS (SELECT s.vec_id, s.bucket, e.embedding
+         |       FROM sigs s JOIN embeddings e USING (vec_id)),
+         |lsc AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+         |    ${cosSql("q.embedding", "c.embedding")} AS cos_sim
+         |  FROM sj q JOIN sj c
+         |    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |lr AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos_sim DESC, vec_id) AS rnk
+         |       FROM lsc),
+         |bq AS (SELECT vec_id AS qid, embedding AS qvec
+         |       FROM embeddings WHERE vec_id < 5),
+         |bs AS (
+         |  SELECT qid, e.vec_id, ${cosSql("qvec", "e.embedding")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN bq WHERE e.vec_id <> qid),
+         |br AS (SELECT qid, vec_id,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos_sim DESC, vec_id) AS rnk
+         |       FROM bs),
+         |hits AS (
+         |  SELECT b.qid, count(*) AS n_hit
+         |  FROM br b JOIN lr l ON b.qid = l.qid AND b.vec_id = l.vec_id
+         |  WHERE b.rnk <= 3 AND l.rnk <= 3
+         |  GROUP BY b.qid),
+         |qids AS (SELECT DISTINCT qid FROM br)
+         |SELECT qids.qid,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 3, 4) AS recall4
+         |FROM qids LEFT JOIN hits ON qids.qid = hits.qid
+         |ORDER BY qids.qid""".stripMargin,
 
     "emb_norms" ->
       s"""SELECT vec_id, len(embedding) AS dim,

@@ -375,11 +375,24 @@ object Knn {
     * still report (recall 0), never drop. Both searches reuse their
     * shipped plans; the eval adds one tiny join + aggregate. */
   def recallAtK(embeddings: DataFrame, nQueries: Int = 5,
-                k: Int = 3, nlist: Int = 16): DataFrame = {
-    val exact = bruteForce(embeddings, nQueries, k)
-      .select(col("qid"), col("vec_id"))
-    val approx = ivfSearch(embeddings, nQueries, k, nlist)
-      .select(col("qid"), col("vec_id"))
+                k: Int = 3, nlist: Int = 16): DataFrame =
+    recallAgainst(
+      bruteForce(embeddings, nQueries, k),
+      ivfSearch(embeddings, nQueries, k, nlist), k)
+
+  /** [[recallAtK]] for the hyperplane-LSH search path — same ground
+    * truth, same reporting; measures what the bucket equality gate
+    * costs in recall at the configured plane count. */
+  def lshRecallAtK(embeddings: DataFrame, nPlanes: Int = 8,
+                   nQueries: Int = 5, k: Int = 3): DataFrame =
+    recallAgainst(
+      bruteForce(embeddings, nQueries, k),
+      rpLshSearch(embeddings, nPlanes, nQueries, k), k)
+
+  private def recallAgainst(exactTopK: DataFrame, approxTopK: DataFrame,
+                            k: Int): DataFrame = {
+    val exact = exactTopK.select(col("qid"), col("vec_id"))
+    val approx = approxTopK.select(col("qid"), col("vec_id"))
     val hits = approx.join(exact, Seq("qid", "vec_id"))
       .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
     exact.select(col("qid")).distinct()
