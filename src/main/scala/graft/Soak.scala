@@ -59,7 +59,11 @@ object Soak {
     // window), the posting-list containment expansion, the broadcast
     // vocab/stat joins, and the time-bounded anomaly window
     "dedup_dup_spans", "dedup_containment", "doc_lm_coverage",
-    "qc_mad_outliers", "ts_anomaly")
+    "qc_mad_outliers", "ts_anomaly",
+    // session-4 late additions: the iterative ER closure, the
+    // composed two-signal gate, and the double-search recall evals
+    "er_entities", "doc_admission_gate", "knn_recall", "knn_recall_lsh",
+    "doc_dup_rate")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

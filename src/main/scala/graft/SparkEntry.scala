@@ -745,6 +745,12 @@ object SparkEntry {
     "knn_recall_lsh" -> q((s, d) =>
       Knn.lshRecallAtK(Tables.embeddings(s, d))
         .orderBy("qid")),
+    "ts_autocorr" -> q((s, d) =>
+      TimeSeries.lag1Autocorr(ev(s, d))
+        .orderBy("event_type")),
+    "qc_freshness" -> q((s, d) =>
+      TimeSeries.freshness(ev(s, d))
+        .orderBy("event_type")),
     "doc_admission_gate" -> q((s, d) =>
       // thresholds tuned to the synthetic corpus's signal range
       // (median dup_frac 0.93, median iv_rate 0.28) so both gates
@@ -3661,6 +3667,43 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "ts_autocorr" ->
+      s"""WITH $EV,
+         |b AS (
+         |  SELECT event_type, sec // 3600 * 3600 AS bucket_start,
+         |         count(*) AS n
+         |  FROM ev GROUP BY 1, 2),
+         |p AS (
+         |  SELECT event_type,
+         |    lag(bucket_start) OVER w AS prev_b,
+         |    lag(n) OVER w AS x, n AS y, bucket_start
+         |  FROM b
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)),
+         |pp AS (SELECT event_type, CAST(x AS HUGEINT) AS x,
+         |         CAST(y AS HUGEINT) AS y
+         |       FROM p WHERE prev_b = bucket_start - 3600),
+         |a AS (
+         |  SELECT event_type,
+         |    CAST(count(*) AS HUGEINT) AS m,
+         |    sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM pp GROUP BY event_type)
+         |SELECT event_type, CAST(m AS BIGINT) AS n_pairs,
+         |  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+         |       THEN round(CAST(m * sxy - sx * sy AS DOUBLE) /
+         |              sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+         |                   CAST(m * syy - sy * sy AS DOUBLE)), 4)
+         |  END AS r4
+         |FROM a ORDER BY event_type""".stripMargin,
+
+    "qc_freshness" ->
+      s"""WITH $EV,
+         |f AS (SELECT max(sec) AS frontier_sec FROM ev)
+         |SELECT event_type, min(sec) AS first_sec, max(sec) AS last_sec,
+         |  count(*) AS n_events,
+         |  (SELECT frontier_sec FROM f) - max(sec) AS stale_sec
+         |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_changepoint" ->
       s"""WITH $EV,

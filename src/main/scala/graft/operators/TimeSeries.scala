@@ -451,6 +451,61 @@ object TimeSeries {
         .agg(count(lit(1)).as("n")),
       windowBuckets, minPrior, tau, bucketSec)
 
+  /** Lag-1 Pearson autocorrelation of the hourly count series per
+    * event_type — the one-number answer to "is this series bursty or
+    * memoryless?" (and the companion statistic to
+    * [[seasonalDecompose]]: residuals should autocorrelate near 0).
+    * Pairs are TRUE lag-1 — only buckets exactly one step apart pair
+    * up, a gap breaks the chain. All five sufficient statistics
+    * accumulate as integers (DECIMAL(38,0)); r's numerator
+    * m·Sxy − Sx·Sy and the two variance terms are integer-exact, so
+    * the only floating-point ops are the final sqrt and divide —
+    * both correctly rounded in IEEE, hence engine-identical.
+    * Zero-variance series report null. */
+  def lag1Autocorr(events: DataFrame,
+                   bucketSec: Long = 3600L): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val buckets = events
+      .groupBy(col("event_type"),
+        expr(s"sec div $bucketSec * $bucketSec").as("bucket_start"))
+      .agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bucket_start"))
+    val pairs = buckets
+      .withColumn("prev_b", lag(col("bucket_start"), 1).over(wOrd))
+      .withColumn("x", lag(col("n"), 1).over(wOrd))
+      .filter(col("prev_b") === col("bucket_start") - bucketSec)
+      .select(col("event_type"), col("x"), col("n").as("y"))
+    val agg = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).cast(d38).as("m"),
+      sum(col("x")).cast(d38).as("sx"),
+      sum(col("y")).cast(d38).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    agg.select(col("event_type"), col("m").cast("long").as("n_pairs"),
+      when(vx > 0 && vy > 0,
+        round(num.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 4)).as("r4"))
+  }
+
+  /** Per-type data FRESHNESS against the dataset's own frontier: how
+    * far each event_type's newest record trails the newest record
+    * overall — the lag a pipeline monitor alerts on, computed without
+    * wall-clock time so the answer is a pure function of the data. */
+  def freshness(events: DataFrame): DataFrame = {
+    val frontier = events.agg(max(col("sec")).as("frontier_sec"))
+    events.groupBy(col("event_type"))
+      .agg(min(col("sec")).as("first_sec"), max(col("sec")).as("last_sec"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(frontier))
+      .select(col("event_type"), col("first_sec"), col("last_sec"),
+        col("n_events"),
+        (col("frontier_sec") - col("last_sec")).as("stale_sec"))
+  }
+
   /** Seasonal-naive decomposition of the hourly event rate: each
     * (event_type, hour bucket) count splits into the type's
     * HOUR-OF-DAY baseline (the mean count over every bucket sharing

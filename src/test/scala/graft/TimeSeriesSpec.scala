@@ -205,6 +205,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r5.toSeq == Seq((6L, 6.5, -0.5), (7L, 6.5, 0.5)))
   }
 
+  test("lag-1 autocorrelation: affine series hit exactly ±1; gaps break pairs") {
+    // counts ramp 1..10 across adjacent hours: next = prev + 1 -> r = 1
+    val ramp = (for { b <- 0 until 10; _ <- 0 to b }
+      yield ("up", b.toLong * 3600L))
+    // counts alternate 5,10,5,10: next = 15 - prev -> r = -1
+    val alt = (for { b <- 0 until 10; _ <- 0 until (if (b % 2 == 0) 5 else 10) }
+      yield ("flip", b.toLong * 3600L))
+    // a gap splits the chain: buckets 0,1 then 5,6 -> only 2 pairs
+    val gap = (for { b <- Seq(0, 1, 5, 6); _ <- 0 to b }
+      yield ("gap", b.toLong * 3600L))
+    val got = TimeSeries.lag1Autocorr(
+        (ramp ++ alt ++ gap).toDF("event_type", "sec"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got("up") == ((9L, Some(1.0))))
+    assert(got("flip") == ((9L, Some(-1.0))))
+    assert(got("gap")._1 == 2L)
+  }
+
+  test("freshness measures staleness against the data's own frontier") {
+    val ev = Seq(("a", 100L), ("a", 500L), ("b", 450L), ("c", 500L))
+      .toDF("event_type", "sec")
+    val got = TimeSeries.freshness(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((100L, 500L, 2L, 0L)))
+    assert(got("b") == ((450L, 450L, 1L, 50L)))
+    assert(got("c") == ((500L, 500L, 1L, 0L)))
+  }
+
   test("session-4 monitoring ops are partitioning-invariant") {
     val ev = Tables.events(spark, sf("sf0.001"))
     def rows(df: org.apache.spark.sql.DataFrame) =
