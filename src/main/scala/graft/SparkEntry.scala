@@ -588,6 +588,9 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
+    "dedup_setsim_join" -> q((s, d) =>
+      dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d))
+        .orderBy("id1", "id2")),
     // 5 iterations, not the operator-default 10: ranking order on the
     // shallow near-dup graph stabilizes by round 5, and each extra
     // round is a fixed AQE stage-scheduling cost at bench scale
@@ -2900,6 +2903,22 @@ object SparkEntry {
          |  JOIN sizes s1 ON s1.doc_id = id1
          |  JOIN sizes s2 ON s2.doc_id = id2
          |ORDER BY jaccard DESC, id1, id2 LIMIT 50""".stripMargin,
+
+    "dedup_setsim_join" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE inter * 2 >= (s1.n + s2.n - inter) * 1
+         |ORDER BY id1, id2""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH n AS (

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SetSimJoin
+
+class SetSimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river edge"),
+    (3L, "completely different words about spark shuffles and partitions here"),
+    (4L, "x y"))
+    .toDF("doc_id", "text")
+
+  /** Brute-force shingle-set Jaccard over every pair — the oracle the
+    * prefix filter must never fall short of. */
+  private def brute(rows: Seq[(Long, String)],
+                    tNum: Long, tDen: Long): Set[(Long, Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      inter = (si & sj).size.toLong
+      if inter * tDen >= tNum * (si.size + sj.size - inter)
+    } yield (i, j, inter)).toSet
+  }
+
+  test("exact dup pair has jaccard 1.0; near dup above threshold") {
+    val got = SetSimJoin.jaccardJoin(docs).orderBy("id1", "id2").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((0L, 1L))._2 == 1.0)
+    assert(got.contains((0L, 2L)) && got((0L, 2L))._2 < 1.0)
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("prefix filter is complete: matches brute force on a seeded corpus") {
+    // deterministic corpus with planted near-dups, shared boilerplate,
+    // and varied lengths — the shapes that break naive prefix logic
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "data", "spark", "join", "scan")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => vocab(math.abs(seed * 31 + i * 7) % vocab.length))
+        .mkString(" ")
+    val rows = (0 until 24).map { i =>
+      val base = doc(i % 6, 8 + (i % 5))           // 6 near-dup families
+      val tail = if (i % 3 == 0) " data spark join" else ""
+      (i.toLong, base + tail)
+    }
+    for ((tn, td) <- Seq((1L, 2L), (3L, 10L), (7L, 10L), (1L, 1L))) {
+      val got = SetSimJoin.jaccardJoin(rows.toDF("doc_id", "text"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      assert(got == brute(rows, tn, td), s"threshold $tn/$td")
+    }
+  }
+
+  test("threshold gate is integer-exact at the boundary") {
+    // sets of size 4 and 4 sharing exactly 2 shingles: J = 2/6 = 1/3
+    val a = "a b c d e f"   // shingles: abc bcd cde def (4)
+    val b = "c d e f g h"   // shingles: cde def efg fgh (4)
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(SetSimJoin.jaccardJoin(df, 1L, 3L).count() == 1) // J == t keeps
+    assert(SetSimJoin.jaccardJoin(df, 34L, 100L).count() == 0) // J < t drops
+  }
+
+  test("result is partitioning-invariant") {
+    val base = SetSimJoin.jaccardJoin(docs).collect().toSet
+    val re = SetSimJoin.jaccardJoin(docs.repartition(7)).collect().toSet
+    assert(base == re)
+  }
+}
