@@ -622,7 +622,13 @@ object SparkEntry {
     "emb_norms" -> q((s, d) =>
       Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
     "emb_quantize" -> q((s, d) =>
+      // qvec is array<int>; the driver's comparator can't sort array
+      // cells, so the query edge fingerprints the codes (md5 of the
+      // comma-joined ints) — same values checked, portable shape.
       similarity.Quantize.quantizeInt8(Tables.embeddings(s, d))
+        .withColumn("qvec_md5",
+          md5(array_join(transform(col("qvec"), _.cast("string")), ",")))
+        .drop("qvec")
         .orderBy("vec_id")),
     "knn_quantized" -> q((s, d) =>
       similarity.Quantize.searchQuantized(Tables.embeddings(s, d))
@@ -3007,7 +3013,10 @@ object SparkEntry {
 
     "emb_semantic_prune" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
-         |           FROM embeddings WHERE vec_id < 16),
+         |           FROM embeddings
+         |           WHERE vec_id < (SELECT greatest(16,
+         |             CAST(ceil(count(*) / 64.0) AS BIGINT))
+         |             FROM embeddings)),
          |s AS (
          |  SELECT e.vec_id, centroid_id,
          |    ${cosSql("e.embedding", "cvec")} AS cos_sim
@@ -3189,7 +3198,9 @@ object SparkEntry {
         |  FROM (SELECT vec_id, scale, unnest(embedding) AS x,
         |               unnest(qvec) AS q FROM qx)
         |  GROUP BY vec_id)
-        |SELECT q.vec_id, q.qvec, round(q.scale, 8) AS scale8, e.q_norm2,
+        |SELECT q.vec_id,
+        |  md5(array_to_string(qvec, ',')) AS qvec_md5,
+        |  round(q.scale, 8) AS scale8, e.q_norm2,
         |  round(CAST(e.errs AS DOUBLE) / e.n, 8) AS mae8
         |FROM qx q JOIN er e USING (vec_id)
         |ORDER BY vec_id""".stripMargin,

@@ -6,13 +6,12 @@ import org.apache.spark.sql.functions._
 /** Canonical loaders for the driver's parquet tables (TESTDATA.md).
   *
   * All engine code reads tables through here so schema quirks are handled
-  * in exactly one place. The one real quirk: `events.parquet` stores `ts`
-  * as parquet TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
-  * we read it with `spark.sql.legacy.parquet.nanosAsLong=true` (set in
-  * [[GraftSession]]) and expose both the raw nanos (`ts_ns`) and a
-  * truncated epoch-second column (`sec`), mirroring the reference's two
-  * time grains (millis events / second aggregates — see SURVEY.md §1.1,
-  * reference functions.js:49-58).
+  * in exactly one place. The one real quirk: `events.parquet`'s `ts`
+  * physical type varies by test-data generation (TIMESTAMP(NANOS) or
+  * timestamp[us]); [[events]] normalizes either to `ts_ns`/`ts_us`/`sec`
+  * plus a µs `ts`, mirroring the reference's two time grains (millis
+  * events / second aggregates — see SURVEY.md §1.1, reference
+  * functions.js:49-58).
   */
 object Tables {
 
@@ -50,14 +49,35 @@ object Tables {
     *  - `sec`    — epoch seconds (long), the aggregate grain
     *               (integer division: exact, no double rounding)
     *  - `ts`     — TimestampType (µs) for window/streaming ops
+    *
+    * The physical `ts` encoding has drifted across test-data
+    * generations (TIMESTAMP(NANOS) read as long under
+    * `nanosAsLong=true`; plain `timestamp[us]` read as
+    * TIMESTAMP_NTZ), so we branch on the observed Spark type rather
+    * than assuming one. The session runs in UTC, so casting NTZ to
+    * an instant is exact.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet has TIMESTAMP(NANOS); session must set " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession)")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType =>
+        // TIMESTAMP(NANOS) surfaced as raw nanos via nanosAsLong=true
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.parquet has TIMESTAMP(NANOS); session must set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (use GraftSession)")
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts_ns", expr("ts_us * 1000L"))
+          .drop("ts")
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.parquet ts has unsupported type $other; expected " +
+            "long (nanosAsLong), timestamp, or timestamp_ntz")
+    }
+    tsUs
       .withColumn("sec", expr("ts_us div 1000000"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }

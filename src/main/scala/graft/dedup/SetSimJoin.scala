@@ -47,9 +47,13 @@ object SetSimJoin {
     * similarity under this measure; they do not appear. */
   def jaccardJoin(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // the doc×shingle relation feeds three consumers (document
+    // frequency, prefix ranking, exact verification) — materialize it
+    // once so the tokenize+explode+distinct shuffle isn't re-run 3×
     val ds = docs
       .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("sh"))
       .distinct()
+      .localCheckpoint()
     val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // one doc_id exchange serves both windows (rank and set size):
     // same partitioning, Catalyst stacks the two Window nodes
@@ -62,13 +66,24 @@ object SetSimJoin {
     val need = floor((col("n") * lit(tNum) + lit(tDen - 1)) / lit(tDen))
       .cast("long")
     val prefix = ranked.filter(col("rnk") <= col("n") - need + lit(1))
-      .select(col("sh"), col("doc_id"), col("n"))
+      .select(col("sh"), col("doc_id"), col("n"), col("rnk"))
+    // PPJoin positional filter (Xiao, Wang, Lin & Yu, "Efficient
+    // similarity joins for near duplicate detection", WWW 2008): a
+    // collision at ranks (ra, rb) bounds the overlap by
+    // 1 + min(na−ra, nb−rb) when it is the pair's FIRST collision in
+    // the global order; J ≥ t needs inter·(tDen+tNum) ≥ tNum·(na+nb),
+    // so collisions whose bound can't reach that are dropped before
+    // the (expensive) verification join. A qualifying pair always
+    // survives through its first collision, so recall stays 100%.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id") &&
           // length filter: J ≥ t forces t·|y| ≤ |x| for |x| ≤ |y|
           least(col("a.n"), col("b.n")) * lit(tDen) >=
-            greatest(col("a.n"), col("b.n")) * lit(tNum))
+            greatest(col("a.n"), col("b.n")) * lit(tNum) &&
+          (lit(1L) + least(col("a.n") - col("a.rnk"),
+                           col("b.n") - col("b.rnk"))) * lit(tDen + tNum) >=
+            (col("a.n") + col("b.n")) * lit(tNum))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()

@@ -23,18 +23,23 @@ import graft.sources.Layout
   */
 object SkewJoin {
 
-  /** lineitem ⋈ orders on the salted key, then revenue per order
-    * priority — the aggregate erases the salt, so the result must be
-    * bit-identical to the plain join. Decimal-exact revenue per
-    * Portable convention. */
+  /** lineitem ⋈ orders via HOT-KEY-ONLY salting, then revenue per
+    * order priority — the aggregate erases the salt, so the result
+    * must be bit-identical to the plain join (the oracle IS the
+    * unsalted join). `minHotCount = 5` deliberately lands inside the
+    * TPC-H lines-per-order range (1–7) so BOTH the salted-hot and
+    * plain-cold paths carry rows at every test scale; production
+    * thresholds sit orders of magnitude above the mean so only true
+    * skew pays the replication. Decimal-exact revenue per Portable
+    * convention. */
   def revenueByPrioritySalted(lineitem: DataFrame, orders: DataFrame,
                               nSalts: Int = 8): DataFrame =
-    Layout.saltedJoin(
+    Layout.saltedJoinHot(
       lineitem.select(col("l_orderkey"), col("l_extendedprice"),
         col("l_discount")),
       orders.select(col("o_orderkey").as("l_orderkey"),
         col("o_orderpriority")),
-      key = "l_orderkey", saltFactor = nSalts)
+      key = "l_orderkey", saltFactor = nSalts, minHotCount = 5L)
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_lines"),

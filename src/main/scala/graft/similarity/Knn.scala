@@ -115,10 +115,18 @@ object Knn {
     * cuts 8.7 s → 3.3 s); centroids broadcast. The assignment's
     * exchange feeds both the cell grouping and the per-vector output
     * via Spark's ReuseExchange (asserted in specs), so the dominant
-    * cross-join cosine pass runs once. */
-  def semanticPrune(emb: DataFrame, nlist: Int = 16,
+    * cross-join cosine pass runs once.
+    *
+    * `nlist <= 0` (the default) derives the cluster count from the
+    * corpus: max(16, ⌈n/64⌉), holding the EXPECTED cell at ~64
+    * vectors so in-cell pair expansion stays linear in n instead of
+    * quadratic per cell. The one `count()` is a scalar driver read,
+    * same cost class as the broadcast of the centroids. */
+  def semanticPrune(emb: DataFrame, nlist: Int = 0,
                     threshold: Double = 0.9): DataFrame = {
-    val assigned = ivfAssign(emb, nlist)
+    val nl = if (nlist > 0) nlist
+             else math.max(16L, (emb.count() + 63L) / 64L).toInt
+    val assigned = ivfAssign(emb, nl)
     // cells hold sorted vec_id ARRAYS only — embeddings never ride the
     // collect_list (a 10k-vector cell would otherwise replicate ~MBs
     // of float arrays per expanded pair row); candidate id pairs join

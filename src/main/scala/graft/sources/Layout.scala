@@ -64,6 +64,34 @@ object Layout {
       .drop("_salt")
   }
 
+  /** Hot-key-only salting — the form that survives 100 TB. Full-side
+    * salting ([[saltedJoin]]) replicates the ENTIRE other side
+    * `saltFactor`×, so its cost grows with the table even when only a
+    * handful of keys are skewed. Here the left's key histogram (one
+    * map-side-combinable count whose output is |distinct keys|, then
+    * a `minHotCount` filter that should leave only the few genuinely
+    * hot keys) splits both sides into a hot slice — salted — and a
+    * cold slice — plain equi-join; the union of the two disjoint
+    * joins is row-identical to `left.join(right, key)` REGARDLESS of
+    * where the threshold lands, so the split is a pure performance
+    * knob, never a semantics one. The hot-key set broadcasts (it must
+    * be small — if it isn't, the data isn't skewed, it's big, and
+    * salting is the wrong tool). */
+  def saltedJoinHot(left: DataFrame, right: DataFrame, key: String,
+                    saltFactor: Int, minHotCount: Long): DataFrame = {
+    val hot = left.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= minHotCount)
+      .select(col(key))
+    val hotB = broadcast(hot)
+    val hotJoin = saltedJoin(
+      left.join(hotB, Seq(key), "left_semi"),
+      right.join(hotB, Seq(key), "left_semi"),
+      key, saltFactor)
+    val coldJoin = left.join(hotB, Seq(key), "left_anti")
+      .join(right.join(hotB, Seq(key), "left_anti"), Seq(key))
+    hotJoin.unionByName(coldJoin)
+  }
+
   /** Morton (z-order) value: interleave the low `bits` bits of two
     * non-negative dimensions — x on even positions, y on odd. Rows
     * close in BOTH dimensions get close z-values, so range-sorting by

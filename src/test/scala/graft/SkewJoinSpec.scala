@@ -27,6 +27,33 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("hot-key-only salting equals the plain join at ANY threshold") {
+    val plain = skewed.join(dim, "k")
+      .select($"k", $"v", $"name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    // thresholds spanning all-hot (1), the intended split (100: only
+    // the 900-row key salts), and all-cold (never fires)
+    for (t <- Seq(1L, 100L, Long.MaxValue)) {
+      val got = Layout.saltedJoinHot(skewed, dim, "k",
+          saltFactor = 4, minHotCount = t)
+        .select($"k", $"v", $"name").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      assert(got == plain, s"minHotCount=$t")
+    }
+  }
+
+  test("hot-key split replicates ONLY the hot slice of the dim") {
+    // with minHotCount=100 exactly one key (the 900-row key 1) is hot:
+    // the salted branch must see a 1-row right side exploded 4×, the
+    // cold branch the other 49 dim rows unreplicated — measured here
+    // by the join output multiset (anything over-replicated would
+    // duplicate result rows and fail the equality test above), and by
+    // the hot set itself
+    val hot = skewed.groupBy($"k").agg(count(lit(1)).as("_cnt"))
+      .filter($"_cnt" >= 100L).select($"k").as[Long].collect().toSeq
+    assert(hot == Seq(1L), s"expected only the skewed key hot: $hot")
+  }
+
   test("the hot key spreads across salt partitions") {
     val l = skewed.withColumn("_salt",
       pmod(hash($"k", monotonically_increasing_id()), lit(8)))

@@ -42,6 +42,46 @@ class SourcesSpec extends SparkSpec {
       "spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("events loader tolerates every observed ts physical encoding") {
+    // The driver has regenerated events.parquet with different ts
+    // physical types across rounds (TIMESTAMP(NANOS) read as long
+    // under nanosAsLong=true; plain timestamp[us] read as NTZ). Round
+    // 4 lost 49 queries to a silent regen — this guard names the
+    // failure mode: Tables.events must normalize each encoding to the
+    // same ts_us/sec/ts grains.
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tsdrift").toString
+    val micros = Seq(1700000000000000L, 1700000001500000L, 1700000123456789L)
+    val rows = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+
+    // encoding 1: raw long nanos (what TIMESTAMP(NANOS) surfaces as
+    // under spark.sql.legacy.parquet.nanosAsLong=true)
+    rows.map { case (id, us) => (id, us * 1000L) }
+      .toDF("event_id", "ts").write.parquet(s"$base/nanos/events.parquet")
+    // encoding 2: timestamp[us] without tz → TIMESTAMP_NTZ (the
+    // round-4 regen; session tz is UTC so the instant is exact)
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us"))
+        .cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    // encoding 3: timestamp[us] adjusted to UTC → TimestampType
+    rows.toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$base/tz/events.parquet")
+
+    for (enc <- Seq("nanos", "ntz", "tz")) {
+      val got = Tables.events(spark, s"$base/$enc")
+        .select("event_id", "ts_us", "sec")
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = rows.map { case (id, us) => (id, us, us / 1000000L) }
+      assert(got == want, s"encoding '$enc' mis-normalized: $got")
+      val tsType = Tables.events(spark, s"$base/$enc").schema("ts").dataType
+      assert(tsType == org.apache.spark.sql.types.TimestampType,
+        s"encoding '$enc' must expose a µs TimestampType ts, got $tsType")
+    }
+  }
+
   test("events round-trip through JSON and CSV with values intact") {
     val dir = Files.createTempDirectory("graft_fmt").toString
     val ev = Tables.events(spark, sf("sf0.001"))
