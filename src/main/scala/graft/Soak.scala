@@ -63,7 +63,11 @@ object Soak {
     // session-4 late additions: the iterative ER closure, the
     // composed two-signal gate, and the double-search recall evals
     "er_entities", "doc_admission_gate", "knn_recall", "knn_recall_lsh",
-    "doc_dup_rate")
+    "doc_dup_rate",
+    // round-5 additions: the exact prefix-filter similarity join
+    // (candidate volume is its scale risk) and the bigram-LM scorer
+    // (two n-gram count joins)
+    "dedup_setsim_join", "doc_lm_score")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

@@ -708,6 +708,9 @@ object SparkEntry {
     "doc_lm_coverage" -> q((s, d) =>
       TextAnalysis.lmCoverageScore(Tables.documents(s, d), vocabSize = 200)
         .orderBy("doc_id")),
+    "doc_lm_score" -> q((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "ts_anomaly" -> q((s, d) =>
       TimeSeries.rateAnomalies(ev(s, d))
         .orderBy("event_type", "bucket_start")),
@@ -3852,5 +3855,36 @@ object SparkEntry {
         |  round(CAST(count(v.g) AS DOUBLE) / count(*), 4) AS iv_rate
         |FROM bg b LEFT JOIN vc v ON b.g = v.g
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- smoothed bigram-LM negative log-likelihood (CCNet-style) ----
+    "doc_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        |  FROM toks),
+        |bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |scored AS (
+        |  SELECT bw.doc_id,
+        |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vv.v)), 6)
+        |      AS DECIMAL(18,6)) AS ll
+        |  FROM bw JOIN c2 ON bw.g = c2.g
+        |          JOIN c1 ON bw.w1 = c1.w
+        |          CROSS JOIN vv),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    sum(ll) AS sum_ll
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  round(-CAST(a.sum_ll AS DOUBLE) / a.n_bigrams, 4) AS avg_nll
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

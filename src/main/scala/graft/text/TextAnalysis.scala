@@ -354,6 +354,49 @@ object TextAnalysis {
           .when(col("iv_rate") < minIvRate, lit("low_quality")))
   }
 
+  /** Smoothed bigram-LM negative log-likelihood per document — the
+    * perplexity-style quality filter of CCNet (Wenzek et al.,
+    * "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data", LREC 2020), with the corpus itself as the training
+    * text and add-k smoothing standing in for a pretrained KenLM:
+    * score(doc) = −(1/n) Σ ln((c₂(w₁w₂)+k)/(c₁(w₁)+k·V)). High
+    * avg_nll = text whose word transitions the corpus has never seen
+    * — gibberish, boilerplate soup, vocabulary-foreign content;
+    * [[lmCoverageScore]]'s iv_rate is the 0/1-vocabulary special
+    * case of this.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable
+    * groupBys; the two count joins shuffle on the n-gram key (df-like
+    * distributions, AQE-splittable); V rides a 1-row broadcast. Each
+    * term's ln() rounds at 6dp and accumulates in DECIMAL so the
+    * per-doc sum is summation-order independent and engine-portable
+    * (the Portable.exactSum convention — doubles differ across
+    * engines only far past 6dp). */
+  def lmScore(docs: DataFrame, k: Double = 1.0): DataFrame = {
+    val bg = spread(docs)
+      .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val toks = spread(docs)
+      .select(explode(tokens(col("text"))).as("w"))
+    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("w")).as("v"))
+    val perDoc = bg
+      .join(c2, "g")
+      .join(c1, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .withColumn("ll",
+        round(log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll")).as("sum_ll"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("sum_ll").cast("double") / col("n_bigrams"), 4)
+          .as("avg_nll"))
+  }
+
   def lmCoverageScore(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
     val bg = spread(docs)
       .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))

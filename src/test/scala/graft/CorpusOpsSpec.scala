@@ -147,4 +147,25 @@ class CorpusOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(tied.toSeq == Seq((0L, 5L), (1L, 1L)))
   }
+
+  test("bigram-LM score: repeated text scores likelier than unseen transitions") {
+    val d = Seq(
+      (0L, "a b a b a b"),   // transitions the corpus has seen often
+      (1L, "c d e"),         // each bigram unique in the corpus
+      (2L, "solo"))          // no bigrams -> n 0, null score
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(d)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0L, 5L), (1L, 2L), (2L, 0L)))
+    // hand-computed with k=1, V=6 unigram types:
+    // doc0: 3·ln(4/9) + 2·ln(3/9) over 5 bigrams, negated
+    val nll0 = -(3 * math.log(4.0 / 9) + 2 * math.log(3.0 / 9)) / 5
+    assert(math.abs(got(0)._3.get - nll0) < 1e-3, s"doc0: ${got(0)._3}")
+    assert(got(0)._3.get < got(1)._3.get,
+      "frequent transitions must score a lower avg NLL than unseen ones")
+    assert(got(2)._3.isEmpty, "a bigram-less doc has no score")
+  }
 }
