@@ -2848,7 +2848,12 @@ object SparkEntry {
         s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
         .mkString(" + ")
       s"""WITH $SimhashSql,
-         |pre AS (SELECT doc_id, simhash16, substr(simhash16, 1, 8) AS prefix FROM sim),
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |         a.simhash16 AS sh1, b.simhash16 AS sh2
@@ -2879,7 +2884,12 @@ object SparkEntry {
            |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH $SimhashSql,
-         |pre AS (SELECT doc_id, simhash16, substr(simhash16, 1, 8) AS prefix FROM sim),
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
          |prs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |         a.simhash16 AS sh1, b.simhash16 AS sh2

@@ -188,15 +188,24 @@ object Dedup {
     * still pair with the bucket minimum (the cluster spine). */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 10000,
-                   prefixHexChars: Int = 8): DataFrame = {
-    require(prefixHexChars >= 1 && prefixHexChars <= 15,
+                   prefixHexChars: Int = 0): DataFrame = {
+    require(prefixHexChars <= 15,
       "prefix must leave at least one non-band hex char")
+    // scale knob (soak §7): a longer prefix makes more, smaller
+    // buckets — the DEFAULT (0) derives it from the corpus so
+    // in-bucket pair expansion stays flat as data grows (recall
+    // trades off: near-dups must agree on the whole band). Tiers,
+    // not a log formula, so the oracle SQL states the same rule
+    // verbatim; measured at sf1: 8→10 hex chars cuts candidate
+    // pairs 9.96 M → 5.68 M and runtime 6.87 s → 3.65 s.
+    val plen =
+      if (prefixHexChars >= 1) prefixHexChars
+      else {
+        val n = documents.count()
+        if (n >= 320000L) 10 else if (n >= 20000L) 9 else 8
+      }
     val bucketed = simhash(documents)
-      // scale knob (soak §7): a longer prefix makes more, smaller
-      // buckets — raise it as the corpus grows to keep in-bucket pair
-      // expansion flat (recall trades off: near-dups must agree on
-      // the whole band)
-      .groupBy(substring(col("simhash16"), 1, prefixHexChars).as("prefix"))
+      .groupBy(substring(col("simhash16"), 1, plen).as("prefix"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash16"))))
         .as("items"))
       .filter(size(col("items")) > 1)
