@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable.tokens
+import graft.text.TextAnalysis
+
+/** Streaming corpus admission — the ingest-time composition of the
+  * batch cleaning family: quality gate + PII redaction + near-dup
+  * suppression in ONE streaming pass. This is the front door of a
+  * training-data pipeline: documents arrive on a stream, and what
+  * lands in the corpus store is already masked, quality-gated and
+  * deduplicated, so no batch re-clean has to chase the ingest.
+  *
+  * Composition order matters and is deliberate:
+  *  1. PII masking FIRST — rejected docs are still logged with their
+  *     reason, and nothing downstream (including reject sinks) may
+  *     ever see raw PII.
+  *  2. Quality gates as stateless projections — token count and
+  *     lexical diversity ride the scan exactly like the batch
+  *     [[graft.text.TextAnalysis.qualityScore]], zero state.
+  *  3. Near-dup suppression LAST, only over admitted docs — the
+  *     watermark-bounded signature dedup of
+  *     [[StreamingDedup.uniqueBySignature]]; suppressing before the
+  *     gate would spend dedup state on docs the gate drops anyway.
+  *
+  * Scale: steps 1-2 are per-row projections (no shuffle, no state);
+  * step 3's state is one row per distinct signature inside the
+  * watermark, the same bound as the underlying
+  * `dropDuplicatesWithinWatermark`. The stream stays a stream — no
+  * collect, no batch join against itself.
+  */
+object CorpusIngest {
+
+  /** Per-doc annotation: scrubbed text + gate verdict. Stateless, so
+    * it works identically on a stream or a batch frame (the spec
+    * cross-checks the two). Input needs (doc_id, ts, text). */
+  def annotate(docs: DataFrame, minTokens: Int = 5,
+               minDistinctRatio: Double = 0.3): DataFrame = {
+    val masked = TextAnalysis.scrubPii(col("text"))
+    val toks: Column = tokens(masked)
+    docs
+      .select(col("doc_id"), col("ts"),
+        masked.as("text"),
+        TextAnalysis.piiSpanCount(col("text")).as("n_pii"),
+        size(tokens(masked)).as("n_tokens"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 4)
+          .as("distinct_ratio"))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("distinct_ratio") < minDistinctRatio,
+            lit("low_diversity")))
+      .withColumn("keep", col("reason").isNull)
+  }
+
+  /** The admitted stream: annotated, gate-passing, near-dup-suppressed
+    * (first arrival of each signature class wins within the
+    * watermark). Append mode; attach the corpus-store sink here. */
+  def ingest(docs: DataFrame, minTokens: Int = 5,
+             minDistinctRatio: Double = 0.3,
+             lateness: String = "10 seconds"): DataFrame =
+    StreamingDedup.uniqueBySignature(
+      annotate(docs, minTokens, minDistinctRatio)
+        .filter(col("keep"))
+        .drop("keep", "reason"),
+      lateness)
+
+  /** The reject stream for triage: gate failures with their reason,
+    * PII already masked. Run as a SECOND query over the same source —
+    * both queries are stateless up to the split, so the fan-out costs
+    * one extra source read, not a stateful fork. */
+  def rejects(docs: DataFrame, minTokens: Int = 5,
+              minDistinctRatio: Double = 0.3): DataFrame =
+    annotate(docs, minTokens, minDistinctRatio)
+      .filter(!col("keep"))
+      .drop("keep")
+}

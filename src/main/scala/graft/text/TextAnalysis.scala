@@ -158,15 +158,30 @@ object TextAnalysis {
     * text (compact, still value-checks the full rewrite). Semantics on
     * PII-bearing text are spec-tested (the synthetic corpus contains
     * none, which the oracle also confirms cross-engine). */
-  def piiScrub(docs: DataFrame): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
-    val scrubbed = regexp_replace(
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** The PII rewrite as a column, reusable by batch and streaming
+    * callers ([[piiScrub]], `streaming.CorpusIngest`). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), email, "<EMAIL>"),
-        ipv4, "<IP>"),
-      phone, "<PHONE>")
+        regexp_replace(text, PiiEmail, "<EMAIL>"),
+        PiiIpv4, "<IP>"),
+      PiiPhone, "<PHONE>")
+
+  /** Total PII-shaped spans in `text` (email + IPv4 + phone). */
+  def piiSpanCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PiiEmail), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiIpv4), lit(0))) +
+      size(regexp_extract_all(text, lit(PiiPhone), lit(0)))
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = PiiEmail
+    val ipv4 = PiiIpv4
+    val phone = PiiPhone
+    val scrubbed = scrubPii(col("text"))
     spread(docs).select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
