@@ -88,7 +88,14 @@ object SetSimJoin {
         col("a.n").as("n1"), col("b.n").as("n2"))
       .distinct()
     // exact verification: count the shared shingles of each candidate
-    // pair — cost is Σ|x| over candidates, never over all pairs
+    // pair — cost is Σ|x| over candidates, never over all pairs.
+    // (An array_intersect variant — one shingle ARRAY per doc joined
+    // to each pair, no re-aggregation — was measured both ways in
+    // round 5: faster at sf0.1 (3.9 s vs 5.7 s) but SLOWER at sf1
+    // (45 s vs 40 s, 11.5× vs 7.1× soak): candidate fan-out
+    // replicates the full arrays through two wide shuffles, while the
+    // exploded form keeps shuffle rows narrow and the count
+    // map-side-combinable. The exploded form is the 100 TB posture.)
     val verified = cand
       .join(ds.select(col("doc_id").as("id1"), col("sh")), "id1")
       .join(ds.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
