@@ -175,6 +175,15 @@ class PlanSpec extends SparkSpec {
       s"candidate re-rank lost its broadcast:\n$p")
   }
 
+  test("bigram LM score: vocab size broadcasts; counts aggregate partially") {
+    val p = finalPlan(q("doc_lm_score"))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the 1-row V scalar must broadcast, not shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"n-gram counts lost map-side partial aggregation:\n$p")
+  }
+
   test("salted join: the join key carries the salt") {
     val p = finalPlan(q("join_salted"))
     assert(p.contains("_salt"),
