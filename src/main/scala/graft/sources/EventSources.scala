@@ -61,11 +61,16 @@ object KinesisRecords {
 }
 
 /** The production slot: a connector-backed stream (Kinesis/Kafka).
-  * The connector jar is not present in this offline build, so this
-  * only documents the wiring — `format` and options pass straight
-  * through; the record payload lands in `value` like every other
-  * source (for Kafka, `CAST(value AS STRING)`; partition key =
-  * user_id preserves the reference's per-key ordering). */
+  * The AWS connector jar is not present in this offline build, but
+  * the INTERFACE is exercised for real: `format("kinesis-sim")`
+  * ([[KinesisSimProvider]]) is a full DataSource V2
+  * `MicroBatchStream` over the simulated transport — shard-keyed
+  * sequence offsets, one InputPartition per shard, checkpoint
+  * replay, all spec-driven (KinesisSimSpec). Swapping to the network
+  * connector is a format-name + options change here; the record
+  * payload lands in `value` like every other source (for Kafka,
+  * `CAST(value AS STRING)`; partition key = user_id preserves the
+  * reference's per-key ordering). */
 final class ConnectorSource(format: String, options: Map[String, String])
     extends EventSource {
   override def load(spark: SparkSession): DataFrame = {

@@ -1,0 +1,191 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A real DataSource V2 micro-batch connector over the simulated
+  * Kinesis transport — `spark.readStream.format("kinesis-sim")
+  * .option("path", dir).option("shards", n).load()`.
+  *
+  * [[SimulatedKinesis.load]] consumes the shard files as plain file
+  * streams; this class instead implements the CONNECTOR interface a
+  * production Kinesis source implements ([[MicroBatchStream]] with
+  * shard-keyed offsets), so the swap to a network connector is a
+  * format-name change and nothing else:
+  *
+  *  - **Offsets are per-shard sequence numbers** — exactly the
+  *    checkpoint token Kinesis consumers carry. `latestOffset` lists
+  *    each shard's record count (sequences are dense from 0, so count
+  *    == next sequence); a micro-batch reads each shard's
+  *    [start, end) range.
+  *  - **One InputPartition per shard** — a shard is an ordered
+  *    iterator read by one task, which is how the real connector
+  *    maps shards to Spark partitions (and why per-key order holds:
+  *    one key → one shard → one task).
+  *  - **Replay from checkpoint**: offsets serialize as JSON; after a
+  *    restart, `planInputPartitions(committed, latest)` re-reads
+  *    exactly the uncommitted range — the spec drives this.
+  *
+  * Record schema matches [[SimulatedKinesis.load]] (`data` binary,
+  * `partitionKey`, `sequenceNumber`, `shardId`), so every downstream
+  * pipeline stage runs unchanged on either entry point.
+  */
+class KinesisSimProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kinesis-sim"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KinesisSimProvider.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KinesisSimTable(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("kinesis-sim needs option 'path'")),
+      Option(properties.get("shards")).map(_.toInt).getOrElse(
+        throw new IllegalArgumentException("kinesis-sim needs option 'shards'")))
+}
+
+object KinesisSimProvider {
+  val Schema: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("partitionKey", StringType),
+    StructField("sequenceNumber", StringType),
+    StructField("shardId", StringType)))
+
+  /** Records currently on disk for one shard, in sequence order.
+    * Reads every batch file (name order == write order — the producer
+    * zero-pads indices) and parses the sim's fixed one-line-per-record
+    * JSON layout. */
+  private[sources] def shardLines(dir: String, shard: Int): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir, s"shard-$shard")
+    if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+    else {
+      val files = java.nio.file.Files.list(p).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("batch-"))
+        .toSeq.sortBy(_.getFileName.toString)
+      files.flatMap(f =>
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+          .split("\n").iterator.filter(_.nonEmpty))
+    }
+  }
+
+  private val Line =
+    """\{"sequenceNumber":"([^"]*)","partitionKey":"([^"]*)","data":"([^"]*)"\}""".r
+
+  private[sources] def parse(line: String): (String, String, Array[Byte]) =
+    line match {
+      case Line(sn, pk, b64) =>
+        (sn, pk, java.util.Base64.getDecoder.decode(b64))
+      case other =>
+        throw new IllegalStateException(s"malformed sim record: $other")
+    }
+}
+
+private[sources] class KinesisSimTable(path: String, nShards: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"kinesis-sim:$path"
+  override def schema(): StructType = KinesisSimProvider.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = KinesisSimProvider.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new KinesisSimMicroBatchStream(path, nShards)
+      }
+    }
+}
+
+/** Offset = next sequence number per shard, JSON `{"0":5,"1":3}`.
+  * Hand-rolled (de)serialization keeps the token readable in the
+  * checkpoint's offsets/ log, like the real connector's. */
+private[sources] case class ShardOffsets(next: Map[Int, Long]) extends Offset {
+  override def json(): String =
+    next.toSeq.sortBy(_._1)
+      .map { case (s, n) => s""""$s":$n""" }.mkString("{", ",", "}")
+}
+
+private[sources] object ShardOffsets {
+  def parse(json: String): ShardOffsets = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) ShardOffsets(Map.empty)
+    else ShardOffsets(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":")
+      k.trim.stripPrefix("\"").stripSuffix("\"").toInt -> v.trim.toLong
+    }.toMap)
+  }
+}
+
+private[sources] class KinesisSimMicroBatchStream(path: String, nShards: Int)
+    extends MicroBatchStream {
+
+  override def initialOffset(): Offset =
+    ShardOffsets((0 until nShards).map(_ -> 0L).toMap)
+
+  override def latestOffset(): Offset =
+    ShardOffsets((0 until nShards).map(s =>
+      s -> KinesisSimProvider.shardLines(path, s).size.toLong).toMap)
+
+  override def deserializeOffset(json: String): Offset =
+    ShardOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].next
+    val e = end.asInstanceOf[ShardOffsets].next
+    (0 until nShards).flatMap { shard =>
+      val from = s.getOrElse(shard, 0L)
+      val until = e.getOrElse(shard, 0L)
+      if (until > from) Some(KinesisSimPartition(path, shard, from, until))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new KinesisSimReader(partition.asInstanceOf[KinesisSimPartition])
+    }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class KinesisSimPartition(path: String, shard: Int,
+                                                from: Long, until: Long)
+    extends InputPartition
+
+/** Reads one shard's [from, until) sequence range. Sequences are the
+  * line ordinal across the shard's batch files (dense from 0), so the
+  * range is a slice of the concatenated files — the sim's equivalent
+  * of a GetRecords iterator positioned at a sequence number. */
+private[sources] class KinesisSimReader(p: KinesisSimPartition)
+    extends PartitionReader[InternalRow] {
+  private val lines = KinesisSimProvider.shardLines(p.path, p.shard)
+    .slice(p.from.toInt, p.until.toInt).iterator
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else {
+      val (sn, pk, data) = KinesisSimProvider.parse(lines.next())
+      current = InternalRow(
+        data,
+        UTF8String.fromString(pk),
+        UTF8String.fromString(sn),
+        UTF8String.fromString(s"shard-${p.shard}"))
+      true
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

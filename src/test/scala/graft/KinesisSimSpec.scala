@@ -128,4 +128,60 @@ class KinesisSimSpec extends SparkSpec {
     assert(table.asScala.toMap == expected,
       s"upserted aggregates diverge from batch truth")
   }
+
+  test("V2 connector: format(kinesis-sim) reads shards with sequence offsets") {
+    val dir = Files.createTempDirectory("graft_kinesis_v2").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 2)
+    prod.putRecords(Seq(("a1", "u1"), ("b1", "u2"), ("a2", "u1")))
+    val q = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .selectExpr("CAST(data AS STRING) AS data", "partitionKey",
+        "CAST(sequenceNumber AS LONG) AS sn", "shardId")
+      .writeStream.format("memory").outputMode("append")
+      .queryName("ksim_v2").start()
+    try {
+      q.processAllAvailable()
+      // records written AFTER the first micro-batch arrive in a later
+      // one — the offset must advance past exactly the consumed range
+      prod.putRecords(Seq(("a3", "u1"), ("b2", "u2")))
+      q.processAllAvailable()
+      val rows = spark.table("ksim_v2").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.length == 5, s"expected 5 records, got ${rows.toSeq}")
+      // per-key payloads arrive in per-shard sequence order, no dups
+      val perKey = rows.groupBy(_._2).map { case (k, rs) =>
+        k -> rs.sortBy(_._3).map(_._1).toSeq
+      }
+      assert(perKey == Map("u1" -> Seq("a1", "a2", "a3"),
+        "u2" -> Seq("b1", "b2")), s"got $perKey")
+    } finally q.stop()
+  }
+
+  test("V2 connector: checkpoint restart resumes from the committed offset") {
+    val dir = Files.createTempDirectory("graft_kinesis_v2r").toString
+    val ckpt = Files.createTempDirectory("graft_kinesis_v2c").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 2)
+    prod.putRecords(Seq(("x1", "u1"), ("y1", "u2")))
+    // foreachBatch, not the memory sink: memory doesn't support
+    // checkpoint recovery, and recovery is exactly what's under test
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def start() = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .selectExpr("CAST(data AS STRING) AS data")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r => seen.add(r.getString(0)))
+      }.start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.asScala.toSet == Set("x1", "y1"))
+    // new data lands while no query runs; the restart must deliver
+    // ONLY the unconsumed range (offset replay from the checkpoint)
+    prod.putRecords(Seq(("x2", "u1")))
+    seen.clear()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.asScala.toSeq == Seq("x2"),
+      s"restart re-delivered or skipped: ${seen.asScala.toSeq}")
+  }
 }
