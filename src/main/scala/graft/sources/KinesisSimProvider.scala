@@ -5,10 +5,12 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,6 +42,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Record schema matches [[SimulatedKinesis.load]] (`data` binary,
   * `partitionKey`, `sequenceNumber`, `shardId`), so every downstream
   * pipeline stage runs unchanged on either entry point.
+  *
+  * The same format is also a STREAMING SINK (`writeStream
+  * .format("kinesis-sim")` with (`data` binary, `partitionKey`)
+  * input): tasks buffer, the driver commits each epoch atomically
+  * with an idempotence marker — see [[KinesisSimStreamingWrite]].
   */
 class KinesisSimProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kinesis-sim"
@@ -91,11 +98,12 @@ object KinesisSimProvider {
 }
 
 private[sources] class KinesisSimTable(path: String, nShards: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kinesis-sim:$path"
   override def schema(): StructType = KinesisSimProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -104,6 +112,25 @@ private[sources] class KinesisSimTable(path: String, nShards: Int)
           new KinesisSimMicroBatchStream(path, nShards)
       }
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    require(schema.fieldNames.contains("data") &&
+      schema.fieldNames.contains("partitionKey"),
+      s"kinesis-sim sink needs (data, partitionKey) columns, got " +
+        schema.fieldNames.mkString(", "))
+    require(schema(schema.fieldIndex("data")).dataType == BinaryType,
+      "kinesis-sim sink: data must be BINARY (cast strings on the way in)")
+    require(schema(schema.fieldIndex("partitionKey")).dataType == StringType,
+      "kinesis-sim sink: partitionKey must be STRING")
+    new WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming: StreamingWrite =
+            new KinesisSimStreamingWrite(path, nShards,
+              schema.fieldIndex("data"), schema.fieldIndex("partitionKey"))
+        }
+    }
+  }
 }
 
 /** Offset = next sequence number per shard, JSON `{"0":5,"1":3}`.
@@ -163,6 +190,91 @@ private[sources] class KinesisSimMicroBatchStream(path: String, nShards: Int)
 private[sources] case class KinesisSimPartition(path: String, shard: Int,
                                                 from: Long, until: Long)
     extends InputPartition
+
+/** A task's buffered records, shipped to the driver for the commit. */
+private[sources] case class SimRecords(
+    partitionId: Int, records: Seq[(Array[Byte], String)])
+    extends WriterCommitMessage
+
+/** Streaming SINK half: tasks buffer (data, partitionKey) rows and the
+  * DRIVER commits each epoch — the transactional-sink pattern. A
+  * single committer is what preserves the transport's global contract
+  * (per-shard strictly-increasing sequence numbers across epochs,
+  * which per-task writers racing on shard files could not give).
+  * Exactly-once: an epoch marker under `_epochs/` makes a retried
+  * commit a no-op, so a crash between data write and checkpoint
+  * advance cannot double-append. PutRecords semantics (key→shard
+  * hash, batch files, monotone mtimes) match [[SimulatedKinesis
+  * .ShardedProducer]], so either entry point feeds the same readers. */
+private[sources] class KinesisSimStreamingWrite(path: String, nShards: Int,
+    dataIdx: Int, pkIdx: Int) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    // a standalone case class, NOT an anonymous inner class: the
+    // factory ships to executors and must not capture this (the
+    // driver-side committer is deliberately not Serializable)
+    KinesisSimWriterFactory(dataIdx, pkIdx)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val marker = java.nio.file.Paths.get(path, "_epochs", s"epoch-$epochId")
+    if (java.nio.file.Files.exists(marker)) return
+    java.nio.file.Files.createDirectories(marker.getParent)
+    val recs = messages.collect { case m: SimRecords => m }
+      .sortBy(_.partitionId).toSeq.flatMap(_.records)
+    recs.groupBy { case (_, pk) =>
+        SimulatedKinesis.shardFor(pk, nShards)
+      }
+      .toSeq.sortBy(_._1)
+      .foreach { case (shard, rs) =>
+        val dirP = java.nio.file.Paths.get(path, s"shard-$shard")
+        java.nio.file.Files.createDirectories(dirP)
+        val existingFiles = java.nio.file.Files.list(dirP).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("batch-")).toSeq
+        var seq = KinesisSimProvider.shardLines(path, shard).size.toLong
+        val batchIdx = existingFiles.size
+        val lastMtime = (0L +: existingFiles.map(f =>
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)).max
+        val lines = rs.map { case (data, pk) =>
+          val b64 = java.util.Base64.getEncoder.encodeToString(data)
+          val l =
+            s"""{"sequenceNumber":"$seq","partitionKey":"$pk","data":"$b64"}"""
+          seq += 1
+          l
+        }
+        val f = dirP.resolve(f"batch-$batchIdx%06d.json")
+        java.nio.file.Files.write(f,
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(
+            math.max(lastMtime + 1000L, System.currentTimeMillis())))
+      }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class KinesisSimWriterFactory(dataIdx: Int, pkIdx: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KinesisSimDataWriter(partitionId, dataIdx, pkIdx)
+}
+
+private[sources] class KinesisSimDataWriter(partitionId: Int,
+    dataIdx: Int, pkIdx: Int) extends DataWriter[InternalRow] {
+  private val buf = scala.collection.mutable.ArrayBuffer
+    .empty[(Array[Byte], String)]
+  override def write(row: InternalRow): Unit =
+    buf += ((row.getBinary(dataIdx), row.getUTF8String(pkIdx).toString))
+  override def commit(): WriterCommitMessage =
+    SimRecords(partitionId, buf.toSeq)
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
 
 /** Reads one shard's [from, until) sequence range. Sequences are the
   * line ordinal across the shard's batch files (dense from 0), so the

@@ -184,4 +184,44 @@ class KinesisSimSpec extends SparkSpec {
     assert(seen.asScala.toSeq == Seq("x2"),
       s"restart re-delivered or skipped: ${seen.asScala.toSeq}")
   }
+
+  test("V2 sink: streamed records land on shards with monotone sequences") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_kinesis_sink").toString
+    val ckpt = Files.createTempDirectory("graft_kinesis_sinkc").toString
+    val input = MemoryStream[(String, String)](spark)
+    val q = input.toDF().toDF("payload", "partitionKey")
+      .selectExpr("CAST(payload AS BINARY) AS data", "partitionKey")
+      .writeStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      input.addData(("a1", "u1"), ("b1", "u2"))
+      q.processAllAvailable()
+      input.addData(("a2", "u1")) // epoch 2: must APPEND, sequences continue
+      q.processAllAvailable()
+    } finally q.stop()
+    // read back through the V2 source: content, key→shard affinity and
+    // cross-epoch sequence continuity all round-trip
+    val back = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .selectExpr("CAST(data AS STRING) AS data", "partitionKey",
+        "CAST(sequenceNumber AS LONG) AS sn", "shardId")
+      .writeStream.format("memory").outputMode("append")
+      .queryName("ksink_back").start()
+    try back.processAllAvailable() finally back.stop()
+    val rows = spark.table("ksink_back").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == 3, s"got ${rows.toSeq}")
+    val u1 = rows.filter(_._2 == "u1").sortBy(_._3)
+    assert(u1.map(_._1).toSeq == Seq("a1", "a2"), s"u1 order: ${u1.toSeq}")
+    assert(u1.map(_._4).distinct.length == 1, "one key must stay on one shard")
+    assert(u1.map(_._3).toSeq == u1.map(_._3).toSeq.sorted &&
+      u1.map(_._3).distinct.length == 2,
+      s"sequences must continue across epochs: ${u1.toSeq}")
+    // the epoch markers that make a retried commit a no-op
+    assert(Files.list(Paths.get(dir, "_epochs")).iterator().asScala.nonEmpty)
+  }
 }
