@@ -65,9 +65,10 @@ object Soak {
     "er_entities", "doc_admission_gate", "knn_recall", "knn_recall_lsh",
     "doc_dup_rate",
     // round-5 additions: the exact prefix-filter similarity join
-    // (candidate volume is its scale risk) and the bigram-LM scorer
-    // (two n-gram count joins)
-    "dedup_setsim_join", "doc_lm_score")
+    // (candidate volume is its scale risk), the bigram-LM scorer
+    // (two n-gram count joins), and the M4 display reducer (should
+    // be scan-bound — its whole point is no per-bucket sort)
+    "dedup_setsim_join", "doc_lm_score", "ts_m4_downsample")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

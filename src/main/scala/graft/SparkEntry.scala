@@ -262,6 +262,8 @@ object SparkEntry {
       TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
     "ts_twap" -> q((s, d) =>
       TimeSeries.twap(ev(s, d)).orderBy("user_id")),
+    "ts_m4_downsample" -> q((s, d) =>
+      TimeSeries.m4Downsample(ev(s, d)).orderBy("bucket")),
     "win_range_frame" -> q((s, d) =>
       TimeSeries.trailingRangeSums(ev(s, d))
         .orderBy("user_id", "event_id")),
@@ -1854,6 +1856,26 @@ object SparkEntry {
          |  count(*) AS n_weighted
          |FROM d WHERE dt IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ---- M4 chart downsampling (first/last/min/max per bucket) ----
+    "ts_m4_downsample" ->
+      s"""WITH $EV,
+         |bounds AS (SELECT min(sec) AS lo, max(sec) AS hi FROM ev),
+         |b AS (
+         |  SELECT ev.*, ((sec - lo) * 100) // (hi - lo + 1) AS bucket
+         |  FROM ev CROSS JOIN bounds),
+         |r AS (
+         |  SELECT bucket, value,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY ts_us, event_id) AS rn_f,
+         |    row_number() OVER (PARTITION BY bucket
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn_l
+         |  FROM b)
+         |SELECT bucket, count(*) AS n,
+         |  min(value) AS v_min, max(value) AS v_max,
+         |  min(CASE WHEN rn_f = 1 THEN value END) AS v_first,
+         |  min(CASE WHEN rn_l = 1 THEN value END) AS v_last
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "profile_lineitem" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",

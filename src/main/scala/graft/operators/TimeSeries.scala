@@ -220,6 +220,46 @@ object TimeSeries {
       .select(col("user_id"), col("event_id"), col("avg3"))
   }
 
+  /** M4 chart downsampling (Jugel, Markl et al., "M4: A
+    * visualization-oriented time series data aggregation", VLDB
+    * 2014): per pixel-column time bucket, keep exactly the four
+    * values a line chart needs — first, last, min, max — which is
+    * PROVABLY sufficient to render the same pixels as the raw
+    * series. The display edge for the reference's chart at scale:
+    * 100 TB of points reduce to 4·width rows before they ever leave
+    * the cluster.
+    *
+    * Buckets split [minSec, maxSec] proportionally (integer math,
+    * engine-exact); the outputs are PICKS of stored doubles — no
+    * arithmetic, so the oracle hash-matches bit-for-bit. First/last
+    * tie-break on (ts_us, event_id), the table's total order,
+    * selected by struct-min/max — NOT a bucket-partitioned window:
+    * with only ~width buckets a window sort would concentrate 100 TB
+    * into `buckets` sort partitions, while min/max over
+    * (ts_us, event_id, value) structs stays a map-side-combinable
+    * aggregate at any scale (the DuckDB oracle states the same pick
+    * as a row_number window, equivalent because (ts_us, event_id) is
+    * unique). */
+  def m4Downsample(events: DataFrame, buckets: Int = 100): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val bounds = events.agg(
+      min(col("sec")).as("lo"), max(col("sec")).as("hi"))
+    val tagged = struct(col("ts_us"), col("event_id"), col("value"))
+    events
+      .crossJoin(broadcast(bounds))
+      // integer div end-to-end: a double round-trip would be exact at
+      // chart scales but `div` stays exact at ANY sec range
+      .withColumn("bucket",
+        expr(s"((sec - lo) * ${buckets.toLong}L) div (hi - lo + 1L)"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        min(tagged).getField("value").as("v_first"),
+        max(tagged).getField("value").as("v_last"))
+  }
+
   /** Time-weighted average (TWAP) per user: each sample's value is
     * weighted by how long it was "current" (until the next sample);
     * the last sample of a series carries no duration and drops out.

@@ -184,6 +184,14 @@ class PlanSpec extends SparkSpec {
       s"n-gram counts lost map-side partial aggregation:\n$p")
   }
 
+  test("M4 downsample: no window sort; picks ride partial aggregation") {
+    val p = finalPlan(q("ts_m4_downsample"))
+    assert(!p.contains("Window"),
+      s"first/last must come from struct-min/max, not a bucket window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"bucket aggregation lost its map-side combine:\n$p")
+  }
+
   test("salted join: the join key carries the salt") {
     val p = finalPlan(q("join_salted"))
     assert(p.contains("_salt"),

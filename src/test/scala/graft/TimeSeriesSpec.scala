@@ -365,4 +365,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flags.toMap == batchFlags)
     assert(flags(("click", 600L)) == 1)
   }
+
+  test("M4 downsample keeps first/last/min/max per bucket, exact picks") {
+    import spark.implicits._
+    // 2 buckets over secs [0, 19]: sec 0-9 -> bucket 0, 10-19 -> 1
+    val ev = (0 until 20).map { i =>
+      (i.toLong, i.toLong * 1000000L, i.toLong,
+        if (i == 3) -5.0 else if (i == 7) 99.0 else i.toDouble)
+    }.toDF("event_id", "ts_us", "sec", "value")
+    val got = TimeSeries.m4Downsample(ev, buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 10L, -5.0, 99.0, 0.0, 9.0),   // min@3, max@7, first=v(0), last=v(9)
+      (1L, 10L, 10.0, 19.0, 10.0, 19.0)))
+  }
 }
