@@ -62,8 +62,17 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # queries that THREW in graft.Verify land here — report them as
+    # explicit error rows, never as silently absent keys
+    try:
+        verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+    except Exception:
+        verify_errors = {}
     results = {}
     for name, sql in sorted(oracle.items()):
+        if name in verify_errors:
+            results[name] = f"SPARK-ERR {verify_errors[name][:200]}"
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             results[name] = "MISSING spark output"

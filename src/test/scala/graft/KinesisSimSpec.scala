@@ -129,6 +129,36 @@ class KinesisSimSpec extends SparkSpec {
       s"upserted aggregates diverge from batch truth")
   }
 
+  test("full pipeline is source-agnostic: V2 connector drop-in matches batch truth") {
+    // same ingest pipeline as above, but consuming through the real
+    // DataSource V2 connector instead of the per-shard file streams —
+    // the drop-in claim for a production connector, proven end-to-end
+    val dir = Files.createTempDirectory("graft_kinesis_e2e_v2").toString
+    val ckpt = Files.createTempDirectory("graft_kinesis_ckpt_v2").toString
+    val produced = produce(dir, nShards = 3)
+    val expected = produced
+      .map { case (data, pk) =>
+        val t = """"time":(\d+)""".r.findFirstMatchIn(data).get.group(1).toLong
+        (pk, t / 1000L)
+      }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val table =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    val wire = KinesisRecords.toWire(
+      spark.readStream.format("kinesis-sim")
+        .option("path", dir).option("shards", "3").load())
+    val q = MouseStream.startToUpsert(
+      spark, MouseStream.parse(wire), ckpt) { batch =>
+      batch.collect().foreach { r =>
+        table.put((r.getAs[String]("user_id"), r.getAs[Long]("sec")),
+          r.getAs[Long]("cnt"))
+      }
+    }
+    try q.processAllAvailable() finally q.stop()
+    assert(table.asScala.toMap == expected,
+      s"V2-sourced aggregates diverge from batch truth")
+  }
+
   test("V2 connector: format(kinesis-sim) reads shards with sequence offsets") {
     val dir = Files.createTempDirectory("graft_kinesis_v2").toString
     val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 2)
