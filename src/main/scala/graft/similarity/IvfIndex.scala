@@ -1,0 +1,77 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** PERSISTED IVF index — the production ANN lifecycle the in-memory
+  * searches ([[Knn.ivfSearch]] and friends) deliberately skip: at
+  * 100 TB an index is built offline ONCE and probed by many later
+  * jobs, so the artifact on disk, not the DataFrame lineage, is the
+  * interface (FAISS's train/add/search split, re-expressed as
+  * parquet + partition pruning).
+  *
+  *  - **build**: train centroids (deterministic Lloyd,
+  *    [[Knn.kmeansCentroids]]), assign every vector once, write
+  *    `centroids.parquet` plus the vectors PARTITIONED BY CELL —
+  *    cell directories are the inverted lists.
+  *  - **probe**: broadcast the (tiny) centroid table, rank `nprobe`
+  *    cells per query, then join the query set against the vector
+  *    table ON THE PARTITION COLUMN. Spark's dynamic partition
+  *    pruning turns that join into "read only the probed cell
+  *    directories" — the I/O shape that makes IVF an index instead
+  *    of a rename of a full scan (plan-asserted in the spec).
+  *
+  * Cell selection uses the same L2 metric as the trained assignment
+  * (probing must agree with how the lists were formed); candidate
+  * scoring uses cosine with the deterministic (cos desc, vec_id)
+  * tiebreak, the contract shared by every search in this package.
+  */
+object IvfIndex {
+
+  /** Train + assign + write. One kmeans run serves both artifacts. */
+  def build(emb: DataFrame, dir: String, k: Int = 8, iters: Int = 4): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Knn.kmeansCentroids(emb, k, iters)
+    cents.toDF("centroid_id", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    Knn.assignToCentroids(emb, cents)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Probe the stored index with an external query set
+    * (qid, qvec). Returns top-k per query, excluding a vector whose
+    * id equals the qid (self-match convention of [[Knn.bruteForce]]). */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame,
+            k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val cents = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val vecs = spark.read.parquet(s"$dir/vectors.parquet")
+    val d2 = aggregate(
+      zip_with(col("qvec"), col("cvec"),
+        (x, y) => { val d = x.cast("double") - y; d * d }),
+      lit(0.0), (acc, v) => acc + v)
+    val wCell = Window.partitionBy(col("qid"))
+      .orderBy(col("d2"), col("cell"))
+    val qcells = queries.crossJoin(cents)
+      .select(col("qid"), col("qvec"), col("centroid_id").as("cell"),
+        d2.as("d2"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    vecs.join(broadcast(qcells), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Portable.cosine(col("qvec"), col("embedding")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+}

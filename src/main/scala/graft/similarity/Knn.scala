@@ -216,6 +216,13 @@ object Knn {
       .drop("rn")
   }
 
+  /** Public form of the argmin assignment for callers that already
+    * hold trained centroids (e.g. [[IvfIndex.build]] — train once,
+    * assign once, instead of re-running Lloyd per consumer). */
+  def assignToCentroids(emb: DataFrame,
+                        cents: Seq[(Int, Seq[Double])]): DataFrame =
+    assignTo(spread(emb), cents)
+
   /** [[ivfAssign]] with TRAINED centroids: run [[kmeansCentroids]],
     * then assign every vector to its nearest learned centroid. */
   def ivfAssignTrained(emb: DataFrame, k: Int = 8,

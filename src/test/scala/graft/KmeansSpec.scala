@@ -19,6 +19,38 @@ class KmeansSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("persisted IVF index: probe hits the query's blob; scan prunes to probed cells") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    graft.similarity.IvfIndex.build(blobs, dir, k = 2, iters = 4)
+    // two external queries, one per blob (not in the index id space)
+    val queries = Seq(
+      (1000L, Array.fill(4)(0.5f)),
+      (1001L, Array.fill(4)(10.5f)))
+      .toDF("qid", "qvec")
+    val res = graft.similarity.IvfIndex
+      .probe(spark, dir, queries, k = 3, nprobe = 1)
+    val rows = res.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == 6, s"expected 3 per query: ${rows.toSeq}")
+    assert(rows.filter(_._1 == 1000L).forall(_._3 < 50L),
+      "low query must draw neighbors from the low blob's cell")
+    assert(rows.filter(_._1 == 1001L).forall(_._3 >= 50L),
+      "high query must draw neighbors from the high blob's cell")
+    // the I/O contract: with nprobe=1 the vector scan must carry a
+    // dynamic partition-pruning filter on cell — the probe reads the
+    // probed lists, not the whole index
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"vector scan lost dynamic partition pruning on cell:\n$plan")
+    // determinism: a second probe returns the identical ranking
+    val again = graft.similarity.IvfIndex
+      .probe(spark, dir, queries, k = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("two blobs separate perfectly into two clusters") {
     val assign = Knn.ivfAssignTrained(blobs, k = 2, iters = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
