@@ -605,6 +605,8 @@ object SparkEntry {
       Knn.nearDupPairs(Tables.embeddings(s, d))),
 
     // ---- similarity search ----
+    "knn_filtered" -> q((s, d) =>
+      Knn.filteredSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_brute" -> q((s, d) =>
       Knn.bruteForce(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_ivf_assign" -> q((s, d) =>
@@ -2983,6 +2985,23 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rnk
          |      FROM s)
          |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // ---- metadata-filtered top-k (pre-filter strategy) ----
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+         |                  label AS qlabel
+         |           FROM embeddings WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, e.vec_id, e.label,
+         |    ${cosSql("qvec", "e.embedding")} AS cos_sim
+         |  FROM embeddings e JOIN q
+         |    ON e.label = qlabel AND e.vec_id <> qid),
+         |r AS (SELECT qid, vec_id, label, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, rnk, vec_id, label, cos_sim FROM r WHERE rnk <= 5
          |ORDER BY qid, rnk""".stripMargin,
 
     "knn_ivf_assign" ->

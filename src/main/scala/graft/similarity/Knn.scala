@@ -51,6 +51,37 @@ object Knn {
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Metadata-FILTERED top-k: neighbors restricted to vectors sharing
+    * the query's `label` — the "filtered vector search" every
+    * production retrieval system needs (tenant, language, license
+    * gates). This is the PRE-filter strategy: the predicate gates
+    * candidates BEFORE any similarity math, so selective filters cut
+    * the scored set proportionally and recall is exact within the
+    * filter by construction. (POST-filtering an unfiltered top-k is
+    * the broken alternative — a k-list dominated by out-of-filter
+    * neighbors silently returns fewer than k valid results.) At
+    * index scale the same predicate pushes into the cell-partitioned
+    * scan of [[IvfIndex.probe]] alongside the cell filter. */
+  def filteredSearch(emb: DataFrame, nQueries: Int = 5,
+                     k: Int = 5): DataFrame = {
+    val embeddings = spread(emb)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val scored = embeddings
+      .join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("label"),
+        col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: brute-force all-pairs as
     * the exactness baseline (top-k by similarity, deterministic
     * tiebreak). The scale path for 100 TB is NOT this — it is

@@ -11,6 +11,25 @@ class QuantizeSpec extends SparkSpec {
   private def embDf(rows: Seq[(Long, Seq[Float])]) =
     rows.toDF("vec_id", "embedding")
 
+  test("filtered search returns only in-filter neighbors, exact within the gate") {
+    // labels split the space; vec 0 queries label 0, vec 1 label 1.
+    // label 1 has only TWO non-query members -> k=5 must return 2,
+    // not pad from out-of-filter vectors (the post-filter failure)
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.8f, 0.2f), 0),
+      (4L, Seq(0.1f, 0.9f), 1), (5L, Seq(0.2f, 0.8f), 1),
+      (6L, Seq(0.7f, 0.3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Knn.filteredSearch(df, nQueries = 2, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.forall { case (qid, _, lbl) => lbl == qid.toInt },
+      s"out-of-filter neighbor leaked: ${got.toSeq}")
+    assert(got.count(_._1 == 0L) == 3 && got.count(_._1 == 1L) == 2,
+      s"filtered candidate sets have 3 and 2 members: ${got.toSeq}")
+  }
+
   test("int8 codes stay in [-127,127] and hit ±127 at the max component") {
     val df = embDf(Seq(
       (1L, Seq(0.5f, -2.0f, 1.0f)),
