@@ -715,6 +715,9 @@ object SparkEntry {
     "doc_lm_score" -> q((s, d) =>
       TextAnalysis.lmScore(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "doc_corpus_mix" -> q((s, d) =>
+      TextAnalysis.corpusMix(Tables.documents(s, d))
+        .orderBy("lang", "source")),
     "ts_anomaly" -> q((s, d) =>
       TimeSeries.rateAnomalies(ev(s, d))
         .orderBy("event_type", "bucket_start")),
@@ -3906,6 +3909,21 @@ object SparkEntry {
         |  round(CAST(count(v.g) AS DOUBLE) / count(*), 4) AS iv_rate
         |FROM bg b LEFT JOIN vc v ON b.g = v.g
         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // ---- corpus composition (data-card mixture table) ----
+    "doc_corpus_mix" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |tot AS (SELECT sum(n_tok) AS total_tok FROM t)
+        |SELECT lang, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / (SELECT total_tok FROM tot), 6)
+        |    AS tok_share
+        |FROM t GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
 
     // ---- smoothed bigram-LM negative log-likelihood (CCNet-style) ----
     "doc_lm_score" ->

@@ -38,20 +38,32 @@ object IvfIndex {
     val cents = Knn.kmeansCentroids(emb, k, iters)
     cents.toDF("centroid_id", "cvec").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    Knn.assignToCentroids(emb, cents)
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id").as("cell"))
+    // join the assignment back so EVERY metadata column of the input
+    // (label, tenant, …) rides into the index — that's what makes
+    // probe-time filters (vecFilter) possible without a second table
+    Knn.assignToCentroids(
+        emb.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+      .join(emb, "vec_id")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
   }
 
   /** Probe the stored index with an external query set
     * (qid, qvec). Returns top-k per query, excluding a vector whose
-    * id equals the qid (self-match convention of [[Knn.bruteForce]]). */
+    * id equals the qid (self-match convention of [[Knn.bruteForce]]).
+    *
+    * `vecFilter` composes a metadata gate with the cell pruning
+    * ([[Knn.filteredSearch]]'s pre-filter strategy at index scale):
+    * the predicate lands in the SAME parquet scan the dynamic
+    * partition pruning already narrows, so a probe reads only the
+    * probed cells AND pushes the row filter into them. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame,
-            k: Int = 5, nprobe: Int = 2): DataFrame = {
+            k: Int = 5, nprobe: Int = 2,
+            vecFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val cents = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
-    val vecs = spark.read.parquet(s"$dir/vectors.parquet")
+    val vecs0 = spark.read.parquet(s"$dir/vectors.parquet")
+    val vecs = vecFilter.map(vecs0.filter).getOrElse(vecs0)
     val d2 = aggregate(
       zip_with(col("qvec"), col("cvec"),
         (x, y) => { val d = x.cast("double") - y; d * d }),

@@ -158,6 +158,24 @@ object TextAnalysis {
     * text (compact, still value-checks the full rewrite). Semantics on
     * PII-bearing text are spec-tested (the synthetic corpus contains
     * none, which the oracle also confirms cross-engine). */
+  /** Corpus composition report — the mixture table a training run's
+    * data card states: per (lang, source) cell, document and token
+    * totals plus the cell's share of all corpus tokens. Two
+    * map-side-combinable aggregates and a 1-row broadcast; the share
+    * is the only division and rounds at 6dp, so the report is
+    * engine-exact. */
+  def corpusMix(docs: DataFrame): DataFrame = {
+    val base = spread(docs).select(col("lang"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val total = base.agg(sum(col("n_tok")).as("total_tok"))
+    base.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tok"), 6)
+          .as("tok_share"))
+  }
+
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PiiPhone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"

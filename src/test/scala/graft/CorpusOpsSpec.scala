@@ -148,6 +148,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(tied.toSeq == Seq((0L, 5L), (1L, 1L)))
   }
 
+  test("corpus mix: shares sum to 1 over (lang, source) cells") {
+    val d = Seq(
+      (0L, "one two three", "en", "web"),
+      (1L, "quatre cinq", "fr", "web"),
+      (2L, "six seven eight nine ten", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusMix(d).orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("en", "books", 1L, 5L, 0.5),
+      ("en", "web", 1L, 3L, 0.3),
+      ("fr", "web", 1L, 2L, 0.2)))
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-9)
+  }
+
   test("bigram-LM score: repeated text scores likelier than unseen transitions") {
     val d = Seq(
       (0L, "a b a b a b"),   // transitions the corpus has seen often

@@ -51,6 +51,24 @@ class KmeansSpec extends SparkSpec {
     assert(again.sorted.toSeq == rows.sorted.toSeq)
   }
 
+  test("filtered probe: metadata gate pushes into the pruned cell scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filtered").toString
+    val labeled = blobs.withColumn("label", (col("vec_id") % 2).cast("int"))
+    graft.similarity.IvfIndex.build(labeled, dir, k = 2, iters = 4)
+    val queries = Seq((1000L, Array.fill(4)(0.5f))).toDF("qid", "qvec")
+    val res = graft.similarity.IvfIndex.probe(spark, dir, queries,
+      k = 3, nprobe = 1, vecFilter = Some(col("label") === 1))
+    val rows = res.collect().map(r => r.getLong(2))
+    assert(rows.nonEmpty && rows.forall(id => id % 2 == 1 && id < 50L),
+      s"filter or cell leaked: ${rows.toSeq}")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,1)"),
+      s"label gate must push into the parquet scan:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"cell pruning must survive the added filter:\n$plan")
+  }
+
   test("two blobs separate perfectly into two clusters") {
     val assign = Knn.ivfAssignTrained(blobs, k = 2, iters = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
