@@ -68,7 +68,8 @@ object Soak {
     // (candidate volume is its scale risk), the bigram-LM scorer
     // (two n-gram count joins), and the M4 display reducer (should
     // be scan-bound — its whole point is no per-bucket sort)
-    "dedup_setsim_join", "doc_lm_score", "ts_m4_downsample")
+    "dedup_setsim_join", "dedup_setsim_strict", "doc_lm_score",
+    "ts_m4_downsample", "knn_filtered", "doc_corpus_mix")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

@@ -590,6 +590,12 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
+    // threshold 2/3: the scale knob in action — prefixes shrink to
+    // |x|/3, candidate volume drops superlinearly vs the 1/2 default
+    "dedup_setsim_strict" -> q((s, d) =>
+      dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d), tNum = 2L,
+          tDen = 3L)
+        .orderBy("id1", "id2")),
     "dedup_setsim_join" -> q((s, d) =>
       dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d))
         .orderBy("id1", "id2")),
@@ -2964,6 +2970,22 @@ object SparkEntry {
          |  JOIN sizes s1 ON s1.doc_id = id1
          |  JOIN sizes s2 ON s2.doc_id = id2
          |WHERE inter * 2 >= (s1.n + s2.n - inter) * 1
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_setsim_strict" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE inter * 3 >= (s1.n + s2.n - inter) * 2
          |ORDER BY id1, id2""".stripMargin,
 
     "dedup_embedding_cosine" ->
