@@ -45,6 +45,43 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capstone: documents stream from the V2 connector through ingest") {
+    // the full training-data front door on the wire: producer →
+    // kinesis-sim V2 source → JSON parse → mask/gate/dedup → store
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_wire").toString
+    val prod = new graft.sources.SimulatedKinesis.ShardedProducer(dir, 2)
+    def rec(id: Long, ts: Long, text: String): (String, String) =
+      (s"""{"doc_id":$id,"ts":$ts,"text":"$text"}""", s"src-${id % 2}")
+    prod.putRecords(Seq(
+      rec(1L, 1000L, good),
+      rec(2L, 1100L, good),          // dup of 1 -> suppressed
+      rec(3L, 1200L, "tiny doc"),    // rejected at the gate
+      rec(4L, 1300L, distinctDoc)))
+    val schema = "doc_id LONG, ts LONG, text STRING"
+    val docs = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .select(from_json(col("data").cast("string"), schema,
+        Map.empty[String, String]).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        timestamp_millis(col("d.ts")).as("ts"), col("d.text").as("text"))
+    val q = CorpusIngest.ingest(docs, lateness = "1 hour")
+      .writeStream.format("memory").outputMode(OutputMode.Append)
+      .queryName("ingest_wire").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("ingest_wire").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      // docs 1 and 2 are signature-identical and arrive in the same
+      // micro-batch: exactly ONE survives (which one is partition
+      // order, not a contract); 3 fails the gate; 4 is admitted
+      assert(kept.intersect(Set(1L, 2L)).size == 1 && kept.contains(4L)
+          && !kept.contains(3L) && kept.size == 2,
+        s"kept $kept")
+    } finally q.stop()
+  }
+
   test("rejects carry the first failed gate as reason, PII already masked") {
     // annotate/rejects are stateless projections, so the reject path
     // is checked on a batch frame — identical semantics by construction
