@@ -1049,8 +1049,11 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS moves
          |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
 
-    // integer cross-product collinearity + decimal gap moments: the
-    // whole readout is engine-exact (sqrt is IEEE; no log/exp)
+    // integer cross-product collinearity + integer-exact gap moments:
+    // floor-mean via BIGINT division, variance numerator gn*gss-gs^2
+    // in DECIMAL — no double rounding anywhere, so the readout is
+    // provably engine-exact (round 5's round(double,4) tied differently
+    // in Spark vs DuckDB at ~1e10 magnitude)
     "mov_bot_signals" ->
       s"""WITH $POS,
          |m AS (SELECT user_id, sec, ts_us, event_id, x, y
@@ -1083,13 +1086,12 @@ object SparkEntry {
          |  round(CASE WHEN n_triples = 0 THEN 0.0
          |        ELSE CAST(n_straight AS DOUBLE) / n_triples END, 8)
          |    AS straight8,
-         |  round(CASE WHEN gn = 0 THEN 0.0
-         |        ELSE CAST(gs AS DOUBLE) / gn END, 4) AS mean_gap_us4,
-         |  round(CASE WHEN gn = 0 THEN 0.0
-         |        ELSE sqrt(greatest(
-         |          CAST(gss AS DOUBLE) / gn -
-         |          (CAST(gs AS DOUBLE) / gn) * (CAST(gs AS DOUBLE) / gn),
-         |          CAST(0 AS DOUBLE))) END, 4) AS sd_gap_us4
+         |  CASE WHEN gn = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(gs AS BIGINT) // gn END AS mean_gap_floor_us,
+         |  CASE WHEN gn = 0 THEN CAST(0 AS DECIMAL(38,0))
+         |       ELSE CAST(CAST(gn AS DECIMAL(10,0)) * CAST(gss AS DECIMAL(28,0))
+         |                 - CAST(gs AS DECIMAL(19,0)) * CAST(gs AS DECIMAL(19,0))
+         |            AS DECIMAL(38,0)) END AS var_gap_num
          |FROM pu JOIN b USING (user_id) ORDER BY user_id""".stripMargin,
 
     "mov_sessions" ->

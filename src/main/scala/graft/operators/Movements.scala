@@ -263,10 +263,18 @@ object Movements {
     *    collinearity bit is exact on any engine. Scripted movement is
     *    straight; human mouse traces wiggle.
     *  - **burst**: max events in any one second (rate-limit signal).
-    *  - **cadence**: mean and standard deviation of inter-event gaps —
-    *    gap sums accumulate in DECIMAL(38,0) (order-independent), the
-    *    final moments are a fixed double expression, deterministic
-    *    bit-for-bit even where the subtraction loses precision.
+    *  - **cadence**: mean and dispersion of inter-event gaps, emitted
+    *    INTEGER-EXACT so the readout is portable across engines:
+    *    `mean_gap_floor_us` is the floor of gs/gn in BIGINT division,
+    *    and `var_gap_num` is the variance numerator gn·gss − gs²
+    *    (= gn²·variance) carried in DECIMAL — no doubles, no sqrt, no
+    *    rounding ties. (Round 5 emitted `round(double, 4)` on
+    *    ~10¹⁰-magnitude µs moments, where the 4th decimal sits below
+    *    one ulp and engines tie-break differently — the suite's only
+    *    red row.) Widths are sized from physics: gs is the user's
+    *    wall-clock span in µs (< 10¹⁹), gss ≤ gs² (< 10²⁸ for spans
+    *    up to ~3 centuries), gn < 10¹⁰ events/user, so gn·gss < 10³⁸
+    *    fits DECIMAL(38,0) and Cauchy–Schwarz keeps the result ≥ 0.
     *
     * Plan: one user-partitioned window pass (leads/lags), one user
     * aggregate on the same partitioning, plus the (user, sec) burst
@@ -299,20 +307,21 @@ object Movements {
     val bursts = p.groupBy(col("user_id"), col("sec"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("user_id")).agg(max(col("c")).as("max_per_sec"))
-    val meanGap = col("_gs").cast("double") / col("_gn")
-    val varGap = col("_gss").cast("double") / col("_gn") -
-      meanGap * meanGap
+    val varNum = (col("_gn").cast("decimal(10,0)") *
+      col("_gss").cast("decimal(28,0)") -
+      col("_gs").cast("decimal(19,0)") * col("_gs").cast("decimal(19,0)"))
+      .cast("decimal(38,0)")
     perUser.join(bursts, "user_id")
       .select(
         col("user_id"), col("n_moves"), col("max_per_sec"),
         round(when(col("n_triples") === 0L, 0.0)
           .otherwise(col("n_straight").cast("double") / col("n_triples")),
           8).as("straight8"),
-        round(when(col("_gn") === 0L, 0.0).otherwise(meanGap), 4)
-          .as("mean_gap_us4"),
-        round(when(col("_gn") === 0L, 0.0)
-          .otherwise(sqrt(greatest(varGap, lit(0.0)))), 4)
-          .as("sd_gap_us4"))
+        when(col("_gn") === 0L, 0L)
+          .otherwise(expr("CAST(_gs AS BIGINT) div _gn"))
+          .as("mean_gap_floor_us"),
+        when(col("_gn") === 0L, lit(0).cast("decimal(38,0)"))
+          .otherwise(varNum).as("var_gap_num"))
   }
 
   /** P5/A6 — sentinel vs movement counts per user (functions.js:365;

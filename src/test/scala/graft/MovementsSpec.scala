@@ -162,9 +162,11 @@ class MovementsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r).toMap
     assert(out(1L).getAs[Double]("straight8") == 1.0)
     assert(out(2L).getAs[Double]("straight8") == 0.0)
-    // 1 event/sec cadence: every gap exactly 1s -> sd 0, mean 1e6
-    assert(out(1L).getAs[Double]("mean_gap_us4") == 1000000.0)
-    assert(out(1L).getAs[Double]("sd_gap_us4") == 0.0)
+    // 1 event/sec cadence: every gap exactly 1s -> var numerator 0,
+    // floor mean exactly 1e6 (integer-exact readout)
+    assert(out(1L).getAs[Long]("mean_gap_floor_us") == 1000000L)
+    assert(out(1L).getAs[java.math.BigDecimal]("var_gap_num")
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
     assert(out(1L).getAs[Long]("max_per_sec") == 1L)
   }
 
