@@ -69,7 +69,10 @@ object Soak {
     // (two n-gram count joins), and the M4 display reducer (should
     // be scan-bound — its whole point is no per-bucket sort)
     "dedup_setsim_join", "dedup_setsim_strict", "doc_lm_score",
-    "ts_m4_downsample", "knn_filtered", "doc_corpus_mix")
+    "ts_m4_downsample", "knn_filtered", "doc_corpus_mix",
+    // round-6 additions: the single-scan admission gates (shared
+    // doc×token relation) and the routed dedup composition
+    "doc_admission_lm")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

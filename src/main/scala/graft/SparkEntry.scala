@@ -783,6 +783,13 @@ object SparkEntry {
       TextAnalysis.admissionGate(Tables.documents(s, d),
           maxDupFrac = 0.9, minIvRate = 0.2)
         .orderBy("doc_id")),
+    "doc_admission_lm" -> q((s, d) =>
+      // the CCNet-graduated gate: duplication + smoothed-bigram-LM
+      // avg_nll. 3.42 is the corpus's p75 (range 3.28-3.63), so the
+      // perplexity gate actually splits the corpus here
+      TextAnalysis.admissionGateLm(Tables.documents(s, d),
+          maxDupFrac = 0.9, maxAvgNll = 3.42)
+        .orderBy("doc_id")),
   )
 
   // ================= oracle SQL =================
@@ -3915,6 +3922,71 @@ object SparkEntry {
         |  END AS reason
         |FROM base LEFT JOIN covr ON base.doc_id = covr.doc_id
         |ORDER BY base.doc_id""".stripMargin,
+
+    // ---- CCNet-graduated admission gate: duplication + LM avg_nll ----
+    "doc_admission_lm" ->
+      s"""WITH $DupSpansSql,
+        |sp AS (SELECT doc_id, span_start AS s, span_end + 2 AS e
+        |       FROM spans),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |fl AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |                 THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |cov AS (
+        |  SELECT doc_id, island, max(e) - min(s) + 1 AS covered
+        |  FROM isl GROUP BY 1, 2),
+        |dup AS (SELECT doc_id, sum(covered) AS dup_tokens
+        |        FROM cov GROUP BY 1),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+        |  FROM toks),
+        |bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        |vv AS (SELECT count(DISTINCT w) AS v FROM uni),
+        |scored AS (
+        |  SELECT bw.doc_id,
+        |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vv.v)), 6)
+        |      AS DECIMAL(18,6)) AS ll
+        |  FROM bw JOIN c2 ON bw.g = c2.g
+        |          JOIN c1 ON bw.w1 = c1.w
+        |          CROSS JOIN vv),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    sum(ll) AS sum_ll
+        |  FROM scored GROUP BY doc_id),
+        |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents),
+        |base AS (
+        |  SELECT sz.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens, 4)
+        |      AS dup_frac
+        |  FROM sz LEFT JOIN dup ON sz.doc_id = dup.doc_id),
+        |fin AS (
+        |  SELECT base.doc_id, n_tokens, dup_frac,
+        |    CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |    round(-CAST(a.sum_ll AS DOUBLE) / a.n_bigrams, 4) AS avg_nll
+        |  FROM base LEFT JOIN agg a ON base.doc_id = a.doc_id)
+        |SELECT doc_id, n_tokens, dup_frac, n_bigrams, avg_nll,
+        |  (dup_frac <= 0.9 AND avg_nll IS NOT NULL AND avg_nll <= 3.42)
+        |    AS keep,
+        |  CASE WHEN dup_frac > 0.9 THEN 'duplication'
+        |       WHEN avg_nll IS NULL OR avg_nll > 3.42
+        |         THEN 'high_perplexity'
+        |  END AS reason
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "doc_lm_coverage" ->
       """WITH toks AS (

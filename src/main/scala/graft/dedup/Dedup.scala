@@ -429,11 +429,20 @@ object Dedup {
     * of the corpus); the gaps-and-islands merge is one window per
     * doc. No suffix array, no self-join, no all-pairs work — the same
     * bucket-bounded posture as the rest of this file. */
-  def dupSpans(docs: DataFrame, minDf: Int = 2): DataFrame = {
+  def dupSpans(docs: DataFrame, minDf: Int = 2): DataFrame =
+    dupSpansOfTokens(
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")), minDf)
+
+  /** [[dupSpans]] over a pre-tokenized `(doc_id, t)` relation — the
+    * admission gate tokenizes the corpus ONCE (materialized) and
+    * derives both its signals from the shared relation; this is the
+    * span miner's half of that contract. Values identical to
+    * [[dupSpans]] by construction ([[graft.functions.Portable.shinglesOfTokens]]). */
+  def dupSpansOfTokens(tok: DataFrame, minDf: Int = 2): DataFrame = {
     val k = 3 // token width of Portable.shingles
-    val sh = spread(docs)
+    val sh = tok
       .select(col("doc_id"),
-        posexplode(shingles(col("text"))).as(Seq("pos", "shingle")))
+        posexplode(shinglesOfTokens(col("t"), k)).as(Seq("pos", "shingle")))
       .select(col("doc_id"), col("pos"), hex16(col("shingle")).as("h"))
     val dupHashes = sh
       .groupBy(col("h"))
@@ -465,8 +474,14 @@ object Dedup {
     *
     * Scale: inherits [[dupSpans]]'s shape; the merge windows run over
     * the SPAN table (a small fraction of positions), per-doc. */
-  def dupRate(docs: DataFrame, minDf: Int = 2): DataFrame = {
-    val spans = dupSpans(docs, minDf)
+  def dupRate(docs: DataFrame, minDf: Int = 2): DataFrame =
+    dupRateOfTokens(
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")), minDf)
+
+  /** [[dupRate]] over a pre-tokenized `(doc_id, t)` relation (see
+    * [[dupSpansOfTokens]]). */
+  def dupRateOfTokens(tok: DataFrame, minDf: Int = 2): DataFrame = {
+    val spans = dupSpansOfTokens(tok, minDf)
       .select(col("doc_id"), col("span_start").as("s"),
         (col("span_end") + 2).as("e"))
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
@@ -481,8 +496,7 @@ object Dedup {
       .agg((max(col("e")) - min(col("s")) + 1).as("covered"))
       .groupBy(col("doc_id"))
       .agg(sum(col("covered")).as("dup_tokens"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    tok.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),

@@ -39,13 +39,20 @@ object Portable {
     else shinglesHof(text, n)
 
   /** Declarative reference formulation of [[shingles]]. */
-  def shinglesHof(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
+  def shinglesHof(text: Column, n: Int): Column =
+    shinglesOfTokens(tokens(text), n)
+
+  /** [[shingles]] over an already-tokenized array — lets a caller
+    * tokenize the corpus ONCE (materialized) and derive every n-gram
+    * grain from the shared relation instead of re-parsing text per
+    * signal (the admission gate's single-scan shape). Identical
+    * strings to the text-input forms by construction. */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
+    if (n == 3) call_function("graft_shingles", toks)
+    else when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Sequential double-precision dot product of two float vectors —
     * the native codegen'd [[DotProduct]] expression (resolved via the

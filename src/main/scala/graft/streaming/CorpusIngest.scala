@@ -66,6 +66,26 @@ object CorpusIngest {
         .drop("keep", "reason"),
       lateness)
 
+  /** Ingest-time perplexity gate — the CCNet-graduated quality filter
+    * applied at the front door: score a micro-batch against a FROZEN
+    * corpus-trained LM ([[graft.text.TextAnalysis.trainLm]], built
+    * offline) and keep documents at or under `maxAvgNll`. Per-doc
+    * scoring aggregates over exploded bigrams, so this runs inside
+    * `foreachBatch` (batch semantics per micro-batch — the standard
+    * pattern for model-apply sinks), downstream of [[ingest]]'s
+    * stateless gates. One row per input doc; docs too short for
+    * bigrams have no LM evidence and fail as `high_perplexity`. */
+  def lmGate(batch: DataFrame, model: TextAnalysis.LmModel,
+             maxAvgNll: Double): DataFrame =
+    batch.join(
+        TextAnalysis.scoreWithLm(batch, model)
+          .select(col("doc_id"), col("n_bigrams"), col("avg_nll")),
+        Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("avg_nll").isNotNull && col("avg_nll") <= maxAvgNll)
+      .withColumn("reason",
+        when(!col("keep"), lit("high_perplexity")))
+
   /** The reject stream for triage: gate failures with their reason,
     * PII already masked. Run as a SECOND query over the same source —
     * both queries are stateless up to the split, so the fan-out costs

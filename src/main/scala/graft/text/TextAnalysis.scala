@@ -373,9 +373,20 @@ object TextAnalysis {
   def admissionGate(docs: DataFrame, maxDupFrac: Double = 0.5,
                     minIvRate: Double = 0.15,
                     vocabSize: Int = 200): DataFrame = {
-    val dup = graft.dedup.Dedup.dupRate(docs)
+    // ONE corpus scan: tokenize once, materialize (the SetSimJoin
+    // localCheckpoint idiom), and derive BOTH signals from the shared
+    // (doc_id, t) relation. Round 5 composed the two shipped queries
+    // verbatim, which re-parsed the corpus per signal branch (6 scans
+    // through Catalyst's no-CSE-across-joins planning) — the suite's
+    // heaviest non-setsim row at sf1. On a cluster the checkpoint
+    // becomes a persisted/shuffle-reused relation; the shape (parse
+    // once, derive n-gram grains per signal) is the 100 TB posture.
+    val tok = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val dup = graft.dedup.Dedup.dupRateOfTokens(tok)
       .select(col("doc_id"), col("n_tokens"), col("dup_frac"))
-    val cov = lmCoverageScore(docs, vocabSize)
+    val cov = lmCoverageOfTokens(tok, vocabSize)
       .select(col("doc_id"), col("iv_rate"))
     dup.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
@@ -385,6 +396,38 @@ object TextAnalysis {
       .withColumn("reason",
         when(col("dup_frac") > maxDupFrac, lit("duplication"))
           .when(col("iv_rate") < minIvRate, lit("low_quality")))
+  }
+
+  /** The admission gate graduated to the CCNet-shaped filter: keep =
+    * low duplication AND low smoothed-bigram-LM negative
+    * log-likelihood ([[lmScore]]'s avg_nll — the perplexity-style
+    * signal; [[admissionGate]]'s iv_rate is its 0/1-vocabulary
+    * special case). Same single-scan contract: one materialized
+    * (doc_id, t) relation feeds the span miner and the LM, and the
+    * output keeps one row per input document with the FIRST failed
+    * gate named. Docs too short for bigrams have no LM evidence and
+    * fail as `high_perplexity` — fragments are what the filter should
+    * drop. */
+  def admissionGateLm(docs: DataFrame, maxDupFrac: Double = 0.5,
+                      maxAvgNll: Double = 8.0,
+                      k: Double = 1.0): DataFrame = {
+    val tok = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val dup = graft.dedup.Dedup.dupRateOfTokens(tok)
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"))
+    val lm = lmScoreOfTokens(tok, k)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+    dup.join(lm, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_frac"),
+        col("n_bigrams"), col("avg_nll"))
+      .withColumn("keep",
+        col("dup_frac") <= maxDupFrac &&
+          col("avg_nll").isNotNull && col("avg_nll") <= maxAvgNll)
+      .withColumn("reason",
+        when(col("dup_frac") > maxDupFrac, lit("duplication"))
+          .when(col("avg_nll").isNull || col("avg_nll") > maxAvgNll,
+            lit("high_perplexity")))
   }
 
   /** Smoothed bigram-LM negative log-likelihood per document — the
@@ -405,12 +448,18 @@ object TextAnalysis {
     * per-doc sum is summation-order independent and engine-portable
     * (the Portable.exactSum convention — doubles differ across
     * engines only far past 6dp). */
-  def lmScore(docs: DataFrame, k: Double = 1.0): DataFrame = {
-    val bg = spread(docs)
-      .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))
+  def lmScore(docs: DataFrame, k: Double = 1.0): DataFrame =
+    lmScoreOfTokens(
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")), k)
+
+  /** [[lmScore]] over a pre-tokenized `(doc_id, t)` relation (the
+    * admission gates' shared-scan contract). */
+  def lmScoreOfTokens(tok: DataFrame, k: Double = 1.0): DataFrame = {
+    val bg = tok
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("t"), 2)).as("g"))
       .withColumn("w1", split(col("g"), " ").getItem(0))
-    val toks = spread(docs)
-      .select(explode(tokens(col("text"))).as("w"))
+    val toks = tok.select(explode(col("t")).as("w"))
     val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val v = toks.agg(countDistinct(col("w")).as("v"))
@@ -423,16 +472,75 @@ object TextAnalysis {
           .cast("decimal(18,6)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ll")).as("sum_ll"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    tok.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(-col("sum_ll").cast("double") / col("n_bigrams"), 4)
           .as("avg_nll"))
   }
 
-  def lmCoverageScore(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
-    val bg = spread(docs)
-      .select(col("doc_id"), explode(shinglesHof(col("text"), 2)).as("g"))
+  /** A FROZEN add-k bigram LM: corpus-trained counts plus vocabulary
+    * size, for scoring text the model has never seen — the actual
+    * CCNet deployment shape (train the LM offline, apply it at
+    * ingest). [[lmScore]] is the self-scored special case where the
+    * corpus grades itself. `bigrams`/`unigrams` are count relations
+    * (vocabulary-sized); `v` is collected once at TRAIN time — a
+    * single driver scalar, the same budget as collecting k centroids. */
+  final case class LmModel(bigrams: DataFrame, unigrams: DataFrame,
+                           v: Long, k: Double)
+
+  /** Train the frozen LM once. One corpus scan, two
+    * map-side-combinable groupBys. */
+  def trainLm(docs: DataFrame, k: Double = 1.0): LmModel = {
+    val tok = spread(docs).select(tokens(col("text")).as("t"))
+    val c2 = tok.select(explode(shinglesOfTokens(col("t"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val toks = tok.select(explode(col("t")).as("w"))
+    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = toks.agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    LmModel(c2, c1, v, k)
+  }
+
+  /** Score a batch — including a stream's micro-batch inside
+    * foreachBatch — against a frozen [[LmModel]]. Bigrams/words the
+    * model never saw take count 0 and fall to the smoothing floor
+    * ln(k/(k·V)), which is what makes the frozen shape well-defined
+    * on unseen text. The model rides broadcast joins (vocabulary is
+    * corpus-vocab-sized; for a huge vocab drop the hint and let AQE
+    * pick a shuffle join); same 6dp-DECIMAL accumulation as
+    * [[lmScore]], so re-scoring is engine- and order-independent. */
+  def scoreWithLm(batch: DataFrame, model: LmModel): DataFrame = {
+    val bg = batch
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(tokens(col("text")), 2)).as("g"))
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+    val perDoc = bg
+      .join(broadcast(model.bigrams), Seq("g"), "left")
+      .join(broadcast(model.unigrams), col("w1") === col("w"), "left")
+      .withColumn("ll",
+        round(log((coalesce(col("c2"), lit(0L)) + lit(model.k)) /
+          (coalesce(col("c1"), lit(0L)) + lit(model.k) * lit(model.v))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll")).as("sum_ll"))
+    batch.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-col("sum_ll").cast("double") / col("n_bigrams"), 4)
+          .as("avg_nll"))
+  }
+
+  def lmCoverageScore(docs: DataFrame, vocabSize: Int = 1000): DataFrame =
+    lmCoverageOfTokens(
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")),
+      vocabSize)
+
+  /** [[lmCoverageScore]] over a pre-tokenized `(doc_id, t)` relation
+    * (the admission gates' shared-scan contract). */
+  def lmCoverageOfTokens(tok: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val bg = tok
+      .select(col("doc_id"),
+        explode(shinglesOfTokens(col("t"), 2)).as("g"))
     val vocab = bg
       .groupBy(col("g"))
       .agg(count(lit(1)).as("c"))

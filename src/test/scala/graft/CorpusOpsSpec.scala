@@ -129,6 +129,32 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, false, Some("duplication"))))
   }
 
+  test("LM admission gate: duplication and perplexity reasons fire; full assignment") {
+    val d = Seq(
+      (0L, "a b a b a b"),          // seen transitions -> low nll -> keep
+      (1L, "c d e"),                // hapax bigrams -> high nll
+      (2L, "p q r s t u"),          // identical to 3 -> duplication
+      (3L, "p q r s t u"),
+      (4L, "solo"))                 // no bigrams -> no LM evidence
+      .toDF("doc_id", "text")
+    // corpus nlls: doc 0 scores the often-seen a/b transitions, doc 1
+    // the hapax tail — a threshold between them splits on perplexity
+    val nlls = TextAnalysis.lmScore(d).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString.toDouble))
+      .toMap
+    assert(nlls(0L).get < nlls(1L).get)
+    val cut = (nlls(0L).get + nlls(1L).get) / 2
+    val got = TextAnalysis.admissionGateLm(d, maxAvgNll = cut)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5), Option(r.get(6))))
+    assert(got.toSeq == Seq(
+      (0L, true, None),
+      (1L, false, Some("high_perplexity")),
+      (2L, false, Some("duplication")),
+      (3L, false, Some("duplication")),
+      (4L, false, Some("high_perplexity"))))
+  }
+
   test("LM coverage scores by top-V bigram membership; short docs drop") {
     val d = Seq(
       (0L, "a b a b a b"),   // bigrams: "a b" x3, "b a" x2

@@ -82,6 +82,37 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frozen-LM perplexity gate scores micro-batches in foreachBatch") {
+    // CCNet deployment shape: train the bigram LM on the existing
+    // corpus ONCE, then every arriving micro-batch is scored against
+    // the frozen counts — unseen transitions fall to the smoothing
+    // floor and fail the gate
+    import graft.text.TextAnalysis
+    val corpus = Seq(
+      (100L, good), (101L, good), (102L, distinctDoc))
+      .toDF("doc_id", "text")
+    val model = TextAnalysis.trainLm(corpus)
+    val seen = collection.mutable.Map.empty[Long, (Boolean, String)]
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val q = input.toDF().toDF("doc_id", "ts", "text")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusIngest.lmGate(batch, model, maxAvgNll = 2.0).collect()
+          .foreach(r => seen(r.getAs[Long]("doc_id")) =
+            (r.getAs[Boolean]("keep"), r.getAs[String]("reason")))
+      }.start()
+    try {
+      input.addData(
+        (1L, t(1000), good),                       // in-distribution
+        (2L, t(1100), "zq xv qqk vxz blorp wuggle"), // unseen everything
+        (3L, t(1200), "solo"))                     // no bigram evidence
+      q.processAllAvailable()
+      assert(seen(1L)._1, s"in-distribution doc must pass: ${seen(1L)}")
+      assert(!seen(2L)._1 && seen(2L)._2 == "high_perplexity")
+      assert(!seen(3L)._1 && seen(3L)._2 == "high_perplexity")
+    } finally q.stop()
+  }
+
   test("rejects carry the first failed gate as reason, PII already masked") {
     // annotate/rejects are stateless projections, so the reject path
     // is checked on a batch frame — identical semantics by construction
