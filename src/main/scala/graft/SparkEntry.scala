@@ -599,6 +599,13 @@ object SparkEntry {
     "dedup_setsim_join" -> q((s, d) =>
       dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d))
         .orderBy("id1", "id2")),
+    // the 100 TB routing: LSH mines bulk candidates, the exact
+    // verifier touches only that slice (precision 1.0 by construction)
+    "dedup_route" -> q((s, d) =>
+      dedup.SetSimJoin.routedJoin(Tables.documents(s, d))
+        .orderBy("id1", "id2")),
+    "dedup_route_recall" -> q((s, d) =>
+      dedup.SetSimJoin.routeRecall(Tables.documents(s, d))),
     // 5 iterations, not the operator-default 10: ranking order on the
     // shallow near-dup graph stabilizes by round 5, and each extra
     // round is a fixed AQE stage-scheduling cost at bench scale
@@ -2996,6 +3003,80 @@ object SparkEntry {
          |  JOIN sizes s2 ON s2.doc_id = id2
          |WHERE inter * 3 >= (s1.n + s2.n - inter) * 2
          |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_route" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |    JOIN ds a ON a.doc_id = c.id1
+         |    JOIN ds b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE inter * 2 >= (s1.n + s2.n - inter) * 1
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "dedup_route_recall" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |allc AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT id1, id2 FROM allc
+         |    JOIN sizes s1 ON s1.doc_id = id1
+         |    JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE inter * 2 >= (s1.n + s2.n - inter) * 1),
+         |routedc AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |    JOIN ds a ON a.doc_id = c.id1
+         |    JOIN ds b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |routed AS (
+         |  SELECT id1, id2 FROM routedc
+         |    JOIN sizes s1 ON s1.doc_id = id1
+         |    JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE inter * 2 >= (s1.n + s2.n - inter) * 1),
+         |ne AS (SELECT count(*) AS n_exact FROM exact),
+         |nr AS (SELECT count(*) AS n_routed FROM routed),
+         |nh AS (SELECT count(*) AS n_hit
+         |       FROM routed r JOIN exact e
+         |         ON r.id1 = e.id1 AND r.id2 = e.id2)
+         |SELECT n_exact, n_routed, n_hit,
+         |  round(CASE WHEN n_exact = 0 THEN 1.0
+         |        ELSE CAST(n_hit AS DOUBLE) / n_exact END, 4) AS recall4
+         |FROM ne, nr, nh""".stripMargin
+    },
 
     "dedup_embedding_cosine" ->
       s"""WITH n AS (

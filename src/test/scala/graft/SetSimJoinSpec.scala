@@ -77,4 +77,28 @@ class SetSimJoinSpec extends SparkSpec {
     val re = SetSimJoin.jaccardJoin(docs.repartition(7)).collect().toSet
     assert(base == re)
   }
+
+  test("routed join is a subset of the exact join with identical values") {
+    val exact = SetSimJoin.jaccardJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val routed = SetSimJoin.routedJoin(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // precision 1.0: every routed pair is in the exact set, same values
+    routed.foreach { case (k, v) => assert(exact.get(k).contains(v), k) }
+    // identical texts always share every band — the exact-dup pair
+    // cannot be missed, whatever the LSH configuration
+    assert(routed.contains((0L, 1L)))
+  }
+
+  test("routeRecall reports hit counts consistent with both joins") {
+    val r = SetSimJoin.routeRecall(docs).collect()(0)
+    val nExact = SetSimJoin.jaccardJoin(docs).count()
+    val nRouted = SetSimJoin.routedJoin(docs).count()
+    assert(r.getLong(0) == nExact)
+    assert(r.getLong(1) == nRouted)
+    assert(r.getLong(2) == nRouted) // precision 1.0 → every routed pair hits
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }
