@@ -68,21 +68,52 @@ object KinesisSimProvider {
     StructField("sequenceNumber", StringType),
     StructField("shardId", StringType)))
 
-  /** Records currently on disk for one shard, in sequence order.
-    * Reads every batch file (name order == write order — the producer
-    * zero-pads indices) and parses the sim's fixed one-line-per-record
-    * JSON layout. */
-  private[sources] def shardLines(dir: String, shard: Int): Seq[String] = {
+  /** One shard's batch files in sequence order (name order == write
+    * order — every writer zero-pads indices). The listing stream is
+    * closed eagerly: `Files.list` holds a directory descriptor until
+    * closed, and a long-running stream calls this every micro-batch. */
+  private[sources] def shardFiles(dir: String,
+                                  shard: Int): Seq[java.nio.file.Path] = {
     val p = java.nio.file.Paths.get(dir, s"shard-$shard")
     if (!java.nio.file.Files.isDirectory(p)) Seq.empty
     else {
-      val files = java.nio.file.Files.list(p).iterator().asScala
+      val st = java.nio.file.Files.list(p)
+      try st.iterator().asScala
         .filter(_.getFileName.toString.startsWith("batch-"))
         .toSeq.sortBy(_.getFileName.toString)
-      files.flatMap(f =>
-        new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
-          .split("\n").iterator.filter(_.nonEmpty))
+      finally st.close()
     }
+  }
+
+  /** Records currently on disk for one shard, in sequence order —
+    * parses the sim's fixed one-line-per-record JSON layout. */
+  private[sources] def shardLines(dir: String, shard: Int): Seq[String] =
+    shardFiles(dir, shard).flatMap(f =>
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty))
+
+  /** Record count of one batch file WITHOUT materializing or splitting
+    * its contents: streams the bytes and counts non-empty lines. */
+  private[sources] def countRecords(f: java.nio.file.Path): Long = {
+    val in = java.nio.file.Files.newInputStream(f)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = 0L
+      var lineHasContent = false
+      var read = in.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          if (buf(i) == '\n') {
+            if (lineHasContent) n += 1
+            lineHasContent = false
+          } else lineHasContent = true
+          i += 1
+        }
+        read = in.read(buf)
+      }
+      if (lineHasContent) n + 1 else n
+    } finally in.close()
   }
 
   private val Line =
@@ -156,20 +187,47 @@ private[sources] object ShardOffsets {
 private[sources] class KinesisSimMicroBatchStream(path: String, nShards: Int)
     extends MicroBatchStream {
 
+  // Per-file record counts keyed by (path, size, mtime): batch files
+  // are append-created (never rewritten in place), so a file whose
+  // size+mtime are unchanged has an unchanged count. latestOffset runs
+  // every micro-batch; without this cache it would re-read every byte
+  // ever written to the stream, per batch, forever.
+  private val countCache =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+
+  private def shardRecordCount(shard: Int): Long =
+    KinesisSimProvider.shardFiles(path, shard).map { f =>
+      val key = (f.toString,
+        java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
+    }.sum
+
   override def initialOffset(): Offset =
     ShardOffsets((0 until nShards).map(_ -> 0L).toMap)
 
   override def latestOffset(): Offset =
-    ShardOffsets((0 until nShards).map(s =>
-      s -> KinesisSimProvider.shardLines(path, s).size.toLong).toMap)
+    ShardOffsets((0 until nShards).map(s => s -> shardRecordCount(s)).toMap)
 
-  override def deserializeOffset(json: String): Offset =
-    ShardOffsets.parse(json)
+  override def deserializeOffset(json: String): Offset = {
+    val o = ShardOffsets.parse(json)
+    // a restart with a smaller `shards` option would otherwise
+    // silently drop the checkpointed progress of shards >= nShards —
+    // fail loud instead (resharding is not part of the sim contract)
+    val stale = o.next.keys.filter(_ >= nShards)
+    require(stale.isEmpty,
+      s"checkpoint has offsets for shards ${stale.mkString(",")} but the " +
+        s"source was restarted with shards=$nShards; restart with at " +
+        s"least ${o.next.keys.max + 1} shards")
+    o
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardOffsets].next
     val e = end.asInstanceOf[ShardOffsets].next
-    (0 until nShards).flatMap { shard =>
+    // union of configured and checkpointed shard ids: progress in the
+    // offset map is never silently discarded
+    (s.keySet ++ e.keySet ++ (0 until nShards)).toSeq.sorted.flatMap { shard =>
       val from = s.getOrElse(shard, 0L)
       val until = e.getOrElse(shard, 0L)
       if (until > from) Some(KinesisSimPartition(path, shard, from, until))
@@ -201,10 +259,18 @@ private[sources] case class SimRecords(
   * single committer is what preserves the transport's global contract
   * (per-shard strictly-increasing sequence numbers across epochs,
   * which per-task writers racing on shard files could not give).
-  * Exactly-once: an epoch marker under `_epochs/` makes a retried
-  * commit a no-op, so a crash between data write and checkpoint
-  * advance cannot double-append. PutRecords semantics (key→shard
-  * hash, batch files, monotone mtimes) match [[SimulatedKinesis
+  * Exactly-once, crash-safe at every boundary:
+  *  - each shard's epoch data lands via write-to-temp + ATOMIC_MOVE,
+  *    so a partially-written file is never visible to readers (the
+  *    temp name doesn't match the `batch-` prefix);
+  *  - the final file name embeds the epoch (`batch-NNNNNN-epoch-E
+  *    .json`), so a commit retried after a mid-loop crash detects and
+  *    SKIPS shards that already hold this epoch's records — no
+  *    double-append, whichever instruction the crash interrupted;
+  *  - the `_epochs/` marker, written last, makes a fully-committed
+  *    retry a no-op without touching shard dirs.
+  * PutRecords semantics (key→shard hash, batch files, monotone
+  * mtimes, zero-padded name order) match [[SimulatedKinesis
   * .ShardedProducer]], so either entry point feeds the same readers. */
 private[sources] class KinesisSimStreamingWrite(path: String, nShards: Int,
     dataIdx: Int, pkIdx: Int) extends StreamingWrite {
@@ -230,25 +296,34 @@ private[sources] class KinesisSimStreamingWrite(path: String, nShards: Int,
       .foreach { case (shard, rs) =>
         val dirP = java.nio.file.Paths.get(path, s"shard-$shard")
         java.nio.file.Files.createDirectories(dirP)
-        val existingFiles = java.nio.file.Files.list(dirP).iterator().asScala
-          .filter(_.getFileName.toString.startsWith("batch-")).toSeq
-        var seq = KinesisSimProvider.shardLines(path, shard).size.toLong
-        val batchIdx = existingFiles.size
-        val lastMtime = (0L +: existingFiles.map(f =>
-          java.nio.file.Files.getLastModifiedTime(f).toMillis)).max
-        val lines = rs.map { case (data, pk) =>
-          val b64 = java.util.Base64.getEncoder.encodeToString(data)
-          val l =
-            s"""{"sequenceNumber":"$seq","partitionKey":"$pk","data":"$b64"}"""
-          seq += 1
-          l
+        val existingFiles = KinesisSimProvider.shardFiles(path, shard)
+        // retried commit after a crash mid-loop: this shard already
+        // holds this epoch's file — appending again would duplicate
+        if (existingFiles.exists(
+            _.getFileName.toString.endsWith(s"-epoch-$epochId.json")))
+          ()
+        else {
+          var seq = existingFiles.map(KinesisSimProvider.countRecords).sum
+          val batchIdx = existingFiles.size
+          val lastMtime = (0L +: existingFiles.map(f =>
+            java.nio.file.Files.getLastModifiedTime(f).toMillis)).max
+          val lines = rs.map { case (data, pk) =>
+            val b64 = java.util.Base64.getEncoder.encodeToString(data)
+            val l =
+              s"""{"sequenceNumber":"$seq","partitionKey":"$pk","data":"$b64"}"""
+            seq += 1
+            l
+          }
+          val tmp = dirP.resolve(f".tmp-epoch-$epochId%d")
+          java.nio.file.Files.write(tmp,
+            (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.setLastModifiedTime(tmp,
+            java.nio.file.attribute.FileTime.fromMillis(
+              math.max(lastMtime + 1000L, System.currentTimeMillis())))
+          java.nio.file.Files.move(tmp,
+            dirP.resolve(f"batch-$batchIdx%06d-epoch-$epochId%d.json"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         }
-        val f = dirP.resolve(f"batch-$batchIdx%06d.json")
-        java.nio.file.Files.write(f,
-          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
-        java.nio.file.Files.setLastModifiedTime(f,
-          java.nio.file.attribute.FileTime.fromMillis(
-            math.max(lastMtime + 1000L, System.currentTimeMillis())))
       }
     java.nio.file.Files.write(marker, Array.emptyByteArray)
   }
@@ -282,8 +357,19 @@ private[sources] class KinesisSimDataWriter(partitionId: Int,
   * of a GetRecords iterator positioned at a sequence number. */
 private[sources] class KinesisSimReader(p: KinesisSimPartition)
     extends PartitionReader[InternalRow] {
-  private val lines = KinesisSimProvider.shardLines(p.path, p.shard)
-    .slice(p.from.toInt, p.until.toInt).iterator
+  // Long-safe positioning (slice(Int, Int) would silently truncate a
+  // shard past 2^31 records): skip `from` records, stop after the
+  // range's count
+  private val lines: Iterator[String] = {
+    val it = KinesisSimProvider.shardLines(p.path, p.shard).iterator
+    var skipped = 0L
+    while (skipped < p.from && it.hasNext) { it.next(); skipped += 1 }
+    new Iterator[String] {
+      private var remaining = p.until - p.from
+      override def hasNext: Boolean = remaining > 0 && it.hasNext
+      override def next(): String = { remaining -= 1; it.next() }
+    }
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -76,7 +76,17 @@ object Layout {
     * where the threshold lands, so the split is a pure performance
     * knob, never a semantics one. The hot-key set broadcasts (it must
     * be small — if it isn't, the data isn't skewed, it's big, and
-    * salting is the wrong tool). */
+    * salting is the wrong tool).
+    *
+    * SKEW-SIDE ASSUMPTION: hot keys are detected from the LEFT side's
+    * histogram only — the right side is expected unique (or near-
+    * unique) on `key`, as at the lineitem⋈orders call sites, where
+    * left-side fan-out is the only possible skew. A key skewed only
+    * on the RIGHT side takes the cold path and still concentrates on
+    * one task; if both sides can skew, detect over the union of both
+    * histograms (and note that a key hot on BOTH sides makes the
+    * join's OUTPUT quadratic in that key — no salting scheme fixes
+    * output size). */
   def saltedJoinHot(left: DataFrame, right: DataFrame, key: String,
                     saltFactor: Int, minHotCount: Long): DataFrame = {
     val hot = left.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
