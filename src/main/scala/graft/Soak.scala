@@ -147,6 +147,14 @@ object Soak {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     // optional 4th arg: comma-separated subset of SoakQueries, so a
     // new operator can be soaked without re-timing the whole list
+    // fail fast, not 40 minutes in: the sf1 session needs a 16 GiB
+    // driver (pagerank's checkpointed blocks plus a later broadcast
+    // build exceed the 8 GiB default) — ARCHITECTURE §7 / README
+    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    if (heapGiB < 14.0)
+      throw new IllegalStateException(
+        f"SoakDriverHeapTooSmall: sf1 soak needs a 16 GiB driver heap, " +
+          f"got $heapGiB%.1f GiB — rerun with SPARK_DRIVER_MEM=16g")
     val wanted = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val soakQueries = wanted match {

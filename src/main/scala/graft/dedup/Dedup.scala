@@ -282,13 +282,16 @@ object Dedup {
     * similarity (deterministic tiebreak). */
   def ngramJaccardTop(docs: DataFrame, k: Int = 50,
                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val documents = spread(docs)
-    val docShingles = documents
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
-        .as("shingle"))
-    // per-doc projection, not a re-explode: |distinct shingles| per doc
-    val sizes = documents.select(col("doc_id"),
-      size(array_distinct(shingles(col("text")))).as("n_shingles"))
+    // ONE shingle-kernel pass: the per-doc distinct-shingle array is
+    // materialized once and serves both the posting-list explode and
+    // the size projection (round 5 ran the kernel twice — no CSE
+    // across the later join's sides)
+    val arr = spread(docs)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("arr"))
+      .localCheckpoint()
+    val docShingles = arr
+      .select(col("doc_id"), explode(col("arr")).as("shingle"))
+    val sizes = arr.select(col("doc_id"), size(col("arr")).as("n_shingles"))
     val common = docShingles
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -323,12 +326,14 @@ object Dedup {
     * `k` pairs (id1 < id2) by containment, deterministic tiebreak. */
   def containmentTop(docs: DataFrame, k: Int = 50,
                      maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val documents = spread(docs)
-    val docShingles = documents
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
-        .as("shingle"))
-    val sizes = documents.select(col("doc_id"),
-      size(array_distinct(shingles(col("text")))).as("n_shingles"))
+    // same one-pass materialized shingle-array shape as
+    // [[ngramJaccardTop]]
+    val arr = spread(docs)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("arr"))
+      .localCheckpoint()
+    val docShingles = arr
+      .select(col("doc_id"), explode(col("arr")).as("shingle"))
+    val sizes = arr.select(col("doc_id"), size(col("arr")).as("n_shingles"))
     val common = docShingles
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -440,10 +445,14 @@ object Dedup {
     * [[dupSpans]] by construction ([[graft.functions.Portable.shinglesOfTokens]]). */
   def dupSpansOfTokens(tok: DataFrame, minDf: Int = 2): DataFrame = {
     val k = 3 // token width of Portable.shingles
+    // positioned-shingle relation feeds both the df aggregate and the
+    // span join's probe side — materialize once (no Catalyst CSE
+    // across join sides; the same idiom as SetSimJoin's ds)
     val sh = tok
       .select(col("doc_id"),
         posexplode(shinglesOfTokens(col("t"), k)).as(Seq("pos", "shingle")))
       .select(col("doc_id"), col("pos"), hex16(col("shingle")).as("h"))
+      .localCheckpoint()
     val dupHashes = sh
       .groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))

@@ -129,20 +129,34 @@ object TextAnalysis {
   /** Repetition statistics — the Gopher-style quality signal that
     * catches degenerate/boilerplate documents: the share of a doc's
     * word bigrams taken by its single most frequent bigram, plus the
-    * distinct-bigram ratio. Two keyed aggregations on doc_id, both
-    * map-side combinable; documents shorter than two tokens have no
-    * bigrams and drop out (mirrored by the oracle). */
+    * distinct-bigram ratio. Documents shorter than two tokens have no
+    * bigrams and drop out (mirrored by the oracle).
+    *
+    * ZERO shuffles: the per-doc bigram multiset never leaves its row.
+    * The doc's bigrams sort in-row; run lengths of the sorted array
+    * ARE the per-bigram counts (run starts = positions differing from
+    * their predecessor, each run ends where the next begins), so the
+    * max run length is the top-bigram count. The earlier two-level
+    * groupBy shuffled every bigram occurrence of the corpus — this
+    * form is pure projection and scales with scan bandwidth alone,
+    * which is the plan a per-document statistic should have. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val documents = spread(docs)
-    val counts = documents
-      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    counts.groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_grams"),
-        count(lit(1)).as("n_distinct_grams"),
-        max(col("c")).as("top_n"))
+    val sg = col("sg")
+    val n = size(sg)
+    // 1-based run-start positions in the sorted bigram array
+    val starts = filter(sequence(lit(1), n), i =>
+      i === 1 || element_at(sg, i) =!= element_at(sg, i - 1))
+    // each run ends where the next starts; sentinel n+1 closes the last
+    val ends = concat(slice(starts, lit(2), size(starts) - 1),
+      array(n + lit(1)))
+    val topRun = array_max(zip_with(starts, ends, (a, b) => b - a))
+    spread(docs)
+      .select(col("doc_id"), sort_array(shingles(col("text"), 2)).as("sg"))
+      .filter(n > 0)
+      .select(col("doc_id"),
+        n.cast("long").as("n_grams"),
+        size(array_distinct(sg)).cast("long").as("n_distinct_grams"),
+        topRun.cast("long").as("top_n"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
         round(col("top_n").cast("double") / col("n_grams"), 4)
           .as("top_gram_frac"),
@@ -538,9 +552,14 @@ object TextAnalysis {
   /** [[lmCoverageScore]] over a pre-tokenized `(doc_id, t)` relation
     * (the admission gates' shared-scan contract). */
   def lmCoverageOfTokens(tok: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    // the bigram relation feeds BOTH the vocabulary aggregate and the
+    // scoring join's probe side; Catalyst shares no subexpressions
+    // across join sides, so without materialization the tokenize+
+    // explode pass runs twice (the admission-gate lesson, round 6)
     val bg = tok
       .select(col("doc_id"),
         explode(shinglesOfTokens(col("t"), 2)).as("g"))
+      .localCheckpoint()
     val vocab = bg
       .groupBy(col("g"))
       .agg(count(lit(1)).as("c"))
