@@ -72,7 +72,7 @@ object Soak {
     "ts_m4_downsample", "knn_filtered", "doc_corpus_mix",
     // round-6 additions: the single-scan admission gates (shared
     // doc×token relation) and the routed dedup composition
-    "doc_admission_lm", "dedup_route")
+    "doc_admission_lm", "dedup_route", "dedup_delta_verified")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

@@ -432,6 +432,15 @@ object SparkEntry {
         fresh = docs.filter(col("doc_id") % 5 === 0))
         .orderBy("doc_id")
     }),
+    // delta ingest with ROUTED exactness: LSH collisions are only
+    // candidates; rejection requires a verified Jaccard
+    "dedup_delta_verified" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.dedup.Dedup.dedupDeltaVerified(
+        corpus = docs.filter(col("doc_id") % 5 =!= 0),
+        fresh = docs.filter(col("doc_id") % 5 === 0))
+        .orderBy("doc_id")
+    }),
     "sample_mix_sources" -> q((s, d) =>
       operators.Sampling.mixSources(Tables.documents(s, d),
         Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 60)
@@ -3003,6 +3012,41 @@ object SparkEntry {
          |  JOIN sizes s2 ON s2.doc_id = id2
          |WHERE inter * 3 >= (s1.n + s2.n - inter) * 2
          |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_delta_verified" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 5 = 0),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |    JOIN ds a ON a.doc_id = c.id1
+         |    JOIN ds b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |    round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4)
+         |      AS jaccard
+         |  FROM common
+         |    JOIN sizes s1 ON s1.doc_id = id1
+         |    JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE inter * 2 >= (s1.n + s2.n - inter) * 1),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY id1
+         |        ORDER BY jaccard DESC, id2) AS rk FROM v)
+         |SELECT id1 AS doc_id, id2 AS dup_of, n1, n2, inter, jaccard
+         |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_route" -> {
       val bandRows = (0 until Dedup.NumBands).map { b =>

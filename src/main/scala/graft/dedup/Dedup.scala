@@ -282,16 +282,17 @@ object Dedup {
     * similarity (deterministic tiebreak). */
   def ngramJaccardTop(docs: DataFrame, k: Int = 50,
                       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // ONE shingle-kernel pass: the per-doc distinct-shingle array is
-    // materialized once and serves both the posting-list explode and
-    // the size projection (round 5 ran the kernel twice — no CSE
-    // across the later join's sides)
-    val arr = spread(docs)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("arr"))
-      .localCheckpoint()
-    val docShingles = arr
-      .select(col("doc_id"), explode(col("arr")).as("shingle"))
-    val sizes = arr.select(col("doc_id"), size(col("arr")).as("n_shingles"))
+    // The shingle kernel deliberately runs TWICE (posting-list explode
+    // + size projection): both are pipelined scans, and the round-6
+    // A/B showed materializing the per-doc shingle arrays instead
+    // (localCheckpoint) costs 2.3× at sf1 — writing + re-reading the
+    // array blob is slower than recomputing it from the text.
+    val documents = spread(docs)
+    val docShingles = documents
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
+        .as("shingle"))
+    val sizes = documents.select(col("doc_id"),
+      size(array_distinct(shingles(col("text")))).as("n_shingles"))
     val common = docShingles
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -326,14 +327,13 @@ object Dedup {
     * `k` pairs (id1 < id2) by containment, deterministic tiebreak. */
   def containmentTop(docs: DataFrame, k: Int = 50,
                      maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // same one-pass materialized shingle-array shape as
-    // [[ngramJaccardTop]]
-    val arr = spread(docs)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("arr"))
-      .localCheckpoint()
-    val docShingles = arr
-      .select(col("doc_id"), explode(col("arr")).as("shingle"))
-    val sizes = arr.select(col("doc_id"), size(col("arr")).as("n_shingles"))
+    // double kernel pass on purpose — see [[ngramJaccardTop]]'s note
+    val documents = spread(docs)
+    val docShingles = documents
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"))))
+        .as("shingle"))
+    val sizes = documents.select(col("doc_id"),
+      size(array_distinct(shingles(col("text")))).as("n_shingles"))
     val common = docShingles
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -382,6 +382,59 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("o.doc_id")).as("dup_of"),
         countDistinct(col("band")).as("n_band_hits"))
+  }
+
+  /** [[dedupDelta]] graduated to the ROUTED contract: the LSH
+    * collisions are candidates, and each flagged (new, partner) pair
+    * is verified EXACTLY — shingle-set Jaccard at a rational
+    * threshold — before the new doc is called a duplicate. The
+    * daily-ingest answer to LSH false positives: admission decisions
+    * carry a verified similarity, not a band coincidence, and the
+    * verification only ever tokenizes docs that collided (O(delta +
+    * partners), never the corpus — the same pruning as
+    * [[SetSimJoin.routedJoin]]).
+    *
+    * Output per REJECTED new doc: `dup_of` = the verified partner
+    * with the highest Jaccard (ties to the smallest id), with the
+    * exact evidence (sizes, intersection, jaccard at 4dp). New docs
+    * whose collisions all verify below threshold are admitted — they
+    * do not appear. Corpus and fresh must carry disjoint doc_ids
+    * (same contract as [[dedupDelta]]). */
+  def dedupDeltaVerified(corpus: DataFrame, fresh: DataFrame,
+                         tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    // candidate mining — dedupDelta's bucket shape, but keeping every
+    // colliding partner (the verifier decides blame, not band luck)
+    val buckets = minhashBands(corpus).withColumn("is_new", lit(false))
+      .unionAll(minhashBands(fresh).withColumn("is_new", lit(true)))
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("is_new"))))
+        .as("items"))
+      .filter(size(col("items")) > 1 &&
+        exists(col("items"), m => m("is_new")))
+    val cand = buckets
+      .select(col("items"), explode(col("items")).as("m"))
+      .filter(col("m.is_new"))
+      .select(col("m.doc_id").as("id1"),
+        explode(filter(col("items"),
+          x => x("doc_id") =!= col("m.doc_id"))).as("o"))
+      .select(col("id1"), col("o.doc_id").as("id2"))
+      .distinct()
+      .localCheckpoint() // feeds the doc pruning AND the verification
+    val involved = cand.select(col("id1").as("doc_id"))
+      .unionAll(cand.select(col("id2").as("doc_id")))
+      .distinct()
+    val texts = corpus.select(col("doc_id"), col("text"))
+      .unionAll(fresh.select(col("doc_id"), col("text")))
+    val ds = SetSimJoin.shingleRelation(
+      texts.join(involved, Seq("doc_id"), "left_semi"))
+    val verified = SetSimJoin.verifyCandidates(cand, ds, tNum, tDen)
+    val best = Window.partitionBy(col("id1"))
+      .orderBy(col("jaccard").desc, col("id2"))
+    verified
+      .withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("id2").as("dup_of"),
+        col("n1"), col("n2"), col("inter"), col("jaccard"))
   }
 
   /** Benchmark decontamination: rank training documents by their

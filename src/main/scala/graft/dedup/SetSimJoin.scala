@@ -45,15 +45,22 @@ object SetSimJoin {
     * Output: (id1 < id2, n1, n2, inter, jaccard rounded at 4).
     * Documents with fewer than 3 tokens have no shingles and no
     * similarity under this measure; they do not appear. */
-  def jaccardJoin(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+  def jaccardJoin(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L): DataFrame =
+    jaccardJoinOfShingles(shingleRelation(docs), tNum, tDen)
+
+  /** The materialized distinct (doc_id, sh) relation both joins
+    * verify against. Checkpointed: it feeds several consumers
+    * (document frequency, prefix ranking, exact verification) and
+    * the tokenize+explode+distinct shuffle must not re-run per
+    * consumer. */
+  private[dedup] def shingleRelation(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("sh"))
+    .distinct()
+    .localCheckpoint()
+
+  private def jaccardJoinOfShingles(ds: DataFrame, tNum: Long,
+                                    tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    // the doc×shingle relation feeds three consumers (document
-    // frequency, prefix ranking, exact verification) — materialize it
-    // once so the tokenize+explode+distinct shuffle isn't re-run 3×
-    val ds = docs
-      .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("sh"))
-      .distinct()
-      .localCheckpoint()
     val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // one doc_id exchange serves both windows (rank and set size):
     // same partitioning, Catalyst stacks the two Window nodes
@@ -127,17 +134,30 @@ object SetSimJoin {
   def routedJoin(docs: DataFrame, tNum: Long = 1L, tDen: Long = 2L,
                  maxBucket: Int = 10000): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // candidates feed two consumers (the doc pruning and the
+    // verification join); the pair set is small — checkpoint it
     val cand = graft.dedup.Dedup.minhashPairs(docs, maxBucket)
-    // the shingle relation feeds three consumers (sizes + both sides
-    // of the verification join) — materialize once, same idiom as
-    // jaccardJoin
-    val ds = docs
-      .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("sh"))
-      .distinct()
       .localCheckpoint()
+    // THE scale point of routing: verification only ever tokenizes
+    // docs that appear in some candidate pair. At a realistic dup
+    // rate that is a small slice of the corpus — the exact verifier's
+    // cost tracks the duplicates, not the 100 TB.
+    val candDocs = cand.select(col("id1").as("doc_id"))
+      .unionAll(cand.select(col("id2").as("doc_id")))
+      .distinct()
+    val ds = shingleRelation(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+    verifyCandidates(cand, ds, tNum, tDen)
+  }
+
+  /** Exact verification of candidate pairs against a (doc_id, sh)
+    * relation covering at least the candidate docs: cost Σ|x| over the
+    * mined pairs, shuffle rows narrow and map-side-combinable.
+    * `cand` needs (id1, id2) columns; ids need not be ordered — each
+    * directed pair verifies independently (the delta path emits both
+    * directions when two NEW docs collide). */
+  private[dedup] def verifyCandidates(cand: DataFrame, ds: DataFrame,
+                                      tNum: Long, tDen: Long): DataFrame = {
     val sizes = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // exact verification over candidates only: cost Σ|x| over the
-    // LSH-mined pairs, shuffle rows stay narrow and map-side-combinable
     val verified = cand
       .join(ds.select(col("doc_id").as("id1"), col("sh")), "id1")
       .join(ds.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
@@ -160,8 +180,14 @@ object SetSimJoin {
     * against the two paths' shingle definitions ever drifting. */
   def routeRecall(docs: DataFrame, tNum: Long = 1L,
                   tDen: Long = 2L): DataFrame = {
-    val exact = jaccardJoin(docs, tNum, tDen).select(col("id1"), col("id2"))
-    val routed = routedJoin(docs, tNum, tDen).select(col("id1"), col("id2"))
+    // ONE shingle relation serves both paths: the eval is a compare,
+    // and a compare must not pay the corpus tokenization twice
+    val ds = shingleRelation(docs)
+    val exact = jaccardJoinOfShingles(ds, tNum, tDen)
+      .select(col("id1"), col("id2"))
+    val routed = verifyCandidates(
+        graft.dedup.Dedup.minhashPairs(docs, 10000), ds, tNum, tDen)
+      .select(col("id1"), col("id2"))
     val hits = routed.join(exact, Seq("id1", "id2"))
       .agg(count(lit(1)).as("n_hit"))
     exact.agg(count(lit(1)).as("n_exact"))

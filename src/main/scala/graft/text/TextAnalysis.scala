@@ -132,31 +132,24 @@ object TextAnalysis {
     * distinct-bigram ratio. Documents shorter than two tokens have no
     * bigrams and drop out (mirrored by the oracle).
     *
-    * ZERO shuffles: the per-doc bigram multiset never leaves its row.
-    * The doc's bigrams sort in-row; run lengths of the sorted array
-    * ARE the per-bigram counts (run starts = positions differing from
-    * their predecessor, each run ends where the next begins), so the
-    * max run length is the top-bigram count. The earlier two-level
-    * groupBy shuffled every bigram occurrence of the corpus — this
-    * form is pure projection and scales with scan bandwidth alone,
-    * which is the plan a per-document statistic should have. */
+    * Two keyed aggregations on doc_id, both map-side combinable. A
+    * zero-shuffle variant (sort bigrams in-row, take run lengths of
+    * the sorted array as counts) was A/B'd in round 6 and LOST —
+    * 3.99 s vs 0.73 s at sf0.1, 5.4 s vs 2.4 s at sf1: Spark's
+    * higher-order array functions evaluate interpreted per element,
+    * while the bigram shuffle collapses map-side and stays inside
+    * codegen. Keep the declarative aggregation. */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val sg = col("sg")
-    val n = size(sg)
-    // 1-based run-start positions in the sorted bigram array
-    val starts = filter(sequence(lit(1), n), i =>
-      i === 1 || element_at(sg, i) =!= element_at(sg, i - 1))
-    // each run ends where the next starts; sentinel n+1 closes the last
-    val ends = concat(slice(starts, lit(2), size(starts) - 1),
-      array(n + lit(1)))
-    val topRun = array_max(zip_with(starts, ends, (a, b) => b - a))
-    spread(docs)
-      .select(col("doc_id"), sort_array(shingles(col("text"), 2)).as("sg"))
-      .filter(n > 0)
-      .select(col("doc_id"),
-        n.cast("long").as("n_grams"),
-        size(array_distinct(sg)).cast("long").as("n_distinct_grams"),
-        topRun.cast("long").as("top_n"))
+    val documents = spread(docs)
+    val counts = documents
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("top_n"))
       .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
         round(col("top_n").cast("double") / col("n_grams"), 4)
           .as("top_gram_frac"),
@@ -464,19 +457,28 @@ object TextAnalysis {
     * engines only far past 6dp). */
   def lmScore(docs: DataFrame, k: Double = 1.0): DataFrame =
     lmScoreOfTokens(
-      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")), k)
+      // tok feeds three consumers downstream (bigrams, unigrams, the
+      // per-doc spine) — parse the corpus once
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t"))
+        .localCheckpoint(), k)
 
   /** [[lmScore]] over a pre-tokenized `(doc_id, t)` relation (the
     * admission gates' shared-scan contract). */
   def lmScoreOfTokens(tok: DataFrame, k: Double = 1.0): DataFrame = {
+    // bg feeds the count aggregate AND the probe side of the scoring
+    // join — materialize once (A/B'd both ways at sf1 in round 6;
+    // the checkpoint wins by ~10%, within noise but never worse)
     val bg = tok
       .select(col("doc_id"),
         explode(shinglesOfTokens(col("t"), 2)).as("g"))
       .withColumn("w1", split(col("g"), " ").getItem(0))
+      .localCheckpoint()
     val toks = tok.select(explode(col("t")).as("w"))
     val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
     val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val v = toks.agg(countDistinct(col("w")).as("v"))
+    // |vocabulary| = c1's group count — don't re-explode the corpus
+    // for a countDistinct the unigram aggregate already implies
+    val v = c1.agg(count(lit(1)).as("v"))
     val perDoc = bg
       .join(c2, "g")
       .join(c1, col("w1") === col("w"))

@@ -205,6 +205,25 @@ class DedupSpec extends SparkSpec {
     assert(clean.count() == 0)
   }
 
+  test("verified delta dedup rejects only above-threshold collisions, with evidence") {
+    val corpus = docs.filter(col("doc_id").isin(0L, 3L))
+    val fresh = docs.filter(col("doc_id").isin(1L, 2L, 4L))
+    val got = Dedup.dedupDeltaVerified(corpus, fresh).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    // doc 1 is an exact dup of 0 (jaccard 1.0); doc 2 is a near dup
+    // above 1/2; doc 4 has no shingles and never collides
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (2L, 0L)))
+    assert(got(0)._4 == 1.0)
+    assert(got(1)._4 > 0.5 && got(1)._4 < 1.0)
+    // a collision that verifies BELOW threshold is admitted: at a
+    // strict-enough threshold the near dup survives, the exact dup
+    // still rejects
+    val strict = Dedup.dedupDeltaVerified(corpus, fresh, 99L, 100L)
+      .collect().map(_.getLong(0))
+    assert(strict.toSeq == Seq(1L))
+  }
+
   test("decontamination ranks docs by eval-shingle overlap; eval docs excluded") {
     val d = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"), // eval (0 % 2 == 0 with mod 2)
