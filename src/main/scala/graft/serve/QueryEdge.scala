@@ -1,0 +1,90 @@
+package graft.serve
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.MouseStream
+
+/** The HTTP query edge — the REST contract the reference serves via
+  * API Gateway + Lambda (`GET /users/{uid}/movements/{ts}`, consumed
+  * at functions.js:156 incremental poll, :312 reverse initial load,
+  * :351 reverse+count=false&limit heatmap read), bound to the Spark
+  * aggregate table by [[MouseStream.range]].
+  *
+  * JDK-built-in `com.sun.net.httpserver` — zero added dependencies;
+  * the engine stays a library and this stays a ~page of glue. Response
+  * rows mirror the reference's JSON exactly as its client consumes
+  * them: `timestamp` (epoch seconds), `count`, and — only when
+  * `count=false` — `movs` as `[{"X":…,"Y":…},…]` (uppercase keys,
+  * functions.js:365-375).
+  *
+  * Query params, as the reference's three call shapes use them:
+  *  - (none)          incremental poll: sec > ts, ascending
+  *  - `reverse=true`  initial load: sec <= ts, descending
+  *  - `count=false`   include raw movements (the heatmap read)
+  *  - `limit=N`       cap rows after ordering
+  *
+  * Serving is driver-side by design — the query edge is a
+  * display-bound, single-user row slice (the same budget as the
+  * reference's Lambda); the heavy lifting stays in the cluster-side
+  * plan `range` builds. */
+object QueryEdge {
+
+  private val Path = "/users/([^/]+)/movements/(-?[0-9]+)".r
+
+  /** Start serving `table` on `port` (0 = ephemeral; read the bound
+    * port off the returned server). Caller stops with `.stop(0)`. */
+  def start(spark: SparkSession, table: String, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/users", (ex: HttpExchange) => handle(spark, table, ex))
+    server.setExecutor(null) // serial — a display edge, not a fleet
+    server.start()
+    server
+  }
+
+  private def handle(spark: SparkSession, table: String,
+                     ex: HttpExchange): Unit = {
+    try {
+      ex.getRequestURI.getPath match {
+        case Path(uid, ts) if ex.getRequestMethod == "GET" =>
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+          val params = q.split("&").iterator.filter(_.contains("="))
+            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+            .toMap
+          val reverse = params.get("reverse").contains("true")
+          val includeRaw = params.get("count").contains("false")
+          val limit = params.get("limit").map(_.toInt)
+          val rows = MouseStream.range(spark, table, uid, ts.toLong,
+            reverse, limit, includeRaw).collect()
+          val body = rows.map { r =>
+            val base = s""""timestamp":${r.getAs[Long]("sec")},""" +
+              s""""count":${r.getAs[Long]("cnt")}"""
+            if (!includeRaw) s"{$base}"
+            else {
+              val movs = Option(r.getAs[Seq[org.apache.spark.sql.Row]]("movs"))
+                .getOrElse(Seq.empty)
+                .map(m => s"""{"X":${m.getAs[Int]("x")},"Y":${m.getAs[Int]("y")}}""")
+                .mkString("[", ",", "]")
+              s"""{$base,"movs":$movs}"""
+            }
+          }.mkString("[", ",", "]")
+          respond(ex, 200, body)
+        case _ => respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 400,
+          s"""{"error":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\]", "")}"}""")
+    }
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Drives the HTTP query edge over a real socket with the reference
+  * client's exact three call shapes (functions.js:156/312/351). */
+class QueryEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("serves the reference's three call shapes over HTTP") {
+    // the aggregate table the memory sink would hold: (user, sec) rows
+    // with counts and retained movements
+    Seq(
+      ("7", 100L, 2L, Seq((1, 2, 1000L), (3, 4, 1100L))),
+      ("7", 101L, 1L, Seq((5, 6, 2000L))),
+      ("7", 102L, 3L, Seq((7, 8, 3000L))),
+      ("9", 100L, 9L, Seq((9, 9, 1500L))))
+      .toDF("user_id", "sec", "cnt", "m")
+      .withColumn("movs", transform(col("m"),
+        e => struct(e.getField("_1").as("x"), e.getField("_2").as("y"),
+          e.getField("_3").as("time"))))
+      .drop("m")
+      .createOrReplaceTempView("edge_test")
+
+    val server = QueryEdge.start(spark, "edge_test")
+    val port = server.getAddress.getPort
+    try {
+      // incremental poll: sec > ts ascending, counts only
+      val (c1, poll) = get(port, "/users/7/movements/100")
+      assert(c1 == 200)
+      assert(poll ==
+        """[{"timestamp":101,"count":1},{"timestamp":102,"count":3}]""")
+
+      // initial load: reverse from now, descending
+      val (c2, load) = get(port, "/users/7/movements/102?reverse=true")
+      assert(c2 == 200)
+      assert(load.startsWith("""[{"timestamp":102,"count":3}"""))
+      assert(load.contains(""""timestamp":100"""))
+      assert(!load.contains("movs"))
+
+      // heatmap read: reverse + count=false + limit → raw movs, capped
+      val (c3, heat) =
+        get(port, "/users/7/movements/102?reverse=true&count=false&limit=2")
+      assert(c3 == 200)
+      assert(heat ==
+        """[{"timestamp":102,"count":3,"movs":[{"X":7,"Y":8}]},""" +
+          """{"timestamp":101,"count":1,"movs":[{"X":5,"Y":6}]}]""")
+
+      // a user with no rows past the key → empty array (the client's
+      // data.length == 0 branch, functions.js:161)
+      val (c4, empty) = get(port, "/users/9/movements/100")
+      assert(c4 == 200 && empty == "[]")
+
+      // malformed path → 404
+      assert(get(port, "/users/7/nope/3")._1 == 404)
+    } finally server.stop(0)
+  }
+
+  test("end to end: wire JSON → streaming aggregate → HTTP poll") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.MouseStream
+    val input = MemoryStream[String](spark)
+    val q = MouseStream.startToMemory(spark,
+      MouseStream.parse(input.toDF()), tableName = "edge_e2e")
+    val server = QueryEdge.start(spark, "edge_e2e")
+    try {
+      input.addData(
+        """{"user_id":"42","x":10,"y":20,"time":5000}""",
+        """{"user_id":"42","x":11,"y":21,"time":5400}""",
+        """{"user_id":"42","x":12,"y":22,"time":6100}""")
+      q.processAllAvailable()
+      val port = server.getAddress.getPort
+      // poll everything after sec 4: two windows, counts 2 and 1
+      val (code, body) = get(port, "/users/42/movements/4")
+      assert(code == 200)
+      assert(body == """[{"timestamp":5,"count":2},{"timestamp":6,"count":1}]""")
+      // heatmap shape returns the retained raw positions
+      val (_, heat) =
+        get(port, "/users/42/movements/6?reverse=true&count=false&limit=1")
+      assert(heat == """[{"timestamp":6,"count":1,"movs":[{"X":12,"Y":22}]}]""")
+    } finally { server.stop(0); q.stop() }
+  }
+}
