@@ -51,8 +51,15 @@ object GraphOps {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // materialize the INPUT first: `pairs` is typically an expensive
+    // mining pipeline (LSH band expansion), and it appears twice in
+    // the symmetrizing union — and `edges` twice more in the degree
+    // self-join below. Without this the miner executed 4× before the
+    // first checkpoint (round-6 soak: pagerank 16.0 s → the fix's
+    // re-measure in ARCHITECTURE §7).
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val edges = pairsM.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
     // degree travels WITH each edge: one materialized (src, dst, deg)
     // relation means each round is a single join + a single groupBy —
