@@ -437,6 +437,26 @@ object Dedup {
         col("n1"), col("n2"), col("inter"), col("jaccard"))
   }
 
+  /** Exact verification of an arbitrary candidate-pair relation
+    * (id1, id2) against a document store (doc_id, text) — the
+    * downstream verifier [[graft.streaming.StreamingDedup
+    * .candidatePairs]] is built for: each micro-batch's in-flight LSH
+    * collisions verify here inside foreachBatch, against whatever
+    * store the ingest maintains. Same pruning as the batch routes:
+    * only docs appearing in some pair are ever tokenized. Output one
+    * row per pair meeting the threshold, with the exact evidence. */
+  def verifyPairs(cand: DataFrame, texts: DataFrame,
+                  tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    val c = cand.select(col("id1"), col("id2")).distinct().localCheckpoint()
+    val involved = c.select(col("id1").as("doc_id"))
+      .unionAll(c.select(col("id2").as("doc_id")))
+      .distinct()
+    val ds = SetSimJoin.shingleRelation(
+      texts.select(col("doc_id"), col("text"))
+        .join(involved, Seq("doc_id"), "left_semi"))
+    SetSimJoin.verifyCandidates(c, ds, tNum, tDen)
+  }
+
   /** Benchmark decontamination: rank training documents by their
     * shingle overlap with an evaluation set — the pre-training check
     * that keeps test data out of the corpus. The eval set's DISTINCT

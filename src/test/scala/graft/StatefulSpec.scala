@@ -196,6 +196,51 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming candidates verify exactly per micro-batch (the routed front door)") {
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    // the ingest's document store: every doc seen so far (here a plain
+    // map kept by the test; production keeps a parquet/Delta store)
+    val store = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val verified = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val q = graft.streaming.StreamingDedup
+      .candidatePairs(docs, lateness = "1 hour")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val texts = store.toSeq.toDF("doc_id", "text")
+        verified.synchronized {
+          verified ++= graft.dedup.Dedup.verifyPairs(batch, texts)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1),
+              r.getAs[Double]("jaccard")))
+        }
+      }.start()
+    val base = "one two three four five six seven eight nine ten eleven"
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      store ++= Seq(10L -> base,
+        20L -> "unrelated corpus text that shares no shingles at all here")
+      input.addData((10L, base, t(1000)),
+        (20L, "unrelated corpus text that shares no shingles at all here", t(1001)))
+      q.processAllAvailable()
+      // an exact repeat and a sub-threshold variant both collide on
+      // bands; only the true near-dup survives exact verification
+      store ++= Seq(30L -> base,
+        40L -> ("one two three four " +
+          "totally different tail content now following here instead"))
+      input.addData((30L, base, t(2000)),
+        (40L, "one two three four totally different tail content now " +
+          "following here instead", t(2001)))
+      q.processAllAvailable()
+      val got = verified.synchronized(verified.toSet)
+      assert(got.map(p => (p._1, p._2)).contains((10L, 30L)), s"got $got")
+      assert(got.forall(_._3 >= 0.5), s"sub-threshold pair leaked: $got")
+      assert(!got.exists(p => p._1 == 40L || p._2 == 40L),
+        s"band coincidence rejected without exact evidence: $got")
+    } finally q.stop()
+  }
+
   test("keyed JSON sink shape round-trips through the wire format (S4)") {
     val events = MouseStream.parse(Seq(
       """{"user_id":"u7","x":11,"y":22,"time":5000}""").toDF("value"))
