@@ -2,7 +2,11 @@
 """Local replica of the driver's correctness gate (test tooling only —
 the engine itself is pure Scala/Spark).
 
-Usage: python3 scripts/check.py [sfDir] [outDir]
+Usage: python3 scripts/check.py [sfDir] [outDir] [--tolerant]
+
+Exact value equality by default (the driver's gate is an exact hash
+compare); --tolerant enables a 1e-9 relative float tolerance for
+debugging only.
 
 Reads outDir/<name>/ parquet (written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views
@@ -26,6 +30,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
+# The driver's gate is an EXACT hash compare — so exact equality is
+# the default here; --tolerant (1e-9 relative) is a debugging aid only
+# and its PASSes do NOT predict driver green.
+TOLERANT = False
+
 def values_equal(a, b) -> bool:
     if isinstance(a, float) or isinstance(b, float):
         try:
@@ -34,7 +43,9 @@ def values_equal(a, b) -> bool:
             return False
         if math.isnan(af) and math.isnan(bf):
             return True
-        return af == bf or abs(af - bf) < 1e-9 * max(1.0, abs(af), abs(bf))
+        if af == bf:
+            return True
+        return TOLERANT and abs(af - bf) < 1e-9 * max(1.0, abs(af), abs(bf))
     return a == b
 
 def compare(name, spark_df, duck_df):
@@ -56,8 +67,11 @@ def compare(name, spark_df, duck_df):
     return None
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    global TOLERANT
+    args = [a for a in sys.argv[1:] if a != "--tolerant"]
+    TOLERANT = "--tolerant" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

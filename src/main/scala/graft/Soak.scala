@@ -147,16 +147,24 @@ object Soak {
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     // optional 4th arg: comma-separated subset of SoakQueries, so a
     // new operator can be soaked without re-timing the whole list
-    // fail fast, not 40 minutes in: the sf1 session needs a 16 GiB
-    // driver (pagerank's checkpointed blocks plus a later broadcast
-    // build exceed the 8 GiB default) — ARCHITECTURE §7 / README
-    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
-    if (heapGiB < 14.0)
-      throw new IllegalStateException(
-        f"SoakDriverHeapTooSmall: sf1 soak needs a 16 GiB driver heap, " +
-          f"got $heapGiB%.1f GiB — rerun with SPARK_DRIVER_MEM=16g")
     val wanted = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast, not 40 minutes in: the FULL sf1 soak needs a 16 GiB
+    // driver (pagerank's checkpointed blocks plus a later broadcast
+    // build exceed the 8 GiB default) — ARCHITECTURE §7 / README.
+    // A subset run or a small copies count is exactly the cheap-run
+    // use case, so the guard only hard-fails the full configuration;
+    // otherwise it warns loudly and proceeds.
+    val heapGiB = Runtime.getRuntime.maxMemory.toDouble / (1L << 30)
+    if (heapGiB < 14.0) {
+      val fullRun = wanted.isEmpty && copies >= 10
+      val msg =
+        f"sf1 soak at full scale needs a 16 GiB driver heap, " +
+          f"got $heapGiB%.1f GiB — rerun with SPARK_DRIVER_MEM=16g"
+      if (fullRun)
+        throw new IllegalStateException(s"SoakDriverHeapTooSmall: $msg")
+      else System.err.println(s"[soak] WARNING (subset/small-copies run): $msg")
+    }
     val soakQueries = wanted match {
       case Some(ws) => SoakQueries.filter(ws)
       case None     => SoakQueries

@@ -1074,9 +1074,10 @@ object SparkEntry {
 
     // integer cross-product collinearity + integer-exact gap moments:
     // floor-mean via BIGINT division, variance numerator gn*gss-gs^2
-    // in DECIMAL — no double rounding anywhere, so the readout is
-    // provably engine-exact (round 5's round(double,4) tied differently
-    // in Spark vs DuckDB at ~1e10 magnitude)
+    // in DECIMAL — no double rounding anywhere. var_gap_num ships as a
+    // STRING on both sides: the ~6.5e24 numerator exceeds float64's
+    // 2^53, so a numeric readout (DuckDB delivers DECIMAL(38,0) as
+    // double) would corrupt every row even though the math matches.
     "mov_bot_signals" ->
       s"""WITH $POS,
          |m AS (SELECT user_id, sec, ts_us, event_id, x, y
@@ -1111,10 +1112,10 @@ object SparkEntry {
          |    AS straight8,
          |  CASE WHEN gn = 0 THEN CAST(0 AS BIGINT)
          |       ELSE CAST(gs AS BIGINT) // gn END AS mean_gap_floor_us,
-         |  CASE WHEN gn = 0 THEN CAST(0 AS DECIMAL(38,0))
+         |  CAST(CASE WHEN gn = 0 THEN CAST(0 AS DECIMAL(38,0))
          |       ELSE CAST(CAST(gn AS DECIMAL(10,0)) * CAST(gss AS DECIMAL(28,0))
          |                 - CAST(gs AS DECIMAL(19,0)) * CAST(gs AS DECIMAL(19,0))
-         |            AS DECIMAL(38,0)) END AS var_gap_num
+         |            AS DECIMAL(38,0)) END AS VARCHAR) AS var_gap_num
          |FROM pu JOIN b USING (user_id) ORDER BY user_id""".stripMargin,
 
     "mov_sessions" ->

@@ -448,13 +448,23 @@ object Dedup {
   def verifyPairs(cand: DataFrame, texts: DataFrame,
                   tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
     val c = cand.select(col("id1"), col("id2")).distinct().localCheckpoint()
-    val involved = c.select(col("id1").as("doc_id"))
-      .unionAll(c.select(col("id2").as("doc_id")))
-      .distinct()
-    val ds = SetSimJoin.shingleRelation(
-      texts.select(col("doc_id"), col("text"))
-        .join(involved, Seq("doc_id"), "left_semi"))
+    val ds = SetSimJoin.shingleRelation(involvedTexts(c, texts))
     SetSimJoin.verifyCandidates(c, ds, tNum, tDen)
+  }
+
+  /** The candidate-slice store prune [[verifyPairs]] applies BEFORE
+    * any tokenization: only docs appearing in some pair survive (a
+    * left-semi join — never a row-multiplying one). Exposed as its
+    * own seam so the scale contract is plan- and row-assertable; the
+    * downstream shingle relation checkpoints eagerly, which hides
+    * this join from its own optimized plan. */
+  private[graft] def involvedTexts(cand: DataFrame,
+                                   texts: DataFrame): DataFrame = {
+    val involved = cand.select(col("id1").as("doc_id"))
+      .unionAll(cand.select(col("id2").as("doc_id")))
+      .distinct()
+    texts.select(col("doc_id"), col("text"))
+      .join(involved, Seq("doc_id"), "left_semi")
   }
 
   /** Benchmark decontamination: rank training documents by their

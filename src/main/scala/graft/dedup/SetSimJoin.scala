@@ -177,7 +177,14 @@ object SetSimJoin {
     * [[jaccardJoin]] ground truth — one row: exact pair count,
     * routed pair count, intersection, recall rounded at 4. The
     * intersection join (rather than assuming routed ⊆ exact) guards
-    * against the two paths' shingle definitions ever drifting. */
+    * against the two paths' shingle definitions ever drifting.
+    *
+    * COST NOTE: this eval runs BOTH paths — the exact prefix-filter
+    * join AND the routed join — so its wall time is dominated by the
+    * exact ground truth (~3-4× the routed operator alone in the
+    * bench). That is the price of measuring recall, not the price of
+    * routing; the shipped bulk path is [[routedJoin]], and this eval
+    * runs on a sample or at gate scale, never over the full corpus. */
   def routeRecall(docs: DataFrame, tNum: Long = 1L,
                   tDen: Long = 2L): DataFrame = {
     // ONE shingle relation serves both paths: the eval is a compare,

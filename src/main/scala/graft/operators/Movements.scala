@@ -320,8 +320,13 @@ object Movements {
         when(col("_gn") === 0L, 0L)
           .otherwise(expr("CAST(_gs AS BIGINT) div _gn"))
           .as("mean_gap_floor_us"),
+        // shipped as a STRING: the exact numerator reaches ~6.5e24 on
+        // real data — beyond float64's 2^53 — so any numeric readout
+        // path (DuckDB returns DECIMAL(38,0) as double) corrupts it.
+        // Repo rule (ARCHITECTURE §2): no numeric output column may
+        // exceed 2^53; wider integers ship as DECIMAL<=18 or string.
         when(col("_gn") === 0L, lit(0).cast("decimal(38,0)"))
-          .otherwise(varNum).as("var_gap_num"))
+          .otherwise(varNum).cast("string").as("var_gap_num"))
   }
 
   /** P5/A6 — sentinel vs movement counts per user (functions.js:365;

@@ -45,40 +45,61 @@ object QueryEdge {
   }
 
   private def handle(spark: SparkSession, table: String,
-                     ex: HttpExchange): Unit = {
-    try {
-      ex.getRequestURI.getPath match {
-        case Path(uid, ts) if ex.getRequestMethod == "GET" =>
-          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-          val params = q.split("&").iterator.filter(_.contains("="))
-            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
-            .toMap
-          val reverse = params.get("reverse").contains("true")
-          val includeRaw = params.get("count").contains("false")
-          val limit = params.get("limit").map(_.toInt)
-          val rows = MouseStream.range(spark, table, uid, ts.toLong,
-            reverse, limit, includeRaw).collect()
-          val body = rows.map { r =>
-            val base = s""""timestamp":${r.getAs[Long]("sec")},""" +
-              s""""count":${r.getAs[Long]("cnt")}"""
-            if (!includeRaw) s"{$base}"
-            else {
-              val movs = Option(r.getAs[Seq[org.apache.spark.sql.Row]]("movs"))
-                .getOrElse(Seq.empty)
-                .map(m => s"""{"X":${m.getAs[Int]("x")},"Y":${m.getAs[Int]("y")}}""")
-                .mkString("[", ",", "]")
-              s"""{$base,"movs":$movs}"""
+                     ex: HttpExchange): Unit =
+    ex.getRequestURI.getPath match {
+      // match the path FIRST so a non-GET on a valid resource is 405,
+      // not 404 — and only parameter-parse failures are the client's
+      // fault (400); anything thrown by the query itself is a 500
+      case Path(uid, ts) =>
+        if (ex.getRequestMethod != "GET") {
+          ex.getResponseHeaders.set("Allow", "GET")
+          respond(ex, 405, """{"error":"method not allowed"}""")
+        } else {
+          val parsed =
+            try {
+              val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+              val params = q.split("&").iterator.filter(_.contains("="))
+                .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+                .toMap
+              Right((params.get("reverse").contains("true"),
+                params.get("count").contains("false"),
+                params.get("limit").map(_.toInt), ts.toLong))
+            } catch {
+              case e: Exception => Left(e)
             }
-          }.mkString("[", ",", "]")
-          respond(ex, 200, body)
-        case _ => respond(ex, 404, """{"error":"not found"}""")
-      }
-    } catch {
-      case e: Exception =>
-        respond(ex, 400,
-          s"""{"error":"${String.valueOf(e.getMessage).replaceAll("[\"\\\\]", "")}"}""")
+          parsed match {
+            case Left(e) => respond(ex, 400, errorBody(e))
+            case Right((reverse, includeRaw, limit, tsL)) =>
+              try {
+                val rows = MouseStream.range(spark, table, uid, tsL,
+                  reverse, limit, includeRaw).collect()
+                val body = rows.map { r =>
+                  val base = s""""timestamp":${r.getAs[Long]("sec")},""" +
+                    s""""count":${r.getAs[Long]("cnt")}"""
+                  if (!includeRaw) s"{$base}"
+                  else {
+                    val movs = Option(r.getAs[Seq[org.apache.spark.sql.Row]]("movs"))
+                      .getOrElse(Seq.empty)
+                      .map(m => s"""{"X":${m.getAs[Int]("x")},"Y":${m.getAs[Int]("y")}}""")
+                      .mkString("[", ",", "]")
+                    s"""{$base,"movs":$movs}"""
+                  }
+                }.mkString("[", ",", "]")
+                respond(ex, 200, body)
+              } catch {
+                case e: Exception => respond(ex, 500, errorBody(e))
+              }
+          }
+        }
+      case _ => respond(ex, 404, """{"error":"not found"}""")
     }
-  }
+
+  /** Exception → valid-JSON error body: strip quotes, backslashes AND
+    * control characters — Spark messages routinely carry newlines,
+    * which would break the reference client's JSON parse. */
+  private def errorBody(e: Exception): String =
+    s"""{"error":"${String.valueOf(e.getMessage)
+      .replaceAll("[\"\\\\\\x00-\\x1f]", " ").trim}"}"""
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes("UTF-8")

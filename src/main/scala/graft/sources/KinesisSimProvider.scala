@@ -269,6 +269,13 @@ private[sources] case class SimRecords(
   *    double-append, whichever instruction the crash interrupted;
   *  - the `_epochs/` marker, written last, makes a fully-committed
   *    retry a no-op without touching shard dirs.
+  * CONTRACT: an output path belongs to ONE query lineage. Both the
+  * epoch-skip and the `_epochs/` markers key on the epochId alone, so
+  * a FRESH query (epochs restarting at 0, i.e. a new checkpoint
+  * location) pointed at a path that already holds epoch-tagged files
+  * would silently skip its early batches as "already committed".
+  * Resuming the same query from its checkpoint is the supported
+  * restart path; a new lineage gets a new output path.
   * PutRecords semantics (key→shard hash, batch files, monotone
   * mtimes, zero-padded name order) match [[SimulatedKinesis
   * .ShardedProducer]], so either entry point feeds the same readers. */

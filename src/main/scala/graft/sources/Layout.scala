@@ -78,17 +78,23 @@ object Layout {
     * be small — if it isn't, the data isn't skewed, it's big, and
     * salting is the wrong tool).
     *
-    * SKEW-SIDE ASSUMPTION: hot keys are detected from the LEFT side's
-    * histogram only — the right side is expected unique (or near-
-    * unique) on `key`, as at the lineitem⋈orders call sites, where
-    * left-side fan-out is the only possible skew. A key skewed only
-    * on the RIGHT side takes the cold path and still concentrates on
-    * one task; if both sides can skew, detect over the union of both
-    * histograms (and note that a key hot on BOTH sides makes the
-    * join's OUTPUT quadratic in that key — no salting scheme fixes
-    * output size). */
+    * SKEW-SIDE ASSUMPTION (default `bothSides = false`): hot keys are
+    * detected from the LEFT side's histogram only — the right side is
+    * expected unique (or near-unique) on `key`, as at the
+    * lineitem⋈orders call sites, where left-side fan-out is the only
+    * possible skew. A key skewed only on the RIGHT side takes the
+    * cold path and still concentrates on one task. With
+    * `bothSides = true`, BOTH histograms are taken: left-hot keys
+    * take the left-salted path, right-ONLY-hot keys take the
+    * mirrored right-salted path (salt the right by position, explode
+    * the left — salting the populous side is what spreads the work),
+    * and the rest go cold; the three key sets are disjoint, so the
+    * union stays row-identical to the plain join. A key hot on BOTH
+    * sides makes the join's OUTPUT quadratic in that key — no salting
+    * scheme fixes output size; it lands on the left-salted path. */
   def saltedJoinHot(left: DataFrame, right: DataFrame, key: String,
-                    saltFactor: Int, minHotCount: Long): DataFrame = {
+                    saltFactor: Int, minHotCount: Long,
+                    bothSides: Boolean = false): DataFrame = {
     val hot = left.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= minHotCount)
       .select(col(key))
@@ -97,9 +103,29 @@ object Layout {
       left.join(hotB, Seq(key), "left_semi"),
       right.join(hotB, Seq(key), "left_semi"),
       key, saltFactor)
-    val coldJoin = left.join(hotB, Seq(key), "left_anti")
-      .join(right.join(hotB, Seq(key), "left_anti"), Seq(key))
-    hotJoin.unionByName(coldJoin)
+    if (!bothSides) {
+      val coldJoin = left.join(hotB, Seq(key), "left_anti")
+        .join(right.join(hotB, Seq(key), "left_anti"), Seq(key))
+      hotJoin.unionByName(coldJoin)
+    } else {
+      val hotR = broadcast(
+        right.groupBy(col(key)).agg(count(lit(1)).as("_cnt"))
+          .filter(col("_cnt") >= minHotCount)
+          .select(col(key))
+          .join(hotB, Seq(key), "left_anti"))
+      // mirrored path for right-only-hot keys; unionByName restores
+      // the left-then-right column order the caller expects
+      val hotRightJoin = saltedJoin(
+        right.join(hotR, Seq(key), "left_semi"),
+        left.join(hotR, Seq(key), "left_semi"),
+        key, saltFactor)
+      val coldJoin = left
+        .join(hotB, Seq(key), "left_anti")
+        .join(hotR, Seq(key), "left_anti")
+        .join(right.join(hotB, Seq(key), "left_anti")
+          .join(hotR, Seq(key), "left_anti"), Seq(key))
+      hotJoin.unionByName(hotRightJoin).unionByName(coldJoin)
+    }
   }
 
   /** Morton (z-order) value: interleave the low `bits` bits of two

@@ -86,6 +86,71 @@ object CorpusIngest {
       .withColumn("reason",
         when(!col("keep"), lit("high_perplexity")))
 
+  /** The full front door as ONE running query: document stream →
+    * [[ingest]] (PII mask → stateless gates → watermarked signature
+    * dedup) → frozen-LM perplexity gate → `store`. The LM scoring
+    * aggregates over exploded bigrams, so the gate runs inside
+    * foreachBatch (batch semantics per micro-batch) and `store`
+    * receives the gated frame — one row per admitted-so-far doc with
+    * `keep`/`reason`/`avg_nll` evidence, so the sink can route keeps
+    * and LM-rejects without re-scoring. Pass `checkpointDir` for
+    * exactly-once restartable ingest.
+    *
+    * Scale: everything before the signature dedup is a stateless
+    * projection; dedup state is watermark-bounded; the LM rides
+    * broadcast joins ([[graft.text.TextAnalysis.scoreWithLm]]) sized
+    * by the frozen vocabulary, not the stream. */
+  def ingestWithLm(docs: DataFrame, model: TextAnalysis.LmModel,
+                   maxAvgNll: Double,
+                   store: (DataFrame, Long) => Unit,
+                   minTokens: Int = 5, minDistinctRatio: Double = 0.3,
+                   lateness: String = "10 seconds",
+                   checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = ingest(docs, minTokens, minDistinctRatio, lateness)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        store(lmGate(batch, model, maxAvgNll), epoch)
+        ()
+      }
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.start()
+  }
+
+  /** The routed streaming verification front door as product code —
+    * the composition [[StreamingDedup.candidatePairs]] →
+    * [[graft.dedup.Dedup.verifyPairs]]: LSH candidate pairs mined
+    * in-flight (per-bucket state = one spine id, watermark-expired),
+    * each micro-batch's collisions verified EXACTLY against the
+    * document store before any doc is blamed as a near-dup.
+    * `store()` is called once per micro-batch and supplies the
+    * current (doc_id, text) corpus — a parquet read, a memory table,
+    * whatever the ingest maintains. `onVerified` receives the pairs
+    * meeting the threshold with exact evidence (n1, n2, inter,
+    * jaccard).
+    *
+    * Scale: candidate volume is arrivals × colliding bands, never
+    * corpus²; [[graft.dedup.Dedup.verifyPairs]] tokenizes ONLY docs
+    * appearing in some pair (left-semi pruned), so verification cost
+    * tracks duplicates, not the store. */
+  def verifiedIngest(docs: DataFrame, store: () => DataFrame,
+                     onVerified: (DataFrame, Long) => Unit,
+                     lateness: String = "10 seconds",
+                     stateTtlMs: Long = 60000L,
+                     tNum: Long = 1L, tDen: Long = 2L,
+                     checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = StreamingDedup.candidatePairs(docs, lateness, stateTtlMs)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        onVerified(
+          graft.dedup.Dedup.verifyPairs(batch, store(), tNum, tDen), epoch)
+        ()
+      }
+    checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
+    w.start()
+  }
+
   /** The reject stream for triage: gate failures with their reason,
     * PII already masked. Run as a SECOND query over the same source —
     * both queries are stateless up to the split, so the fan-out costs

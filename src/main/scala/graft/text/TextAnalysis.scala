@@ -463,25 +463,40 @@ object TextAnalysis {
         .localCheckpoint(), k)
 
   /** [[lmScore]] over a pre-tokenized `(doc_id, t)` relation (the
-    * admission gates' shared-scan contract). */
+    * admission gates' shared-scan contract).
+    *
+    * Join keys are `xxhash64` of the n-gram, not the raw string: the
+    * count joins are the plan's dominant exchanges, and an 8-byte
+    * long key shuffles a fraction of what arbitrary-length bigram
+    * text does (round-6 soak flagged exactly this family). The hash
+    * is internal only — it never reaches the output, so engine
+    * portability (the hex16/md5 convention) isn't needed, and a
+    * 64-bit collision merges one bigram pair's counts in ~2^32
+    * distinct grams — far past any realistic vocabulary before it
+    * shifts a smoothed-LM score. */
   def lmScoreOfTokens(tok: DataFrame, k: Double = 1.0): DataFrame = {
     // bg feeds the count aggregate AND the probe side of the scoring
     // join — materialize once (A/B'd both ways at sf1 in round 6;
-    // the checkpoint wins by ~10%, within noise but never worse)
+    // the checkpoint wins by ~10%, within noise but never worse).
+    // Raw gram text is dropped before the checkpoint: rows carry
+    // three longs, so the materialization and every downstream
+    // exchange are fixed-width.
     val bg = tok
       .select(col("doc_id"),
         explode(shinglesOfTokens(col("t"), 2)).as("g"))
-      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
+        xxhash64(split(col("g"), " ").getItem(0)).as("w1h"))
       .localCheckpoint()
     val toks = tok.select(explode(col("t")).as("w"))
-    val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
+    val c1 = toks.groupBy(xxhash64(col("w")).as("wh"))
+      .agg(count(lit(1)).as("c1"))
     // |vocabulary| = c1's group count — don't re-explode the corpus
     // for a countDistinct the unigram aggregate already implies
     val v = c1.agg(count(lit(1)).as("v"))
     val perDoc = bg
-      .join(c2, "g")
-      .join(c1, col("w1") === col("w"))
+      .join(c2, "gh")
+      .join(c1, col("w1h") === col("wh"))
       .crossJoin(broadcast(v))
       .withColumn("ll",
         round(log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)

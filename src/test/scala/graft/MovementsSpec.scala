@@ -163,10 +163,10 @@ class MovementsSpec extends SparkSpec {
     assert(out(1L).getAs[Double]("straight8") == 1.0)
     assert(out(2L).getAs[Double]("straight8") == 0.0)
     // 1 event/sec cadence: every gap exactly 1s -> var numerator 0,
-    // floor mean exactly 1e6 (integer-exact readout)
+    // floor mean exactly 1e6. var_gap_num ships as a STRING — the
+    // exact numerator can exceed 2^53, past any float-safe readout
     assert(out(1L).getAs[Long]("mean_gap_floor_us") == 1000000L)
-    assert(out(1L).getAs[java.math.BigDecimal]("var_gap_num")
-      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(BigInt(out(1L).getAs[String]("var_gap_num")) == BigInt(0))
     assert(out(1L).getAs[Long]("max_per_sec") == 1L)
   }
 

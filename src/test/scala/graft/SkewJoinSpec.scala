@@ -42,6 +42,33 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("bothSides: right-only-hot keys take the mirrored salted path, result identical") {
+    // key 7 is hot ONLY on the right (600 rows); key 1 stays hot on
+    // the left. Default detection would send key 7 down the cold path;
+    // bothSides routes it through the mirrored (right-salted) join.
+    // Equality with the plain join at several thresholds proves the
+    // three-way key split (left-hot / right-only-hot / cold) is a
+    // partition, not a filter.
+    val fatRight = dim.unionByName(
+      (1 to 600).map(i => (7L, s"dup_$i")).toDF("k", "name"))
+    val plain = skewed.join(fatRight, "k")
+      .select($"k", $"v", $"name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    for (t <- Seq(1L, 100L, Long.MaxValue)) {
+      val got = Layout.saltedJoinHot(skewed, fatRight, "k",
+          saltFactor = 4, minHotCount = t, bothSides = true)
+        .select($"k", $"v", $"name").as[(Long, Long, String)]
+        .collect().sorted.toSeq
+      assert(got == plain, s"minHotCount=$t")
+    }
+    // and the split itself: at t=100, key 1 is left-hot, key 7 right-only-hot
+    val hotL = skewed.groupBy($"k").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 100L).select($"k").as[Long].collect().toSet
+    val hotR = fatRight.groupBy($"k").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 100L).select($"k").as[Long].collect().toSet
+    assert(hotL == Set(1L) && hotR == Set(7L))
+  }
+
   test("hot-key split replicates ONLY the hot slice of the dim") {
     // with minHotCount=100 exactly one key (the 900-row key 1) is hot:
     // the salted branch must see a 1-row right side exploded 4×, the

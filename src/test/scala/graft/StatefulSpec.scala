@@ -215,6 +215,7 @@ class StatefulSpec extends SparkSpec {
             .map(r => (r.getLong(0), r.getLong(1),
               r.getAs[Double]("jaccard")))
         }
+        ()
       }.start()
     val base = "one two three four five six seven eight nine ten eleven"
     def t(ms: Long) = new java.sql.Timestamp(ms)

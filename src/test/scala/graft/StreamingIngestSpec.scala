@@ -113,6 +113,103 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestWithLm: wire -> V2 source -> PII -> gates -> dedup -> lmGate -> store") {
+    // the capstone as ONE product-code call: a frozen LM trained on a
+    // seed corpus gates what the masked/gated/deduped stream admits
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    // train on the MASKED corpus — what the store actually holds
+    // (ingest admits masked text, so the LM must score masked text;
+    // training on raw PII-bearing text would make its own corpus
+    // look out-of-distribution at scoring time)
+    val seed = Seq((100L, good), (101L, good), (102L, distinctDoc))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("text"))
+    val model = TextAnalysis.trainLm(seed)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ingest_lm_wire").toString
+    val prod = new graft.sources.SimulatedKinesis.ShardedProducer(dir, 2)
+    def rec(id: Long, ts: Long, text: String): (String, String) =
+      (s"""{"doc_id":$id,"ts":$ts,"text":"$text"}""", s"src-${id % 2}")
+    prod.putRecords(Seq(
+      rec(1L, 1000L, good),          // in-distribution -> admitted
+      rec(2L, 1100L, good),          // dup signature -> suppressed pre-LM
+      rec(3L, 1200L, "tiny doc"),    // gate reject, never reaches the LM
+      rec(4L, 1300L,
+        "blorp wuggle zq xv qqk vxz snark fnord grue zorp")))
+      // ^ passes length/diversity but every transition is unseen ->
+      //   LM floor -> high_perplexity
+    val schema = "doc_id LONG, ts LONG, text STRING"
+    val docs = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .select(from_json(col("data").cast("string"), schema,
+        Map.empty[String, String]).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        timestamp_millis(col("d.ts")).as("ts"), col("d.text").as("text"))
+    val stored = collection.mutable.Map.empty[Long, (Boolean, String)]
+    val q = CorpusIngest.ingestWithLm(docs, model, maxAvgNll = 2.0,
+      store = (gated, _) => stored.synchronized {
+        gated.collect().foreach(r => stored(r.getAs[Long]("doc_id")) =
+          (r.getAs[Boolean]("keep"), r.getAs[String]("reason")))
+      },
+      lateness = "1 hour")
+    try {
+      q.processAllAvailable()
+      // exactly one of {1,2} survives the signature dedup; it passes
+      // the LM; 3 never reaches the store; 4 reaches it but fails
+      val dupSurvivor = stored.keySet.intersect(Set(1L, 2L))
+      assert(dupSurvivor.size == 1, s"stored ${stored.keySet}")
+      assert(stored(dupSurvivor.head)._1, s"in-distribution doc must pass")
+      assert(!stored.contains(3L), "gate reject must never reach the LM store")
+      assert(stored.get(4L).exists(v => !v._1 && v._2 == "high_perplexity"),
+        s"vocabulary-foreign doc must fail the LM gate: ${stored.get(4L)}")
+    } finally q.stop()
+  }
+
+  test("verifiedIngest: in-flight candidates verify exactly, store pruned to the slice") {
+    // the StatefulSpec composition promoted to product code: one call
+    // wires candidatePairs -> verifyPairs in foreachBatch
+    val store = scala.collection.concurrent.TrieMap.empty[Long, String]
+    val verified = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double)]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val base = "one two three four five six seven eight nine ten eleven"
+    val q = CorpusIngest.verifiedIngest(docs,
+      store = () => store.toSeq.toDF("doc_id", "text"),
+      onVerified = (pairs, _) => verified.synchronized {
+        verified ++= pairs.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      },
+      lateness = "1 hour")
+    try {
+      store ++= Seq(10L -> base, 30L -> base)
+      input.addData((10L, base, t(1000)))
+      q.processAllAvailable()
+      input.addData((30L, base, t(2000))) // exact repeat -> verified dup
+      q.processAllAvailable()
+      val got = verified.synchronized(verified.toList)
+      assert(got.exists(p => Set(p._1, p._2) == Set(10L, 30L) && p._3 == 1.0),
+        s"exact repeat must verify at jaccard 1.0: $got")
+    } finally q.stop()
+    // the scale contract: verification tokenizes ONLY docs appearing
+    // in some candidate pair — the store joins in via LEFT SEMI before
+    // any shingle work (candidate-slice pruning: plan- AND row-asserted
+    // on the seam itself; the shingle relation's eager checkpoint hides
+    // the join from downstream plans)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val cand = Seq((10L, 30L)).toDF("id1", "id2")
+    store += 99L -> "an uninvolved document that must never be tokenized"
+    val texts = store.toSeq.toDF("doc_id", "text")
+    val pruned = graft.dedup.Dedup.involvedTexts(cand, texts)
+    val plan = pruned.queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"verifyPairs must left-semi-prune the store to the candidate slice:\n$plan")
+    assert(pruned.select("doc_id").as[Long].collect().toSet == Set(10L, 30L),
+      "only candidate-pair docs may reach the shingle stage")
+  }
+
   test("rejects carry the first failed gate as reason, PII already masked") {
     // annotate/rejects are stateless projections, so the reject path
     // is checked on a batch frame — identical semantics by construction

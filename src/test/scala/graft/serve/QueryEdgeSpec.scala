@@ -65,6 +65,34 @@ class QueryEdgeSpec extends SparkSpec {
 
       // malformed path → 404
       assert(get(port, "/users/7/nope/3")._1 == 404)
+
+      // non-GET on a VALID resource → 405 with Allow, not 404
+      val del = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:$port/users/7/movements/100"))
+          .DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 405)
+      assert(del.headers().firstValue("Allow").orElse("") == "GET")
+
+      // client's fault (unparsable param) → 400, valid JSON body
+      val (c5, bad) = get(port, "/users/7/movements/100?limit=notanumber")
+      assert(c5 == 400, s"got $c5: $bad")
+      assert(bad.startsWith("""{"error":""""))
+    } finally server.stop(0)
+  }
+
+  test("server-side failure surfaces as 500 with JSON-safe error body") {
+    // a missing table is the SERVER's problem: 500, and the multi-line
+    // Spark exception message must still render as one valid JSON
+    // string (control characters stripped)
+    val server = QueryEdge.start(spark, "no_such_table_xyz")
+    val port = server.getAddress.getPort
+    try {
+      val (code, body) = get(port, "/users/1/movements/0")
+      assert(code == 500, s"got $code: $body")
+      assert(body.startsWith("""{"error":"""") && body.endsWith("\"}"))
+      assert(!body.exists(c => c < ' '), s"control chars must be stripped: $body")
     } finally server.stop(0)
   }
 
