@@ -861,6 +861,44 @@ object SparkEntry {
       |    CAST(count(*) AS BIGINT) AS n_shingles
       |  FROM d GROUP BY doc_id, island)""".stripMargin
 
+  /** Decomposed smoothed-bigram-LM per-doc aggregate — the SQL mirror
+    * of TextAnalysis.lmScoreImpl: per instance
+    * ll = round6(ln(c2+1)) − round6(ln(c1+V)), with the w1 term
+    * summed as all-tokens minus the doc's last token. Needs a `toks`
+    * CTE in scope; ends in agg(doc_id, n_bigrams, sum_ll) with
+    * bigram-less docs dropped (the spine LEFT JOIN nulls them).
+    * Shared by doc_lm_score / doc_admission_lm. */
+  private val LmAggSql =
+    """bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      |  FROM toks),
+      |uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
+      |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+      |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      |vv AS (SELECT count(*) AS v FROM c1),
+      |parts AS (
+      |  SELECT bg.doc_id, 1 AS src,
+      |    CAST(round(ln(c2.c2 + 1.0), 6) AS DECIMAL(18,6)) AS ll
+      |  FROM bg JOIN c2 ON bg.g = c2.g
+      |  UNION ALL
+      |  SELECT uni.doc_id, 2,
+      |    CAST(round(ln(c1.c1 + 1.0 * vv.v), 6) AS DECIMAL(18,6))
+      |  FROM uni JOIN c1 ON uni.w = c1.w CROSS JOIN vv
+      |  UNION ALL
+      |  SELECT toks.doc_id, 3,
+      |    CAST(round(ln(c1.c1 + 1.0 * vv.v), 6) AS DECIMAL(18,6))
+      |  FROM toks JOIN c1 ON t[len(t)] = c1.w CROSS JOIN vv
+      |  WHERE len(t) >= 1),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bigrams,
+      |    sum(CASE WHEN src = 2 THEN -ll ELSE ll END) AS sum_ll
+      |  FROM parts GROUP BY doc_id
+      |  HAVING sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) > 0)""".stripMargin
+
   /** Sorted-neighborhood candidate chain ending in u(c_nationkey,
     * id1, id2, dist, bal_gap, name_dist) — the SQL mirror of
     * Blocking.customerNeighbors; shared by er_neighbors/er_entities. */
@@ -4072,27 +4110,7 @@ object SparkEntry {
         |  FROM isl GROUP BY 1, 2),
         |dup AS (SELECT doc_id, sum(covered) AS dup_tokens
         |        FROM cov GROUP BY 1),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t)),
-        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
-        |  FROM toks),
-        |bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
-        |uni AS (SELECT unnest(t) AS w FROM toks),
-        |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-        |vv AS (SELECT count(DISTINCT w) AS v FROM uni),
-        |scored AS (
-        |  SELECT bw.doc_id,
-        |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vv.v)), 6)
-        |      AS DECIMAL(18,6)) AS ll
-        |  FROM bw JOIN c2 ON bw.g = c2.g
-        |          JOIN c1 ON bw.w1 = c1.w
-        |          CROSS JOIN vv),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    sum(ll) AS sum_ll
-        |  FROM scored GROUP BY doc_id),
+        |$LmAggSql,
         |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
         |       FROM documents),
         |base AS (
@@ -4149,29 +4167,9 @@ object SparkEntry {
 
     // ---- smoothed bigram-LM negative log-likelihood (CCNet-style) ----
     "doc_lm_score" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |bg AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t)),
-        |      i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
-        |  FROM toks),
-        |bw AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM bg),
-        |uni AS (SELECT unnest(t) AS w FROM toks),
-        |c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-        |vv AS (SELECT count(DISTINCT w) AS v FROM uni),
-        |scored AS (
-        |  SELECT bw.doc_id,
-        |    CAST(round(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vv.v)), 6)
-        |      AS DECIMAL(18,6)) AS ll
-        |  FROM bw JOIN c2 ON bw.g = c2.g
-        |          JOIN c1 ON bw.w1 = c1.w
-        |          CROSS JOIN vv),
-        |agg AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    sum(ll) AS sum_ll
-        |  FROM scored GROUP BY doc_id)
+        |$LmAggSql
         |SELECT d.doc_id,
         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |  round(-CAST(a.sum_ll AS DOUBLE) / a.n_bigrams, 4) AS avg_nll

@@ -456,54 +456,86 @@ object TextAnalysis {
     * (the Portable.exactSum convention — doubles differ across
     * engines only far past 6dp). */
   def lmScore(docs: DataFrame, k: Double = 1.0): DataFrame =
-    lmScoreOfTokens(
-      // tok feeds three consumers downstream (bigrams, unigrams, the
-      // per-doc spine) — parse the corpus once
-      spread(docs).select(col("doc_id"), tokens(col("text")).as("t"))
-        .localCheckpoint(), k)
+    // tok is NOT checkpointed here: the tagged-relation kernel fuses
+    // parse+hash into one pass and materializes only its (tag, hash)
+    // output; the per-doc spine reads doc_id straight off the source
+    // (column-pruned scan), so nothing re-parses text
+    lmScoreImpl(
+      spread(docs).select(col("doc_id"), tokens(col("text")).as("t")),
+      docs.select(col("doc_id")), k)
 
   /** [[lmScore]] over a pre-tokenized `(doc_id, t)` relation (the
-    * admission gates' shared-scan contract).
-    *
-    * Join keys are `xxhash64` of the n-gram, not the raw string: the
-    * count joins are the plan's dominant exchanges, and an 8-byte
-    * long key shuffles a fraction of what arbitrary-length bigram
-    * text does (round-6 soak flagged exactly this family). The hash
-    * is internal only — it never reaches the output, so engine
-    * portability (the hex16/md5 convention) isn't needed, and a
-    * 64-bit collision merges one bigram pair's counts in ~2^32
-    * distinct grams — far past any realistic vocabulary before it
-    * shifts a smoothed-LM score. */
-  def lmScoreOfTokens(tok: DataFrame, k: Double = 1.0): DataFrame = {
-    // bg feeds the count aggregate AND the probe side of the scoring
-    // join — materialize once (A/B'd both ways at sf1 in round 6;
-    // the checkpoint wins by ~10%, within noise but never worse).
-    // Raw gram text is dropped before the checkpoint: rows carry
-    // three longs, so the materialization and every downstream
-    // exchange are fixed-width.
-    val bg = tok
+    * admission gates' shared-scan contract; callers checkpoint tok). */
+  def lmScoreOfTokens(tok: DataFrame, k: Double = 1.0): DataFrame =
+    lmScoreImpl(tok, tok.select(col("doc_id")), k)
+
+  // tagged n-gram instance rows, ONE kernel pass over the corpus:
+  //   tag 1 = bigram instance, tag 2 = unigram instance,
+  //   tag 3 = the per-doc last-token correction row.
+  // Grams are hashed NUMERICALLY (xxhash64 over the token columns,
+  // seeded by grain) — no per-bigram string concatenation, and every
+  // downstream exchange carries (long, int, long) fixed-width rows.
+  // The hash never reaches the output; a 64-bit collision merges one
+  // gram pair's counts in ~2^32 distinct grams — far past any
+  // realistic vocabulary before it shifts a smoothed-LM score.
+  private def lmTagged(tok: DataFrame): DataFrame = {
+    val n = size(col("t"))
+    val bh = zip_with(slice(col("t"), lit(1), n - 1),
+      slice(col("t"), lit(2), n - 1),
+      (a, b) => xxhash64(lit("lm:b"), a, b))
+    val uh = transform(col("t"), w => xxhash64(lit("lm:u"), w))
+    val lh = xxhash64(lit("lm:u"), element_at(col("t"), -1))
+    tok.filter(size(col("t")) > 0)
       .select(col("doc_id"),
-        explode(shinglesOfTokens(col("t"), 2)).as("g"))
-      .select(col("doc_id"), xxhash64(col("g")).as("gh"),
-        xxhash64(split(col("g"), " ").getItem(0)).as("w1h"))
+        explode(concat(
+          transform(bh, h => struct(lit(1).as("tag"), h.as("h"))),
+          transform(uh, h => struct(lit(2).as("tag"), h.as("h"))),
+          array(struct(lit(3).as("tag"), lh.as("h"))))).as("x"))
+      .select(col("doc_id"), col("x.tag").as("tag"), col("x.h").as("h"))
+  }
+
+  /** The scorer behind [[lmScore]]/[[lmScoreOfTokens]], restructured
+    * for scale around the per-instance decomposition
+    *   ll = ln(c2(g)+k) − ln(c1(w1)+k·V):
+    * the per-doc sum of the second term over bigram instances equals
+    * the sum over ALL token instances minus the doc's LAST token, so
+    * one tagged relation ([[lmTagged]], one kernel pass, one
+    * materialization) feeds a single (tag, hash) count aggregate —
+    * producing BOTH count relations and |V| — and a single
+    * broadcast-joined probe pass. Corpus passes drop from five
+    * (tok ckpt, bigram ckpt, unigram agg, bigram agg, probe) to
+    * three, with no string shingles anywhere. Each log term rounds
+    * at 6dp and accumulates in DECIMAL (the Portable.exactSum
+    * convention), so the score stays summation-order independent and
+    * engine-portable; the oracle computes the identical
+    * decomposition. */
+  private def lmScoreImpl(tok: DataFrame, spine: DataFrame,
+                          k: Double): DataFrame = {
+    val tagged = lmTagged(tok).localCheckpoint()
+    // vocab-sized; materialized because it feeds the |V| count AND
+    // the weight build (Catalyst shares no subtrees across join
+    // sides — unmaterialized, the corpus aggregate would run twice)
+    val counts = tagged.filter(col("tag") < 3)
+      .groupBy(col("tag"), col("h")).agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val toks = tok.select(explode(col("t")).as("w"))
-    val c2 = bg.groupBy(col("gh")).agg(count(lit(1)).as("c2"))
-    val c1 = toks.groupBy(xxhash64(col("w")).as("wh"))
-      .agg(count(lit(1)).as("c1"))
-    // |vocabulary| = c1's group count — don't re-explode the corpus
-    // for a countDistinct the unigram aggregate already implies
-    val v = c1.agg(count(lit(1)).as("v"))
-    val perDoc = bg
-      .join(c2, "gh")
-      .join(c1, col("w1h") === col("wh"))
-      .crossJoin(broadcast(v))
-      .withColumn("ll",
-        round(log((col("c2") + lit(k)) / (col("c1") + lit(k) * col("v"))), 6)
-          .cast("decimal(18,6)"))
+    val v = counts.filter(col("tag") === 2).agg(count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(v))
+      .select(col("tag").as("jtag"), col("h"),
+        when(col("tag") === 1, round(log(col("c") + lit(k)), 6))
+          .otherwise(round(log(col("c") + lit(k) * col("v")), 6))
+          .cast("decimal(18,6)").as("w"))
+    val perDoc = tagged
+      .withColumn("jtag",
+        when(col("tag") === 3, lit(2)).otherwise(col("tag")))
+      .join(broadcast(weights), Seq("jtag", "h"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ll")).as("sum_ll"))
-    tok.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .agg(sum(when(col("tag") === 1, 1L).otherwise(0L)).as("n_bigrams"),
+        sum(when(col("tag") === 2, -col("w")).otherwise(col("w")))
+          .as("sum_ll"))
+      // single-token docs carry no bigram evidence: drop them here so
+      // the spine's left join nulls avg_nll exactly like absent docs
+      .filter(col("n_bigrams") > 0)
+    spine.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(-col("sum_ll").cast("double") / col("n_bigrams"), 4)
@@ -520,15 +552,21 @@ object TextAnalysis {
   final case class LmModel(bigrams: DataFrame, unigrams: DataFrame,
                            v: Long, k: Double)
 
-  /** Train the frozen LM once. One corpus scan, two
-    * map-side-combinable groupBys. */
+  /** Train the frozen LM once. One corpus parse (the token relation
+    * is materialized and feeds both aggregates), and the count
+    * relations are materialized too — FROZEN means scoring never
+    * re-runs the training scan, and |V| comes from the unigram
+    * aggregate rather than a second corpus pass. */
   def trainLm(docs: DataFrame, k: Double = 1.0): LmModel = {
     val tok = spread(docs).select(tokens(col("text")).as("t"))
+      .localCheckpoint()
     val c2 = tok.select(explode(shinglesOfTokens(col("t"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c2"))
-    val toks = tok.select(explode(col("t")).as("w"))
-    val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val v = toks.agg(countDistinct(col("w"))).collect()(0).getLong(0)
+      .localCheckpoint()
+    val c1 = tok.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val v = c1.count()
     LmModel(c2, c1, v, k)
   }
 
