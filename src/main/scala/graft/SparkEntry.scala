@@ -641,6 +641,11 @@ object SparkEntry {
         .orderBy("vec_id")),
     "knn_ivf_search" -> q((s, d) =>
       Knn.ivfSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+    // frozen-centroid delta ingest: base-trained cells, delta batch
+    // assigned to them, probe over the grown index (IvfIndex.append's
+    // declarative twin)
+    "knn_ivf_delta" -> q((s, d) =>
+      Knn.ivfDeltaSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
     "knn_lsh_buckets" -> q((s, d) =>
       Knn.rpLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
     "knn_lsh_search" -> q((s, d) =>
@@ -3297,6 +3302,39 @@ object SparkEntry {
     "knn_ivf_search" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
          |           FROM embeddings WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN c),
+         |assigned AS (
+         |  SELECT s.vec_id, s.centroid_id, e.embedding
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM sc) s
+         |  JOIN embeddings e ON s.vec_id = e.vec_id
+         |  WHERE s.rn = 1),
+         |q AS (SELECT vec_id AS qid, centroid_id AS qcell, embedding AS qvec
+         |      FROM assigned WHERE vec_id < 5),
+         |probe AS (
+         |  SELECT qid, a.vec_id,
+         |    ${cosSql("qvec", "a.embedding")} AS cos_sim
+         |  FROM assigned a JOIN q
+         |    ON a.centroid_id = q.qcell AND a.vec_id <> q.qid),
+         |r AS (SELECT qid, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY qid
+         |          ORDER BY cos_sim DESC, vec_id) AS rnk
+         |      FROM probe)
+         |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // frozen-centroid delta ingest: centroids from the BASE slice only
+    // (vec_id % 5 <> 0), every vector — base and delta — assigns to
+    // them, probe over the union (the IvfIndex.append contract)
+    "knn_ivf_delta" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |           FROM embeddings
+         |           WHERE vec_id < 16 AND vec_id % 5 <> 0),
          |sc AS (
          |  SELECT e.vec_id, centroid_id,
          |    ${cosSql("e.embedding", "cvec")} AS cos_sim

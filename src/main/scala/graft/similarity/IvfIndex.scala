@@ -49,6 +49,29 @@ object IvfIndex {
       .parquet(s"$dir/vectors.parquet")
   }
 
+  /** FAISS's `add` half — delta ingest into a BUILT index: assign a
+    * new batch to the FROZEN trained centroids and append it into the
+    * stored cell partitions. Parquet append writes new files only
+    * under the cell directories the batch lands in; nothing existing
+    * is rewritten, so the index stays probe-able throughout (readers
+    * see whole files). Centroids never move on append — probing must
+    * agree with how the lists were formed — so centroid drift is
+    * handled by a periodic [[build]] rebuild, not here. Works per
+    * micro-batch inside `foreachBatch` (the streaming embedding
+    * ingest shape; spec-driven). Caller contract: vec_ids disjoint
+    * from the stored index (the dedupDelta convention). */
+  def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    Knn.assignToCentroids(
+        delta.select(col("vec_id"), col("embedding")), cents)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+      .join(delta, "vec_id")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/vectors.parquet")
+  }
+
   /** Probe the stored index with an external query set
     * (qid, qvec). Returns top-k per query, excluding a vector whose
     * id equals the qid (self-match convention of [[Knn.bruteForce]]).

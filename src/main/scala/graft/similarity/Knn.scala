@@ -413,6 +413,46 @@ object Knn {
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** The delta-ingest invariant of an IVF index (FAISS's train/add
+    * split): centroids trained on the BASE corpus stay frozen, a
+    * later delta batch (vec_id % deltaMod == 0 here) is assigned to
+    * those same frozen cells, and probing the grown index answers
+    * from base+delta together. Expressed as one declarative query so
+    * the DuckDB oracle can replay it: centroids come from the base
+    * slice only, BOTH slices assign against them, and the probe is
+    * [[ivfSearch]]'s single-cell shape over the union.
+    * [[IvfIndex.append]] is the persisted form of the same contract;
+    * its spec asserts probe-after-append finds the delta. */
+  def ivfDeltaSearch(emb: DataFrame, deltaMod: Int = 5, nQueries: Int = 5,
+                     k: Int = 3, nlist: Int = 16): DataFrame = {
+    val embeddings = spread(emb)
+    val isDelta = col("vec_id") % deltaMod === 0
+    val cents = embeddings.filter(!isDelta && col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("centroid_id"))
+    val assigned = embeddings
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("cvec")).as("cos_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("embedding"))
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("centroid_id").as("qcell"),
+        col("embedding").as("qvec"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned
+      .join(broadcast(q), col("centroid_id") === col("qcell") &&
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
+  }
+
   /** Recall@k of the IVF probe against the brute-force ground truth —
     * the measurement every ANN deployment needs BEFORE trading recall
     * for probe cost. Per query: |approx ∩ exact| / k over the same

@@ -51,6 +51,77 @@ class KmeansSpec extends SparkSpec {
     assert(again.sorted.toSeq == rows.sorted.toSeq)
   }
 
+  test("append: delta batch lands in its trained cells, probe finds it, base untouched") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    // build on the base slice only; the %5==0 ids arrive later
+    val base = blobs.filter(col("vec_id") % 5 =!= 0)
+    val delta = blobs.filter(col("vec_id") % 5 === 0)
+    graft.similarity.IvfIndex.build(base, dir, k = 2, iters = 4)
+    val baseFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "vectors.parquet"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    graft.similarity.IvfIndex.append(spark, dir, delta)
+    // nothing rewritten: every pre-append file still present
+    val afterFiles = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir, "vectors.parquet"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(afterFiles > baseFiles, "append must add files")
+    val stored = spark.read.parquet(s"$dir/vectors.parquet")
+    assert(stored.count() == 100L, "index must hold base + delta")
+    // delta rows sit in the cell of their nearest TRAINED centroid —
+    // same assignment rule the probe uses, so they are findable
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    val expected = graft.similarity.Knn
+      .assignToCentroids(delta, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = stored.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected, "appended rows must land in trained cells")
+    // probe near a delta-only vector: id 0 is in the low blob and in
+    // the delta — the probe over the grown index must return it
+    val queries = Seq((1000L, Array.fill(4)(0.2f))).toDF("qid", "qvec")
+    val res = graft.similarity.IvfIndex
+      .probe(spark, dir, queries, k = 50, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(res.contains(0L), s"probe must see appended vectors: $res")
+    assert(res.forall(_ < 50L), s"nprobe=1 must stay in the low cell: $res")
+  }
+
+  test("streaming embedding ingest: foreachBatch appends micro-batches, probe sees all") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    graft.similarity.IvfIndex.build(
+      blobs.filter(col("vec_id") % 5 =!= 0), dir, k = 2, iters = 4)
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.similarity.IvfIndex.append(spark, dir, batch)
+        ()
+      }.start()
+    try {
+      def jit(id: Long, d: Int): Float = ((id * 31 + d * 7) % 10) / 10.0f
+      input.addData((0L, Array.tabulate(4)(d => 0.0f + jit(0L, d))))
+      q.processAllAvailable()
+      input.addData((50L, Array.tabulate(4)(d => 10.0f + jit(50L, d))),
+        (55L, Array.tabulate(4)(d => 10.0f + jit(55L, d))))
+      q.processAllAvailable()
+      val stored = spark.read.parquet(s"$dir/vectors.parquet")
+      assert(stored.count() == 83L, "80 base + 3 streamed")
+      val res = graft.similarity.IvfIndex.probe(spark,
+          dir, Seq((1000L, Array.fill(4)(10.5f))).toDF("qid", "qvec"),
+          k = 50, nprobe = 1)
+        .collect().map(_.getLong(2)).toSet
+      assert(res.contains(50L) && res.contains(55L),
+        s"high-blob probe must see both streamed vectors: $res")
+    } finally q.stop()
+  }
+
   test("filtered probe: metadata gate pushes into the pruned cell scan") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivf_filtered").toString
