@@ -72,7 +72,9 @@ object Soak {
     "ts_m4_downsample", "knn_filtered", "doc_corpus_mix",
     // round-6 additions: the single-scan admission gates (shared
     // doc×token relation) and the routed dedup composition
-    "doc_admission_lm", "dedup_route", "dedup_delta_verified")
+    "doc_admission_lm", "dedup_route", "dedup_delta_verified",
+    // round-7 addition: the frozen-centroid IVF delta probe
+    "knn_ivf_delta")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

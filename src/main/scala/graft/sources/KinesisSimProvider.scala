@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -58,7 +58,12 @@ class KinesisSimProvider extends TableProvider with DataSourceRegister {
       Option(properties.get("path")).getOrElse(
         throw new IllegalArgumentException("kinesis-sim needs option 'path'")),
       Option(properties.get("shards")).map(_.toInt).getOrElse(
-        throw new IllegalArgumentException("kinesis-sim needs option 'shards'")))
+        throw new IllegalArgumentException("kinesis-sim needs option 'shards'")),
+      Option(properties.get("maxRecordsPerTrigger")).map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxRecordsPerTrigger must be positive, got $n")
+        n
+      })
 }
 
 object KinesisSimProvider {
@@ -128,7 +133,8 @@ object KinesisSimProvider {
     }
 }
 
-private[sources] class KinesisSimTable(path: String, nShards: Int)
+private[sources] class KinesisSimTable(path: String, nShards: Int,
+                                       maxRecordsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kinesis-sim:$path"
   override def schema(): StructType = KinesisSimProvider.Schema
@@ -140,7 +146,7 @@ private[sources] class KinesisSimTable(path: String, nShards: Int)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KinesisSimProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KinesisSimMicroBatchStream(path, nShards)
+          new KinesisSimMicroBatchStream(path, nShards, maxRecordsPerTrigger)
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -184,8 +190,10 @@ private[sources] object ShardOffsets {
   }
 }
 
-private[sources] class KinesisSimMicroBatchStream(path: String, nShards: Int)
-    extends MicroBatchStream {
+private[sources] class KinesisSimMicroBatchStream(
+    path: String, nShards: Int,
+    maxRecordsPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // Per-file record counts keyed by (path, size, mtime): batch files
   // are append-created (never rewritten in place), so a file whose
@@ -208,6 +216,60 @@ private[sources] class KinesisSimMicroBatchStream(path: String, nShards: Int)
 
   override def latestOffset(): Offset =
     ShardOffsets((0 until nShards).map(s => s -> shardRecordCount(s)).toMap)
+
+  // ---- admission control (maxRecordsPerTrigger) ----
+  // The backpressure surface every production connector exposes
+  // (Kafka's maxOffsetsPerTrigger, Kinesis's per-shard fetch limits):
+  // a flood on the transport becomes ceil(total/max) bounded
+  // micro-batches instead of one giant catch-up batch that overwhelms
+  // state stores and sinks. Spark calls the 2-arg latestOffset when
+  // this interface is present; the cap distributes rows across shards
+  // by water-filling (equal quotas, spare capacity redistributed) so
+  // one hot shard cannot starve the others — deterministic given the
+  // same start offset and files.
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val trueLatest = (0 until nShards).map(s => s -> shardRecordCount(s)).toMap
+    val cap = limit match {
+      case r: ReadMaxRows => Some(r.maxRows())
+      case _              => None
+    }
+    cap match {
+      case None => ShardOffsets(trueLatest)
+      case Some(maxRows) =>
+        val s = start.asInstanceOf[ShardOffsets].next
+        val avail = trueLatest.map { case (sh, n) =>
+          sh -> math.max(0L, n - s.getOrElse(sh, 0L))
+        }
+        if (avail.values.sum <= maxRows) ShardOffsets(trueLatest)
+        else {
+          val take = scala.collection.mutable.Map.empty[Int, Long]
+            .withDefaultValue(0L)
+          var rem = maxRows
+          var spare = avail.toSeq.sortBy(_._1).filter(_._2 > 0)
+          while (rem > 0 && spare.nonEmpty) {
+            val quota = math.max(1L, rem / spare.size)
+            spare = spare.flatMap { case (sh, a) =>
+              if (rem == 0) Some(sh -> a)
+              else {
+                val t = math.min(math.min(a, quota), rem)
+                take(sh) += t
+                rem -= t
+                if (a - t > 0) Some(sh -> (a - t)) else None
+              }
+            }
+          }
+          ShardOffsets(avail.keys.map { sh =>
+            sh -> (s.getOrElse(sh, 0L) + take(sh))
+          }.toMap)
+        }
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val o = ShardOffsets.parse(json)

@@ -215,6 +215,45 @@ class KinesisSimSpec extends SparkSpec {
       s"restart re-delivered or skipped: ${seen.asScala.toSeq}")
   }
 
+  test("V2 connector: maxRecordsPerTrigger paces a flood into bounded fair micro-batches") {
+    val dir = Files.createTempDirectory("graft_kinesis_v2adm").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 2)
+    // 12 records pre-loaded before the query starts: an uncapped read
+    // would catch up in ONE micro-batch; capped at 5 it must take
+    // ceil(12/5) = 3, each batch <= 5
+    val recs = (1 to 12).map(i => (s"r$i", s"u${i % 4}"))
+    prod.putRecords(recs)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+    val q = spark.readStream.format("kinesis-sim")
+      .option("path", dir).option("shards", "2")
+      .option("maxRecordsPerTrigger", "5").load()
+      .selectExpr("CAST(data AS STRING) AS data",
+        "CAST(replace(shardId, 'shard-', '') AS INT) AS shardId")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getString(0), r.getInt(1)))
+        if (rows.nonEmpty) {
+          batchSizes.add(rows.length)
+          rows.foreach(seen.add)
+        }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val sizes = batchSizes.asScala.toSeq
+      assert(seen.asScala.map(_._1).toSet == recs.map(_._1).toSet,
+        s"every record exactly once: ${seen.asScala.toSeq}")
+      assert(sizes.forall(_ <= 5), s"batches must respect the cap: $sizes")
+      assert(sizes.length >= 3, s"12 records at cap 5 need >= 3 batches: $sizes")
+      // fairness: the first capped batch draws from BOTH shards
+      // (water-filling quotas, not shard-0-first exhaustion)
+      val firstBatchShards = seen.asScala.toSeq.take(sizes.head).map(_._2).toSet
+      assert(firstBatchShards == Set(0, 1),
+        s"capped batch must split across shards: $firstBatchShards")
+    } finally q.stop()
+  }
+
   test("V2 sink: streamed records land on shards with monotone sequences") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
