@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** A minimal snapshot-pointer table protocol — the write-then-swap
+  * half that [[Layout.compact]] and every incremental writer need:
+  * data lands FULLY in an immutable snapshot directory, then a tiny
+  * `_current` pointer file is atomically replaced. The pointer-swap
+  * pattern of the open table formats (Delta/Iceberg publish a new
+  * metadata version the same way), cut down to what a single-writer
+  * pipeline needs.
+  *
+  * Layout:
+  * {{{
+  *   tableDir/
+  *     _current          # "snap-000042" — atomically replaced text file
+  *     snap-000041/      # immutable parquet snapshot directories
+  *     snap-000042/
+  * }}}
+  *
+  * Guarantees (spec-driven):
+  *  - **Readers never see partial data**: a snapshot becomes visible
+  *    only via the pointer swap, AFTER its parquet write completed;
+  *    an interrupted publish leaves a dangling `snap-*` directory the
+  *    pointer never references (cleaned by [[vacuum]]).
+  *  - **Snapshot isolation**: a DataFrame resolved from the old
+  *    pointer keeps reading the old directory — snapshots are
+  *    immutable; [[vacuum]] retention is the caller's lever for how
+  *    long in-flight readers stay safe.
+  *  - **Atomicity** comes from `ATOMIC_MOVE` of the pointer file —
+  *    one filesystem primitive, same as the V2 sink's epoch commit.
+  *
+  * Contract: ONE writer per table (the simulated transport's
+  * one-lineage-per-path rule); concurrent publishers would need a
+  * lock or CAS this deliberately tiny protocol does not provide.
+  * Works on local paths (the test/sim environment); a cluster
+  * deployment swaps the pointer primitive for its store's atomic
+  * rename or CAS.
+  */
+object Snapshots {
+
+  private val Pointer = "_current"
+
+  private def snapName(id: Long) = f"snap-$id%06d"
+
+  /** Publish `df` as the next snapshot of `tableDir`; returns the new
+    * snapshot id. Write-then-swap: readers resolve either the old or
+    * the new snapshot, never a mix, never partial files. */
+  def publish(df: DataFrame, tableDir: String,
+              partitionCols: Seq[String] = Nil): Long = {
+    Files.createDirectories(Paths.get(tableDir))
+    val next = currentId(tableDir).getOrElse(0L) + 1L
+    val dest = Paths.get(tableDir, snapName(next)).toString
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dest)
+    swapPointer(tableDir, snapName(next))
+    next
+  }
+
+  /** Read the current snapshot. The returned DataFrame is pinned to
+    * the snapshot directory current AT RESOLVE TIME — later publishes
+    * do not change what it reads (snapshot isolation). */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(currentPath(tableDir))
+
+  /** The data directory the pointer currently names. */
+  def currentPath(tableDir: String): String = {
+    val p = Paths.get(tableDir, Pointer)
+    require(Files.exists(p), s"no $Pointer pointer in $tableDir — never published?")
+    Paths.get(tableDir,
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim).toString
+  }
+
+  def currentId(tableDir: String): Option[Long] = {
+    val p = Paths.get(tableDir, Pointer)
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.stripPrefix("snap-").toLong)
+  }
+
+  /** Compact the CURRENT snapshot into the next one via
+    * [[Layout.compact]] (fewer, right-sized, optionally range-sorted
+    * files) and swap the pointer — the maintenance loop of a
+    * streaming-written table as one call. Returns
+    * (input files, output files, new snapshot id). */
+  def compact(spark: SparkSession, tableDir: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): (Int, Int, Long) = {
+    val next = currentId(tableDir).getOrElse(
+      throw new IllegalStateException(s"nothing published at $tableDir")) + 1L
+    val dest = Paths.get(tableDir, snapName(next)).toString
+    val (in, out) = Layout.compact(spark, currentPath(tableDir), dest,
+      targetFileBytes, sortCol)
+    swapPointer(tableDir, snapName(next))
+    (in, out, next)
+  }
+
+  /** Delete snapshots older than the newest `keep`, plus dangling
+    * directories from interrupted publishes (ids above the pointer).
+    * Returns deleted directory names. Retention must outlast the
+    * longest-running reader — the same rule as any MVCC vacuum. */
+  def vacuum(tableDir: String, keep: Int = 2): Seq[String] = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val cur = currentId(tableDir).getOrElse(return Nil)
+    val snaps = Files.list(Paths.get(tableDir)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snap-"))
+      .map(p => p.getFileName.toString.stripPrefix("snap-").toLong)
+      .toSeq.sorted
+    val doomed = snaps.filter(id => id <= cur - keep || id > cur)
+    doomed.map { id =>
+      val dir = Paths.get(tableDir, snapName(id))
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+      snapName(id)
+    }
+  }
+
+  private def swapPointer(tableDir: String, target: String): Unit = {
+    val tmp = Paths.get(tableDir, s".$Pointer.tmp")
+    Files.write(tmp, target.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(tableDir, Pointer),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}
