@@ -530,11 +530,16 @@ object Dedup {
     val k = 3 // token width of Portable.shingles
     // positioned-shingle relation feeds both the df aggregate and the
     // span join's probe side — materialize once (no Catalyst CSE
-    // across join sides; the same idiom as SetSimJoin's ds)
+    // across join sides; the same idiom as SetSimJoin's ds).
+    // xxhash64, not hex16/md5: the hash never reaches the output (the
+    // oracle derives the same spans from its own hashing), and the
+    // md5 digest per position was ~30% of the sf1 wall in an
+    // interleaved A/B (3.9 s -> 2.8 s); rows also shrink to three
+    // fixed-width numerics for the checkpoint and exchanges.
     val sh = tok
       .select(col("doc_id"),
         posexplode(shinglesOfTokens(col("t"), k)).as(Seq("pos", "shingle")))
-      .select(col("doc_id"), col("pos"), hex16(col("shingle")).as("h"))
+      .select(col("doc_id"), col("pos"), xxhash64(col("shingle")).as("h"))
       .localCheckpoint()
     val dupHashes = sh
       .groupBy(col("h"))
