@@ -55,8 +55,14 @@ class KinesisSimProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new KinesisSimTable(
-      Option(properties.get("path")).getOrElse(
-        throw new IllegalArgumentException("kinesis-sim needs option 'path'")),
+      (Option(properties.get("path")), Option(properties.get("endpoint"))) match {
+        case (Some(p), None) => FileTransport(p)
+        case (None, Some(e)) => HttpTransport(e.stripSuffix("/"))
+        case (Some(_), Some(_)) => throw new IllegalArgumentException(
+          "kinesis-sim takes 'path' OR 'endpoint', not both")
+        case (None, None) => throw new IllegalArgumentException(
+          "kinesis-sim needs option 'path' (file store) or 'endpoint' (HTTP shard service)")
+      },
       Option(properties.get("shards")).map(_.toInt).getOrElse(
         throw new IllegalArgumentException("kinesis-sim needs option 'shards'")),
       Option(properties.get("maxRecordsPerTrigger")).map { v =>
@@ -133,10 +139,61 @@ object KinesisSimProvider {
     }
 }
 
-private[sources] class KinesisSimTable(path: String, nShards: Int,
+/** The consumer's transport seam: record counts and line ranges per
+  * shard, over the file store directly or over [[ShardService]]'s
+  * wire protocol. Serializable so partitions ship it to executors —
+  * the HTTP form carries only the endpoint string, exactly like a
+  * real connector's client config. */
+private[sources] sealed trait SimTransport extends Serializable {
+  def id: String
+  def recordCount(shard: Int): Long
+  def lines(shard: Int, from: Long, until: Long): Iterator[String]
+}
+
+private[sources] case class FileTransport(dir: String) extends SimTransport {
+  override def id: String = dir
+  // Per-file record counts keyed by (path, size, mtime): batch files
+  // are append-created (never rewritten in place), so a file whose
+  // size+mtime are unchanged has an unchanged count. recordCount runs
+  // every micro-batch; without this cache it would re-read every byte
+  // ever written to the stream, per batch, forever.
+  @transient private lazy val countCache =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+
+  override def recordCount(shard: Int): Long =
+    KinesisSimProvider.shardFiles(dir, shard).map { f =>
+      val key = (f.toString,
+        java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
+    }.sum
+
+  override def lines(shard: Int, from: Long, until: Long): Iterator[String] = {
+    // Long-safe positioning (slice(Int, Int) would silently truncate
+    // a shard past 2^31 records): skip `from`, stop after the range
+    val it = KinesisSimProvider.shardLines(dir, shard).iterator
+    var skipped = 0L
+    while (skipped < from && it.hasNext) { it.next(); skipped += 1 }
+    new Iterator[String] {
+      private var remaining = until - from
+      override def hasNext: Boolean = remaining > 0 && it.hasNext
+      override def next(): String = { remaining -= 1; it.next() }
+    }
+  }
+}
+
+private[sources] case class HttpTransport(endpoint: String) extends SimTransport {
+  override def id: String = endpoint
+  override def recordCount(shard: Int): Long =
+    ShardService.Client.latest(endpoint, shard)
+  override def lines(shard: Int, from: Long, until: Long): Iterator[String] =
+    ShardService.Client.records(endpoint, shard, from, until)
+}
+
+private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
                                        maxRecordsPerTrigger: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"kinesis-sim:$path"
+  override def name(): String = s"kinesis-sim:${transport.id}"
   override def schema(): StructType = KinesisSimProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
@@ -146,10 +203,18 @@ private[sources] class KinesisSimTable(path: String, nShards: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KinesisSimProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KinesisSimMicroBatchStream(path, nShards, maxRecordsPerTrigger)
+          new KinesisSimMicroBatchStream(transport, nShards, maxRecordsPerTrigger)
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the sink commits epochs into the store directory itself; a
+    // PutRecords wire protocol would be the HTTP analog — out of
+    // scope for the read-only shard service
+    val path = transport match {
+      case FileTransport(dir) => dir
+      case _: HttpTransport => throw new IllegalArgumentException(
+        "kinesis-sim sink needs option 'path' (the HTTP endpoint is read-only)")
+    }
     val schema = info.schema()
     require(schema.fieldNames.contains("data") &&
       schema.fieldNames.contains("partitionKey"),
@@ -191,25 +256,12 @@ private[sources] object ShardOffsets {
 }
 
 private[sources] class KinesisSimMicroBatchStream(
-    path: String, nShards: Int,
+    transport: SimTransport, nShards: Int,
     maxRecordsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  // Per-file record counts keyed by (path, size, mtime): batch files
-  // are append-created (never rewritten in place), so a file whose
-  // size+mtime are unchanged has an unchanged count. latestOffset runs
-  // every micro-batch; without this cache it would re-read every byte
-  // ever written to the stream, per batch, forever.
-  private val countCache =
-    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
-
   private def shardRecordCount(shard: Int): Long =
-    KinesisSimProvider.shardFiles(path, shard).map { f =>
-      val key = (f.toString,
-        java.nio.file.Files.size(f),
-        java.nio.file.Files.getLastModifiedTime(f).toMillis)
-      countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
-    }.sum
+    transport.recordCount(shard)
 
   override def initialOffset(): Offset =
     ShardOffsets((0 until nShards).map(_ -> 0L).toMap)
@@ -292,7 +344,7 @@ private[sources] class KinesisSimMicroBatchStream(
     (s.keySet ++ e.keySet ++ (0 until nShards)).toSeq.sorted.flatMap { shard =>
       val from = s.getOrElse(shard, 0L)
       val until = e.getOrElse(shard, 0L)
-      if (until > from) Some(KinesisSimPartition(path, shard, from, until))
+      if (until > from) Some(KinesisSimPartition(transport, shard, from, until))
       else None
     }.toArray
   }
@@ -307,7 +359,8 @@ private[sources] class KinesisSimMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] case class KinesisSimPartition(path: String, shard: Int,
+private[sources] case class KinesisSimPartition(transport: SimTransport,
+                                                shard: Int,
                                                 from: Long, until: Long)
     extends InputPartition
 
@@ -426,19 +479,10 @@ private[sources] class KinesisSimDataWriter(partitionId: Int,
   * of a GetRecords iterator positioned at a sequence number. */
 private[sources] class KinesisSimReader(p: KinesisSimPartition)
     extends PartitionReader[InternalRow] {
-  // Long-safe positioning (slice(Int, Int) would silently truncate a
-  // shard past 2^31 records): skip `from` records, stop after the
-  // range's count
-  private val lines: Iterator[String] = {
-    val it = KinesisSimProvider.shardLines(p.path, p.shard).iterator
-    var skipped = 0L
-    while (skipped < p.from && it.hasNext) { it.next(); skipped += 1 }
-    new Iterator[String] {
-      private var remaining = p.until - p.from
-      override def hasNext: Boolean = remaining > 0 && it.hasNext
-      override def next(): String = { remaining -= 1; it.next() }
-    }
-  }
+  // range slicing lives in the transport (file skip-iterate or HTTP
+  // range fetch); either way the reader sees the same line format
+  private val lines: Iterator[String] =
+    p.transport.lines(p.shard, p.from, p.until)
   private var current: InternalRow = _
 
   override def next(): Boolean =

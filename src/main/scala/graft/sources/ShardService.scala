@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** A NETWORK shard service over the simulated transport's store — the
+  * wire half a managed stream exposes (Kinesis `DescribeStream` /
+  * `GetRecords` with sequence cursors), served on a real socket so
+  * the V2 connector's network consumption path is exercised
+  * end-to-end instead of stopping at the filesystem. Zero added
+  * dependencies (JDK httpserver, the [[graft.serve.QueryEdge]]
+  * pattern).
+  *
+  * Endpoints (all GET):
+  *  - `/describe`                     → `{"shards":N}`
+  *  - `/latest/{shard}`               → `{"next":N}` (next sequence)
+  *  - `/records/{shard}?from=A&until=B` → newline-delimited record
+  *    JSON in the transport's exact line format — the same bytes a
+  *    file consumer reads, so either transport feeds the same parser.
+  *
+  * Offsets are record counts (the transport's sequence-number
+  * contract); range reads are half-open [from, until). The service is
+  * read-only over the store directory; producers keep writing through
+  * [[SimulatedKinesis.ShardedProducer]] or the V2 sink, and new
+  * records become visible to `/latest` immediately — the poll loop a
+  * real consumer runs.
+  */
+object ShardService {
+
+  private val LatestPath = "/latest/([0-9]+)".r
+  private val RecordsPath = "/records/([0-9]+)".r
+
+  /** Serve `dir`'s shard store on `port` (0 = ephemeral; read the
+    * bound port off the returned server). Stop with `.stop(0)`. */
+  def start(dir: String, nShards: Int, port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(dir, nShards, ex))
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  private def handle(dir: String, nShards: Int, ex: HttpExchange): Unit =
+    try {
+      (ex.getRequestMethod, ex.getRequestURI.getPath) match {
+        case ("GET", "/describe") =>
+          respond(ex, 200, s"""{"shards":$nShards}""")
+        case ("GET", LatestPath(shard)) =>
+          val s = shard.toInt
+          if (s >= nShards) respond(ex, 404, """{"error":"no such shard"}""")
+          else respond(ex, 200, s"""{"next":${count(dir, s)}}""")
+        case ("GET", RecordsPath(shard)) =>
+          val s = shard.toInt
+          if (s >= nShards) respond(ex, 404, """{"error":"no such shard"}""")
+          else {
+            val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            val params = q.split("&").iterator.filter(_.contains("="))
+              .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }
+              .toMap
+            val from = params.get("from").map(_.toLong).getOrElse(0L)
+            val until = params.get("until").map(_.toLong).getOrElse(Long.MaxValue)
+            val it = KinesisSimProvider.shardLines(dir, s).iterator
+            var skipped = 0L
+            while (skipped < from && it.hasNext) { it.next(); skipped += 1 }
+            val sb = new StringBuilder
+            var remaining = until - from
+            while (remaining > 0 && it.hasNext) {
+              sb.append(it.next()).append('\n')
+              remaining -= 1
+            }
+            respond(ex, 200, sb.toString, "application/x-ndjson")
+          }
+        case ("GET", _) => respond(ex, 404, """{"error":"not found"}""")
+        case _ =>
+          ex.getResponseHeaders.set("Allow", "GET")
+          respond(ex, 405, """{"error":"method not allowed"}""")
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, s"""{"error":"${String.valueOf(e.getMessage)
+          .replaceAll("[\"\\\\\\x00-\\x1f]", " ").trim}"}""")
+    }
+
+  // counts reuse the provider's file enumeration + record counter —
+  // the service and a file consumer agree on sequence numbers by
+  // construction
+  private val countCache =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
+
+  private def count(dir: String, shard: Int): Long =
+    KinesisSimProvider.shardFiles(dir, shard).map { f =>
+      val key = (f.toString,
+        java.nio.file.Files.size(f),
+        java.nio.file.Files.getLastModifiedTime(f).toMillis)
+      countCache.synchronized {
+        countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
+      }
+    }.sum
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
+    val bytes = body.getBytes("UTF-8")
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  /** Driver/executor-side client half (plain HttpURLConnection — no
+    * dependencies, serializable by construction since only the
+    * endpoint string ships). */
+  private[sources] object Client {
+    def get(url: String): String = {
+      val conn = new java.net.URI(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      try {
+        val code = conn.getResponseCode
+        require(code == 200, s"GET $url -> HTTP $code")
+        val in = conn.getInputStream
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } finally conn.disconnect()
+    }
+
+    def latest(endpoint: String, shard: Int): Long = {
+      val body = get(s"$endpoint/latest/$shard")
+      """"next":([0-9]+)""".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalStateException(s"bad /latest body: $body"))
+        .group(1).toLong
+    }
+
+    def records(endpoint: String, shard: Int, from: Long,
+                until: Long): Iterator[String] =
+      get(s"$endpoint/records/$shard?from=$from&until=$until")
+        .linesIterator.filter(_.nonEmpty)
+  }
+}

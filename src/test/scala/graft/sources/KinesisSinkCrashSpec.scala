@@ -92,13 +92,13 @@ class KinesisSinkCrashSpec extends AnyFunSuite {
   }
 
   test("restart with fewer shards than the checkpoint fails loud") {
-    val stream = new KinesisSimMicroBatchStream("/tmp/none", 2)
+    val stream = new KinesisSimMicroBatchStream(FileTransport("/tmp/none"), 2)
     val e = intercept[IllegalArgumentException] {
       stream.deserializeOffset("""{"0":5,"3":2}""")
     }
     assert(e.getMessage.contains("shards"))
     // same offsets under a wide-enough restart parse fine
-    val ok = new KinesisSimMicroBatchStream("/tmp/none", 4)
+    val ok = new KinesisSimMicroBatchStream(FileTransport("/tmp/none"), 4)
       .deserializeOffset("""{"0":5,"3":2}""")
     assert(ok.asInstanceOf[ShardOffsets].next == Map(0 -> 5L, 3 -> 2L))
   }
