@@ -207,13 +207,17 @@ private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    // the sink commits epochs into the store directory itself; a
-    // PutRecords wire protocol would be the HTTP analog — out of
-    // scope for the read-only shard service
+    // the transactional sink commits epochs into the store directory
+    // itself (atomic-move files + epoch markers); the HTTP endpoint
+    // offers plain PutRecords (ShardService POST /records,
+    // at-least-once with idempotency keys) — a different contract, so
+    // the exactly-once sink stays file-backed and says so
     val path = transport match {
       case FileTransport(dir) => dir
       case _: HttpTransport => throw new IllegalArgumentException(
-        "kinesis-sim sink needs option 'path' (the HTTP endpoint is read-only)")
+        "kinesis-sim sink needs option 'path' — the exactly-once epoch " +
+          "commit is file-backed; over HTTP use ShardService.Client" +
+          ".putRecords (at-least-once + idempotency key)")
     }
     val schema = info.schema()
     require(schema.fieldNames.contains("data") &&

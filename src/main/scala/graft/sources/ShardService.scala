@@ -32,20 +32,60 @@ object ShardService {
   private val RecordsPath = "/records/([0-9]+)".r
 
   /** Serve `dir`'s shard store on `port` (0 = ephemeral; read the
-    * bound port off the returned server). Stop with `.stop(0)`. */
+    * bound port off the returned server). Stop with `.stop(0)`.
+    *
+    * The PRODUCER half — `POST /records` with a newline-delimited
+    * `{"partitionKey":…,"data":<b64>}` body — appends through ONE
+    * server-side [[SimulatedKinesis.ShardedProducer]], which is what
+    * makes sequence numbers server-assigned (the managed-service
+    * contract; a client never picks its own). An optional
+    * `X-Idempotency-Key` header makes producer retries safe: a key
+    * the server has seen is acknowledged with `"duplicate":true` and
+    * writes nothing — the dedup token the real PutRecords API lacks
+    * and every at-least-once producer has to work around. */
   def start(dir: String, nShards: Int, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/", (ex: HttpExchange) => handle(dir, nShards, ex))
+    val producer = new SimulatedKinesis.ShardedProducer(dir, nShards)
+    val seenKeys = scala.collection.mutable.HashSet.empty[String]
+    server.createContext("/",
+      (ex: HttpExchange) => handle(dir, nShards, producer, seenKeys, ex))
     server.setExecutor(null)
     server.start()
     server
   }
 
-  private def handle(dir: String, nShards: Int, ex: HttpExchange): Unit =
+  private val PostLine =
+    """\{"partitionKey":"([^"]*)","data":"([^"]*)"\}""".r
+
+  private def handle(dir: String, nShards: Int,
+                     producer: SimulatedKinesis.ShardedProducer,
+                     seenKeys: scala.collection.mutable.HashSet[String],
+                     ex: HttpExchange): Unit =
     try {
       (ex.getRequestMethod, ex.getRequestURI.getPath) match {
         case ("GET", "/describe") =>
           respond(ex, 200, s"""{"shards":$nShards}""")
+        case ("POST", "/records") =>
+          val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+          val key = Option(ex.getRequestHeaders.getFirst("X-Idempotency-Key"))
+          if (key.exists(k => seenKeys.synchronized(seenKeys.contains(k))))
+            respond(ex, 200, """{"duplicate":true,"calls":0}""")
+          else {
+            val recs = body.linesIterator.filter(_.nonEmpty).map {
+              case PostLine(pk, b64) =>
+                (new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"), pk)
+              case other =>
+                throw new IllegalArgumentException(s"malformed record: $other")
+            }.toSeq
+            // single server-side producer: sequence numbers are
+            // assigned HERE, atomically per shard
+            val calls = producer.synchronized {
+              val c = producer.putRecords(recs)
+              key.foreach(k => seenKeys.synchronized(seenKeys += k))
+              c
+            }
+            respond(ex, 200, s"""{"duplicate":false,"calls":$calls}""")
+          }
         case ("GET", LatestPath(shard)) =>
           val s = shard.toInt
           if (s >= nShards) respond(ex, 404, """{"error":"no such shard"}""")
@@ -77,6 +117,9 @@ object ShardService {
           respond(ex, 405, """{"error":"method not allowed"}""")
       }
     } catch {
+      case e: IllegalArgumentException =>
+        respond(ex, 400, s"""{"error":"${String.valueOf(e.getMessage)
+          .replaceAll("[\"\\\\\\x00-\\x1f]", " ").trim}"}""")
       case e: Exception =>
         respond(ex, 500, s"""{"error":"${String.valueOf(e.getMessage)
           .replaceAll("[\"\\\\\\x00-\\x1f]", " ").trim}"}""")
@@ -135,5 +178,41 @@ object ShardService {
                 until: Long): Iterator[String] =
       get(s"$endpoint/records/$shard?from=$from&until=$until")
         .linesIterator.filter(_.nonEmpty)
+
+    /** PutRecords over the wire — the producer's client half, API
+      * shape matching [[SimulatedKinesis.ShardedProducer.putRecords]]
+      * ((data, partitionKey) pairs). `idempotencyKey` makes retries
+      * safe: resend the SAME call with the same key after a timeout
+      * and the server acks without double-writing. Returns the
+      * server's API-call count (0 on a deduplicated retry). */
+    def putRecords(endpoint: String, records: Seq[(String, String)],
+                   idempotencyKey: Option[String] = None): Int = {
+      val body = records.map { case (data, pk) =>
+        val b64 = java.util.Base64.getEncoder
+          .encodeToString(data.getBytes("UTF-8"))
+        s"""{"partitionKey":"$pk","data":"$b64"}"""
+      }.mkString("", "\n", "\n")
+      val conn = new java.net.URI(s"$endpoint/records").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      idempotencyKey.foreach(k =>
+        conn.setRequestProperty("X-Idempotency-Key", k))
+      try {
+        val os = conn.getOutputStream
+        try os.write(body.getBytes("UTF-8")) finally os.close()
+        val code = conn.getResponseCode
+        require(code == 200, s"POST $endpoint/records -> HTTP $code")
+        val resp = {
+          val in = conn.getInputStream
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        }
+        """"calls":([0-9]+)""".r.findFirstMatchIn(resp)
+          .getOrElse(throw new IllegalStateException(s"bad body: $resp"))
+          .group(1).toInt
+      } finally conn.disconnect()
+    }
   }
 }

@@ -95,6 +95,46 @@ class ShardServiceSpec extends SparkSpec {
     } finally { q.stop(); server.stop(0) }
   }
 
+  test("PutRecords over the wire: server-assigned sequences, idempotent retries") {
+    val dir = Files.createTempDirectory("graft_shard_http_put").toString
+    val server = ShardService.start(dir, nShards = 2)
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // produce THROUGH the socket; sequence numbers assigned server-side
+      val calls = ShardService.Client.putRecords(ep,
+        Seq(("a1", "u1"), ("b1", "u2"), ("a2", "u1")),
+        idempotencyKey = Some("flush-1"))
+      assert(calls == 1)
+      // a retry of the same flush (timeout on the ack path) must not
+      // double-write — the dedup token PutRecords itself lacks
+      val retry = ShardService.Client.putRecords(ep,
+        Seq(("a1", "u1"), ("b1", "u2"), ("a2", "u1")),
+        idempotencyKey = Some("flush-1"))
+      assert(retry == 0, "idempotent retry must write nothing")
+      assert((0 until 2).map(ShardService.Client.latest(ep, _)).sum == 3L)
+      // and the full loop: produced over HTTP, consumed over HTTP
+      val q = spark.readStream.format("kinesis-sim")
+        .option("endpoint", ep).option("shards", "2").load()
+        .selectExpr("CAST(data AS STRING) AS data", "partitionKey")
+        .writeStream.format("memory").outputMode("append")
+        .queryName("ksim_http_put").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table("ksim_http_put").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(got == Set(("a1", "u1"), ("b1", "u2"), ("a2", "u1")),
+          s"wire round trip: $got")
+      } finally q.stop()
+      // malformed producer body -> 400, not 500
+      val conn = new java.net.URI(s"$ep/records").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write("not json\n".getBytes("UTF-8")) finally os.close()
+      assert(conn.getResponseCode == 400)
+    } finally server.stop(0)
+  }
+
   test("the read-only endpoint rejects the sink") {
     val dir = Files.createTempDirectory("graft_shard_http_sink").toString
     val server = ShardService.start(dir, nShards = 1)
