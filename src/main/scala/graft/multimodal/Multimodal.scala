@@ -6,12 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed by per-partition batch transforms.
   *
-  * The container has no image/audio codecs, so the decode kernels are
-  * STUBBED with deterministic fakes (clearly marked below). Everything
-  * Spark-side — schema, binary encoding, partitioning, the
-  * mapPartitions batch shape, metadata extraction — is real and tested.
-  * Swapping `fakeDecode` for a JNI/codec call is the only change needed
-  * for real media.
+  * IMAGE decode, resize and feature extraction are REAL for the
+  * formats the JDK ships codecs for (PNG/JPEG/BMP/GIF via
+  * `javax.imageio` — no added dependency): [[extractMeta]] reads true
+  * pixel dimensions off the stream header, [[resizePixels]]
+  * transcodes pixels, and [[extractFeatures]] computes channel
+  * statistics over decoded pixels, all spec-driven on real encoded
+  * images. Payloads no JDK codec accepts (exotic containers,
+  * audio/video — those codecs genuinely aren't in this container)
+  * fall back to a deterministic fake, clearly marked, so the
+  * Spark-side contract — schema, binary encoding, partitioning, the
+  * mapPartitions one-decoder-per-partition shape — is identical on
+  * both paths and a JNI/codec swap changes one function.
   */
 object Multimodal {
 
@@ -28,23 +34,56 @@ object Multimodal {
         .as("media_type"),
       encode(col("text"), "UTF-8").as("data"))
 
-  /** STUB decode kernel: deterministic fake dimensions derived from the
-    * payload. A real implementation would decode the codec header here;
-    * the batch-per-partition shape is what matters for scale (one codec
-    * init per partition, not per row). */
+  /** Fallback kernel for payloads no JDK codec accepts: deterministic
+    * fake dimensions derived from the payload, so the pipeline shape
+    * is exercised even on stand-in bytes. */
   private def fakeDecode(payload: Array[Byte]): (Int, Int) = {
     val n = payload.length
     (n % 640, (n * 7) % 480)
   }
 
-  /** Per-partition metadata extraction over the binary column. */
+  /** REAL header decode: true pixel dimensions via `javax.imageio`
+    * WITHOUT decoding the pixel raster — the reader parses only the
+    * stream header (`getWidth/getHeight` on the `ImageReader`), so
+    * metadata extraction over a 100 TB image corpus reads headers,
+    * not images. Returns None when no installed codec accepts the
+    * bytes. */
+  private def decodeDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally in.close()
+  }
+
+  /** Full pixel decode (None when no codec accepts the bytes). */
+  private def decodeImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** Per-partition metadata extraction over the binary column: real
+    * header dimensions where a JDK codec applies, deterministic fake
+    * otherwise. */
   def extractMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions { it =>
-      // real pipeline: initialize the decoder once per partition here
+      // one MessageDigest per partition, not per row
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
-        val (w, h) = fakeDecode(m.data)
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val (w, h) = decodeDims(m.data).getOrElse(fakeDecode(m.data))
+        md.reset()
         val hex = md.digest(m.data).map("%02x".format(_)).mkString
         MediaMeta(m.doc_id, m.media_type, m.data.length, w, h, hex)
       }
@@ -64,9 +103,8 @@ object Multimodal {
           .as("frame"))
       .filter(length(col("frame")) > 0)
 
-  /** STUB resize kernel: recomputes target dimensions preserving
-    * aspect; a real implementation would transcode pixels here —
-    * the metadata/plumbing contract is what downstream consumes. */
+  /** Aspect-preserving target-dimension computation (metadata only —
+    * the cheap planning pass a resize job runs first). */
   def resizeMeta(spark: SparkSession, media: DataFrame,
                  maxSide: Int = 224): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -77,29 +115,114 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(doc_id: Long, media_type: String,
+                          width: Int, height: Int, data: Array[Byte])
+
+  /** REAL pixel resize for JDK-decodable images: decode, bilinear
+    * Graphics2D scale to `maxSide` on the long edge (never upscale),
+    * re-encode as PNG. Rows whose payloads no codec accepts are
+    * DROPPED — a resize output must contain only actual images, and
+    * the reject path belongs to the caller's triage, not a silent
+    * fake. One decode+encode per row, batched per partition. */
+  def resizePixels(spark: SparkSession, media: DataFrame,
+                   maxSide: Int = 224): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions { it =>
+      it.flatMap { m =>
+        decodeImage(m.data).map { img =>
+          val side = math.max(math.max(img.getWidth, img.getHeight), 1)
+          val scale = math.min(1.0, maxSide.toDouble / side)
+          val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+            math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          ResizedMedia(m.doc_id, "image/png", w, h, buf.toByteArray)
+        }
+      }
+    }
+  }
+
   case class MediaFeature(doc_id: Long, embedding: Array[Float])
 
-  /** STUB feature extraction: a deterministic fake embedding derived
-    * from the payload bytes (a real pipeline runs the vision/audio
-    * encoder here, batched per partition). The output column shape —
-    * `array<float>` keyed by doc_id — is exactly what the similarity
-    * operators consume, so media vectors flow straight into
-    * Knn.bruteForce / ivfAssign. */
+  /** Feature extraction: for JDK-decodable images, a REAL pixel
+    * descriptor — per-channel means and standard deviations over the
+    * decoded raster plus 2×2-quadrant per-channel means (dim 16 =
+    * 3 means + 3 stds + 4 quadrants × "the dominant-channel layout";
+    * concretely: [meanR, meanG, meanB, stdR, stdG, stdB,
+    * q00R..q11R, q00G..] truncated/zero-padded to `dim`). Crude but
+    * honest: near-duplicate images land near each other in cosine
+    * space, which is exactly what the downstream similarity
+    * operators need. Non-decodable payloads keep the deterministic
+    * byte-fold fake (a neural encoder genuinely isn't in this
+    * container — that swap point stays documented). Output shape —
+    * `array<float>` keyed by doc_id — feeds Knn.bruteForce /
+    * ivfAssign unchanged. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
                       dim: Int = 16): Dataset[MediaFeature] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions { it =>
-      // real pipeline: load the encoder once per partition here
       it.map { m =>
-        val v = new Array[Float](dim)
-        var i = 0
-        while (i < m.data.length) {
-          v(i % dim) += (m.data(i) & 0xff) / 255.0f
-          i += 1
+        decodeImage(m.data) match {
+          case Some(img) => MediaFeature(m.doc_id, pixelFeatures(img, dim))
+          case None =>
+            val v = new Array[Float](dim)
+            var i = 0
+            while (i < m.data.length) {
+              v(i % dim) += (m.data(i) & 0xff) / 255.0f
+              i += 1
+            }
+            MediaFeature(m.doc_id, v)
         }
-        MediaFeature(m.doc_id, v)
       }
     }
+  }
+
+  private def pixelFeatures(img: java.awt.image.BufferedImage,
+                            dim: Int): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sum = new Array[Double](3); val sq = new Array[Double](3)
+    val quad = Array.ofDim[Double](4, 3); val quadN = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val c = Array(((rgb >> 16) & 0xff) / 255.0,
+          ((rgb >> 8) & 0xff) / 255.0, (rgb & 0xff) / 255.0)
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        var ch = 0
+        while (ch < 3) {
+          sum(ch) += c(ch); sq(ch) += c(ch) * c(ch)
+          quad(q)(ch) += c(ch); ch += 1
+        }
+        quadN(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val feats = scala.collection.mutable.ArrayBuffer.empty[Float]
+    (0 until 3).foreach(ch => feats += (sum(ch) / n).toFloat)
+    (0 until 3).foreach { ch =>
+      val mean = sum(ch) / n
+      feats += math.sqrt(math.max(0.0, sq(ch) / n - mean * mean)).toFloat
+    }
+    (0 until 4).foreach { q =>
+      (0 until 3).foreach { ch =>
+        feats += (if (quadN(q) == 0) 0.0f
+                  else (quad(q)(ch) / quadN(q)).toFloat)
+      }
+    }
+    feats.padTo(dim, 0.0f).take(dim).toArray
   }
 
   /** Oracle-facing metadata query built only from portable expressions

@@ -50,6 +50,90 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.forall(r => r.getAs[Double]("cos_sim") <= 1.0))
   }
 
+  // ---- REAL codecs (JDK javax.imageio: PNG/JPEG/BMP/GIF) ----
+
+  /** Encode a solid-ish image in memory: `tint` fills the top-left
+    * quadrant with a second color so quadrant features separate. */
+  private def png(w: Int, h: Int, rgb: Int, tintTopLeft: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      img.setRGB(x, y, if (y < h / 2 && x < w / 2) tintTopLeft else rgb)
+    })
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  private def realMedia = {
+    import spark.implicits._
+    Seq(
+      (1L, "image/png", png(64, 48, 0xff0000, 0xff0000)),  // solid red
+      (2L, "image/png", png(64, 48, 0x0000ff, 0x0000ff)),  // solid blue
+      (3L, "image/png", png(400, 300, 0x00ff00, 0xffffff)), // green, white TL
+      (9L, "application/x-unknown",
+        "definitely not an image payload".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+  }
+
+  test("real decode: true header dimensions for JDK formats, fallback otherwise") {
+    val meta = Multimodal.extractMeta(spark, realMedia)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 64 && meta(1L).height == 48,
+      s"PNG header dims must be real: ${meta(1L)}")
+    assert(meta(3L).width == 400 && meta(3L).height == 300)
+    // the non-image payload takes the deterministic fallback
+    val n = meta(9L).n_bytes
+    assert(meta(9L).width == n % 640 && meta(9L).height == (n * 7) % 480)
+  }
+
+  test("real resize: pixels transcode, aspect preserved, non-images dropped") {
+    val out = Multimodal.resizePixels(spark, realMedia, maxSide = 100)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!out.contains(9L), "non-decodable rows must be dropped, not faked")
+    assert(out(3L).width == 100 && out(3L).height == 75,
+      s"400x300 at maxSide 100 -> 100x75: ${out(3L)}")
+    assert(out(1L).width == 64 && out(1L).height == 48,
+      "images under the cap are never upscaled")
+    // the re-encoded payload is itself a decodable PNG with the new dims
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(3L).data))
+    assert(round.getWidth == 100 && round.getHeight == 75)
+    // resized red stays red
+    val rgb = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).data)).getRGB(32, 24)
+    assert(((rgb >> 16) & 0xff) > 200 && (rgb & 0xff) < 50,
+      f"red must survive the transcode: 0x$rgb%08x")
+  }
+
+  test("real features: channel statistics separate colors; near-dups stay near") {
+    import spark.implicits._
+    val f = Multimodal.extractFeatures(spark, realMedia, dim = 16)
+      .collect().map(x => x.doc_id -> x.embedding).toMap
+    // layout: [meanR, meanG, meanB, stdR, stdG, stdB, quadrants...]
+    assert(f(1L)(0) > 0.9f && f(1L)(2) < 0.1f, "solid red: meanR high, meanB low")
+    assert(f(2L)(2) > 0.9f && f(2L)(0) < 0.1f, "solid blue: meanB high")
+    assert(f(1L)(3) < 0.05f, "solid color: near-zero channel std")
+    // a resized copy of an image is a near-duplicate in feature space;
+    // a different color is not — the property semantic dedup needs
+    val resized = Multimodal.resizePixels(spark, realMedia, maxSide = 32)
+      .toDF().withColumnRenamed("data", "rdata")
+    val rf = Multimodal.extractFeatures(spark,
+        resized.select(col("doc_id"), col("media_type"),
+          col("rdata").as("data")), dim = 16)
+      .collect().map(x => x.doc_id -> x.embedding).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    assert(cos(f(1L), rf(1L)) > 0.999,
+      "an image and its resize must be feature near-duplicates")
+    assert(cos(f(1L), f(2L)) < 0.5,
+      "red vs blue must separate in feature space")
+  }
+
   test("frame sampling slices bounded byte ranges per frame") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(docs),
       frameBytes = 16, nFrames = 4)
