@@ -225,6 +225,90 @@ object Multimodal {
     feats.padTo(dim, 0.0f).take(dim).toArray
   }
 
+  case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                       bits: Int, n_frames: Long, duration_ms: Long)
+
+  case class AudioFeature(doc_id: Long, embedding: Array[Float])
+
+  /** REAL audio header decode for the formats the JDK ships parsers
+    * for (WAV/PCM, AIFF, AU via `javax.sound.sampled` — no added
+    * dependency): sample rate, channel count, bit depth, frame count
+    * and duration off the container header. Rows no JDK parser
+    * accepts are dropped (the caller's triage owns rejects). */
+  def extractAudioMeta(spark: SparkSession,
+                       media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.data))
+          try {
+            val f = in.getFormat
+            val frames = in.getFrameLength
+            val durMs =
+              if (frames < 0 || f.getFrameRate <= 0) -1L
+              else (frames * 1000.0 / f.getFrameRate).toLong
+            Some(AudioMeta(m.doc_id, f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, frames, durMs))
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** REAL audio features for 16-bit PCM: per-window RMS energy over
+    * `dim` equal time slices of the first channel — the
+    * loudness-envelope descriptor; silence→tone transitions and
+    * duplicate clips are separable in cosine space the same way the
+    * image channel stats are. Non-PCM/undecodable rows are dropped. */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame,
+                           dim: Int = 16): Dataset[AudioFeature] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions { it =>
+      it.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.data))
+          try {
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16) None
+            else {
+              val bytes = in.readAllBytes()
+              val frameSize = f.getFrameSize
+              val n = bytes.length / frameSize
+              if (n == 0) None
+              else {
+                val v = new Array[Float](dim)
+                val counts = new Array[Long](dim)
+                val big = f.isBigEndian
+                var i = 0
+                while (i < n) {
+                  val off = i * frameSize // first channel only
+                  val s =
+                    if (big) ((bytes(off) << 8) | (bytes(off + 1) & 0xff))
+                    else ((bytes(off + 1) << 8) | (bytes(off) & 0xff))
+                  val w = math.min(dim - 1, (i.toLong * dim / n).toInt)
+                  val x = s / 32768.0
+                  v(w) += (x * x).toFloat
+                  counts(w) += 1
+                  i += 1
+                }
+                var w = 0
+                while (w < dim) {
+                  v(w) = if (counts(w) == 0) 0.0f
+                         else math.sqrt(v(w) / counts(w)).toFloat
+                  w += 1
+                }
+                Some(AudioFeature(m.doc_id, v))
+              }
+            }
+          } finally in.close()
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** Oracle-facing metadata query built only from portable expressions
     * (DuckDB 1.0 lacks md5(BLOB), so the checksum hashes the source
     * text — same bytes). */

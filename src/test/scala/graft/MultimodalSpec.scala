@@ -134,6 +134,72 @@ class MultimodalSpec extends SparkSpec {
       "red vs blue must separate in feature space")
   }
 
+  // ---- REAL audio (JDK javax.sound.sampled: WAV/PCM) ----
+
+  /** Encode a mono 16-bit PCM WAV in memory: `hz` tone (0 = silence)
+    * for `ms` milliseconds at 8 kHz. */
+  private def wav(hz: Double, ms: Int, rate: Float = 8000f): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = if (hz == 0) 0
+        else (math.sin(2 * math.Pi * hz * i / rate) * 20000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("real audio: WAV header metadata and RMS-envelope features") {
+    import spark.implicits._
+    // doc 1: 440 Hz tone; doc 2: silence-then-tone (half and half);
+    // doc 9: not audio at all
+    val halfAndHalf = {
+      val silent = wav(0, 250); val tone = wav(440, 250)
+      // splice at the PCM level: re-render as one clip
+      val rate = 8000f
+      val n = (rate * 500 / 1000).toInt
+      val pcm = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val s = if (i < n / 2) 0
+          else (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toInt
+        pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      assert(silent.length + tone.length > 0) // keep the locals honest
+      buf.toByteArray
+    }
+    val media = Seq(
+      (1L, "audio/wav", wav(440, 500)),
+      (2L, "audio/wav", halfAndHalf),
+      (9L, "text/plain", "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "media_type", "data")
+    val meta = Multimodal.extractAudioMeta(spark, media)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(!meta.contains(9L), "non-audio must be dropped")
+    assert(meta(1L).sample_rate == 8000 && meta(1L).channels == 1 &&
+      meta(1L).bits == 16, s"${meta(1L)}")
+    assert(math.abs(meta(1L).duration_ms - 500L) <= 1, s"${meta(1L)}")
+    val f = Multimodal.extractAudioFeatures(spark, media, dim = 8)
+      .collect().map(x => x.doc_id -> x.embedding).toMap
+    // constant tone: every window carries energy; half-and-half: the
+    // first half's windows are silent, the second half's are not
+    assert(f(1L).forall(_ > 0.2f), s"tone energy: ${f(1L).toSeq}")
+    assert(f(2L).take(4).forall(_ < 0.01f) && f(2L).drop(4).forall(_ > 0.2f),
+      s"envelope must localize the tone: ${f(2L).toSeq}")
+  }
+
   test("frame sampling slices bounded byte ranges per frame") {
     val frames = Multimodal.sampleFrames(Multimodal.mediaTable(docs),
       frameBytes = 16, nFrames = 4)
