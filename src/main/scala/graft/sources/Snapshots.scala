@@ -107,17 +107,24 @@ object Snapshots {
     * longest-running reader — the same rule as any MVCC vacuum. */
   def vacuum(tableDir: String, keep: Int = 2): Seq[String] = {
     require(keep >= 1, "must keep at least the current snapshot")
-    val cur = currentId(tableDir).getOrElse(return Nil)
-    val snaps = Files.list(Paths.get(tableDir)).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snap-"))
-      .map(p => p.getFileName.toString.stripPrefix("snap-").toLong)
-      .toSeq.sorted
-    val doomed = snaps.filter(id => id <= cur - keep || id > cur)
-    doomed.map { id =>
-      val dir = Paths.get(tableDir, snapName(id))
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(Files.delete)
-      snapName(id)
+    currentId(tableDir) match {
+      case None => Nil
+      case Some(cur) =>
+        val listing = Files.list(Paths.get(tableDir))
+        val snaps =
+          try listing.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("snap-"))
+            .map(p => p.getFileName.toString.stripPrefix("snap-").toLong)
+            .toSeq.sorted
+          finally listing.close()
+        val doomed = snaps.filter(id => id <= cur - keep || id > cur)
+        doomed.map { id =>
+          val dir = Paths.get(tableDir, snapName(id))
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+          finally walk.close()
+          snapName(id)
+        }
     }
   }
 

@@ -66,6 +66,42 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir).count() == 1000)
   }
 
+  test("snapshot table as the streaming verifier's document store") {
+    // the 100 TB shape of verifiedIngest's `store` callback: the
+    // document corpus lives in a snapshot table, the callback
+    // re-resolves the pointer each micro-batch, and a publish that
+    // lands MID-STREAM is picked up by the next batch — while any
+    // in-flight batch keeps its own resolved snapshot (isolation)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("graft_snap_store").toString
+    val base = "one two three four five six seven eight nine ten eleven"
+    Snapshots.publish(Seq((10L, base)).toDF("doc_id", "text"), dir)
+    val verified = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)](spark)
+    val q = graft.streaming.CorpusIngest.verifiedIngest(
+      input.toDF().toDF("doc_id", "text", "ts"),
+      store = () => Snapshots.read(spark, dir),
+      onVerified = (pairs, _) => verified.synchronized {
+        verified ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      lateness = "1 hour")
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    try {
+      input.addData((10L, base, t(1000)))
+      q.processAllAvailable()
+      // a doc arrives whose text matches a NOT-YET-PUBLISHED store
+      // entry: publish first, then stream it — the callback resolves
+      // the new snapshot and the verifier sees both docs
+      Snapshots.publish(
+        Seq((10L, base), (30L, base)).toDF("doc_id", "text"), dir)
+      input.addData((30L, base, t(2000)))
+      q.processAllAvailable()
+      val got = verified.synchronized(verified.toList)
+      assert(got.exists(p => Set(p._1, p._2) == Set(10L, 30L)),
+        s"mid-stream publish must be visible to the next batch: $got")
+    } finally q.stop()
+  }
+
   test("partitioned publish keeps partition pruning for readers") {
     val dir = Files.createTempDirectory("graft_snap_part").toString
     Snapshots.publish(
