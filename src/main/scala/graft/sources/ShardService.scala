@@ -49,7 +49,10 @@ object ShardService {
     val seenKeys = scala.collection.mutable.HashSet.empty[String]
     server.createContext("/",
       (ex: HttpExchange) => handle(dir, nShards, producer, seenKeys, ex))
-    server.setExecutor(null)
+    // Spark tasks fetch shard ranges concurrently — serve them in
+    // parallel (the producer path stays safe: appends synchronize on
+    // the single server-side producer)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     server.start()
     server
   }

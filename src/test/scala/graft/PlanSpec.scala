@@ -223,6 +223,22 @@ class PlanSpec extends SparkSpec {
       s"vocab join must broadcast:\n$p")
   }
 
+  test("LM score: count relations broadcast; no corpus sort-merge join") {
+    // the round-7 restructure's contract: the tagged probe joins ride
+    // broadcasts (weights are vocab-sized), so the only exchanges are
+    // the tiny count aggregate and the per-doc partial agg — a
+    // regression to a corpus-sized SortMergeJoin would show here
+    val p = finalPlan(q("doc_lm_score"))
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight join must broadcast:\n$p")
+    val smjCorpus = "SortMergeJoin".r.findAllIn(p).length
+    // the spine LEFT JOIN (doc-count-sized) may legitimately
+    // sort-merge; anything beyond that single join is a regression
+    assert(smjCorpus <= 1,
+      s"expected at most the spine join to sort-merge, got $smjCorpus:\n$p")
+  }
+
   test("dup spans: exactly one window pass, partitioned by document") {
     val p = finalPlan(q("dedup_dup_spans"))
       .split("== Initial Plan ==").head
