@@ -73,8 +73,9 @@ object Soak {
     // round-6 additions: the single-scan admission gates (shared
     // doc×token relation) and the routed dedup composition
     "doc_admission_lm", "dedup_route", "dedup_delta_verified",
-    // round-7 addition: the frozen-centroid IVF delta probe
-    "knn_ivf_delta")
+    // round-7 additions: the frozen-centroid IVF delta probe and the
+    // span-cutting transform (dupSpans' report turned into the action)
+    "knn_ivf_delta", "doc_despan")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

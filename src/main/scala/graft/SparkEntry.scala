@@ -776,6 +776,10 @@ object SparkEntry {
     "doc_dup_rate" -> q((s, d) =>
       Dedup.dupRate(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // the cleaning ACTION: covered positions cut, survivors rejoined
+    "doc_despan" -> q((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "ts_asof_tolerance" -> q((s, d) =>
       TimeSeries.asofNativeTolerance(ev(s, d))
         .orderBy("user_id", "event_id")),
@@ -3841,6 +3845,49 @@ object SparkEntry {
         |SELECT doc_id, span_start, span_end, n_shingles,
         |  span_end - span_start + 3 AS span_tokens
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // span CUTTING: every covered position removed, survivors rejoin
+    // in order — same island merge as doc_dup_rate, then an anti-range
+    // filter on positions and an ordered string_agg
+    "doc_despan" ->
+      s"""WITH $DupSpansSql,
+        |sp AS (SELECT doc_id, span_start AS s, span_end + 2 AS e
+        |       FROM spans),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM sp),
+        |fl AS (
+        |  SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |                 THEN 1 ELSE 0 END AS ni
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl),
+        |mg AS (
+        |  SELECT doc_id, island, min(s) AS ms, max(e) AS me
+        |  FROM isl GROUP BY 1, 2),
+        |pos AS (SELECT doc_id, unnest(t) AS w,
+        |          unnest(range(len(t))) AS pos
+        |        FROM toks),
+        |kept AS (
+        |  SELECT p.doc_id, p.w, p.pos FROM pos p
+        |  WHERE NOT EXISTS (SELECT 1 FROM mg
+        |    WHERE mg.doc_id = p.doc_id
+        |      AND mg.ms <= p.pos AND p.pos <= mg.me)),
+        |ka AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY 1),
+        |sz AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |       FROM documents)
+        |SELECT sz.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(clean_text, '') AS clean_text
+        |FROM sz LEFT JOIN ka ON sz.doc_id = ka.doc_id
+        |ORDER BY sz.doc_id""".stripMargin,
 
     "doc_dup_rate" ->
       s"""WITH $DupSpansSql,

@@ -577,6 +577,56 @@ object Dedup {
 
   /** [[dupRate]] over a pre-tokenized `(doc_id, t)` relation (see
     * [[dupSpansOfTokens]]). */
+  /** The cleaning ACTION for [[dupSpans]]'s report — Lee et al.'s
+    * pipeline doesn't just measure duplicated spans, it CUTS them:
+    * every token position covered by a merged duplicated-span
+    * interval is removed and the survivors rejoin into `clean_text`.
+    * Removal is unconditional (boilerplate semantics — all copies
+    * go); a keep-one-canonical-copy policy is a layer above this
+    * operator, not inside it, because "which copy" is a corpus-level
+    * choice this per-doc transform cannot see.
+    *
+    * Scale shape: inherits [[dupSpansOfTokens]] (positions explode
+    * once, df gate on the 64-bit hash, one window per doc); the
+    * interval merge runs over the SPAN table; the final cut is a
+    * per-row array filter against the doc's own few merged intervals
+    * (driver-free, no join back to positions). Output:
+    * (doc_id, n_tokens, n_removed, clean_text). */
+  def removeDupSpans(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val tok = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .localCheckpoint()
+    val spans = dupSpansOfTokens(tok, minDf)
+      .select(col("doc_id"), col("span_start").as("s"),
+        (col("span_end") + 2).as("e"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val merged = spans
+      .withColumn("pme",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ms"), max(col("e")).as("me"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ms"), col("me")))).as("ivs"))
+    val kept = filter(
+      transform(col("t"), (w, i) => struct(w.as("w"), i.as("pos"))),
+      x => !exists(col("ivs"),
+        iv => iv.getField("ms") <= x.getField("pos") &&
+          x.getField("pos") <= iv.getField("me")))
+    tok.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("ivs"),
+          array().cast("array<struct<ms:bigint,me:bigint>>")).as("ivs"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(kept)).cast("long").as("n_removed"),
+        concat_ws(" ", transform(kept, x => x.getField("w")))
+          .as("clean_text"))
+  }
+
   def dupRateOfTokens(tok: DataFrame, minDf: Int = 2): DataFrame = {
     val spans = dupSpansOfTokens(tok, minDf)
       .select(col("doc_id"), col("span_start").as("s"),

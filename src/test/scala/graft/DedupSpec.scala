@@ -285,6 +285,24 @@ class DedupSpec extends SparkSpec {
     assert(r2.length == 3 && r2(2).getDouble(3) == 0.0)
   }
 
+  test("removeDupSpans cuts every covered position and rejoins the survivors") {
+    // docs 0 and 1 share the run "a b c d e"; doc 1 carries extra
+    // unique tokens around it; doc 2 is untouched
+    val d = Seq(
+      (0L, "a b c d e"),
+      (1L, "u v a b c d e w z q"),
+      (2L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDupSpans(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 0: fully covered -> empty clean text
+    assert(got(0) == ((0L, 5L, 5L, "")))
+    // doc 1: the shared [2,6] token run goes; neighbors survive in order
+    assert(got(1) == ((1L, 10L, 5L, "u v w z q")), s"${got(1)}")
+    // doc 2: no duplicated span -> text reassembles identically
+    assert(got(2) == ((2L, 5L, 0L, "totally different words here now")))
+  }
+
   test("dup spans merge adjacent duplicated shingles into maximal runs") {
     val d = Seq(
       (0L, "a b c d e f"),       // shingles: abc bcd cde def
