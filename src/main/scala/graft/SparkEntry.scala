@@ -745,6 +745,26 @@ object SparkEntry {
     "doc_corpus_mix" -> q((s, d) =>
       TextAnalysis.corpusMix(Tables.documents(s, d))
         .orderBy("lang", "source")),
+    // markup stripping proven as a ROUND TRIP: each doc's text is
+    // wrapped in deterministic HTML (tags, attributes, a script block
+    // whose body contains a tag-shaped string, a style block,
+    // entities around it) and stripMarkup must recover the original
+    "doc_markup" -> q((s, d) => {
+      import org.apache.spark.sql.functions.{concat, lit}
+      val html = concat(
+        lit("<html><head><style type=\"text/css\">p { color: red; }" +
+          "</style></head><body class=\"m\">&quot;<p id=\"t\">"),
+        col("text"),
+        lit("</p>&#39;<script type=\"text/javascript\">var t = " +
+          "\"<b>bold</b>\";</script> &amp;tail</body></html>"))
+      Tables.documents(s, d).select(col("doc_id"), col("text"),
+          TextAnalysis.stripMarkup(html).as("clean"))
+        .select(col("doc_id"),
+          (col("clean") === concat(lit("\" "), col("text"), lit(" ' &tail")))
+            .as("roundtrip"),
+          length(col("clean")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     "ts_anomaly" -> q((s, d) =>
       TimeSeries.rateAnomalies(ev(s, d))
         .orderBy("event_type", "bucket_start")),
@@ -4216,6 +4236,33 @@ object SparkEntry {
         |         THEN 'high_perplexity'
         |  END AS reason
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "doc_markup" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><style type="text/css">p { color: red; }' ||
+        |    '</style></head><body class="m">&quot;<p id="t">' || text ||
+        |    '</p>&#39;<script type="text/javascript">var t = ' ||
+        |    '"<b>bold</b>";</script> &amp;tail</body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id,
+        |  clean = ('" ' || text || ' '' &tail') AS roundtrip,
+        |  CAST(length(clean) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_lm_coverage" ->
       """WITH toks AS (

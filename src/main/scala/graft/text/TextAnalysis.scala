@@ -189,6 +189,37 @@ object TextAnalysis {
 
   /** The PII rewrite as a column, reusable by batch and streaming
     * callers ([[piiScrub]], `streaming.CorpusIngest`). */
+  /** Markup → text: the front step of every web-crawl corpus
+    * pipeline (CCNet/RefinedWeb start from HTML). Declarative and
+    * engine-portable: script/style blocks drop WITH their contents
+    * (inline (?is) flags — dot-matches-newline, case-insensitive;
+    * both Java regex and RE2 accept them), remaining tags become
+    * spaces, the five standard entities unescape, whitespace
+    * collapses, ends trim. Runs inside codegen like every other
+    * kernel here; boilerplate REMOVAL beyond markup (nav/footer
+    * text) is [[graft.dedup.Dedup.removeDupSpans]]'s job — that is a
+    * corpus-level signal, not a per-document regex. */
+  def stripMarkup(html: Column): Column = {
+    // two explicit patterns, not one with a backreference: the oracle
+    // engine's RE2 has no \1, and lockstep patterns keep both engines
+    // computing the identical function
+    val noBlocks = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+    val unescaped =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&amp;", "&") // LAST, so "&amp;lt;" ends as "&lt;" not "<"
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def scrubPii(text: Column): Column =
     regexp_replace(
       regexp_replace(

@@ -22,6 +22,31 @@ class CorpusOpsSpec extends SparkSpec {
     .toDF("doc_id", "lang", "text")
     .withColumn("source", lit("src0"))
 
+  test("stripMarkup: blocks drop with contents, tags space out, entities unescape") {
+    val cases = Seq(
+      // script body contains a tag-shaped string — lazy match must
+      // stop at the real closing tag, taking the body with it
+      (1L, """before<script>var x = "<b>no</b>";</script>after""",
+        "before after"),
+      (2L, """<style a="b">p{}</style><p class="x">hi <b>there</b></p>""",
+        "hi there"),
+      // &amp; unescapes LAST: double-escaped entities stay escaped once
+      (3L, "a &amp;lt; b &lt; c &quot;q&quot; &#39;s&#39; &amp; d",
+        "a &lt; b < c \"q\" 's' & d"),
+      (4L, "no markup at all", "no markup at all"),
+      (5L, "<div>\n  spaced\n\n  out\t</div>", "spaced out"),
+      // case-insensitive block tags
+      (6L, "x<SCRIPT>alert(1)</SCRIPT>y<STYLE>z</STYLE>", "x y"))
+      .toDF("doc_id", "html", "want")
+    val got = cases
+      .select(col("doc_id"), col("want"),
+        TextAnalysis.stripMarkup(col("html")).as("clean"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.foreach { case (id, want, clean) =>
+      assert(clean == want, s"doc $id: got '$clean', want '$want'")
+    }
+  }
+
   test("tfidf ranks the lang-specific term above the ubiquitous one") {
     val got = TextAnalysis.tfidfTerms(docs, topK = 3, minDf = 2)
       .orderBy("lang", "rnk").collect()
