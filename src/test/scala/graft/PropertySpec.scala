@@ -79,6 +79,37 @@ class PropertySpec extends SparkSpec {
     }, minSuccess = 5) // 5 batches x 300 pairs, one Spark job each
   }
 
+  test("native shingle kernel equals the declarative HOF formulation") {
+    // the compiled 3-gram kernel (graft_shingles) claims value
+    // identity with the declarative transform/concat_ws chain — the
+    // property the oracle parity of every shingle-based query rests on
+    // the declarative reference, inlined (Portable routes the 3-gram
+    // case to the native kernel, so the reference must be spelled out)
+    def declarative(toks: org.apache.spark.sql.Column) =
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+        .otherwise(array().cast("array<string>"))
+    val tokArrays = Gen.listOfN(150,
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "dd", "e", "ff", "longword")))
+    check("shingle-kernel-parity", Prop.forAll(tokArrays) { arrays =>
+      if (arrays.isEmpty) true
+      else {
+        val df = arrays.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("id", "t")
+        val rows = df.select(col("id"),
+            call_function("graft_shingles", col("t")).as("native"),
+            declarative(col("t")).as("declarative"))
+          .collect()
+        rows.forall { r =>
+          val n = Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+          val d = Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          n == d
+        }
+      }
+    }, minSuccess = 5)
+  }
+
   test("exactSum is summation-order independent where double sum is not") {
     val amounts = Gen.listOfN(200, Gen.chooseNum(-1000000L, 1000000L)
       .map(_ / 100.0))
