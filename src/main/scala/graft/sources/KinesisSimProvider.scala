@@ -69,7 +69,8 @@ class KinesisSimProvider extends TableProvider with DataSourceRegister {
         val n = v.toLong
         require(n > 0, s"maxRecordsPerTrigger must be positive, got $n")
         n
-      })
+      },
+      Option(properties.get("startingOffsets")).getOrElse("earliest"))
 }
 
 object KinesisSimProvider {
@@ -191,7 +192,8 @@ private[sources] case class HttpTransport(endpoint: String) extends SimTransport
 }
 
 private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
-                                       maxRecordsPerTrigger: Option[Long] = None)
+                                       maxRecordsPerTrigger: Option[Long] = None,
+                                       startingOffsets: String = "earliest")
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kinesis-sim:${transport.id}"
   override def schema(): StructType = KinesisSimProvider.Schema
@@ -203,7 +205,8 @@ private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = KinesisSimProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new KinesisSimMicroBatchStream(transport, nShards, maxRecordsPerTrigger)
+          new KinesisSimMicroBatchStream(transport, nShards,
+            maxRecordsPerTrigger, startingOffsets)
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -261,14 +264,32 @@ private[sources] object ShardOffsets {
 
 private[sources] class KinesisSimMicroBatchStream(
     transport: SimTransport, nShards: Int,
-    maxRecordsPerTrigger: Option[Long] = None)
+    maxRecordsPerTrigger: Option[Long] = None,
+    startingOffsets: String = "earliest")
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def shardRecordCount(shard: Int): Long =
     transport.recordCount(shard)
 
-  override def initialOffset(): Offset =
-    ShardOffsets((0 until nShards).map(_ -> 0L).toMap)
+  /** Where a FRESH query (no checkpoint) starts — the production
+    * connector contract: `earliest` replays the retained stream,
+    * `latest` consumes only records produced after the query starts
+    * (the bootstrap-then-stream pattern: batch-seed the sink from the
+    * store, stream from `latest`), or an explicit JSON shard map
+    * `{"0":5,"1":3}` resumes at exact sequence positions. A restart
+    * from a checkpoint never calls this — the engine replays the
+    * checkpointed offset, so `latest` cannot lose data across
+    * restarts of the same query lineage. */
+  override def initialOffset(): Offset = startingOffsets match {
+    case "earliest" => ShardOffsets((0 until nShards).map(_ -> 0L).toMap)
+    case "latest" =>
+      ShardOffsets((0 until nShards).map(s => s -> shardRecordCount(s)).toMap)
+    case json =>
+      val o = ShardOffsets.parse(json)
+      require(o.next.keys.forall(_ < nShards),
+        s"startingOffsets names shards outside 0..${nShards - 1}: $json")
+      ShardOffsets((0 until nShards).map(s => s -> o.next.getOrElse(s, 0L)).toMap)
+  }
 
   override def latestOffset(): Offset =
     ShardOffsets((0 until nShards).map(s => s -> shardRecordCount(s)).toMap)
