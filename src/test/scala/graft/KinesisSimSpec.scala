@@ -295,6 +295,76 @@ class KinesisSimSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("bootstrap-then-stream: batch seed + latest-offset stream equals full truth") {
+    // the operational composition startingOffsets=latest exists for:
+    // history is aggregated ONCE by a batch job straight off the
+    // store, the stream picks up at the frontier, and the upsert sink
+    // ends up identical to having streamed everything from earliest
+    val dir = Files.createTempDirectory("graft_kinesis_boot").toString
+    val ckpt = Files.createTempDirectory("graft_kinesis_bootc").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 2)
+    val history = (1 to 40).map(i =>
+      (event(s"u${i % 3}", i, i, 100000L + i * 26L), s"u${i % 3}"))
+    prod.putRecords(history)
+    val table =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    // batch seed: read the store directly (no streaming machinery),
+    // run the SAME parse + aggregate, upsert into the sink table
+    import org.apache.spark.sql.functions._
+    val historyLines = (0 until 2).flatMap { sh =>
+      val d = Paths.get(dir, s"shard-$sh")
+      Files.list(d).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("batch-"))
+        .sortBy(_.getFileName.toString)
+        .flatMap(f => Files.readAllLines(f).asScala)
+        .filter(_.nonEmpty)
+    }
+    val rawHistory = spark.createDataset(historyLines)(
+      org.apache.spark.sql.Encoders.STRING)
+      .toDF("line")
+      .select(get_json_object(col("line"), "$.data").as("b64"))
+      .select(unbase64(col("b64")).cast("string").as("wire"))
+    val seeded = MouseStream.parse(rawHistory.select(col("wire").as("value")))
+      .groupBy(col("user_id"), expr("time div 1000").as("sec"))
+      .agg(count(lit(1)).as("cnt"))
+    seeded.collect().foreach { r =>
+      table.put((r.getAs[String]("user_id"), r.getAs[Long]("sec")),
+        r.getAs[Long]("cnt"))
+    }
+    val seededKeys = table.size()
+    assert(seededKeys > 0, "batch seed must land aggregates")
+    // stream from the frontier: only NEW records flow
+    val wire = KinesisRecords.toWire(
+      spark.readStream.format("kinesis-sim")
+        .option("path", dir).option("shards", "2")
+        .option("startingOffsets", "latest").load())
+    val q = MouseStream.startToUpsert(
+      spark, MouseStream.parse(wire), ckpt) { batch =>
+      batch.collect().foreach { r =>
+        table.put((r.getAs[String]("user_id"), r.getAs[Long]("sec")),
+          r.getAs[Long]("cnt"))
+      }
+    }
+    try {
+      q.processAllAvailable()
+      // live records in FRESH seconds (the stream's windows must not
+      // collide with seeded ones — cross-source window merge is the
+      // documented boundary of the pattern)
+      prod.putRecords((1 to 10).map(i =>
+        (event(s"u${i % 3}", i, i, 200000L + i * 26L), s"u${i % 3}")))
+      q.processAllAvailable()
+      // truth: batch aggregate over EVERYTHING ever produced
+      val all = (history ++ (1 to 10).map(i =>
+        (event(s"u${i % 3}", i, i, 200000L + i * 26L), s"u${i % 3}")))
+      val expected = all.map { case (data, pk) =>
+        val t = """"time":(\d+)""".r.findFirstMatchIn(data).get.group(1).toLong
+        (pk, t / 1000L)
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      assert(table.asScala.toMap == expected,
+        s"seed+stream must equal full-history truth")
+    } finally q.stop()
+  }
+
   test("V2 sink: streamed records land on shards with monotone sequences") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
