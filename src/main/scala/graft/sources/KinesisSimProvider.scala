@@ -199,6 +199,7 @@ private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
   override def schema(): StructType = KinesisSimProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -207,6 +208,26 @@ private[sources] class KinesisSimTable(transport: SimTransport, nShards: Int,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new KinesisSimMicroBatchStream(transport, nShards,
             maxRecordsPerTrigger, startingOffsets)
+        // BATCH read of the retained stream (Kafka's batch mode): a
+        // bootstrap job seeds its sink with `spark.read` over the
+        // same table, then streams from startingOffsets=latest —
+        // no side-channel file reading. One partition per shard,
+        // snapshotted at planning time.
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              (0 until nShards).flatMap { s =>
+                val n = transport.recordCount(s)
+                if (n > 0) Some(KinesisSimPartition(transport, s, 0L, n))
+                else None
+              }.toArray
+            override def createReaderFactory(): PartitionReaderFactory =
+              new PartitionReaderFactory {
+                override def createReader(p: InputPartition)
+                    : PartitionReader[InternalRow] =
+                  new KinesisSimReader(p.asInstanceOf[KinesisSimPartition])
+              }
+          }
       }
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

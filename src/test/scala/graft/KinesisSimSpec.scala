@@ -311,19 +311,11 @@ class KinesisSimSpec extends SparkSpec {
     // batch seed: read the store directly (no streaming machinery),
     // run the SAME parse + aggregate, upsert into the sink table
     import org.apache.spark.sql.functions._
-    val historyLines = (0 until 2).flatMap { sh =>
-      val d = Paths.get(dir, s"shard-$sh")
-      Files.list(d).iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("batch-"))
-        .sortBy(_.getFileName.toString)
-        .flatMap(f => Files.readAllLines(f).asScala)
-        .filter(_.nonEmpty)
-    }
-    val rawHistory = spark.createDataset(historyLines)(
-      org.apache.spark.sql.Encoders.STRING)
-      .toDF("line")
-      .select(get_json_object(col("line"), "$.data").as("b64"))
-      .select(unbase64(col("b64")).cast("string").as("wire"))
+    // BATCH read of the retained stream through the SAME connector —
+    // no side-channel file access; this is what BATCH_READ is for
+    val rawHistory = spark.read.format("kinesis-sim")
+      .option("path", dir).option("shards", "2").load()
+      .select(col("data").cast("string").as("wire"))
     val seeded = MouseStream.parse(rawHistory.select(col("wire").as("value")))
       .groupBy(col("user_id"), expr("time div 1000").as("sec"))
       .agg(count(lit(1)).as("cnt"))
