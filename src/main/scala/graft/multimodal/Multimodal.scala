@@ -48,23 +48,26 @@ object Multimodal {
     * metadata extraction over a 100 TB image corpus reads headers,
     * not images. Returns None when no installed codec accepts the
     * bytes. */
-  private def decodeDims(payload: Array[Byte]): Option[(Int, Int)] = {
-    val in = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+  private def decodeDims(payload: Array[Byte]): Option[(Int, Int)] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (in == null) None
+      else
         try {
-          r.setInput(in)
-          Some((r.getWidth(0), r.getHeight(0)))
-        } finally r.dispose()
-      }
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(in)
+              Some((r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally in.close()
     } catch {
       case _: Exception => None
-    } finally in.close()
-  }
+    }
 
   /** Full pixel decode (None when no codec accepts the bytes). */
   private def decodeImage(payload: Array[Byte])

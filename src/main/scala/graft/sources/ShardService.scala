@@ -31,6 +31,11 @@ object ShardService {
   private val LatestPath = "/latest/([0-9]+)".r
   private val RecordsPath = "/records/([0-9]+)".r
 
+  /** Per-call `/records` cap (GetRecords' 10k-record shape): the
+    * server never materializes an unbounded response; the client
+    * paginates. */
+  val MaxRecordsPerCall: Long = 10000L
+
   /** Serve `dir`'s shard store on `port` (0 = ephemeral; read the
     * bound port off the returned server). Stop with `.stop(0)`.
     *
@@ -103,11 +108,15 @@ object ShardService {
               .toMap
             val from = params.get("from").map(_.toLong).getOrElse(0L)
             val until = params.get("until").map(_.toLong).getOrElse(Long.MaxValue)
+            // per-call record cap, like GetRecords' 10k limit: the
+            // server never materializes an unbounded response; clients
+            // paginate (ShardService.Client.records does, transparently)
+            val capped = math.min(until, from + MaxRecordsPerCall)
             val it = KinesisSimProvider.shardLines(dir, s).iterator
             var skipped = 0L
             while (skipped < from && it.hasNext) { it.next(); skipped += 1 }
             val sb = new StringBuilder
-            var remaining = until - from
+            var remaining = capped - from
             while (remaining > 0 && it.hasNext) {
               sb.append(it.next()).append('\n')
               remaining -= 1
@@ -177,10 +186,27 @@ object ShardService {
         .group(1).toLong
     }
 
+    /** Range read with transparent pagination over the server's
+      * per-call cap: a short page means the shard is exhausted. */
     def records(endpoint: String, shard: Int, from: Long,
                 until: Long): Iterator[String] =
-      get(s"$endpoint/records/$shard?from=$from&until=$until")
-        .linesIterator.filter(_.nonEmpty)
+      new Iterator[String] {
+        private var cursor = from
+        private var page: Iterator[String] = Iterator.empty
+        private var exhausted = false
+        private def fill(): Unit =
+          while (!page.hasNext && !exhausted && cursor < until) {
+            val want = math.min(until - cursor, MaxRecordsPerCall)
+            val lines = get(
+              s"$endpoint/records/$shard?from=$cursor&until=${cursor + want}")
+              .linesIterator.filter(_.nonEmpty).toSeq
+            if (lines.length < want) exhausted = true
+            cursor += lines.length
+            page = lines.iterator
+          }
+        override def hasNext: Boolean = { fill(); page.hasNext }
+        override def next(): String = { fill(); page.next() }
+      }
 
     /** PutRecords over the wire — the producer's client half, API
       * shape matching [[SimulatedKinesis.ShardedProducer.putRecords]]

@@ -135,6 +135,28 @@ class ShardServiceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("range reads paginate over the per-call cap without loss or reorder") {
+    val dir = Files.createTempDirectory("graft_shard_http_page").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, nShards = 1)
+    val n = (ShardService.MaxRecordsPerCall + 500).toInt
+    prod.putRecords((0 until n).map(i => (s"r$i", "onekey")))
+    val server = ShardService.start(dir, nShards = 1)
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      // client-level: one logical range, many wire calls
+      val got = ShardService.Client.records(ep, 0, 0L, n.toLong).toSeq
+      assert(got.length == n, s"pagination lost records: ${got.length}/$n")
+      assert(got.head.contains("\"r0\"") ||
+        got.head.contains(java.util.Base64.getEncoder
+          .encodeToString("r0".getBytes("UTF-8"))),
+        "order must survive pagination")
+      // connector-level: a BATCH read over the endpoint spans the cap
+      val viaSpark = spark.read.format("kinesis-sim")
+        .option("endpoint", ep).option("shards", "1").load().count()
+      assert(viaSpark == n.toLong, s"batch read over HTTP: $viaSpark/$n")
+    } finally server.stop(0)
+  }
+
   test("the read-only endpoint rejects the sink") {
     val dir = Files.createTempDirectory("graft_shard_http_sink").toString
     val server = ShardService.start(dir, nShards = 1)
