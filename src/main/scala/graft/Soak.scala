@@ -75,7 +75,7 @@ object Soak {
     "doc_admission_lm", "dedup_route", "dedup_delta_verified",
     // round-7 additions: the frozen-centroid IVF delta probe and the
     // span-cutting transform (dupSpans' report turned into the action)
-    "knn_ivf_delta", "doc_despan")
+    "knn_ivf_delta", "doc_despan", "doc_markup")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
