@@ -54,6 +54,19 @@ object CorpusIngest {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Attach per-micro-batch admission metrics to an [[annotate]]d
+    * frame via `Dataset.observe` — the zero-extra-pass ops surface:
+    * metrics ride the existing scan (no second aggregation, no
+    * foreachBatch counting) and surface in every
+    * `StreamingQueryProgress.observedMetrics("corpus_gate")` row (and
+    * in `QueryExecutionListener` for batch). Emits n_in / n_kept /
+    * n_pii — what an ingest dashboard alerts on. */
+  def withGateMetrics(annotated: DataFrame): DataFrame =
+    annotated.observe("corpus_gate",
+      count(lit(1)).as("n_in"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(col("n_pii").cast("long")).as("n_pii"))
+
   /** The admitted stream: annotated, gate-passing, near-dup-suppressed
     * (first arrival of each signature class wins within the
     * watermark). Append mode; attach the corpus-store sink here. */

@@ -36,11 +36,28 @@ object MouseStream {
   case class MouseEvent(user_id: String, x: Int, y: Int, time: Long)
 
   /** Parse a stream (or batch) of JSON lines into typed events, with
-    * the reference's negative-coordinate clamp (functions.js:248-249). */
+    * the reference's negative-coordinate clamp (functions.js:248-249).
+    * Unparseable wire records are DROPPED — the reference's behavior;
+    * a pipeline that must account for every byte uses
+    * [[parseTagged]] and routes the quarantine. */
   def parse(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value").cast("string"), eventSchema).as("e"))
-      .filter(col("e.user_id").isNotNull) // drop unparseable wire records
+    parseTagged(raw).filter(col("valid"))
+      .drop("valid", "raw")
+
+  /** [[parse]] without the silent drop: every input record survives,
+    * tagged `valid`, with the raw wire payload carried on the invalid
+    * rows (`raw`, null when valid — no double storage). The
+    * production ingest contract: malformed records are DATA (counted,
+    * quarantined, replayable after a parser fix), not an absence.
+    * Split downstream with two filters or a foreachBatch router —
+    * both read one stream, so the tag costs no extra source pass. */
+  def parseTagged(raw: DataFrame): DataFrame =
+    raw.select(col("value").cast("string").as("line"))
+      .select(col("line"),
+        from_json(col("line"), eventSchema).as("e"))
       .select(
+        col("e.user_id").isNotNull.as("valid"),
+        when(col("e.user_id").isNull, col("line")).as("raw"),
         col("e.user_id").as("user_id"),
         greatest(lit(0), col("e.x")).as("x"),
         greatest(lit(0), col("e.y")).as("y"),

@@ -247,6 +247,51 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("observed gate metrics ride the stream: n_in/n_kept/n_pii per batch") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusIngest.withGateMetrics(CorpusIngest.annotate(docs))
+      .writeStream.format("noop").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, t(1000), good),      // kept, 1 PII span
+        (2L, t(1100), "tiny doc"), // rejected
+        (3L, t(1200), distinctDoc)) // kept, no PII
+      q.processAllAvailable()
+      val m = q.recentProgress
+        .flatMap(p => Option(p.observedMetrics.get("corpus_gate")))
+        .lastOption.getOrElse(fail("no observed metrics surfaced"))
+      assert(m.getAs[Long]("n_in") == 3L, s"$m")
+      assert(m.getAs[Long]("n_kept") == 2L, s"$m")
+      assert(m.getAs[Long]("n_pii") == 1L, s"$m")
+    } finally q.stop()
+  }
+
+  test("parseTagged quarantines malformed wire records instead of dropping them") {
+    import graft.streaming.MouseStream
+    val input = MemoryStream[String](spark)
+    val tagged = MouseStream.parseTagged(input.toDF())
+    val q = tagged.writeStream.format("memory").outputMode("append")
+      .queryName("parse_quarantine").start()
+    try {
+      input.addData(
+        """{"user_id":"u1","x":1,"y":2,"time":5000}""",
+        """this is not json at all""",
+        """{"broken": true}""")
+      q.processAllAvailable()
+      val rows = spark.table("parse_quarantine").collect()
+      assert(rows.length == 3, "every input record must survive, tagged")
+      val (ok, bad) = rows.partition(_.getAs[Boolean]("valid"))
+      assert(ok.length == 1 && ok.head.getAs[String]("user_id") == "u1")
+      assert(ok.head.getAs[String]("raw") == null,
+        "valid rows must not double-store the payload")
+      assert(bad.length == 2 &&
+        bad.map(_.getAs[String]("raw")).toSet ==
+          Set("this is not json at all", """{"broken": true}"""),
+        "quarantined rows must carry the raw wire payload for replay")
+    } finally q.stop()
+  }
+
   test("rejects carry the first failed gate as reason, PII already masked") {
     // annotate/rejects are stateless projections, so the reject path
     // is checked on a batch frame — identical semantics by construction
