@@ -107,6 +107,30 @@ object HeavyHitters {
       .head()
   }
 
+  /** STREAMING heavy hitters: the same [[MisraGries]] summary
+    * maintained as streaming aggregation state — one state row whose
+    * size is bounded by `capacity` regardless of how long the stream
+    * runs or how many distinct items it carries (the property that
+    * makes a streaming top-k possible at all; an exact streaming
+    * `groupBy(item).count` grows state with distinct-item
+    * cardinality). Update mode: every micro-batch folds into the
+    * summary through the SAME reduce/merge the batch path uses, so a
+    * stream's candidates agree with a batch re-sketch of the same
+    * data. Output per batch: one row (candidates, n, err) —
+    * certify against an exact recount downstream exactly like
+    * [[exactTopKCertified]]. */
+  def streamingCandidates(items: DataFrame, itemCol: String,
+                          capacity: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col(itemCol).cast("string")).na.drop()
+      .as[String]
+      .select(new MisraGries(capacity).toColumn.name("mg"))
+      // the typed column flattens the tuple to _1/_2/_3
+      .select(col("_1").as("candidates"), col("_2").as("n"),
+        col("_3").as("err"))
+  }
+
   private def exactCounts(items: DataFrame, itemCol: String, k: Int,
                           cands: Seq[String]): DataFrame =
     items.filter(col(itemCol).isin(cands: _*))

@@ -15,6 +15,33 @@ class HeavyHittersSpec extends SparkSpec {
     rows.toDF("term")
   }
 
+  test("streaming candidates: bounded state tracks the hot items across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    val q = graft.functions.HeavyHitters
+      .streamingCandidates(input.toDF().toDF("term"), "term", capacity = 8)
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("hh_stream").start()
+    try {
+      // batch 1: "hot" dominates; batch 2: "hot2" surges — the ONE
+      // summary row must fold both, still holding the global heavies
+      input.addData(Seq.fill(500)("hot") ++ (1 to 50).map(i => s"cold$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(400)("hot2") ++ Seq.fill(100)("hot"): _*)
+      q.processAllAvailable()
+      val row = spark.table("hh_stream").collect().last
+      val cands = row.getAs[scala.collection.Seq[String]]("candidates")
+      val n = row.getAs[Long]("n")
+      assert(n == 1050L, s"summary must count every row ever seen: $n")
+      assert(cands.contains("hot") && cands.contains("hot2"),
+        s"both hot items must survive the bounded summary: $cands")
+      assert(cands.size <= 8, s"state must stay capacity-bounded: $cands")
+      // MG guarantee: anything with true count > err is a candidate
+      val err = row.getAs[Long]("err")
+      assert(600L > err && 400L > err, s"err=$err must bound the heavies")
+    } finally q.stop()
+  }
+
   test("exactTopK equals the exact full groupBy top-k") {
     val expect = items.groupBy($"term").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"term").limit(10)
