@@ -131,6 +131,25 @@ object HeavyHitters {
         col("_3").as("err"))
   }
 
+  /** STREAMING approximate distinct count — the [[KmvSketch]] as
+    * streaming aggregation state, same bounded-state argument as
+    * [[streamingCandidates]]: one row of ≤ k hashes no matter how
+    * many distinct items ever flow (streaming `approx_count_distinct`
+    * keeps HLL registers; this keeps the engine-portable KMV form the
+    * batch oracle gate already certifies — stream and batch agree on
+    * the same data by merge associativity, property-tested). Update
+    * the sink per batch; the estimate is exact below k. */
+  def streamingDistinct(items: DataFrame, itemCol: String,
+                        k: Int = 64): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(
+        graft.functions.Portable.hash52(col(itemCol).cast("string")).as("h"))
+      .as[Long]
+      .select(new KmvSketch(k).toColumn.name("est"))
+      .select(round(col("est"), 2).as("approx_distinct"))
+  }
+
   private def exactCounts(items: DataFrame, itemCol: String, k: Int,
                           cands: Seq[String]): DataFrame =
     items.filter(col(itemCol).isin(cands: _*))

@@ -42,6 +42,27 @@ class HeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct: KMV state stays k-bounded, exact below k, folds batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[String](spark)
+    val q = graft.functions.HeavyHitters
+      .streamingDistinct(input.toDF().toDF("term"), "term", k = 64)
+      .writeStream.format("memory").outputMode("complete")
+      .queryName("kmv_stream").start()
+    try {
+      input.addData((1 to 20).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").collect().last.getDouble(0) == 20.0,
+        "below k the estimate is exact")
+      // second batch: 10 repeats + 15 new -> 35 distinct total
+      input.addData(((1 to 10).map(i => s"a$i") ++
+        (1 to 15).map(i => s"b$i")): _*)
+      q.processAllAvailable()
+      assert(spark.table("kmv_stream").collect().last.getDouble(0) == 35.0,
+        "repeats across batches must not inflate the distinct count")
+    } finally q.stop()
+  }
+
   test("exactTopK equals the exact full groupBy top-k") {
     val expect = items.groupBy($"term").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"term").limit(10)
