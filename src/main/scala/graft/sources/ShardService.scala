@@ -165,7 +165,7 @@ object ShardService {
   /** Driver/executor-side client half (plain HttpURLConnection — no
     * dependencies, serializable by construction since only the
     * endpoint string ships). */
-  private[sources] object Client {
+  object Client {
     def get(url: String): String = {
       val conn = new java.net.URI(url).toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]

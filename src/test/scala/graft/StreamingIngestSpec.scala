@@ -210,6 +210,58 @@ class StreamingIngestSpec extends SparkSpec {
       "only candidate-pair docs may reach the shingle stage")
   }
 
+  test("grand capstone: HTTP wire -> capped V2 source -> full front door -> store") {
+    // every round-7 piece in ONE running pipeline over a real socket:
+    // records PRODUCED over HTTP (server-assigned sequences), consumed
+    // through the V2 connector's endpoint option under admission
+    // control, masked/gated/deduped, scored by the frozen LM, stored
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    import graft.sources.ShardService
+    val seed = Seq((100L, good), (101L, good), (102L, distinctDoc))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("text"))
+    val model = TextAnalysis.trainLm(seed)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_grand_capstone").toString
+    val server = ShardService.start(dir, nShards = 2)
+    val ep = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def rec(id: Long, ts: Long, text: String): (String, String) =
+      (s"""{"doc_id":$id,"ts":$ts,"text":"$text"}""", s"src-${id % 2}")
+    // produce THROUGH the socket, idempotency-keyed like a real client
+    ShardService.Client.putRecords(ep, Seq(
+      rec(1L, 1000L, good),          // admitted
+      rec(2L, 1100L, good),          // dup signature -> suppressed
+      rec(3L, 1200L, "tiny doc"),    // gate reject
+      rec(4L, 1300L,
+        "blorp wuggle zq xv qqk vxz snark fnord grue zorp")), // LM reject
+      idempotencyKey = Some("capstone-flush-1"))
+    val schema = "doc_id LONG, ts LONG, text STRING"
+    val docs = spark.readStream.format("kinesis-sim")
+      .option("endpoint", ep).option("shards", "2")
+      .option("maxRecordsPerTrigger", "2").load()
+      .select(from_json(col("data").cast("string"), schema,
+        Map.empty[String, String]).as("d"))
+      .select(col("d.doc_id").as("doc_id"),
+        timestamp_millis(col("d.ts")).as("ts"), col("d.text").as("text"))
+    val stored = collection.mutable.Map.empty[Long, (Boolean, String)]
+    val q = CorpusIngest.ingestWithLm(docs, model, maxAvgNll = 2.0,
+      store = (gated, _) => stored.synchronized {
+        gated.collect().foreach(r => stored(r.getAs[Long]("doc_id")) =
+          (r.getAs[Boolean]("keep"), r.getAs[String]("reason")))
+      },
+      lateness = "1 hour")
+    try {
+      q.processAllAvailable()
+      val dupSurvivor = stored.keySet.intersect(Set(1L, 2L))
+      assert(dupSurvivor.size == 1 && stored(dupSurvivor.head)._1,
+        s"one of the dup pair survives and passes: $stored")
+      assert(!stored.contains(3L), "gate reject never reaches the store")
+      assert(stored.get(4L).exists(v => !v._1 && v._2 == "high_perplexity"),
+        s"vocabulary-foreign doc fails the LM: ${stored.get(4L)}")
+    } finally { q.stop(); server.stop(0) }
+  }
+
   test("ingestWithLm restarts from checkpoint: pre-restart batches are not re-stored") {
     import org.apache.spark.sql.functions._
     import graft.text.TextAnalysis
