@@ -82,7 +82,7 @@ object HistogramSketch {
     val cum = hist
       .withColumn("cum", sum("cnt").over(
         Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(hist.agg(sum("cnt").as("n"))) // 1-row broadcast
+      .crossJoin(broadcast(hist.agg(sum("cnt").as("n")))) // 1-row side
     val qDf = spark.createDataFrame(
       qs.map(q => Tuple1(q))).toDF("q")
     cum.crossJoin(broadcast(qDf))

@@ -73,7 +73,9 @@ object GraphOps {
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src")
       .repartition(col("src")))
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    val nDf = nodes.agg(count(lit(1)).as("n_nodes")) // 1-row broadcast
+    // 1-row side, explicitly broadcast: the plan must never depend on
+    // AQE noticing the single-row side of a cross join
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var pr = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$scale div n_nodes").as("pr"))
     for (i <- 1 to iterations) {
@@ -128,9 +130,9 @@ object GraphOps {
     // four 1-row aggregates crossed into one row: a single plan, no
     // driver-side count choreography
     nodes.agg(count(lit(1)).as("n_nodes"))
-      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(triangles.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         round(

@@ -253,7 +253,8 @@ object Relational {
     val a = side(1995)
     val b = side(1996)
     a.intersectAll(b).agg(count(lit(1)).as("n_intersect_all"))
-      .crossJoin(a.exceptAll(b).agg(count(lit(1)).as("n_except_all")))
+      .crossJoin(broadcast(
+        a.exceptAll(b).agg(count(lit(1)).as("n_except_all"))))
   }
 
   /** Z-score outlier counts per group from the same decimal-exact
@@ -363,7 +364,7 @@ object Relational {
     val ku = slice(array_sort(array_union(col("ka"), col("kb"))), 1, k)
     // inter/k and the KMV estimate use only IEEE-exact or
     // correctly-rounded ops — the oracle reproduces them bit-for-bit
-    side(flagA, "ka").crossJoin(side(flagB, "kb"))
+    side(flagA, "ka").crossJoin(broadcast(side(flagB, "kb")))
       .select(
         round(size(array_intersect(array_intersect(ku, col("ka")), col("kb")))
           .cast("double") / lit(k.toDouble), 4).as("jaccard_est"),

@@ -92,7 +92,9 @@ object Sampling {
     val weighted = docs.groupBy("source").agg(count(lit(1)).as("n"))
       .withColumn("w_int",
         floor(sqrt(col("n").cast("double")) * scale).cast("long"))
-    weighted.crossJoin(weighted.agg(sum("w_int").as("w_sum")))
+    // 1-row aggregate side: broadcast explicitly so the plan never
+    // depends on AQE noticing the single-row side
+    weighted.crossJoin(broadcast(weighted.agg(sum("w_int").as("w_sum"))))
       .select(col("source"), col("n"),
         expr(s"(${total}L * w_int) div w_sum").as("target"))
   }

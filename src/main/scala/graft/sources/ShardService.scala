@@ -62,8 +62,51 @@ object ShardService {
     server
   }
 
+  // partitionKey admits JSON escape sequences (the client escapes
+  // quotes/backslashes/control chars — see Client.putRecords); data is
+  // base64 and needs none
   private val PostLine =
-    """\{"partitionKey":"([^"]*)","data":"([^"]*)"\}""".r
+    """\{"partitionKey":"((?:[^"\\]|\\.)*)","data":"([^"]*)"\}""".r
+
+  /** Minimal JSON string escaping for the wire's partitionKey field:
+    * quote, backslash, and control chars (as \uXXXX) — exactly the
+    * characters that would break the one-line-per-record framing or
+    * the quoted-field parse. */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[jsonEscape]] (also tolerates the standard JSON
+    * short escapes a hand-written client might send). */
+  private[sources] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def handle(dir: String, nShards: Int,
                      producer: SimulatedKinesis.ShardedProducer,
@@ -76,23 +119,33 @@ object ShardService {
         case ("POST", "/records") =>
           val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
           val key = Option(ex.getRequestHeaders.getFirst("X-Idempotency-Key"))
-          if (key.exists(k => seenKeys.synchronized(seenKeys.contains(k))))
-            respond(ex, 200, """{"duplicate":true,"calls":0}""")
-          else {
-            val recs = body.linesIterator.filter(_.nonEmpty).map {
-              case PostLine(pk, b64) =>
-                (new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"), pk)
-              case other =>
-                throw new IllegalArgumentException(s"malformed record: $other")
-            }.toSeq
-            // single server-side producer: sequence numbers are
-            // assigned HERE, atomically per shard
-            val calls = producer.synchronized {
+          val recs = body.linesIterator.filter(_.nonEmpty).map {
+            case PostLine(pk, b64) =>
+              (new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"),
+                jsonUnescape(pk))
+            case other =>
+              throw new IllegalArgumentException(s"malformed record: $other")
+          }.toSeq
+          // the seen-key check, the write, and the key insert form ONE
+          // critical section: a retry racing its in-flight original —
+          // the timeout-retry case the idempotency key exists for —
+          // must serialize behind the original's insert, or both pass
+          // the check and double-write (check-then-act race)
+          val written = producer.synchronized {
+            if (key.exists(seenKeys.contains)) None
+            else {
+              // single server-side producer: sequence numbers are
+              // assigned HERE, atomically per shard
               val c = producer.putRecords(recs)
-              key.foreach(k => seenKeys.synchronized(seenKeys += k))
-              c
+              key.foreach(seenKeys += _)
+              Some(c)
             }
-            respond(ex, 200, s"""{"duplicate":false,"calls":$calls}""")
+          }
+          written match {
+            case None =>
+              respond(ex, 200, """{"duplicate":true,"calls":0}""")
+            case Some(calls) =>
+              respond(ex, 200, s"""{"duplicate":false,"calls":$calls}""")
           }
         case ("GET", LatestPath(shard)) =>
           val s = shard.toInt
@@ -112,8 +165,20 @@ object ShardService {
             // server never materializes an unbounded response; clients
             // paginate (ShardService.Client.records does, transparently)
             val capped = math.min(until, from + MaxRecordsPerCall)
-            val it = KinesisSimProvider.shardLines(dir, s).iterator
-            var skipped = 0L
+            // SEEK, don't skip: cumulative per-file counts (served by
+            // the same cache /latest uses) jump straight to the first
+            // file containing `from`. A paginated full replay of an
+            // n-record shard is then O(n) total line reads instead of
+            // O(n²/pageSize) — the catch-up case this endpoint is for.
+            val files = KinesisSimProvider.shardFiles(dir, s)
+            var base = 0L
+            var idx = 0
+            while (idx < files.length &&
+                   base + cachedCount(files(idx)) <= from) {
+              base += cachedCount(files(idx)); idx += 1
+            }
+            val it = files.drop(idx).iterator.flatMap(fileLines)
+            var skipped = base
             while (skipped < from && it.hasNext) { it.next(); skipped += 1 }
             val sb = new StringBuilder
             var remaining = capped - from
@@ -143,15 +208,27 @@ object ShardService {
   private val countCache =
     scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
 
+  /** Record count of one batch file, cached by (path, size, mtime) —
+    * batch files are append-immutable, so the key invalidates exactly
+    * when a file changes. Serves `/latest` totals AND the `/records`
+    * seek. */
+  private def cachedCount(f: java.nio.file.Path): Long = {
+    val key = (f.toString,
+      java.nio.file.Files.size(f),
+      java.nio.file.Files.getLastModifiedTime(f).toMillis)
+    countCache.synchronized {
+      countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
+    }
+  }
+
   private def count(dir: String, shard: Int): Long =
-    KinesisSimProvider.shardFiles(dir, shard).map { f =>
-      val key = (f.toString,
-        java.nio.file.Files.size(f),
-        java.nio.file.Files.getLastModifiedTime(f).toMillis)
-      countCache.synchronized {
-        countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
-      }
-    }.sum
+    KinesisSimProvider.shardFiles(dir, shard).map(cachedCount).sum
+
+  /** One batch file's records in sequence order (the per-file slice of
+    * KinesisSimProvider.shardLines). */
+  private def fileLines(f: java.nio.file.Path): Iterator[String] =
+    new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      .split("\n").iterator.filter(_.nonEmpty)
 
   private def respond(ex: HttpExchange, code: Int, body: String,
                       contentType: String = "application/json"): Unit = {
@@ -219,7 +296,9 @@ object ShardService {
       val body = records.map { case (data, pk) =>
         val b64 = java.util.Base64.getEncoder
           .encodeToString(data.getBytes("UTF-8"))
-        s"""{"partitionKey":"$pk","data":"$b64"}"""
+        // a quote/backslash/newline in the key would otherwise corrupt
+        // the line framing (data is base64 and needs no escaping)
+        s"""{"partitionKey":"${jsonEscape(pk)}","data":"$b64"}"""
       }.mkString("", "\n", "\n")
       val conn = new java.net.URI(s"$endpoint/records").toURL
         .openConnection().asInstanceOf[java.net.HttpURLConnection]

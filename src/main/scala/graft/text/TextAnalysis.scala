@@ -21,6 +21,13 @@ object TextAnalysis {
 
   private val stopwordsEn = Seq("the", "and", "of", "to", "a", "in", "is", "it")
 
+  /** Row bound under which the LM weight relation (one fixed-width
+    * (long, int, decimal) row per distinct uni/bigram) is broadcast:
+    * 16M rows ≈ a few hundred MB hashed — comfortably inside an
+    * executor, far under the 8 GB broadcast ceiling. Past it the join
+    * falls back to AQE's choice (shuffle join on the hash key). */
+  private val MaxBroadcastWeightRows = 16L * 1000 * 1000
+
   /** Token statistics per document: token count, char count, average
     * token length (rounded; integer sums so exact everywhere). */
   def tokenStats(docs: DataFrame): DataFrame = {
@@ -555,10 +562,21 @@ object TextAnalysis {
         when(col("tag") === 1, round(log(col("c") + lit(k)), 6))
           .otherwise(round(log(col("c") + lit(k) * col("v")), 6))
           .cast("decimal(18,6)").as("w"))
+    // The weight relation is CORPUS-vocab-sized (distinct uni+bigrams),
+    // not frozen-LM-sized — it grows with the corpus, so a forced
+    // broadcast would eventually exceed the driver/8 GB broadcast
+    // ceiling at the 100 TB posture. Guard the hint with an explicit
+    // row bound (counts is already materialized, so the count is a
+    // cheap checkpoint scan): under the bound, broadcast — the
+    // measured fast path at bench scale; over it, leave the join to
+    // AQE, which sees exact sizes on the checkpointed side.
+    val weightsSide =
+      if (counts.count() <= MaxBroadcastWeightRows) broadcast(weights)
+      else weights
     val perDoc = tagged
       .withColumn("jtag",
         when(col("tag") === 3, lit(2)).otherwise(col("tag")))
-      .join(broadcast(weights), Seq("jtag", "h"))
+      .join(weightsSide, Seq("jtag", "h"))
       .groupBy(col("doc_id"))
       .agg(sum(when(col("tag") === 1, 1L).otherwise(0L)).as("n_bigrams"),
         sum(when(col("tag") === 2, -col("w")).otherwise(col("w")))
