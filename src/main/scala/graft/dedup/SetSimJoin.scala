@@ -184,16 +184,26 @@ object SetSimJoin {
     * exact ground truth (~3-4× the routed operator alone in the
     * bench). That is the price of measuring recall, not the price of
     * routing; the shipped bulk path is [[routedJoin]], and this eval
-    * runs on a sample or at gate scale, never over the full corpus. */
+    * runs on a sample or at gate scale, never over the full corpus.
+    *
+    * `sampleMod` is that gate: > 1 restricts the eval to the
+    * deterministic slice `doc_id % sampleMod == 0` — the exact
+    * ground-truth's pair space (the quadratic term) shrinks by
+    * ~sampleMod², while the recall estimate stays unbiased (LSH
+    * banding treats every doc identically, so a uniform doc slice is
+    * a uniform pair slice). 1 (the default) evals the full input. */
   def routeRecall(docs: DataFrame, tNum: Long = 1L,
-                  tDen: Long = 2L): DataFrame = {
+                  tDen: Long = 2L, sampleMod: Long = 1L): DataFrame = {
+    require(sampleMod >= 1L, "sampleMod must be >= 1")
+    val slice = if (sampleMod <= 1L) docs
+                else docs.filter(col("doc_id") % sampleMod === 0L)
     // ONE shingle relation serves both paths: the eval is a compare,
     // and a compare must not pay the corpus tokenization twice
-    val ds = shingleRelation(docs)
+    val ds = shingleRelation(slice)
     val exact = jaccardJoinOfShingles(ds, tNum, tDen)
       .select(col("id1"), col("id2"))
     val routed = verifyCandidates(
-        graft.dedup.Dedup.minhashPairs(docs, 10000), ds, tNum, tDen)
+        graft.dedup.Dedup.minhashPairs(slice, 10000), ds, tNum, tDen)
       .select(col("id1"), col("id2"))
     val hits = routed.join(exact, Seq("id1", "id2"))
       .agg(count(lit(1)).as("n_hit"))
