@@ -651,6 +651,11 @@ object SparkEntry {
     // declarative twin)
     "knn_ivf_delta" -> q((s, d) =>
       Knn.ivfDeltaSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+    // index maintenance: per-cell add-log share and the cell drift a
+    // retrain corrects (IvfIndex.rebuild's declarative twin; the
+    // persisted compaction itself is spec-driven in KmeansSpec)
+    "knn_ivf_compact" -> q((s, d) =>
+      Knn.ivfCompactionReport(Tables.embeddings(s, d)).orderBy("cell")),
     "knn_lsh_buckets" -> q((s, d) =>
       Knn.rpLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
     "knn_lsh_search" -> q((s, d) =>
@@ -3392,6 +3397,53 @@ object SparkEntry {
          |      FROM probe)
          |SELECT qid, rnk, vec_id, cos_sim FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin,
+
+    // cell drift report: before = frozen base centroids (vec_id < 16,
+    // base slice) assigning base+delta; after = retrained centroids
+    // (vec_id < 16, full set). Same conventions as knn_ivf_delta /
+    // knn_ivf_search.
+    "knn_ivf_compact" ->
+      s"""WITH bc AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |            FROM embeddings
+         |            WHERE vec_id < 16 AND vec_id % 5 <> 0),
+         |fc AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |       FROM embeddings WHERE vec_id < 16),
+         |sb AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN bc),
+         |ab AS (
+         |  SELECT vec_id, centroid_id
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM sb) x
+         |  WHERE rn = 1),
+         |sf AS (
+         |  SELECT e.vec_id, centroid_id,
+         |    ${cosSql("e.embedding", "cvec")} AS cos_sim
+         |  FROM embeddings e CROSS JOIN fc),
+         |af AS (
+         |  SELECT vec_id, centroid_id
+         |  FROM (SELECT vec_id, centroid_id,
+         |          row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cos_sim DESC, centroid_id) AS rn
+         |        FROM sf) x
+         |  WHERE rn = 1),
+         |pre AS (
+         |  SELECT centroid_id AS cell, count(*) AS n_before,
+         |    CAST(sum(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_delta
+         |  FROM ab GROUP BY 1),
+         |post AS (
+         |  SELECT centroid_id AS cell, count(*) AS n_after
+         |  FROM af GROUP BY 1)
+         |SELECT coalesce(pre.cell, post.cell) AS cell,
+         |  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+         |  CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+         |  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+         |FROM pre FULL OUTER JOIN post ON pre.cell = post.cell
+         |ORDER BY cell""".stripMargin,
 
     "knn_lsh_buckets" ->
       s"""$RpLshSigSql

@@ -41,13 +41,26 @@ object IvfIndex {
     // join the assignment back so EVERY metadata column of the input
     // (label, tenant, …) rides into the index — that's what makes
     // probe-time filters (vecFilter) possible without a second table
-    Knn.assignToCentroids(
-        emb.select(col("vec_id"), col("embedding")), cents)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
-      .join(emb, "vec_id")
+    writeCompacted(
+      Knn.assignToCentroids(
+          emb.select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id"), col("centroid_id").as("cell"))
+        .join(emb, "vec_id"),
+      dir)
+  }
+
+  /** Write one compacted file per cell directory: `repartition(cell)`
+    * puts each cell wholly in one task, so the partitioned writer
+    * emits exactly one file per cell — the layout [[cellStats]] and
+    * [[shouldRebuild]] treat as "freshly built". Rows are stamped
+    * `gen = 0` (base generation); [[append]] stamps `gen = 1`, which
+    * is what makes the add-log share measurable without a manifest. */
+  private def writeCompacted(assigned: DataFrame, dir: String): Unit =
+    assigned
+      .withColumn("gen", lit(0))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
-  }
 
   /** FAISS's `add` half — delta ingest into a BUILT index: assign a
     * new batch to the FROZEN trained centroids and append it into the
@@ -68,8 +81,72 @@ object IvfIndex {
         delta.select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("centroid_id").as("cell"))
       .join(delta, "vec_id")
+      .withColumn("gen", lit(1)) // add-log generation, vs build's 0
       .write.mode("append").partitionBy("cell")
       .parquet(s"$dir/vectors.parquet")
+  }
+
+  /** Per-cell physical report — the observability half of index
+    * maintenance: rows, add-log rows (`gen > 0`), and file count per
+    * cell directory (via the scan's `_metadata.file_path`, so the
+    * report reads footers + one column, not the vectors). Small-file
+    * growth and add-log share are the two signals [[shouldRebuild]]
+    * triggers on. */
+  def cellStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/vectors.parquet")
+      .select(col("cell"), col("gen"),
+        col("_metadata.file_path").as("fp"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("gen") > 0, 1L).otherwise(0L)).as("n_delta"),
+        countDistinct(col("fp")).as("n_files"))
+
+  /** The FAISS-style maintenance rule ("retrain when the add-log is a
+    * given share of the base"): rebuild when appended rows exceed
+    * `maxDeltaFrac` of the index, OR any cell has accumulated more
+    * than `maxFilesPerCell` files (the small-file signal — each
+    * append writes at least one file per touched cell, and a scan's
+    * task count grows with files). One tiny aggregate over
+    * [[cellStats]]; the decision is a driver Boolean because the
+    * caller is an orchestration loop, not a query. */
+  def shouldRebuild(spark: SparkSession, dir: String,
+                    maxDeltaFrac: Double = 0.2,
+                    maxFilesPerCell: Int = 16): Boolean = {
+    val r = cellStats(spark, dir)
+      .agg(sum(col("n_rows")).as("rows"), sum(col("n_delta")).as("delta"),
+        max(col("n_files")).as("mf"))
+      .head()
+    val (rows, delta, mf) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    rows > 0 && (delta.toDouble / rows > maxDeltaFrac || mf > maxFilesPerCell)
+  }
+
+  /** Compact + retrain — the maintenance step [[append]] defers to:
+    * re-run Lloyd over everything stored (base + add-log), reassign,
+    * and rewrite one file per cell at `gen = 0`. After it, the index
+    * is INDISTINGUISHABLE from a fresh [[build]] over the same
+    * vectors ([[Knn.kmeansCentroids]] is deterministic on its input,
+    * so same vectors → same init → same centroids → same cells; the
+    * spec asserts probe parity). The stored relation is materialized
+    * (`localCheckpoint`) before the overwrite so the rewrite never
+    * reads the files it is replacing; a production deployment would
+    * additionally pointer-swap the directory (the
+    * [[graft.sources.Snapshots]] protocol) so concurrent probes
+    * never observe a half-written index. */
+  def rebuild(spark: SparkSession, dir: String, k: Int = 8,
+              iters: Int = 4): Unit = {
+    val stored = spark.read.parquet(s"$dir/vectors.parquet")
+      .drop("cell", "gen")
+      .localCheckpoint()
+    val cents = Knn.kmeansCentroids(stored, k, iters)
+    import spark.implicits._
+    cents.toDF("centroid_id", "cvec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    writeCompacted(
+      Knn.assignToCentroids(
+          stored.select(col("vec_id"), col("embedding")), cents)
+        .select(col("vec_id"), col("centroid_id").as("cell"))
+        .join(stored, "vec_id"),
+      dir)
   }
 
   /** Probe the stored index with an external query set

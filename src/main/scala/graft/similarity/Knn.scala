@@ -453,6 +453,50 @@ object Knn {
       .select(col("qid"), col("rnk"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Centroid-DRIFT report — the maintenance decision behind
+    * [[IvfIndex.rebuild]] expressed declaratively (the oracle-checkable
+    * twin, as [[ivfDeltaSearch]] is for [[IvfIndex.append]]): after a
+    * delta batch (vec_id % deltaMod == 0) has been ingested into cells
+    * formed from the BASE corpus's centroids, compare each cell's
+    * population before a rebuild (frozen base centroids over
+    * base+delta — the append steady state) against after (centroids
+    * re-picked over the FULL corpus — the retrain). n_delta is the
+    * add-log share per cell; |n_after − n_before| is the drift the
+    * retrain corrects. Cells use the same first-nlist centroid
+    * convention and cosine argmax as [[ivfAssign]]. */
+  def ivfCompactionReport(emb: DataFrame, deltaMod: Int = 5,
+                          nlist: Int = 16): DataFrame = {
+    val embeddings = spread(emb)
+    val isDelta = col("vec_id") % deltaMod === 0
+    def cellsOf(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("centroid_id"))
+      embeddings.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          cosine(col("embedding"), col("cvec")).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("centroid_id"))
+    }
+    val baseCents = embeddings.filter(!isDelta && col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val fullCents = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+    val before = cellsOf(baseCents)
+      .groupBy(col("centroid_id").as("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("vec_id") % deltaMod === 0, 1L).otherwise(0L))
+          .as("n_delta"))
+    val after = cellsOf(fullCents)
+      .groupBy(col("centroid_id").as("cell"))
+      .agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   /** Recall@k of the IVF probe against the brute-force ground truth —
     * the measurement every ANN deployment needs BEFORE trading recall
     * for probe cost. Per query: |approx ∩ exact| / k over the same

@@ -91,6 +91,69 @@ class KmeansSpec extends SparkSpec {
     assert(res.forall(_ < 50L), s"nprobe=1 must stay in the low cell: $res")
   }
 
+  test("cellStats + shouldRebuild: add-log share and small-file growth trigger the maintenance rule") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stats").toString
+    val base = blobs.filter(col("vec_id") % 5 =!= 0)
+    val delta = blobs.filter(col("vec_id") % 5 === 0)
+    graft.similarity.IvfIndex.build(base, dir, k = 2, iters = 4)
+    // freshly built: exactly one file per cell, empty add-log, no trigger
+    val s0 = graft.similarity.IvfIndex.cellStats(spark, dir).collect()
+    assert(s0.nonEmpty && s0.forall(_.getLong(3) == 1L),
+      s"build must compact to one file per cell: ${s0.toSeq}")
+    assert(s0.map(_.getLong(2)).sum == 0L, "fresh build has no add-log rows")
+    assert(!graft.similarity.IvfIndex.shouldRebuild(spark, dir))
+    graft.similarity.IvfIndex.append(spark, dir, delta)
+    val s1 = graft.similarity.IvfIndex.cellStats(spark, dir).collect()
+    assert(s1.map(_.getLong(1)).sum == 100L, "stats must cover base + delta")
+    assert(s1.map(_.getLong(2)).sum == 20L, "20 appended rows tracked as gen>0")
+    // 20/100 = 0.2 add-log share: over a 0.1 bound, under a 0.5 bound
+    assert(graft.similarity.IvfIndex
+      .shouldRebuild(spark, dir, maxDeltaFrac = 0.1))
+    assert(!graft.similarity.IvfIndex
+      .shouldRebuild(spark, dir, maxDeltaFrac = 0.5, maxFilesPerCell = 16))
+    // the small-file signal triggers independently of the row share
+    assert(graft.similarity.IvfIndex
+      .shouldRebuild(spark, dir, maxDeltaFrac = 1.0, maxFilesPerCell = 1))
+  }
+
+  test("rebuild: compacts to one file per cell and probes exactly like a fresh build") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rebuild").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft_ivf_fresh").toString
+    val base = blobs.filter(col("vec_id") % 5 =!= 0)
+    val delta = blobs.filter(col("vec_id") % 5 === 0)
+    graft.similarity.IvfIndex.build(base, dirA, k = 2, iters = 4)
+    graft.similarity.IvfIndex.append(spark, dirA, delta)
+    graft.similarity.IvfIndex.rebuild(spark, dirA, k = 2, iters = 4)
+    graft.similarity.IvfIndex.build(blobs, dirB, k = 2, iters = 4)
+    // retrained centroids == fresh-build centroids (deterministic Lloyd
+    // over the same vectors: same init, same means)
+    def cents(d: String) = spark.read.parquet(s"$d/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(dirA) == cents(dirB),
+      "rebuild must retrain to the fresh-build centroids")
+    // compacted layout: one file per cell, add-log reset to gen 0
+    val st = graft.similarity.IvfIndex.cellStats(spark, dirA).collect()
+    assert(st.forall(_.getLong(3) == 1L),
+      s"rebuild must leave one file per cell: ${st.toSeq}")
+    assert(st.map(_.getLong(2)).sum == 0L, "rebuild resets the add-log")
+    assert(st.map(_.getLong(1)).sum == 100L, "no rows lost in the rewrite")
+    assert(!graft.similarity.IvfIndex.shouldRebuild(spark, dirA))
+    // probe parity on queries aimed at each blob
+    val queries = Seq(
+      (1000L, Array.fill(4)(0.5f)),
+      (1001L, Array.fill(4)(10.5f)))
+      .toDF("qid", "qvec")
+    def probeRows(d: String) = graft.similarity.IvfIndex
+      .probe(spark, d, queries, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(probeRows(dirA) == probeRows(dirB),
+      "rebuilt index must probe exactly like a fresh build")
+  }
+
   test("streaming embedding ingest: foreachBatch appends micro-batches, probe sees all") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files
