@@ -128,13 +128,16 @@ object KinesisSimProvider {
     } finally in.close()
   }
 
+  // partitionKey admits JSON escape sequences (writers escape via
+  // SimulatedKinesis.jsonEscape); sequenceNumber and data never need them
   private val Line =
-    """\{"sequenceNumber":"([^"]*)","partitionKey":"([^"]*)","data":"([^"]*)"\}""".r
+    """\{"sequenceNumber":"([^"]*)","partitionKey":"((?:[^"\\]|\\.)*)","data":"([^"]*)"\}""".r
 
   private[sources] def parse(line: String): (String, String, Array[Byte]) =
     line match {
       case Line(sn, pk, b64) =>
-        (sn, pk, java.util.Base64.getDecoder.decode(b64))
+        (sn, SimulatedKinesis.jsonUnescape(pk),
+          java.util.Base64.getDecoder.decode(b64))
       case other =>
         throw new IllegalStateException(s"malformed sim record: $other")
     }
@@ -478,7 +481,7 @@ private[sources] class KinesisSimStreamingWrite(path: String, nShards: Int,
           val lines = rs.map { case (data, pk) =>
             val b64 = java.util.Base64.getEncoder.encodeToString(data)
             val l =
-              s"""{"sequenceNumber":"$seq","partitionKey":"$pk","data":"$b64"}"""
+              s"""{"sequenceNumber":"$seq","partitionKey":"${SimulatedKinesis.jsonEscape(pk)}","data":"$b64"}"""
             seq += 1
             l
           }

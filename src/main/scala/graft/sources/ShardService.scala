@@ -68,45 +68,12 @@ object ShardService {
   private val PostLine =
     """\{"partitionKey":"((?:[^"\\]|\\.)*)","data":"([^"]*)"\}""".r
 
-  /** Minimal JSON string escaping for the wire's partitionKey field:
-    * quote, backslash, and control chars (as \uXXXX) — exactly the
-    * characters that would break the one-line-per-record framing or
-    * the quoted-field parse. */
-  private[sources] def jsonEscape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    s.foreach {
-      case '"'           => sb.append("\\\"")
-      case '\\'          => sb.append("\\\\")
-      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
-      case c             => sb.append(c)
-    }
-    sb.toString
-  }
-
-  /** Inverse of [[jsonEscape]] (also tolerates the standard JSON
-    * short escapes a hand-written client might send). */
-  private[sources] def jsonUnescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case 'n' => sb.append('\n'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 'b' => sb.append('\b'); i += 2
-          case 'f' => sb.append('\f'); i += 2
-          case '/' => sb.append('/'); i += 2
-          case other => sb.append(other); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  // partitionKey escaping is a property of the record line format and
+  // lives with the store ([[SimulatedKinesis.jsonEscape]]); the wire
+  // uses the identical rules so either transport feeds the same parser
+  private def jsonEscape(s: String): String = SimulatedKinesis.jsonEscape(s)
+  private def jsonUnescape(s: String): String =
+    SimulatedKinesis.jsonUnescape(s)
 
   private def handle(dir: String, nShards: Int,
                      producer: SimulatedKinesis.ShardedProducer,

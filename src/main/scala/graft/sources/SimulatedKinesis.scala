@@ -49,6 +49,49 @@ object SimulatedKinesis {
     math.floorMod(h, nShards)
   }
 
+  /** Minimal JSON string escaping for the record line's partitionKey
+    * field — quote, backslash, and control chars (as \uXXXX): exactly
+    * the characters that would break the one-line-per-record framing
+    * or the quoted-field parse. Data needs none (base64). Every
+    * writer of the line format (this producer, the V2 sink, the HTTP
+    * producer endpoint) escapes with this; every parser unescapes
+    * with [[jsonUnescape]]. */
+  private[sources] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Inverse of [[jsonEscape]] (also tolerates the standard JSON
+    * short escapes a hand-written client might send). */
+  private[sources] def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '/' => sb.append('/'); i += 2
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Producer half: accumulates `putRecords` calls into per-shard
     * JSON-lines batch files under `dir/shard-N/`. Not thread-safe —
     * one producer instance per simulated client, like one SDK client. */
@@ -84,7 +127,7 @@ object SimulatedKinesis {
               // payload never fights the JSON escaping rules
               val b64 = java.util.Base64.getEncoder
                 .encodeToString(data.getBytes("UTF-8"))
-              s"""{"sequenceNumber":"$sn","partitionKey":"${pk}","data":"$b64"}"""
+              s"""{"sequenceNumber":"$sn","partitionKey":"${jsonEscape(pk)}","data":"$b64"}"""
             }
             val f = java.nio.file.Paths.get(dir, s"shard-$shard",
               f"batch-${flushIdx(shard)}%06d.json")
