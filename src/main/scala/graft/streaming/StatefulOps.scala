@@ -30,29 +30,55 @@ object StatefulOps {
     * position, carrying state across micro-batches. Events inside one
     * batch are processed in event-time order; leading sentinels (no
     * prior position ever) are dropped — the reference's `if (id)` guard
-    * (functions.js:381). */
-  def locfResolve(events: Dataset[PositionedEvent]): Dataset[ResolvedEvent] = {
+    * (functions.js:381).
+    *
+    * STATE BOUND: per-key state is one [[LastPos]] (two ints), but
+    * without eviction the key SET grows with every user ever seen —
+    * at 100× keys that unbounded map is the first thing to OOM.
+    * `stateTtlMs > 0` arms a processing-time timeout per key, renewed
+    * on every arrival: a key idle past the TTL is REMOVED (the state
+    * store count stays ~ the live-key working set, spec-asserted
+    * under key churn). Semantics after eviction are explicit: the key
+    * is indistinguishable from never-seen, so a returning user's
+    * leading sentinel drops until a real position re-arrives — the
+    * right call for LOCF, where carrying a position across a long
+    * silence is stale anyway (the reference itself only ever re-reads
+    * the last 10 s). 0 disables eviction (exact unbounded carry). */
+  def locfResolve(events: Dataset[PositionedEvent],
+                  stateTtlMs: Long = 0L): Dataset[ResolvedEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[LastPos, ResolvedEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (uid: String, batch: Iterator[PositionedEvent], state: GroupState[LastPos]) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[ResolvedEvent]
-          var last = state.getOption
-          batch.toSeq.sortBy(e => (e.time, e.x, e.y)).foreach { e =>
-            if (isSentinel(e)) {
-              last.foreach(p =>
-                out += ResolvedEvent(uid, p.x, p.y, e.time, carried = true))
-              // no prior position → leading sentinel → dropped
-            } else {
-              last = Some(LastPos(e.x, e.y))
-              out += ResolvedEvent(uid, e.x, e.y, e.time, carried = false)
+          if (stateTtlMs > 0 && state.hasTimedOut) {
+            state.remove() // idle past TTL: evict, emit nothing
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[ResolvedEvent]
+            var last = state.getOption
+            batch.toSeq.sortBy(e => (e.time, e.x, e.y)).foreach { e =>
+              if (isSentinel(e)) {
+                last.foreach(p =>
+                  out += ResolvedEvent(uid, p.x, p.y, e.time, carried = true))
+                // no prior position → leading sentinel → dropped
+              } else {
+                last = Some(LastPos(e.x, e.y))
+                out += ResolvedEvent(uid, e.x, e.y, e.time, carried = false)
+              }
             }
+            last.foreach(state.update)
+            // re-arm the eviction clock only where state exists: a key
+            // that never produced a position holds nothing to evict
+            if (stateTtlMs > 0 && state.exists)
+              state.setTimeoutDuration(stateTtlMs)
+            out.iterator
           }
-          last.foreach(state.update)
-          out.iterator
       }
   }
 
@@ -62,13 +88,16 @@ object StatefulOps {
     * flatMapGroupsWithState form above remains the default (no
     * provider requirement); this is the forward-looking variant with
     * finer state control (TTL, timers, multiple state variables). */
-  class LocfProcessor
+  class LocfProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[String, PositionedEvent, ResolvedEvent] {
     @transient private var lastPos: ValueState[LastPos] = _
 
+    // the state-bound knob on this runtime is declarative: TTLConfig
+    // hands eviction to the state store itself (RocksDB compaction
+    // drops expired rows) instead of a per-key timer
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       lastPos = getHandle.getValueState[LastPos](
-        "lastPos", Encoders.product[LastPos], TTLConfig.NONE)
+        "lastPos", Encoders.product[LastPos], ttl)
 
     override def handleInputRows(uid: String,
         rows: Iterator[PositionedEvent],
@@ -89,14 +118,19 @@ object StatefulOps {
     }
   }
 
-  /** [[locfResolve]] on the transformWithState runtime. */
-  def locfResolveTws(events: Dataset[PositionedEvent]): Dataset[ResolvedEvent] = {
+  /** [[locfResolve]] on the transformWithState runtime. A non-NONE
+    * `ttl` needs processing-time mode (the store evicts by that
+    * clock). */
+  def locfResolveTws(events: Dataset[PositionedEvent],
+                     ttl: TTLConfig = TTLConfig.NONE): Dataset[ResolvedEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new LocfProcessor,
-        TimeMode.None(), OutputMode.Append)
+      .transformWithState(new LocfProcessor(ttl),
+        timeMode, OutputMode.Append)
   }
 
   case class HeartbeatState(lastEventMs: Long)

@@ -36,6 +36,59 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("locfResolve TTL evicts idle keys: state stays bounded under key churn") {
+    val input = MemoryStream[PositionedEvent](spark)
+    // NOTE: with ProcessingTimeTimeout the operator always requests
+    // another batch (it cannot know when the next timer fires), so
+    // processAllAvailable never observes quiescence — synchronize on
+    // the SINK's contents instead, with a bounded trigger cadence.
+    val q = StatefulOps.locfResolve(input.toDS(), stateTtlMs = 2000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("locf_ttl")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    def await(cond: => Boolean, msg: String): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!cond) {
+        assert(q.exception.isEmpty, s"query died: ${q.exception}")
+        assert(System.currentTimeMillis() < deadline, s"timed out: $msg")
+        Thread.sleep(100L)
+      }
+    }
+    try {
+      // churn fixture: every batch brings 50 NEVER-RETURNING keys —
+      // the access pattern that makes unbounded keyed state the first
+      // OOM at 100× keys
+      for (b <- 0 until 5) {
+        input.addData((1 to 50).map(i =>
+          PositionedEvent(s"u${b}_$i", b + 1, i, b * 1000L + i)): _*)
+      }
+      await(spark.table("locf_ttl").count() == 250L,
+        "every churned event emitted exactly once")
+      def stateRows: Long = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators(0).numRowsTotal).getOrElse(0L)
+      assert(stateRows > 0L, s"churned keys must hold state: $stateRows")
+      // let every key idle past the TTL: the timer batches running on
+      // the trigger cadence must REMOVE the idle keys
+      Thread.sleep(3000L)
+      await(stateRows <= 5L,
+        s"evicted state must track the live working set, not history")
+      // post-eviction semantics are the documented ones: a returning
+      // key is as-if never seen, so its leading sentinel drops (the
+      // trailing real event proves the sentinel's batch was processed)
+      input.addData(PositionedEvent("u0_1", 0, 0, 1000000L))
+      input.addData(PositionedEvent("u0_1", 7, 7, 1000001L))
+      await(spark.table("locf_ttl")
+        .filter(col("user_id") === "u0_1" && col("time") === 1000001L)
+        .count() == 1L, "post-eviction real event delivered")
+      assert(spark.table("locf_ttl")
+        .filter(col("user_id") === "u0_1" && col("time") === 1000000L)
+        .isEmpty,
+        "a sentinel after eviction must not resolve against evicted state")
+    } finally q.stop()
+  }
+
   test("transformWithState LOCF matches the flatMapGroupsWithState semantics") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
