@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *    would make every doc a 10-way exact duplicate and inflate every
   *    pair-expansion superlinearly, soaking a fiction.
   *
-  * Usage: runMain graft.Soak [baseDir] [outDir] [copies] [queryCsv]
-  * (queryCsv = optional comma-separated subset of SoakQueries.)
+  * Usage: runMain graft.Soak [baseDir] [outDir] [copies] [queryCsv] [jsonOut]
+  * (queryCsv = optional comma-separated subset of SoakQueries, or the
+  * literal `gated` for the regression-gated slice; jsonOut = optional
+  * path for the JSON artifact, e.g. SOAK_r08.json.)
   */
 object Soak {
 
@@ -75,7 +77,17 @@ object Soak {
     "doc_admission_lm", "dedup_route", "dedup_delta_verified",
     // round-7 additions: the frozen-centroid IVF delta probe and the
     // span-cutting transform (dupSpans' report turned into the action)
-    "knn_ivf_delta", "doc_despan", "doc_markup")
+    "knn_ivf_delta", "doc_despan", "doc_markup",
+    // round-8 additions: the gate-scaled recall eval (its exact ground
+    // truth is the cost under watch) and the IVF drift report
+    "dedup_route_recall", "knn_ivf_compact", "doc_token_stats")
+
+  /** The regression-gated slice: the steepest documented ratios plus
+    * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
+    * round over round (VERDICT r7 item 2). */
+  val GatedQueries: Seq[String] = Seq(
+    "dedup_setsim_join", "dedup_setsim_strict", "dedup_route_recall",
+    "graph_pagerank", "doc_admission_lm", "basket_rules")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
@@ -169,9 +181,13 @@ object Soak {
       else System.err.println(s"[soak] WARNING (subset/small-copies run): $msg")
     }
     val soakQueries = wanted match {
+      case Some(ws) if ws == Set("gated") => GatedQueries
       case Some(ws) => SoakQueries.filter(ws)
       case None     => SoakQueries
     }
+    // optional 5th arg: write the measured table as a JSON artifact
+    // (SOAK_r{N}.json — the checked-in, regression-gated record)
+    val jsonOut = args.lift(4)
     val spark = GraftSession.get()
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(out, "lineitem.parquet"))) {
@@ -185,10 +201,27 @@ object Soak {
     }
     println(s"| query | ${base.split('/').last} s | sf1 s | ratio (ideal ≤ ~$copies) |")
     println("|---|---|---|---|")
-    soakQueries.foreach { n =>
+    val results = soakQueries.map { n =>
       val tB = timeIn(spark, n, base)
       val tS = timeIn(spark, n, out)
       println(f"| $n | $tB%.2f | $tS%.2f | ${tS / tB}%.1f× |")
+      (n, tB, tS)
+    }
+    jsonOut.foreach { path =>
+      val rows = results.map { case (n, tB, tS) =>
+        f"""    "$n": {"base_s": $tB%.3f, "sf1_s": $tS%.3f, "ratio": ${tS / tB}%.2f}"""
+      }.mkString(",\n")
+      val json =
+        s"""{
+           |  "base": "$base",
+           |  "copies": $copies,
+           |  "queries": {
+           |$rows
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+      System.err.println(s"[soak] wrote $path")
     }
     spark.stop()
   }

@@ -53,22 +53,51 @@ object SetSimJoin {
     * (document frequency, prefix ranking, exact verification) and
     * the tokenize+explode+distinct shuffle must not re-run per
     * consumer. */
-  private[dedup] def shingleRelation(docs: DataFrame): DataFrame = docs
+  private[graft] def shingleRelation(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(Portable.shingles(col("text"))).as("sh"))
     .distinct()
     .localCheckpoint()
 
-  private def jaccardJoinOfShingles(ds: DataFrame, tNum: Long,
-                                    tDen: Long): DataFrame = {
+  private[graft] def jaccardJoinOfShingles(ds: DataFrame, tNum: Long,
+                                           tDen: Long): DataFrame =
+    jaccardJoinImpl(ds, tNum, tDen, fusedDf = true, pruneVerify = false)
+
+  /** Shape knobs, A/B-measured at sf1 (round 8, two interleaved
+    * single-JVM sessions × 3 reps via [[graft.AbSetsim]]):
+    *  - `fusedDf` (ADOPTED — min 15.1 s vs 16.2 s baseline, 4/6
+    *    pairwise rep wins): document frequency via a window over `sh`
+    *    — ONE corpus exchange — instead of groupBy(sh) + equi-join
+    *    back (aggregate exchange + a second corpus exchange for the
+    *    join). The window's sort-per-partition costs less than the
+    *    extra full shuffle of the shingle relation, and one fewer
+    *    corpus exchange is the structurally right trade at 100 TB.
+    *  - `pruneVerify` (REJECTED — 18.2-20.3 s, consistently worse):
+    *    left-semi restricting the verification relation to candidate
+    *    docs re-pays a corpus pass that the verify joins then pay
+    *    again; at t=1/2 most docs are in some candidate anyway. (The
+    *    prune IS right when candidates are a small slice — that is
+    *    routedJoin, where the miner guarantees it.)
+    */
+  private[graft] def jaccardJoinImpl(ds: DataFrame, tNum: Long, tDen: Long,
+                                     fusedDf: Boolean,
+                                     pruneVerify: Boolean): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // one doc_id exchange serves both windows (rank and set size):
     // same partitioning, Catalyst stacks the two Window nodes
     val byDoc = Window.partitionBy(col("doc_id"))
-    val ranked = ds.join(dfreq, "sh")
-      .select(col("doc_id"), col("sh"),
-        row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rnk"),
-        count(lit(1)).over(byDoc).as("n"))
+    val ranked =
+      if (fusedDf)
+        ds.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+          .select(col("doc_id"), col("sh"),
+            row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rnk"),
+            count(lit(1)).over(byDoc).as("n"))
+      else {
+        val dfreq = ds.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        ds.join(dfreq, "sh")
+          .select(col("doc_id"), col("sh"),
+            row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rnk"),
+            count(lit(1)).over(byDoc).as("n"))
+      }
     // prefix length |x| − ⌈t·|x|⌉ + 1; ceil as integer floor-div
     val need = floor((col("n") * lit(tNum) + lit(tDen - 1)) / lit(tDen))
       .cast("long")
@@ -103,9 +132,15 @@ object SetSimJoin {
     // replicates the full arrays through two wide shuffles, while the
     // exploded form keeps shuffle rows narrow and the count
     // map-side-combinable. The exploded form is the 100 TB posture.)
+    val dsv =
+      if (pruneVerify) {
+        val candDocs = cand.select(col("id1").as("doc_id"))
+          .unionAll(cand.select(col("id2").as("doc_id"))).distinct()
+        ds.join(candDocs, Seq("doc_id"), "left_semi")
+      } else ds
     val verified = cand
-      .join(ds.select(col("doc_id").as("id1"), col("sh")), "id1")
-      .join(ds.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .join(dsv.select(col("doc_id").as("id1"), col("sh")), "id1")
+      .join(dsv.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
       .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
       .agg(count(lit(1)).as("inter"))
     verified
