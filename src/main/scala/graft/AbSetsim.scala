@@ -29,7 +29,16 @@ object AbSetsim {
       "baseline" -> build(fused = false, prune = false) _,
       "fusedDf" -> build(fused = true, prune = false) _,
       "pruneVerify" -> build(fused = false, prune = true) _,
-      "fused+prune" -> build(fused = true, prune = true) _)
+      "fused+prune" -> build(fused = true, prune = true) _,
+      // the shipped query's exact shape: 25-row global sort on top —
+      // measures what the final orderBy costs over the raw operator
+      "fused+sort" -> ((d: String) =>
+        build(fused = true, prune = false)(d).orderBy("id1", "id2")),
+      // same canonical order without a range exchange (no sampling
+      // job): collapse to one partition, sort locally
+      "fused+c1sort" -> ((d: String) =>
+        build(fused = true, prune = false)(d)
+          .coalesce(1).sortWithinPartitions("id1", "id2")))
 
     // shapes must agree EXACTLY before any of them is timed
     val expected = shapes.head._2("/root/testdata/sf0.01")

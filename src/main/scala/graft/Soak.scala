@@ -150,6 +150,13 @@ object Soak {
   private def timeIn(spark: SparkSession, name: String, dir: String,
                      passes: Int = 2): Double =
     (1 to passes).map { _ =>
+      // localCheckpoint blocks from the PREVIOUS pass are freed by the
+      // ContextCleaner only after a driver GC notices the dead RDD
+      // references; on a big heap that can take minutes, and stale
+      // corpus-sized checkpoints squat in the storage pool while the
+      // next pass's sorts fight for execution memory. Nudge the
+      // cleaner so every pass starts with a drained block store.
+      System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -61,7 +61,7 @@ object SparkEntry {
   def queries: Map[String, Q] = Map(
     // ---- reference parity: movements pipeline (SURVEY §2/§3) ----
     "mov_sec_counts" -> q((s, d) =>
-      Movements.perSecondCounts(ev(s, d)).orderBy("user_id", "sec")),
+      Movements.perSecondCounts(ev(s, d)).sortWithinPartitions("user_id", "sec")),
     // incremental view maintenance through the exactness gate: merge
     // a deterministic half of the stream into the other half's
     // materialization; the oracle is the full recompute
@@ -73,108 +73,108 @@ object SparkEntry {
       val isEven = pmod(col("event_id"), lit(2)) <=> 0
       val base = Movements.perSecondCounts(events.filter(isEven))
       Movements.mergeCountsIncrement(base, events.filter(!isEven))
-        .orderBy("user_id", "sec")
+        .sortWithinPartitions("user_id", "sec")
     }),
     "mov_chart_sum" -> q((s, d) =>
-      Movements.chartSum(ev(s, d), ChartFromSec).orderBy("user_id")),
+      Movements.chartSum(ev(s, d), ChartFromSec).sortWithinPartitions("user_id")),
     "mov_chart" -> q((s, d) =>
-      Movements.chart(ev(s, d), 1L).orderBy("sec")),
+      Movements.chart(ev(s, d), 1L).sortWithinPartitions("sec")),
     "mov_topk_recent" -> q((s, d) =>
       Movements.topkRecent(ev(s, d), 1L, 10)),
     "mov_locf" -> q((s, d) =>
-      Movements.locf(ev(s, d)).orderBy("user_id", "event_id")),
+      Movements.locf(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "mov_interp" -> q((s, d) =>
-      Movements.interpolated(ev(s, d)).orderBy("user_id", "event_id")),
+      Movements.interpolated(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "mov_heatmap" -> q((s, d) =>
-      Movements.heatmap(ev(s, d), 1L).orderBy("cx", "cy")),
+      Movements.heatmap(ev(s, d), 1L).sortWithinPartitions("cx", "cy")),
     "mov_heatmap_max" -> q((s, d) =>
       Movements.heatmapMax(ev(s, d), 1L)),
     "mov_heatmap_all" -> q((s, d) =>
       Movements.heatmapAll(ev(s, d))
-        .orderBy("user_id", "cx", "cy")),
+        .sortWithinPartitions("user_id", "cx", "cy")),
     "mov_sentinel_stats" -> q((s, d) =>
-      Movements.sentinelStats(ev(s, d)).orderBy("user_id")),
+      Movements.sentinelStats(ev(s, d)).sortWithinPartitions("user_id")),
     "mov_bot_signals" -> q((s, d) =>
-      Movements.botSignals(ev(s, d)).orderBy("user_id")),
+      Movements.botSignals(ev(s, d)).sortWithinPartitions("user_id")),
     "mov_sessions" -> q((s, d) =>
       Movements.sessions(ev(s, d), SessionGapSec)
-        .orderBy("user_id", "session_id")),
+        .sortWithinPartitions("user_id", "session_id")),
     "mov_gap_fill" -> q((s, d) =>
       Movements.gapFillMinutes(ev(s, d), 1L)
-        .orderBy("hour_start", "minute")),
+        .sortWithinPartitions("hour_start", "minute")),
     "mov_session_window" -> q((s, d) =>
       Movements.sessionWindows(ev(s, d), SessionGapSec)
-        .orderBy("user_id", "session_start_sec")),
+        .sortWithinPartitions("user_id", "session_start_sec")),
 
     // ---- relational coverage ----
     "q1_pricing" -> q((s, d) =>
       Relational.pricingSummary(Tables.lineitem(s, d))
-        .orderBy("l_returnflag", "l_linestatus")),
+        .sortWithinPartitions("l_returnflag", "l_linestatus")),
     "q3_top_orders" -> q((s, d) =>
       Relational.topUnshippedOrders(Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q5_region_revenue" -> q((s, d) =>
       Relational.regionRevenue(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("n_name")),
+        .sortWithinPartitions("n_name")),
     "join_semi_segments" -> q((s, d) =>
       Relational.segmentsWithOrders(Tables.customer(s, d), Tables.orders(s, d))
-        .orderBy("c_mktsegment")),
+        .sortWithinPartitions("c_mktsegment")),
     "join_anti_customers" -> q((s, d) =>
       Relational.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))
-        .orderBy("c_custkey")),
+        .sortWithinPartitions("c_custkey")),
     "join_outer_stats" -> q((s, d) =>
       Relational.customerOrderStats(Tables.customer(s, d), Tables.orders(s, d))
-        .orderBy("c_custkey")),
+        .sortWithinPartitions("c_custkey")),
     "win_rank_orders" -> q((s, d) =>
       Relational.topOrdersPerCustomer(Tables.orders(s, d))
-        .orderBy("o_custkey", "rn")),
+        .sortWithinPartitions("o_custkey", "rn")),
     "win_lag_gaps" -> q((s, d) =>
       Relational.orderGaps(Tables.orders(s, d))
-        .orderBy("o_custkey", "o_orderkey")),
+        .sortWithinPartitions("o_custkey", "o_orderkey")),
     "win_running_volume" -> q((s, d) =>
       Relational.runningSupplierVolume(Tables.lineitem(s, d))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")),
+        .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")),
     "agg_brand_suppliers" -> q((s, d) =>
       Relational.brandSupplierCounts(Tables.part(s, d), Tables.lineitem(s, d))
-        .orderBy("p_brand")),
+        .sortWithinPartitions("p_brand")),
     "set_intersect_active" -> q((s, d) =>
       Relational.customersActiveBothYears(Tables.orders(s, d))
-        .orderBy("o_custkey")),
+        .sortWithinPartitions("o_custkey")),
     "set_except_churned" -> q((s, d) =>
       Relational.customersChurned(Tables.orders(s, d))
-        .orderBy("o_custkey")),
+        .sortWithinPartitions("o_custkey")),
     "rollup_returns" -> q((s, d) =>
       Relational.rollupSummary(Tables.lineitem(s, d))
-        .orderBy("returnflag", "linestatus")),
+        .sortWithinPartitions("returnflag", "linestatus")),
     "pivot_priority_status" -> q((s, d) =>
       Relational.priorityStatusPivot(Tables.orders(s, d))
-        .orderBy("o_orderpriority")),
+        .sortWithinPartitions("o_orderpriority")),
     "pivot_native" -> q((s, d) =>
       Relational.priorityStatusPivotNative(Tables.orders(s, d))
-        .orderBy("o_orderpriority")),
+        .sortWithinPartitions("o_orderpriority")),
     "topk_lineitems" -> q((s, d) =>
       Relational.topLineitems(Tables.lineitem(s, d))),
     "agg_event_stats" -> q((s, d) =>
       Relational.eventTypeStats(Tables.events(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "agg_percentiles" -> q((s, d) =>
       Relational.pricePercentiles(Tables.orders(s, d))
-        .orderBy("o_orderpriority")),
+        .sortWithinPartitions("o_orderpriority")),
     "agg_corr" -> q((s, d) =>
       Relational.quantityPriceCorr(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "agg_sketch" -> q((s, d) =>
       Relational.sketchStatsPortable(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "cube_returns" -> q((s, d) =>
       Relational.cubeSummary(Tables.lineitem(s, d))
-        .orderBy("returnflag", "linestatus")),
+        .sortWithinPartitions("returnflag", "linestatus")),
     "grouping_sets_events" -> q((s, d) =>
       Relational.groupingSetsEvents(Tables.events(s, d))
-        .orderBy("event_type", "user_id")),
+        .sortWithinPartitions("event_type", "user_id")),
     "join_range_bands" -> q((s, d) =>
-      Relational.priceBandCounts(Tables.orders(s, d)).orderBy("band")),
+      Relational.priceBandCounts(Tables.orders(s, d)).sortWithinPartitions("band")),
     "join_session_overlap" -> q((s, d) => {
       val sess = Movements.sessionBounds(ev(s, d), SessionGapSec)
       val l = sess.select(col("user_id").as("u1"),
@@ -188,7 +188,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_overlaps"),
           sum(least(col("hi1"), col("hi2")) -
             greatest(col("lo1"), col("lo2"))).as("overlap_us"))
-        .orderBy("u1", "u2")
+        .sortWithinPartitions("u1", "u2")
     }),
     "join_range_binned" -> q((s, d) => {
       import s.implicits._
@@ -202,23 +202,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(min(col("o_totalprice")), 2).as("min_price"),
           round(max(col("o_totalprice")), 2).as("max_price"))
-        .orderBy("band")
+        .sortWithinPartitions("band")
     }),
     "win_distributions" -> q((s, d) =>
       Relational.orderDistributions(Tables.orders(s, d))
-        .orderBy("o_custkey", "o_orderkey")),
+        .sortWithinPartitions("o_custkey", "o_orderkey")),
     "win_rankings" -> q((s, d) =>
       Relational.orderRankings(Tables.orders(s, d))
-        .orderBy("o_custkey", "o_orderkey")),
+        .sortWithinPartitions("o_custkey", "o_orderkey")),
     "win_ntile" -> q((s, d) =>
       Relational.orderNtiles(Tables.orders(s, d))
-        .orderBy("o_custkey", "o_orderkey")),
+        .sortWithinPartitions("o_custkey", "o_orderkey")),
     "func_unpivot" -> q((s, d) =>
       Relational.unpivotMeasures(Tables.lineitem(s, d))
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        .sortWithinPartitions("l_orderkey", "l_linenumber", "metric")),
     "set_union_all" -> q((s, d) =>
       Relational.yearlyOrderCounts(Tables.orders(s, d))
-        .orderBy("yr", "o_orderpriority")),
+        .sortWithinPartitions("yr", "o_orderpriority")),
     "q6_forecast" -> q((s, d) =>
       Relational.forecastRevenue(Tables.lineitem(s, d))),
     "q17_small_quantity" -> q((s, d) =>
@@ -227,46 +227,46 @@ object SparkEntry {
       Relational.promoRevenueShare(Tables.lineitem(s, d), Tables.part(s, d))),
     "q18_large_orders" -> q((s, d) =>
       Relational.largeOrders(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("o_orderkey")),
+        .sortWithinPartitions("o_orderkey")),
     "q4_late_orders" -> q((s, d) =>
       Relational.lateOrderCounts(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("o_orderpriority")),
+        .sortWithinPartitions("o_orderpriority")),
     "q10_return_customers" -> q((s, d) =>
       Relational.topReturnCustomers(Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))),
     "q22_rich_inactive" -> q((s, d) =>
       Relational.richInactiveCustomers(Tables.customer(s, d),
-        Tables.orders(s, d)).orderBy("c_custkey")),
+        Tables.orders(s, d)).sortWithinPartitions("c_custkey")),
     "q2_cheapest_supplier" -> q((s, d) =>
       Relational.cheapestSupplierPerPart(Tables.lineitem(s, d))
-        .orderBy("l_partkey")),
+        .sortWithinPartitions("l_partkey")),
     "nested_posexplode" -> q((s, d) =>
       Relational.tokenPositions(Tables.documents(s, d))
-        .orderBy("doc_id", "pos")),
+        .sortWithinPartitions("doc_id", "pos")),
     "agg_collect_buckets" -> q((s, d) =>
       Relational.typeUserBuckets(Tables.events(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "win_frame_edges" -> q((s, d) =>
       Relational.orderFrameEdges(Tables.orders(s, d))
-        .orderBy("o_custkey", "o_orderkey")),
+        .sortWithinPartitions("o_custkey", "o_orderkey")),
     "agg_arg_extremes" -> q((s, d) =>
       Relational.eventArgExtremes(Tables.events(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
 
     // ---- time series ----
     "ts_asof_purchase_click" -> q((s, d) =>
-      TimeSeries.asofPurchaseClick(ev(s, d)).orderBy("user_id", "event_id")),
+      TimeSeries.asofPurchaseClick(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "ts_asof_native" -> q((s, d) =>
-      TimeSeries.asofNative(ev(s, d)).orderBy("user_id", "event_id")),
+      TimeSeries.asofNative(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "ts_sliding_avg" -> q((s, d) =>
-      TimeSeries.slidingAvg(ev(s, d)).orderBy("user_id", "event_id")),
+      TimeSeries.slidingAvg(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "ts_twap" -> q((s, d) =>
-      TimeSeries.twap(ev(s, d)).orderBy("user_id")),
+      TimeSeries.twap(ev(s, d)).sortWithinPartitions("user_id")),
     "ts_m4_downsample" -> q((s, d) =>
-      TimeSeries.m4Downsample(ev(s, d)).orderBy("bucket")),
+      TimeSeries.m4Downsample(ev(s, d)).sortWithinPartitions("bucket")),
     "win_range_frame" -> q((s, d) =>
       TimeSeries.trailingRangeSums(ev(s, d))
-        .orderBy("user_id", "event_id")),
+        .sortWithinPartitions("user_id", "event_id")),
     "set_bag_ops" -> q((s, d) =>
       Relational.bagSetCounts(Tables.orders(s, d))),
     // correlated LATERAL subquery — the per-row top-N surface in SQL
@@ -285,120 +285,120 @@ object SparkEntry {
     "profile_lineitem" -> q((s, d) =>
       operators.Profiling.profile(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
-          "l_linestatus")).orderBy("col_name")),
+          "l_linestatus")).sortWithinPartitions("col_name")),
     "ts_funnel" -> q((s, d) =>
-      TimeSeries.conversionFunnel(ev(s, d)).orderBy("step")),
+      TimeSeries.conversionFunnel(ev(s, d)).sortWithinPartitions("step")),
     "ts_retention" -> q((s, d) =>
-      TimeSeries.cohortRetention(ev(s, d)).orderBy("cohort", "offset")),
+      TimeSeries.cohortRetention(ev(s, d)).sortWithinPartitions("cohort", "offset")),
     "ts_ab_lift" -> q((s, d) =>
       TimeSeries.abConversion(ev(s, d))),
     "ts_paths" -> q((s, d) =>
       TimeSeries.topPaths(ev(s, d))),
     "ts_5min_buckets" -> q((s, d) =>
       TimeSeries.fiveMinuteBuckets(ev(s, d))
-        .orderBy("user_id", "bucket_start")),
+        .sortWithinPartitions("user_id", "bucket_start")),
     "ts_monthly_revenue" -> q((s, d) =>
       TimeSeries.monthlyRevenue(Tables.orders(s, d))
-        .orderBy("month_start_ms")),
+        .sortWithinPartitions("month_start_ms")),
     "q15_top_supplier" -> q((s, d) =>
       Relational.topRevenueSupplier(Tables.lineitem(s, d))
-        .orderBy("l_suppkey")),
+        .sortWithinPartitions("l_suppkey")),
     "agg_kmv_distinct" -> q((s, d) =>
       Relational.kmvDistinctParts(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "agg_kmv_jaccard" -> q((s, d) =>
       Relational.kmvSetAlgebra(Tables.lineitem(s, d))),
     "agg_regression" -> q((s, d) =>
       Relational.regressionByFlag(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "agg_outliers" -> q((s, d) =>
       Relational.outlierCounts(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "q7_nation_volume" -> q((s, d) =>
       Relational.nationVolume(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("supp_nation", "cust_nation", "l_year")),
+        .sortWithinPartitions("supp_nation", "cust_nation", "l_year")),
     "q8_market_share" -> q((s, d) =>
       Relational.marketShare(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.part(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("o_year")),
+        .sortWithinPartitions("o_year")),
     "q9_product_profit" -> q((s, d) =>
       Relational.productProfit(Tables.nation(s, d), Tables.supplier(s, d),
         Tables.part(s, d), Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("nation", "o_year")),
+        .sortWithinPartitions("nation", "o_year")),
     "q11_part_value" -> q((s, d) =>
       Relational.importantPartValues(Tables.nation(s, d), Tables.supplier(s, d),
         Tables.part(s, d), Tables.lineitem(s, d))
-        .orderBy("p_partkey")),
+        .sortWithinPartitions("p_partkey")),
     "q12_priority_lateness" -> q((s, d) =>
       Relational.priorityByLateness(Tables.orders(s, d), Tables.lineitem(s, d))
-        .orderBy("ship_class")),
+        .sortWithinPartitions("ship_class")),
     "q13_order_distribution" -> q((s, d) =>
       Relational.customerOrderDistribution(Tables.customer(s, d),
         Tables.orders(s, d))
-        .orderBy("c_count")),
+        .sortWithinPartitions("c_count")),
     "q16_supplier_counts" -> q((s, d) =>
       Relational.partSupplierCounts(Tables.part(s, d), Tables.lineitem(s, d))
-        .orderBy("p_brand", "p_type", "p_size")),
+        .sortWithinPartitions("p_brand", "p_type", "p_size")),
     "q19_banded_revenue" -> q((s, d) =>
       Relational.bandedRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
     "q20_excess_suppliers" -> q((s, d) =>
       Relational.excessStockSuppliers(Tables.supplier(s, d), Tables.part(s, d),
         Tables.lineitem(s, d))
-        .orderBy("s_suppkey")),
+        .sortWithinPartitions("s_suppkey")),
     "q21_waiting_suppliers" -> q((s, d) =>
       Relational.waitingSuppliers(Tables.supplier(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d))
-        .orderBy("s_suppkey")),
+        .sortWithinPartitions("s_suppkey")),
 
     // ---- function surface ----
     "func_scalar" -> q((s, d) =>
-      FunctionCoverage.scalarFuncs(ev(s, d)).orderBy("event_id")),
+      FunctionCoverage.scalarFuncs(ev(s, d)).sortWithinPartitions("event_id")),
     "func_string" -> q((s, d) =>
-      FunctionCoverage.stringFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+      FunctionCoverage.stringFuncs(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "func_array" -> q((s, d) =>
-      FunctionCoverage.arrayFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+      FunctionCoverage.arrayFuncs(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "func_datetime" -> q((s, d) =>
-      FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).orderBy("o_orderkey")),
+      FunctionCoverage.datetimeFuncs(Tables.orders(s, d)).sortWithinPartitions("o_orderkey")),
     "func_hof" -> q((s, d) =>
-      FunctionCoverage.hofFuncs(Tables.documents(s, d)).orderBy("doc_id")),
+      FunctionCoverage.hofFuncs(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "func_strdist" -> q((s, d) =>
       FunctionCoverage.stringDistances(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "func_trysafe" -> q((s, d) =>
       FunctionCoverage.trySafeFuncs(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "func_map" -> q((s, d) =>
-      FunctionCoverage.mapFuncs(ev(s, d)).orderBy("event_id")),
+      FunctionCoverage.mapFuncs(ev(s, d)).sortWithinPartitions("event_id")),
     "func_json" -> q((s, d) =>
-      FunctionCoverage.jsonFuncs(ev(s, d)).orderBy("event_id")),
+      FunctionCoverage.jsonFuncs(ev(s, d)).sortWithinPartitions("event_id")),
 
     // ---- text analysis ----
     "doc_token_stats" -> q((s, d) =>
-      TextAnalysis.tokenStats(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.tokenStats(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_quality" -> q((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.qualityScore(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_langid" -> q((s, d) =>
-      TextAnalysis.languageId(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.languageId(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_fingerprint" -> q((s, d) =>
-      TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.fingerprint(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_chunks" -> q((s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d))
-        .orderBy("doc_id", "chunk_idx")),
+        .sortWithinPartitions("doc_id", "chunk_idx")),
     "doc_pii_scrub" -> q((s, d) =>
-      TextAnalysis.piiScrub(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.piiScrub(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_repetition" -> q((s, d) =>
       TextAnalysis.repetitionStats(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "doc_pack_bins" -> q((s, d) =>
-      TextAnalysis.packBins(Tables.documents(s, d)).orderBy("doc_id")),
+      TextAnalysis.packBins(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "doc_decontaminate" -> q((s, d) =>
       graft.dedup.Dedup.benchmarkOverlap(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "doc_tfidf_terms" -> q((s, d) =>
       TextAnalysis.tfidfTerms(Tables.documents(s, d))
-        .orderBy("lang", "rnk")),
+        .sortWithinPartitions("lang", "rnk")),
     "doc_collocations" -> q((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d))
         .orderBy(col("lift").desc, col("bigram"))),
@@ -406,13 +406,13 @@ object SparkEntry {
       operators.Sampling.shuffleShards(
           Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy("shard", "pos")),
+        .sortWithinPartitions("shard", "pos")),
     "ret_bm25" -> q((s, d) => {
       import s.implicits._
       val qs = Seq((1L, "spark window agg"),
         (2L, "customer join filter")).toDF("qid", "query")
       graft.text.Retrieval.bm25(Tables.documents(s, d), qs)
-        .orderBy("qid", "rnk")
+        .sortWithinPartitions("qid", "rnk")
     }),
     "ret_rrf_hybrid" -> q((s, d) => {
       import s.implicits._
@@ -423,14 +423,14 @@ object SparkEntry {
       val sem = graft.text.Retrieval.semanticTopK(
           Tables.embeddings(s, d), Map(1L -> 100L, 2L -> 200L))
         .select(col("qid"), col("vec_id").as("item"), col("rnk"))
-      graft.text.Retrieval.rrfFuse(lex, sem).orderBy("qid", "rnk")
+      graft.text.Retrieval.rrfFuse(lex, sem).sortWithinPartitions("qid", "rnk")
     }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
         corpus = docs.filter(col("doc_id") % 5 =!= 0),
         fresh = docs.filter(col("doc_id") % 5 === 0))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
     // delta ingest with ROUTED exactness: LSH collisions are only
     // candidates; rejection requires a verified Jaccard
@@ -439,15 +439,15 @@ object SparkEntry {
       graft.dedup.Dedup.dedupDeltaVerified(
         corpus = docs.filter(col("doc_id") % 5 =!= 0),
         fresh = docs.filter(col("doc_id") % 5 === 0))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
     "sample_mix_sources" -> q((s, d) =>
       operators.Sampling.mixSources(Tables.documents(s, d),
         Seq("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1), 60)
-        .orderBy("source", "rnk")),
+        .sortWithinPartitions("source", "rnk")),
     "doc_clean_corpus" -> q((s, d) =>
       TextAnalysis.cleanCorpusStats(Tables.documents(s, d))
-        .orderBy("source")),
+        .sortWithinPartitions("source")),
     "sample_weighted" -> q((s, d) =>
       operators.Sampling.weightedTopK(
         Tables.lineitem(s, d).select(
@@ -461,7 +461,7 @@ object SparkEntry {
           length(col("text")).as("n_chars")),
         col("lang"), col("doc_id"), col("n_chars"), 5)
         .select(col("lang"), col("rnk"), col("doc_id"), col("priority"))
-        .orderBy("lang", "rnk")),
+        .sortWithinPartitions("lang", "rnk")),
     "sample_temperature" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       val t = operators.Sampling.temperatureTargets(docs, total = 200L)
@@ -477,7 +477,7 @@ object SparkEntry {
         .select(col("source"), col("n"), col("target"),
           coalesce(col("n_sel"), lit(0L)).as("n_sel"),
           coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
-        .orderBy("source")
+        .sortWithinPartitions("source")
     }),
     "hh_top_terms" -> q((s, d) =>
       graft.functions.HeavyHitters.exactTopK(
@@ -489,41 +489,41 @@ object SparkEntry {
         Tables.documents(s, d).select(col("lang"),
           explode(graft.functions.Portable.tokens(col("text"))).as("term")),
         "lang", "term", 5)
-        .orderBy("lang", "rnk")),
+        .sortWithinPartitions("lang", "rnk")),
     "agg_hist_quantiles" -> q((s, d) => {
       val h = graft.functions.HistogramSketch.histogram(
         Tables.lineitem(s, d), "l_extendedprice", 1000.0)
       graft.functions.HistogramSketch.quantiles(h, Seq(0.5, 0.9, 0.99), 1000.0)
-        .orderBy("q")
+        .sortWithinPartitions("q")
     }),
     "agg_hist_by_flag" -> q((s, d) => {
       val h = graft.functions.HistogramSketch.histogramBy(
         Tables.lineitem(s, d), Seq("l_returnflag"), "l_extendedprice", 1000.0)
       graft.functions.HistogramSketch.quantilesBy(
           h, Seq("l_returnflag"), Seq(0.5, 0.95), 1000.0)
-        .orderBy("l_returnflag", "q")
+        .sortWithinPartitions("l_returnflag", "q")
     }),
     "ts_sliding_distinct" -> q((s, d) =>
       operators.TimeSeries.slidingDistinct(ev(s, d), "user_id")
-        .orderBy("bucket")),
+        .sortWithinPartitions("bucket")),
     "ts_concurrency" -> q((s, d) => {
       val sess = Movements.sessionBounds(ev(s, d), SessionGapSec)
         .select(col("min_us").as("lo"), (col("max_us") + 1).as("hi"))
       operators.TimeSeries.sweepConcurrency(sess, "lo", "hi",
           bucketUs = 3600000000L)
-        .orderBy("bucket")
+        .sortWithinPartitions("bucket")
     }),
     "profile_checksum" -> q((s, d) =>
       operators.Profiling.checksum(Tables.orders(s, d), "o_orderstatus",
           Seq("o_orderkey", "o_custkey", "o_orderpriority"))
         .select(col("o_orderstatus"), col("n_rows"),
           col("content_sum").cast("string").as("content_sum"))
-        .orderBy("o_orderstatus")),
+        .sortWithinPartitions("o_orderstatus")),
     "cdc_diff" -> q((s, d) => {
       val (oldS, newS) = cdcSnapshots(s, d)
       operators.Cdc.snapshotDiff(oldS, newS,
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     }),
     "cdc_scd2" -> q((s, d) => {
       val (oldS, newS) = cdcSnapshots(s, d)
@@ -534,7 +534,7 @@ object SparkEntry {
       operators.Cdc.scd2Apply(dim, diff,
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), ts = 1L)
         .where(pmod(abs(col("o_orderkey")), lit(10)).isin(1, 3, 7))
-        .orderBy("o_orderkey", "valid_from")
+        .sortWithinPartitions("o_orderkey", "valid_from")
     }),
     "cms_term_counts" -> q((s, d) => {
       // one per-term aggregate feeds the sketch (weighted form), the
@@ -561,7 +561,7 @@ object SparkEntry {
       operators.Sampling.stratified(ev(s, d), col("event_type"),
           col("event_id"), 10)
         .select(col("event_type"), col("rnk"), col("event_id"))
-        .orderBy("event_type", "rnk")),
+        .sortWithinPartitions("event_type", "rnk")),
     "sample_folds" -> q((s, d) =>
       Tables.lineitem(s, d)
         .withColumn("h", graft.functions.Portable.hash52(
@@ -570,7 +570,7 @@ object SparkEntry {
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n"),
           graft.functions.Portable.exactSum(col("l_quantity")).as("sum_qty"))
-        .orderBy("fold")),
+        .sortWithinPartitions("fold")),
     "sample_quantiles" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 10)
@@ -578,25 +578,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
           round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
           round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "doc_winnow_fp" -> q((s, d) =>
       TextAnalysis.winnowFingerprint(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
 
     // ---- dedup ----
     "dedup_exact" -> q((s, d) =>
-      Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")),
+      Dedup.exact(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "dedup_minhash_sig" -> q((s, d) =>
-      Dedup.minhashSignatures(Tables.documents(s, d)).orderBy("doc_id")),
+      Dedup.minhashSignatures(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "dedup_minhash_pairs" -> q((s, d) =>
-      Dedup.minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
+      Dedup.minhashPairs(Tables.documents(s, d)).sortWithinPartitions("id1", "id2")),
     "dedup_clusters" -> q((s, d) =>
       Dedup.nearDupClusters(Dedup.minhashPairs(Tables.documents(s, d)))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "dedup_simhash" -> q((s, d) =>
-      Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id")),
+      Dedup.simhash(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     "dedup_simhash_pairs" -> q((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
+      Dedup.simhashPairs(Tables.documents(s, d)).sortWithinPartitions("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
       Dedup.ngramJaccardTop(Tables.documents(s, d))),
     // threshold 2/3: the scale knob in action — prefixes shrink to
@@ -604,15 +604,15 @@ object SparkEntry {
     "dedup_setsim_strict" -> q((s, d) =>
       dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d), tNum = 2L,
           tDen = 3L)
-        .orderBy("id1", "id2")),
+        .sortWithinPartitions("id1", "id2")),
     "dedup_setsim_join" -> q((s, d) =>
       dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d))
-        .orderBy("id1", "id2")),
+        .sortWithinPartitions("id1", "id2")),
     // the 100 TB routing: LSH mines bulk candidates, the exact
     // verifier touches only that slice (precision 1.0 by construction)
     "dedup_route" -> q((s, d) =>
       dedup.SetSimJoin.routedJoin(Tables.documents(s, d))
-        .orderBy("id1", "id2")),
+        .sortWithinPartitions("id1", "id2")),
     // recall eval at GATE scale (doc_id % 2 slice): the exact
     // prefix-filter ground truth is the eval's dominant cost and is
     // quadratic in docs, so the deterministic half-slice cuts it ~4×;
@@ -633,35 +633,35 @@ object SparkEntry {
 
     // ---- similarity search ----
     "knn_filtered" -> q((s, d) =>
-      Knn.filteredSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+      Knn.filteredSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     "knn_brute" -> q((s, d) =>
-      Knn.bruteForce(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+      Knn.bruteForce(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     "knn_ivf_assign" -> q((s, d) =>
-      Knn.ivfAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
+      Knn.ivfAssign(Tables.embeddings(s, d)).sortWithinPartitions("vec_id")),
     // threshold 0.4, not the real-world ~0.9: the synthetic embeddings
     // are near-random (max in-cell cosine ≈ 0.5), so a relaxed bound is
     // what exercises the drop path end-to-end
     "emb_semantic_prune" -> q((s, d) =>
       Knn.semanticPrune(Tables.embeddings(s, d), threshold = 0.4)
-        .orderBy("vec_id")),
+        .sortWithinPartitions("vec_id")),
     "knn_ivf_search" -> q((s, d) =>
-      Knn.ivfSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+      Knn.ivfSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     // frozen-centroid delta ingest: base-trained cells, delta batch
     // assigned to them, probe over the grown index (IvfIndex.append's
     // declarative twin)
     "knn_ivf_delta" -> q((s, d) =>
-      Knn.ivfDeltaSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+      Knn.ivfDeltaSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     // index maintenance: per-cell add-log share and the cell drift a
     // retrain corrects (IvfIndex.rebuild's declarative twin; the
     // persisted compaction itself is spec-driven in KmeansSpec)
     "knn_ivf_compact" -> q((s, d) =>
-      Knn.ivfCompactionReport(Tables.embeddings(s, d)).orderBy("cell")),
+      Knn.ivfCompactionReport(Tables.embeddings(s, d)).sortWithinPartitions("cell")),
     "knn_lsh_buckets" -> q((s, d) =>
-      Knn.rpLshBuckets(Tables.embeddings(s, d)).orderBy("vec_id")),
+      Knn.rpLshBuckets(Tables.embeddings(s, d)).sortWithinPartitions("vec_id")),
     "knn_lsh_search" -> q((s, d) =>
-      Knn.rpLshSearch(Tables.embeddings(s, d)).orderBy("qid", "rnk")),
+      Knn.rpLshSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     "emb_norms" -> q((s, d) =>
-      Knn.norms(Tables.embeddings(s, d)).orderBy("vec_id")),
+      Knn.norms(Tables.embeddings(s, d)).sortWithinPartitions("vec_id")),
     "emb_quantize" -> q((s, d) =>
       // qvec is array<int>; the driver's comparator can't sort array
       // cells, so the query edge fingerprints the codes (md5 of the
@@ -670,27 +670,27 @@ object SparkEntry {
         .withColumn("qvec_md5",
           md5(array_join(transform(col("qvec"), _.cast("string")), ",")))
         .drop("qvec")
-        .orderBy("vec_id")),
+        .sortWithinPartitions("vec_id")),
     "knn_quantized" -> q((s, d) =>
       similarity.Quantize.searchQuantized(Tables.embeddings(s, d))
-        .orderBy("qid", "rnk")),
+        .sortWithinPartitions("qid", "rnk")),
     "knn_mrl" -> q((s, d) =>
       similarity.Quantize.searchPrefix(Tables.embeddings(s, d), dims = 16)
-        .orderBy("qid", "rnk")),
+        .sortWithinPartitions("qid", "rnk")),
     "knn_funnel" -> q((s, d) =>
       similarity.Quantize.searchFunnel(Tables.embeddings(s, d))
-        .orderBy("qid", "rnk")),
+        .sortWithinPartitions("qid", "rnk")),
     "knn_ivf_sq8" -> q((s, d) =>
       similarity.Quantize.ivfSearchQuantized(Tables.embeddings(s, d))
-        .orderBy("qid", "rnk")),
+        .sortWithinPartitions("qid", "rnk")),
     "doc_forget" -> q((s, d) =>
       operators.Forget.corpusAudit(
           Tables.documents(s, d), Tables.embeddings(s, d))
-        .orderBy("artifact")),
+        .sortWithinPartitions("artifact")),
 
     // ---- multimodal plumbing ----
     "mm_meta" -> q((s, d) =>
-      Multimodal.metaQuery(Tables.documents(s, d)).orderBy("doc_id")),
+      Multimodal.metaQuery(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
     // the comparison harness can't hash raw binary cells, so the
     // sampled frame (a real binary column Spark-side) is fingerprinted
     // with md5 + length for the gate
@@ -699,7 +699,7 @@ object SparkEntry {
         .select(col("doc_id"), col("media_type"), col("frame_id"),
           md5(col("frame")).as("frame_md5"),
           length(col("frame")).cast("int").as("frame_len"))
-        .orderBy("doc_id", "frame_id")),
+        .sortWithinPartitions("doc_id", "frame_id")),
 
     // ---- scale patterns: runtime filters + layout ----
     "join_bloom_prune" -> q((s, d) =>
@@ -708,31 +708,31 @@ object SparkEntry {
           Tables.customer(s, d).filter(col("c_acctbal") > 9000),
           "o_custkey", "c_custkey", numBits = 1 << 17, numHashes = 5)
         .select(col("o_orderkey"), col("o_custkey"))
-        .orderBy("o_orderkey")),
+        .sortWithinPartitions("o_orderkey")),
     "layout_zvalue" -> q((s, d) =>
       Movements.positioned(ev(s, d))
         .select(col("event_id"),
           graft.sources.Layout.zValue(
             coalesce(col("x"), lit(0)), coalesce(col("y"), lit(0)), 8).as("z"))
-        .orderBy("event_id")),
+        .sortWithinPartitions("event_id")),
     // salting changes DISTRIBUTION, never the result: the oracle is
     // the plain unsalted join — that equality IS the contract
     "join_salted" -> q((s, d) =>
       operators.SkewJoin.revenueByPrioritySalted(
           Tables.lineitem(s, d), Tables.orders(s, d))
-        .orderBy("o_orderpriority")),
+        .sortWithinPartitions("o_orderpriority")),
     "qc_expectations" -> q((s, d) =>
       operators.Expectations.lineitemSuite(Tables.lineitem(s, d))
-        .orderBy("rule")),
+        .sortWithinPartitions("rule")),
     "qc_drift" -> q((s, d) =>
       operators.Expectations.orderPriceDrift(Tables.orders(s, d))
-        .orderBy("bin")),
+        .sortWithinPartitions("bin")),
     "qc_drift_seg" -> q((s, d) =>
       operators.Expectations.orderPriceDriftBySegment(Tables.orders(s, d))
-        .orderBy("seg", "bin")),
+        .sortWithinPartitions("seg", "bin")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
-        .orderBy("c_nationkey", "id1", "dist")),
+        .sortWithinPartitions("c_nationkey", "id1", "dist")),
     "graph_triangles" -> q((s, d) =>
       operators.GraphOps.triangleCensus(
         dedup.Blocking.customerNeighbors(Tables.customer(s, d))
@@ -742,19 +742,19 @@ object SparkEntry {
         col("l_orderkey"), col("l_partkey"))),
     "qc_mad_outliers" -> q((s, d) =>
       operators.Expectations.orderPriceOutliers(Tables.orders(s, d))
-        .orderBy("grp")),
+        .sortWithinPartitions("grp")),
     "dedup_dup_spans" -> q((s, d) =>
       Dedup.dupSpans(Tables.documents(s, d))
-        .orderBy("doc_id", "span_start")),
+        .sortWithinPartitions("doc_id", "span_start")),
     "doc_lm_coverage" -> q((s, d) =>
       TextAnalysis.lmCoverageScore(Tables.documents(s, d), vocabSize = 200)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "doc_lm_score" -> q((s, d) =>
       TextAnalysis.lmScore(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "doc_corpus_mix" -> q((s, d) =>
       TextAnalysis.corpusMix(Tables.documents(s, d))
-        .orderBy("lang", "source")),
+        .sortWithinPartitions("lang", "source")),
     // markup stripping proven as a ROUND TRIP: each doc's text is
     // wrapped in deterministic HTML (tags, attributes, a script block
     // whose body contains a tag-shaped string, a style block,
@@ -773,78 +773,78 @@ object SparkEntry {
           (col("clean") === concat(lit("\" "), col("text"), lit(" ' &tail")))
             .as("roundtrip"),
           length(col("clean")).cast("long").as("n_chars"))
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     }),
     "ts_anomaly" -> q((s, d) =>
       TimeSeries.rateAnomalies(ev(s, d))
-        .orderBy("event_type", "bucket_start")),
+        .sortWithinPartitions("event_type", "bucket_start")),
     "dedup_containment" -> q((s, d) =>
       Dedup.containmentTop(Tables.documents(s, d))),
     "er_entities" -> q((s, d) =>
       dedup.Blocking.customerEntities(Tables.customer(s, d))
-        .orderBy("entity_id")),
+        .sortWithinPartitions("entity_id")),
     "ts_seasonal" -> q((s, d) =>
       TimeSeries.seasonalDecompose(ev(s, d))
-        .orderBy("event_type", "bucket_start")),
+        .sortWithinPartitions("event_type", "bucket_start")),
     "sample_balanced" -> q((s, d) =>
       operators.Sampling.balanced(ev(s, d), col("event_type"), col("event_id"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sel"), sum(col("event_id")).as("sum_ids"))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "ts_anomaly_deseason" -> q((s, d) =>
       TimeSeries.rateAnomaliesDeseasonalized(ev(s, d))
-        .orderBy("event_type", "bucket_start")),
+        .sortWithinPartitions("event_type", "bucket_start")),
     "ts_changepoint" -> q((s, d) =>
       TimeSeries.changepoint(ev(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "func_variant" -> q((s, d) =>
       FunctionCoverage.variantFuncs(Tables.events(s, d))
-        .orderBy("event_id")),
+        .sortWithinPartitions("event_id")),
     "agg_bitmap_distinct" -> q((s, d) =>
       FunctionCoverage.bitmapDistinct(Tables.lineitem(s, d))
-        .orderBy("l_returnflag")),
+        .sortWithinPartitions("l_returnflag")),
     "doc_dup_rate" -> q((s, d) =>
       Dedup.dupRate(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     // the cleaning ACTION: covered positions cut, survivors rejoined
     "doc_despan" -> q((s, d) =>
       Dedup.removeDupSpans(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "ts_asof_tolerance" -> q((s, d) =>
       TimeSeries.asofNativeTolerance(ev(s, d))
-        .orderBy("user_id", "event_id")),
+        .sortWithinPartitions("user_id", "event_id")),
     "ts_asof_forward" -> q((s, d) =>
       TimeSeries.asofNextPurchase(ev(s, d))
-        .orderBy("user_id", "event_id")),
+        .sortWithinPartitions("user_id", "event_id")),
     "ts_asof_strict" -> q((s, d) =>
       TimeSeries.asofNativeStrict(ev(s, d))
-        .orderBy("user_id", "event_id")),
+        .sortWithinPartitions("user_id", "event_id")),
     "knn_recall" -> q((s, d) =>
       Knn.recallAtK(Tables.embeddings(s, d))
-        .orderBy("qid")),
+        .sortWithinPartitions("qid")),
     "knn_recall_lsh" -> q((s, d) =>
       Knn.lshRecallAtK(Tables.embeddings(s, d))
-        .orderBy("qid")),
+        .sortWithinPartitions("qid")),
     "ts_autocorr" -> q((s, d) =>
       TimeSeries.lag1Autocorr(ev(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "qc_freshness" -> q((s, d) =>
       TimeSeries.freshness(ev(s, d))
-        .orderBy("event_type")),
+        .sortWithinPartitions("event_type")),
     "doc_admission_gate" -> q((s, d) =>
       // thresholds tuned to the synthetic corpus's signal range
       // (median dup_frac 0.93, median iv_rate 0.28) so both gates
       // actually discriminate; library defaults stay real-world
       TextAnalysis.admissionGate(Tables.documents(s, d),
           maxDupFrac = 0.9, minIvRate = 0.2)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
     "doc_admission_lm" -> q((s, d) =>
       // the CCNet-graduated gate: duplication + smoothed-bigram-LM
       // avg_nll. 3.42 is the corpus's p75 (range 3.28-3.63), so the
       // perplexity gate actually splits the corpus here
       TextAnalysis.admissionGateLm(Tables.documents(s, d),
           maxDupFrac = 0.9, maxAvgNll = 3.42)
-        .orderBy("doc_id")),
+        .sortWithinPartitions("doc_id")),
   )
 
   // ================= oracle SQL =================
