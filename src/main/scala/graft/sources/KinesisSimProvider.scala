@@ -164,19 +164,36 @@ private[sources] case class FileTransport(dir: String) extends SimTransport {
   @transient private lazy val countCache =
     scala.collection.mutable.HashMap.empty[(String, Long, Long), Long]
 
+  private def cachedCount(f: java.nio.file.Path): Long = {
+    val key = (f.toString,
+      java.nio.file.Files.size(f),
+      java.nio.file.Files.getLastModifiedTime(f).toMillis)
+    countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
+  }
+
   override def recordCount(shard: Int): Long =
-    KinesisSimProvider.shardFiles(dir, shard).map { f =>
-      val key = (f.toString,
-        java.nio.file.Files.size(f),
-        java.nio.file.Files.getLastModifiedTime(f).toMillis)
-      countCache.getOrElseUpdate(key, KinesisSimProvider.countRecords(f))
-    }.sum
+    KinesisSimProvider.shardFiles(dir, shard).map(cachedCount).sum
 
   override def lines(shard: Int, from: Long, until: Long): Iterator[String] = {
-    // Long-safe positioning (slice(Int, Int) would silently truncate
-    // a shard past 2^31 records): skip `from`, stop after the range
-    val it = KinesisSimProvider.shardLines(dir, shard).iterator
-    var skipped = 0L
+    // SEEK, don't skip (the fix ShardService's /records got in round
+    // 8, applied to the file transport too): cumulative cached
+    // per-file counts jump straight to the first file containing
+    // `from`, and files load LAZILY one at a time — a range read
+    // touches only the files it covers, so a long-running stream's
+    // per-batch tail reads stay O(batch), not O(history). Positioning
+    // is Long-safe throughout (slice(Int, Int) would silently
+    // truncate a shard past 2^31 records).
+    val files = KinesisSimProvider.shardFiles(dir, shard)
+    var base = 0L
+    var idx = 0
+    while (idx < files.length && base + cachedCount(files(idx)) <= from) {
+      base += cachedCount(files(idx)); idx += 1
+    }
+    val it = files.iterator.drop(idx).flatMap { f =>
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").iterator.filter(_.nonEmpty)
+    }
+    var skipped = base
     while (skipped < from && it.hasNext) { it.next(); skipped += 1 }
     new Iterator[String] {
       private var remaining = until - from

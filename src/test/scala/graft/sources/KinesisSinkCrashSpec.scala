@@ -81,6 +81,26 @@ class KinesisSinkCrashSpec extends AnyFunSuite {
     assert(leftover.forall(_.startsWith("batch-")), leftover.toString)
   }
 
+  test("file transport range reads seek by cached counts across batch files") {
+    val dir = Files.createTempDirectory("graft_ft_seek").toString
+    val prod = new SimulatedKinesis.ShardedProducer(dir, 1)
+    // 5 batch files × 3 records: ranges below exercise exact-file,
+    // cross-boundary, tail and empty reads through the per-file seek
+    (0 until 5).foreach { b =>
+      prod.putRecords((0 until 3).map(i => (s"r${b * 3 + i}", "k")))
+    }
+    val t = FileTransport(dir)
+    assert(t.recordCount(0) == 15L)
+    def data(from: Long, until: Long): Seq[String] =
+      t.lines(0, from, until)
+        .map(l => new String(KinesisSimProvider.parse(l)._3, "UTF-8")).toSeq
+    assert(data(0, 15) == (0 until 15).map(i => s"r$i"))
+    assert(data(3, 6) == Seq("r3", "r4", "r5"), "whole-file range")
+    assert(data(4, 8) == Seq("r4", "r5", "r6", "r7"), "cross-boundary range")
+    assert(data(14, 99) == Seq("r14"), "tail range past the end")
+    assert(data(7, 7).isEmpty, "empty half-open range")
+  }
+
   test("countRecords streams the file without materializing it") {
     val f = Files.createTempFile("graft_count", ".json")
     Files.write(f, "one\ntwo\nthree\n".getBytes("UTF-8"))
