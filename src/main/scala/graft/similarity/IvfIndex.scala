@@ -128,9 +128,10 @@ object IvfIndex {
     * so same vectors → same init → same centroids → same cells; the
     * spec asserts probe parity). The stored relation is materialized
     * (`localCheckpoint`) before the overwrite so the rewrite never
-    * reads the files it is replacing; a production deployment would
-    * additionally pointer-swap the directory (the
-    * [[graft.sources.Snapshots]] protocol) so concurrent probes
+    * reads the files it is replacing. This in-place form assumes a
+    * maintenance window; [[publishRebuild]] is the non-disruptive
+    * variant — it writes the retrained index as a NEW snapshot
+    * generation and atomically swaps a pointer, so concurrent probes
     * never observe a half-written index. */
   def rebuild(spark: SparkSession, dir: String, k: Int = 8,
               iters: Int = 4): Unit = {
@@ -148,6 +149,64 @@ object IvfIndex {
         .join(stored, "vec_id"),
       dir)
   }
+
+  // ------------------------------------------------------------------
+  // SNAPSHOT-VERSIONED root — rebuild without blocking probes.
+  //
+  // [[rebuild]] overwrites in place, which assumes a maintenance
+  // window. At 100 TB an index keeps serving probes DURING its
+  // rebuild, so the versioned form applies the
+  // [[graft.sources.Snapshots]] publish pattern to the index root:
+  //   dir/_current          -> "snap-000003" (atomically swapped)
+  //   dir/snap-000003/      { centroids.parquet, vectors.parquet }
+  // BOTH artifacts live inside one immutable snapshot, so a probe can
+  // never pair old centroids with new cells; a probe resolves the
+  // pointer once and stays pinned to that generation (snapshot
+  // isolation); `Snapshots.vacuum(dir, keep)` retires old
+  // generations once readers have drained. [[append]] targets the
+  // CURRENT snapshot directory — adding whole files to live cell
+  // dirs is probe-safe by construction, which is exactly why append
+  // does not need a new generation and rebuild does.
+  // ------------------------------------------------------------------
+
+  private def snapName(id: Long) = f"snap-$id%06d"
+
+  /** Train + assign + write as the root's next generation, then swap
+    * the pointer. Returns the published snapshot id. */
+  def publishBuild(emb: DataFrame, dir: String, k: Int = 8,
+                   iters: Int = 4): Long = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val next = graft.sources.Snapshots.currentId(dir).getOrElse(0L) + 1L
+    build(emb, s"$dir/${snapName(next)}", k, iters)
+    graft.sources.Snapshots.swapPointer(dir, snapName(next))
+    next
+  }
+
+  /** The generation directory probes should resolve (pin it, then
+    * pass it to [[probe]]/[[append]]/[[cellStats]]). */
+  def currentRoot(dir: String): String =
+    graft.sources.Snapshots.currentPath(dir)
+
+  /** [[rebuild]] as a non-disruptive publish: retrain over everything
+    * stored in the CURRENT generation, write the result as the NEXT
+    * generation, swap the pointer. In-flight probes pinned to the old
+    * generation keep reading immutable files; new probes resolve the
+    * rebuilt index. Returns the published snapshot id. */
+  def publishRebuild(spark: SparkSession, dir: String, k: Int = 8,
+                     iters: Int = 4): Long = {
+    val stored = spark.read.parquet(s"${currentRoot(dir)}/vectors.parquet")
+      .drop("cell", "gen")
+      .localCheckpoint()
+    publishBuild(stored, dir, k, iters)
+  }
+
+  /** Probe the root's current generation (resolves the pointer once —
+    * the whole probe runs against one consistent snapshot). */
+  def probeCurrent(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int = 5, nprobe: Int = 2,
+                   vecFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame =
+    probe(spark, currentRoot(dir), queries, k, nprobe, vecFilter)
 
   /** Probe the stored index with an external query set
     * (qid, qvec). Returns top-k per query, excluding a vector whose

@@ -128,7 +128,7 @@ object Snapshots {
     }
   }
 
-  private def swapPointer(tableDir: String, target: String): Unit = {
+  private[graft] def swapPointer(tableDir: String, target: String): Unit = {
     val tmp = Paths.get(tableDir, s".$Pointer.tmp")
     Files.write(tmp, target.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(tableDir, Pointer),

@@ -154,6 +154,51 @@ class KmeansSpec extends SparkSpec {
       "rebuilt index must probe exactly like a fresh build")
   }
 
+  test("versioned root: pinned probes survive a rebuild; swap is atomic; vacuum retires old generations") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivf_versioned").toString
+    val dirFresh = java.nio.file.Files
+      .createTempDirectory("graft_ivf_versioned_fresh").toString
+    val base = blobs.filter(col("vec_id") % 5 =!= 0)
+    val delta = blobs.filter(col("vec_id") % 5 === 0)
+    val queries = Seq(
+      (1000L, Array.fill(4)(0.5f)),
+      (1001L, Array.fill(4)(10.5f)))
+      .toDF("qid", "qvec")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(graft.similarity.IvfIndex.publishBuild(base, dir, k = 2,
+      iters = 4) == 1L)
+    val gen1 = graft.similarity.IvfIndex.currentRoot(dir)
+    // append lands in the CURRENT generation (probe-safe whole files)
+    graft.similarity.IvfIndex.append(spark, gen1, delta)
+    // a probe PINNED to gen1 before the rebuild...
+    val pinned = graft.similarity.IvfIndex
+      .probe(spark, gen1, queries, k = 5, nprobe = 1)
+    val pinnedBefore = rows(pinned)
+    // ...keeps answering identically AFTER the rebuild publishes gen2
+    // (old generation is immutable; the pointer swap is invisible to it)
+    assert(graft.similarity.IvfIndex.publishRebuild(spark, dir, k = 2,
+      iters = 4) == 2L)
+    assert(rows(pinned) == pinnedBefore,
+      "a pinned probe must not observe the rebuild")
+    assert(graft.similarity.IvfIndex.currentRoot(dir) != gen1)
+    // new resolutions see the rebuilt index == a fresh build over all
+    graft.similarity.IvfIndex.build(blobs, dirFresh, k = 2, iters = 4)
+    assert(rows(graft.similarity.IvfIndex
+        .probeCurrent(spark, dir, queries, k = 5, nprobe = 1)) ==
+      rows(graft.similarity.IvfIndex
+        .probe(spark, dirFresh, queries, k = 5, nprobe = 1)),
+      "the published rebuild must probe like a fresh build")
+    // vacuum retires the superseded generation, keeps the current one
+    val dropped = graft.sources.Snapshots.vacuum(dir, keep = 1)
+    assert(dropped == Seq("snap-000001"), s"vacuum dropped $dropped")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(gen1)))
+    assert(rows(graft.similarity.IvfIndex
+      .probeCurrent(spark, dir, queries, k = 5, nprobe = 1)).nonEmpty)
+  }
+
   test("streaming embedding ingest: foreachBatch appends micro-batches, probe sees all") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = java.nio.file.Files
