@@ -51,6 +51,27 @@ object GraphOps {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
+    // AQE off for the ITERATIONS (restored on exit): adaptive
+    // execution re-plans and schedules a query stage per exchange,
+    // and an iterative chain is many small exchanges whose contents
+    // AQE can't improve (the rank vector's size is known and stable
+    // after round 1) — the re-planning overhead is pure tax here.
+    // Interleaved A/B at sf1: 11.8 s AQE-off vs 21.2 s AQE-on (min
+    // of 2 each, one session). The final rank vector is materialized
+    // INSIDE this scope so every iteration executes under it; the
+    // caller's downstream plan (and any concurrent query started
+    // after this returns) sees the session's normal AQE setting.
+    val spark = pairs.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try pageRankLoop(pairs, iterations, dampNum, dampDen, scale,
+      checkpointEvery)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def pageRankLoop(pairs: DataFrame, iterations: Int,
+                           dampNum: Long, dampDen: Long, scale: Long,
+                           checkpointEvery: Int): DataFrame = {
     // materialize the INPUT first: `pairs` is typically an expensive
     // mining pipeline (LSH band expansion), and it appears twice in
     // the symmetrizing union — and `edges` twice more in the degree
@@ -93,7 +114,10 @@ object GraphOps {
             expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
-    pr
+    // materialize the RESULT too: all iteration work must execute
+    // inside pageRank's AQE-off scope, and the caller gets a
+    // lineage-free |V|-row relation
+    materialize(pr)
   }
 
   /** Triangle census of an undirected pair graph — the classic
