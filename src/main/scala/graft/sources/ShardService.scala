@@ -47,7 +47,16 @@ object ShardService {
     * `X-Idempotency-Key` header makes producer retries safe: a key
     * the server has seen is acknowledged with `"duplicate":true` and
     * writes nothing — the dedup token the real PutRecords API lacks
-    * and every at-least-once producer has to work around. */
+    * and every at-least-once producer has to work around.
+    *
+    * DURABILITY BOUND (explicit): seen keys live in server memory, so
+    * the dedup window is one server lifetime — a retry that crosses a
+    * SERVER crash can double-write. The durable exactly-once
+    * guarantee in this stack is the V2 sink's on-disk epoch markers,
+    * which survive any process; the real service offers no producer
+    * dedup at all, so the in-memory window is strictly stronger than
+    * the contract it simulates while staying honest about where
+    * durability lives. */
   def start(dir: String, nShards: Int, port: Int = 0): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     val producer = new SimulatedKinesis.ShardedProducer(dir, nShards)
