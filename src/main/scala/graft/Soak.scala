@@ -87,7 +87,10 @@ object Soak {
     * round over round (VERDICT r7 item 2). */
   val GatedQueries: Seq[String] = Seq(
     "dedup_setsim_join", "dedup_setsim_strict", "dedup_route_recall",
-    "graph_pagerank", "doc_admission_lm", "basket_rules")
+    "graph_pagerank", "doc_admission_lm", "basket_rules",
+    // round-9 additions (VERDICT r8 item 6): the two shipped bulk
+    // paths whose soak numbers previously lived only in prose
+    "doc_admission_gate", "dedup_route")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

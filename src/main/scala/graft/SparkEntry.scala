@@ -868,8 +868,17 @@ object SparkEntry {
        |         THEN CAST(json_extract_string(props, '$$.k') AS INT) END AS y
        |  FROM ev)""".stripMargin
 
-  private val TOKS =
-    "toks AS (SELECT *, string_split(text, ' ') AS t FROM documents)"
+  /** The shared whitespace-tokenized documents CTE. `docWhere` narrows
+    * the corpus at the SOURCE (e.g. the gate-scale `doc_id % 2 = 0`
+    * slice) — a builder parameter rather than post-hoc string surgery
+    * on the composed SQL, so a reformat of this CTE can never turn the
+    * gate into a silent full-corpus no-op. */
+  private def toksSql(docWhere: String = ""): String = {
+    val where = if (docWhere.isEmpty) "" else s" WHERE $docWhere"
+    s"toks AS (SELECT *, string_split(text, ' ') AS t FROM documents$where)"
+  }
+
+  private val TOKS = toksSql()
 
   /** Duplicated-span chain ending in spans(doc_id, span_start,
     * span_end, n_shingles) — the SQL mirror of Dedup.dupSpans. shp
@@ -972,16 +981,20 @@ object SparkEntry {
       |      ELSE [] END) AS shingle
       |  FROM toks)""".stripMargin
 
-  private val MinhashSigSql = {
+  /** Minhash-signature CTE chain; `docWhere` narrows the corpus at the
+    * toks source (see [[toksSql]]). */
+  private def minhashSigSql(docWhere: String = ""): String = {
     // lane i = 8-hex-char window j of md5 digest for seed s, i = s*4+j
     val mins = (for {
       s <- 0 until Dedup.NumSeeds
       j <- 0 until Dedup.LanesPerSeed
     } yield s"min(substr(md5('$s:' || shingle), ${j * 8 + 1}, 8)) AS mh${s * Dedup.LanesPerSeed + j}")
       .mkString(", ")
-    s"""WITH $TOKS, $ShinglesSql,
+    s"""WITH ${toksSql(docWhere)}, $ShinglesSql,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)""".stripMargin
   }
+
+  private val MinhashSigSql = minhashSigSql()
 
   /** Reusable simhash CTE chain: sim(doc_id, simhash16). */
   private val SimhashSql = {
@@ -3161,9 +3174,9 @@ object SparkEntry {
           .map(i => s"mh$i").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
       }.mkString("\n UNION ALL ")
-      // gate-scale slice: same doc_id % 2 filter as the Spark side
-      val gatedSig = MinhashSigSql.replace(
-        "FROM documents)", "FROM documents WHERE doc_id % 2 = 0)")
+      // gate-scale slice: same doc_id % 2 filter as the Spark side,
+      // applied at the toks SOURCE via the builder parameter
+      val gatedSig = minhashSigSql("doc_id % 2 = 0")
       s"""$gatedSig,
          |band AS ($bandRows),
          |cand AS (
@@ -3801,9 +3814,13 @@ object SparkEntry {
         |nn AS (SELECT count(DISTINCT v) AS n_nodes FROM
         |        (SELECT a AS v FROM e UNION ALL SELECT b FROM e)),
         |ec AS (SELECT count(*) AS n_edges FROM e),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |         (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY v),
         |wg AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
         |       FROM e e1 JOIN e e2 ON e1.b = e2.a),
-        |wcnt AS (SELECT count(*) AS n_wedges FROM wg),
+        |wcnt AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+        |                AS BIGINT) AS n_wedges FROM deg),
         |tc AS (SELECT count(*) AS n_triangles
         |       FROM wg JOIN e e3 ON wg.wa = e3.a AND wg.wc = e3.b)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,

@@ -44,6 +44,23 @@ object GraphOps {
     * instead the edge list materializes once and the rank vector only
     * every `checkpointEvery` rounds, bounding both plan depth and the
     * recomputation a lost executor could trigger at scale. */
+  /** Fixed-iteration PageRank, executed under the SESSION'S OWN conf
+    * — pageRank mutates no session state, so it is reentrant and safe
+    * next to concurrent queries (a library operator's obligation; the
+    * round-8 version toggled session-global AQE off for its
+    * iterations and was neither).
+    *
+    * The AQE history, so it is not re-litigated: round 8 measured
+    * AQE-off winning the iterations at sf1 (11.8 vs 21.2 s, min of
+    * TWO) and shipped a session-global toggle; the round-8 bench then
+    * regressed at sf0.1 (2.79 → 3.65 s). Round 9 re-measured both
+    * scales with 3-4 interleaved reps per shape (graft.AbPagerank):
+    * sf0.1 = AQE-on 2.62 / AQE-off 3.51; sf1 = AQE-on 12.11 /
+    * AQE-off 12.77 — the sf1 "win" did not reproduce (its AQE-on rep
+    * was co-tenant noise), and scoping the flip to an isolated twin
+    * session costs ~1.4 s (sf0.1) to ~6 s (sf1) of per-call session
+    * overhead on top. AQE-inherit wins or ties everywhere, with zero
+    * conf mutation; ARCHITECTURE §7 carries the full table. */
   def pageRank(pairs: DataFrame, iterations: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000000000L,
@@ -51,27 +68,6 @@ object GraphOps {
     require(iterations >= 1, "pageRank: need at least one iteration")
     require(dampNum > 0 && dampNum < dampDen, "pageRank: need 0 < damp < 1")
     require(checkpointEvery >= 1, "pageRank: checkpointEvery must be >= 1")
-    // AQE off for the ITERATIONS (restored on exit): adaptive
-    // execution re-plans and schedules a query stage per exchange,
-    // and an iterative chain is many small exchanges whose contents
-    // AQE can't improve (the rank vector's size is known and stable
-    // after round 1) — the re-planning overhead is pure tax here.
-    // Interleaved A/B at sf1: 11.8 s AQE-off vs 21.2 s AQE-on (min
-    // of 2 each, one session). The final rank vector is materialized
-    // INSIDE this scope so every iteration executes under it; the
-    // caller's downstream plan (and any concurrent query started
-    // after this returns) sees the session's normal AQE setting.
-    val spark = pairs.sparkSession
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try pageRankLoop(pairs, iterations, dampNum, dampDen, scale,
-      checkpointEvery)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-  }
-
-  private def pageRankLoop(pairs: DataFrame, iterations: Int,
-                           dampNum: Long, dampDen: Long, scale: Long,
-                           checkpointEvery: Int): DataFrame = {
     // materialize the INPUT first: `pairs` is typically an expensive
     // mining pipeline (LSH band expansion), and it appears twice in
     // the symmetrizing union — and `edges` twice more in the degree
@@ -79,6 +75,13 @@ object GraphOps {
     // first checkpoint (round-6 soak: pagerank 16.0 s → the fix's
     // re-measure in ARCHITECTURE §7).
     val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    pageRankLoop(pairsM, iterations, dampNum, dampDen, scale,
+      checkpointEvery)
+  }
+
+  private def pageRankLoop(pairsM: DataFrame, iterations: Int,
+                           dampNum: Long, dampDen: Long, scale: Long,
+                           checkpointEvery: Int): DataFrame = {
     val edges = pairsM.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
@@ -114,48 +117,90 @@ object GraphOps {
             expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
-    // materialize the RESULT too: all iteration work must execute
-    // inside pageRank's AQE-off scope, and the caller gets a
-    // lineage-free |V|-row relation
+    // materialize the RESULT too: the caller gets a lineage-free
+    // |V|-row relation instead of an `iterations`-deep plan that
+    // would re-execute per downstream action
     materialize(pr)
   }
 
-  /** Triangle census of an undirected pair graph — the classic
-    * cohesion statistic (and the textbook distributed-join graph
-    * kernel, cf. Suri & Vassilvitskii, "Counting triangles and the
-    * curse of the last reducer", WWW 2011). Edges canonicalize to
-    * a < b exactly once; triangles enumerate as ordered wedges
-    * a<b<c joined against the closing edge, so each triangle is
-    * found EXACTLY once — no /3 correction, no double counting, and
-    * every join is an equi-join Catalyst can plan freely.
-    *
-    * Scale: wedge count is Σ_v deg(v)² — the known hot spot is the
-    * highest-degree node ("the last reducer"), the standard remedies
-    * are degree-ordering (already: wedges pivot on the MIDDLE vertex
-    * of the a<b<c order) and AQE skew splits. Output is one row
-    * (n_nodes, n_edges, n_wedges, n_triangles, closure8 =
-    * 3·triangles/wedges — the global clustering coefficient,
-    * rational). */
-  def triangleCensus(pairs: DataFrame): DataFrame = {
-    val e = pairs
+  /** Canonical (a < b, distinct, loop-free) edge relation. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(least(col("id1"), col("id2")).as("a"),
         greatest(col("id1"), col("id2")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val nodes = e.select(col("a").as("v"))
-      .unionByName(e.select(col("b").as("v"))).distinct()
-    // ordered wedges a<b<c: (a,b) joined to (b,c) on the middle vertex
-    val wedges = e.alias("e1")
-      .join(e.alias("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("wa"), col("e1.b").as("wb"),
-        col("e2.b").as("wc"))
+
+  /** Per-vertex degree over the canonical edge relation. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+  /** DEGREE-ORDERED oriented wedges — the Suri & Vassilvitskii
+    * ("Counting triangles and the curse of the last reducer",
+    * WWW 2011) remedy for the skew hot spot: orient every edge from
+    * its endpoint LOWER in the total (deg, id) order to the higher
+    * one, then form wedges only as pairs of OUT-edges of a shared
+    * pivot. Each vertex's out-degree is bounded by O(√m) — a celebrity
+    * node of degree d contributes 0 wedges as a pivot (all its edges
+    * point IN) instead of Θ(d²) — so total wedge volume is O(m^{3/2})
+    * regardless of skew, and a triangle's pivot is UNIQUE (its
+    * (deg, id)-minimal vertex), so the closing join counts each
+    * triangle exactly once with no /3 correction. Package-private so
+    * the skew spec can measure the wedge volume directly.
+    * Columns: (wu, ww) — the two out-neighbors, wu < ww by id, the
+    * candidate closing edge already in canonical form. */
+  private[graft] def orientedWedges(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = degrees(e)
+    // the degree rides onto each edge via two equi-joins keyed on the
+    // edge's own endpoints — the same keys the wedge join shuffles on
+    val eo = e
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    eo.alias("o1")
+      .join(eo.alias("o2"), col("o1.src") === col("o2.src") &&
+        col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("wu"), col("o2.dst").as("ww"))
+  }
+
+  /** Triangle census of an undirected pair graph — the classic
+    * cohesion statistic (and the textbook distributed-join graph
+    * kernel). Triangles enumerate as degree-ordered oriented wedges
+    * ([[orientedWedges]]) joined against the closing edge: each
+    * triangle found EXACTLY once, wedge volume bounded O(m^{3/2})
+    * under any skew — one hub of degree d costs Θ(d²) wedges under
+    * naive id-ordering (round 8's shape) and 0 as a pivot here.
+    *
+    * `n_wedges` reports the GRAPH statistic — the number of 2-paths,
+    * Σ_v C(deg(v), 2) — computed exactly from the degree relation
+    * (one |V|-row aggregate, no enumeration at all), so
+    * closure8 = 3·triangles / wedges is the standard global
+    * clustering coefficient. The enumerated oriented-wedge volume is
+    * an EXECUTION detail, deliberately smaller. Output is one row
+    * (n_nodes, n_edges, n_wedges, n_triangles, closure8). */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = degrees(e)
+    val nodes = deg.select(col("v"))
+    val wedges = orientedWedges(pairs)
     val triangles = wedges.join(e.alias("e3"),
-      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      col("wu") === col("e3.a") && col("ww") === col("e3.b"))
     // four 1-row aggregates crossed into one row: a single plan, no
     // driver-side count choreography
     nodes.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
-      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(deg.agg(
+        coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+          .as("n_wedges"))))
       .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),

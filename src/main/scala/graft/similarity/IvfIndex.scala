@@ -72,7 +72,9 @@ object IvfIndex {
     * handled by a periodic [[build]] rebuild, not here. Works per
     * micro-batch inside `foreachBatch` (the streaming embedding
     * ingest shape; spec-driven). Caller contract: vec_ids disjoint
-    * from the stored index (the dedupDelta convention). */
+    * from the stored index (the dedupDelta convention), and append
+    * serialized against [[publishRebuild]] (see its writer-writer
+    * contract — a racing rebuild aborts rather than lose the rows). */
   def append(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     val cents = spark.read.parquet(s"$dir/centroids.parquet")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
@@ -112,9 +114,13 @@ object IvfIndex {
   def shouldRebuild(spark: SparkSession, dir: String,
                     maxDeltaFrac: Double = 0.2,
                     maxFilesPerCell: Int = 16): Boolean = {
+    // coalesce BEFORE the getLongs: an empty index (zero-row
+    // cellStats) aggregates to nulls, and the null must become 0
+    // before extraction or the guard below never gets to short-circuit
     val r = cellStats(spark, dir)
-      .agg(sum(col("n_rows")).as("rows"), sum(col("n_delta")).as("delta"),
-        max(col("n_files")).as("mf"))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("rows"),
+        coalesce(sum(col("n_delta")), lit(0L)).as("delta"),
+        coalesce(max(col("n_files")), lit(0L)).as("mf"))
       .head()
     val (rows, delta, mf) = (r.getLong(0), r.getLong(1), r.getLong(2))
     rows > 0 && (delta.toDouble / rows > maxDeltaFrac || mf > maxFilesPerCell)
@@ -187,17 +193,69 @@ object IvfIndex {
   def currentRoot(dir: String): String =
     graft.sources.Snapshots.currentPath(dir)
 
+  /** Name + size of every data file under a vectors directory — the
+    * cheap fingerprint the append-race guard compares (a local/object
+    * -store listing, no data read). */
+  private def vectorsFingerprint(root: String): Set[(String, Long)] = {
+    val base = java.nio.file.Paths.get(root, "vectors.parquet")
+    if (!java.nio.file.Files.exists(base)) Set.empty
+    else {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p)))
+          .toSet
+      } finally walk.close()
+    }
+  }
+
   /** [[rebuild]] as a non-disruptive publish: retrain over everything
     * stored in the CURRENT generation, write the result as the NEXT
     * generation, swap the pointer. In-flight probes pinned to the old
     * generation keep reading immutable files; new probes resolve the
-    * rebuilt index. Returns the published snapshot id. */
+    * rebuilt index. Returns the published snapshot id.
+    *
+    * WRITER-WRITER contract: [[append]] and publishRebuild must be
+    * serialized by the caller (one maintainer per index root — the
+    * same single-writer rule as [[graft.sources.Snapshots]]). An
+    * append that lands in the current generation AFTER the rebuild
+    * has read it would silently vanish from the new generation, so
+    * the pointer swap is GUARDED: the current generation's file
+    * listing is fingerprinted before the read and re-checked before
+    * the swap, and a detected concurrent append aborts the publish
+    * (pointer untouched, the orphan snapshot is [[
+    * graft.sources.Snapshots.vacuum]]-collectable) rather than losing
+    * rows. The guard detects the race, it cannot prevent one that
+    * lands inside the check-to-swap window — serialization remains
+    * the contract; the guard turns a silent data loss into a loud
+    * retry. */
   def publishRebuild(spark: SparkSession, dir: String, k: Int = 8,
-                     iters: Int = 4): Long = {
-    val stored = spark.read.parquet(s"${currentRoot(dir)}/vectors.parquet")
+                     iters: Int = 4): Long =
+    publishRebuildWithHook(spark, dir, k, iters, () => ())
+
+  /** Test seam: `midHook` runs after the rebuild has snapshotted the
+    * current generation but before the guarded pointer swap. */
+  private[graft] def publishRebuildWithHook(spark: SparkSession,
+                                            dir: String, k: Int, iters: Int,
+                                            midHook: () => Unit): Long = {
+    val root = currentRoot(dir)
+    val before = vectorsFingerprint(root)
+    val stored = spark.read.parquet(s"$root/vectors.parquet")
       .drop("cell", "gen")
       .localCheckpoint()
-    publishBuild(stored, dir, k, iters)
+    val next = graft.sources.Snapshots.currentId(dir).getOrElse(0L) + 1L
+    build(stored, s"$dir/${snapName(next)}", k, iters)
+    midHook()
+    val after = vectorsFingerprint(root)
+    if (after != before)
+      throw new IllegalStateException(
+        s"publishRebuild: concurrent append detected under $root while " +
+          "rebuilding — pointer NOT swapped (no rows lost); serialize " +
+          "append/rebuild on this index root and retry")
+    graft.sources.Snapshots.swapPointer(dir, snapName(next))
+    next
   }
 
   /** Probe the root's current generation (resolves the pointer once —

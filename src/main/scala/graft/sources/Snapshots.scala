@@ -103,9 +103,25 @@ object Snapshots {
 
   /** Delete snapshots older than the newest `keep`, plus dangling
     * directories from interrupted publishes (ids above the pointer).
-    * Returns deleted directory names. Retention must outlast the
-    * longest-running reader — the same rule as any MVCC vacuum. */
-  def vacuum(tableDir: String, keep: Int = 2): Seq[String] = {
+    * Returns deleted directory names.
+    *
+    * TWO retention levers, both must clear for a directory to go:
+    *  - **keep-N**: the newest `keep` snapshots are never touched, so
+    *    a reader pinned within the last N generations always survives
+    *    a vacuum regardless of timing.
+    *  - **min-age** (`minAgeMillis`): a snapshot whose newest file is
+    *    younger than this is skipped even when outside the keep
+    *    window. Sized to the longest-running reader, this is the MVCC
+    *    rule made enforceable instead of conventional: a probe pinned
+    *    at resolve time T only reads directories written before T, so
+    *    `minAgeMillis` ≥ the reader's maximum runtime guarantees the
+    *    files outlive it. Min-age also shields a dangling id > cur
+    *    directory that is actually an IN-FLIGHT publish about to swap
+    *    its pointer.
+    * The default (0) keeps the historical eager behavior for
+    * single-process maintenance loops that know no reader is live. */
+  def vacuum(tableDir: String, keep: Int = 2,
+             minAgeMillis: Long = 0L): Seq[String] = {
     require(keep >= 1, "must keep at least the current snapshot")
     currentId(tableDir) match {
       case None => Nil
@@ -117,7 +133,11 @@ object Snapshots {
             .map(p => p.getFileName.toString.stripPrefix("snap-").toLong)
             .toSeq.sorted
           finally listing.close()
+        val now = System.currentTimeMillis()
         val doomed = snaps.filter(id => id <= cur - keep || id > cur)
+          .filter(id => minAgeMillis <= 0L ||
+            now - newestFileMillis(Paths.get(tableDir, snapName(id))) >=
+              minAgeMillis)
         doomed.map { id =>
           val dir = Paths.get(tableDir, snapName(id))
           val walk = Files.walk(dir)
@@ -126,6 +146,18 @@ object Snapshots {
           snapName(id)
         }
     }
+  }
+
+  /** Newest mtime under a snapshot directory — the snapshot's age
+    * anchor (directory mtimes alone are unreliable across stores; the
+    * newest FILE is when the snapshot finished writing). */
+  private def newestFileMillis(dir: java.nio.file.Path): Long = {
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(Files.getLastModifiedTime(_).toMillis)
+      .foldLeft(0L)(math.max)
+    finally walk.close()
   }
 
   private[graft] def swapPointer(tableDir: String, target: String): Unit = {

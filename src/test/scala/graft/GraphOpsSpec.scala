@@ -80,9 +80,84 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_nodes") == 4L)
     assert(r.getAs[Long]("n_edges") == 4L)
     assert(r.getAs[Long]("n_triangles") == 1L)
-    // ordered wedges: (1,2)-(2,3), (1,3)-(3,4), (2,3)-(3,4) -> 3
-    assert(r.getAs[Long]("n_wedges") == 3L)
+    // 2-paths Σ C(deg,2): deg(1)=2, deg(2)=2, deg(3)=3, deg(4)=1
+    //   -> 1 + 1 + 3 + 0 = 5
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Double]("closure8") == 0.6)
+  }
+
+  test("triangle census: a clique closes every 2-path (closure = 1)") {
+    // K4: degrees all 3 -> wedges = 4·C(3,2) = 12, triangles = 4,
+    // closure = 3·4/12 = 1.0 — the invariant only the TRUE 2-path
+    // count satisfies
+    val pairs = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("id1", "id2")
+    val r = graft.operators.GraphOps.triangleCensus(pairs).collect()(0)
+    assert(r.getAs[Long]("n_edges") == 6L)
+    assert(r.getAs[Long]("n_wedges") == 12L)
+    assert(r.getAs[Long]("n_triangles") == 4L)
     assert(r.getAs[Double]("closure8") == 1.0)
+  }
+
+  test("degree-ordered wedges: a hub contributes ZERO enumerated wedges") {
+    // star with the hub at a MIDDLE id (20): under round-8's id-order
+    // pivot this graph enumerated 19·21 = 399 wedges through the hub;
+    // degree-ordering points every edge INTO the hub (leaves have the
+    // lower degree), so the hub pivots nothing and the enumerated
+    // volume is 0 — the Suri-Vassilvitskii bound in its purest case.
+    val leaves = (1L to 41L).filter(_ != 20L)
+    val pairs = leaves.map(l => (20L, l)).toDF("id1", "id2")
+    assert(graft.operators.GraphOps.orientedWedges(pairs).count() == 0L)
+    val r = graft.operators.GraphOps.triangleCensus(pairs).collect()(0)
+    // the REPORTED statistic is still the true 2-path count C(40,2)
+    assert(r.getAs[Long]("n_wedges") == 780L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("pageRank never flips the caller's session AQE conf, even mid-run") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 400)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id1", "id2")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var running = true
+    val poller = new Thread(() => while (running) {
+      seen.add(spark.conf.get("spark.sql.adaptive.enabled"))
+      Thread.sleep(2)
+    })
+    poller.start()
+    val res = try GraphOps.pageRank(pairs, iterations = 3)
+    finally { running = false }
+    poller.join()
+    assert(res.count() > 0)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.nonEmpty && seen.asScala.forall(_ == "true"),
+      "a concurrent reader of the session conf observed the AQE flip")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
+
+  test("two concurrent pageRank calls don't race and leave session conf intact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val p1 = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val p2 = (2L to 6L).map(l => (1L, l)).toDF("id1", "id2")
+    // sequential baselines
+    val b1 = GraphOps.pageRank(p1, 5).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b2 = GraphOps.pageRank(p2, 5).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // concurrent: the round-8 save/restore race (the second restore
+    // could pin AQE off for the whole session) is structurally
+    // impossible now that pageRank mutates no session state; results
+    // must match the sequential baselines exactly (integer-exact
+    // recurrence)
+    val f1 = Future(GraphOps.pageRank(p1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    val f2 = Future(GraphOps.pageRank(p2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    assert(Await.result(f1, 120.seconds) == b1)
+    assert(Await.result(f2, 120.seconds) == b2)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
   test("triangle census: self-loops and empty graphs are safe") {

@@ -102,6 +102,33 @@ class SnapshotsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vacuum min-age: young snapshots survive outside the keep window; a pinned reader stays readable") {
+    val dir = Files.createTempDirectory("graft_snap_age").toString
+    Snapshots.publish((1 to 10).toDF("n"), dir)
+    Snapshots.publish((1 to 25).toDF("n"), dir)
+    // pin a reader to snap-000002 while it is current...
+    val pinned = Snapshots.read(spark, dir)
+    assert(pinned.count() == 25)
+    // ...then supersede it, putting it OUTSIDE the keep=1 window
+    Snapshots.publish((1 to 40).toDF("n"), dir)
+    // and simulate an in-flight publish (dangling id above the
+    // pointer, data written, swap not yet executed)
+    (1 to 7).toDF("n").write.parquet(s"$dir/snap-000004")
+    // min-age shields everything younger than the horizon: the
+    // pinned generation AND the in-flight publish both survive
+    assert(Snapshots.vacuum(dir, keep = 1, minAgeMillis = 3600000L).isEmpty,
+      "nothing written seconds ago may be vacuumed under a 1 h horizon")
+    assert(pinned.count() == 25,
+      "the pinned reader's files must outlive the vacuum")
+    assert(Files.exists(Paths.get(dir, "snap-000004")))
+    // the eager (min-age 0) form keeps the historical contract:
+    // outside keep-N, gone — including the dangling directory
+    val dropped = Snapshots.vacuum(dir, keep = 1)
+    assert(dropped == Seq("snap-000001", "snap-000002", "snap-000004"),
+      s"got $dropped")
+    assert(Snapshots.read(spark, dir).count() == 40)
+  }
+
   test("partitioned publish keeps partition pruning for readers") {
     val dir = Files.createTempDirectory("graft_snap_part").toString
     Snapshots.publish(
