@@ -20,14 +20,18 @@ object AbSetsim {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
 
-    def build(fused: Boolean, prune: Boolean)(d: String): DataFrame =
+    def build(fused: Boolean, prune: Boolean, idx: Boolean = false)
+             (d: String): DataFrame =
       SetSimJoin.jaccardJoinImpl(
         SetSimJoin.shingleRelation(Tables.documents(spark, d)),
-        1L, 2L, fusedDf = fused, pruneVerify = prune)
+        1L, 2L, fusedDf = fused, pruneVerify = prune, indexPrefix = idx)
 
     val shapes = Seq(
       "baseline" -> build(fused = false, prune = false) _,
       "fusedDf" -> build(fused = true, prune = false) _,
+      // round-9 candidate: All-Pairs indexing-prefix asymmetry on the
+      // (size, id)-smaller side — shorter join prefix, same recall
+      "fused+idx" -> build(fused = true, prune = false, idx = true) _,
       "pruneVerify" -> build(fused = false, prune = true) _,
       "fused+prune" -> build(fused = true, prune = true) _,
       // the shipped query's exact shape: 25-row global sort on top —

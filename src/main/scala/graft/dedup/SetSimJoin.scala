@@ -60,7 +60,8 @@ object SetSimJoin {
 
   private[graft] def jaccardJoinOfShingles(ds: DataFrame, tNum: Long,
                                            tDen: Long): DataFrame =
-    jaccardJoinImpl(ds, tNum, tDen, fusedDf = true, pruneVerify = false)
+    jaccardJoinImpl(ds, tNum, tDen, fusedDf = true, pruneVerify = false,
+      indexPrefix = false)
 
   /** Shape knobs, A/B-measured at sf1 (round 8, two interleaved
     * single-JVM sessions × 3 reps via [[graft.AbSetsim]]):
@@ -77,10 +78,37 @@ object SetSimJoin {
     *    again; at t=1/2 most docs are in some candidate anyway. (The
     *    prune IS right when candidates are a small slice — that is
     *    routedJoin, where the miner guarantees it.)
+    *  - `indexPrefix` (REJECTED round 9 — 18.7/19.5/21.6 s vs
+    *    fusedDf's 16.7/15.4/14.9 s, LOSES every interleaved rep at
+    *    sf1; correctness parity confirmed by the harness's equality
+    *    gate): the All-Pairs/PPJoin INDEXING-PREFIX asymmetry
+    *    (Bayardo §3.1 "Exploiting the threshold during indexing";
+    *    Xiao's self-join form). Order each pair by
+    *    (set size, doc_id); the SMALLER record x only ever needs to
+    *    collide with a no-smaller partner y, and the length filter
+    *    gives |y| ≥ |x| ⟹ α(x,y) = ⌈t/(1+t)·(|x|+|y|)⌉ ≥
+    *    ⌈2t/(1+t)·|x|⌉ — a strictly larger overlap floor than the
+    *    symmetric ⌈t·|x|⌉, so x's join prefix shrinks from
+    *    |x| − ⌈t|x|⌉ + 1 (≈|x|/2 at t=1/2) to |x| − ⌈2t/(1+t)|x|⌉ + 1
+    *    (≈|x|/3). The candidate join pairs shortPrefix(smaller) with
+    *    longPrefix(larger); a qualifying pair still collides there by
+    *    the prefix lemma with the pairwise α, which both per-record
+    *    floors lower-bound — recall stays 100% (property-spec'd
+    *    against the symmetric shape). WHY it loses anyway: the
+    *    df-ascending global order already packs each prefix with the
+    *    corpus's RAREST shingles, so the symmetric candidate set
+    *    after the length+positional filters is close to the verified
+    *    set — there is little volume left for a shorter prefix to
+    *    remove — while the asymmetric join pays a disjunctive
+    *    size-order predicate and id re-canonicalization on every
+    *    collision. Kept as a measured knob: on a corpus whose prefix
+    *    df distribution is flatter (prefixes less selective), the
+    *    asymmetry is the first thing to re-try.
     */
   private[graft] def jaccardJoinImpl(ds: DataFrame, tNum: Long, tDen: Long,
                                      fusedDf: Boolean,
-                                     pruneVerify: Boolean): DataFrame = {
+                                     pruneVerify: Boolean,
+                                     indexPrefix: Boolean = false): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     // one doc_id exchange serves both windows (rank and set size):
     // same partitioning, Catalyst stacks the two Window nodes
@@ -98,11 +126,18 @@ object SetSimJoin {
             row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rnk"),
             count(lit(1)).over(byDoc).as("n"))
       }
-    // prefix length |x| − ⌈t·|x|⌉ + 1; ceil as integer floor-div
+    // symmetric prefix length |x| − ⌈t·|x|⌉ + 1; ceil as integer
+    // floor-div. shortEnd is the INDEXING prefix end
+    // |x| − ⌈2t/(1+t)·|x|⌉ + 1 (see `indexPrefix` above) — carried on
+    // every row so the asymmetric join can filter the smaller side
+    // without a second prefix relation.
     val need = floor((col("n") * lit(tNum) + lit(tDen - 1)) / lit(tDen))
       .cast("long")
+    val needIdx = floor((col("n") * lit(2 * tNum) + lit(tDen + tNum - 1)) /
+      lit(tDen + tNum)).cast("long")
     val prefix = ranked.filter(col("rnk") <= col("n") - need + lit(1))
-      .select(col("sh"), col("doc_id"), col("n"), col("rnk"))
+      .select(col("sh"), col("doc_id"), col("n"), col("rnk"),
+        (col("n") - needIdx + lit(1)).as("short_end"))
     // PPJoin positional filter (Xiao, Wang, Lin & Yu, "Efficient
     // similarity joins for near duplicate detection", WWW 2008): a
     // collision at ranks (ra, rb) bounds the overlap by
@@ -111,18 +146,45 @@ object SetSimJoin {
     // so collisions whose bound can't reach that are dropped before
     // the (expensive) verification join. A qualifying pair always
     // survives through its first collision, so recall stays 100%.
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          // length filter: J ≥ t forces t·|y| ≤ |x| for |x| ≤ |y|
-          least(col("a.n"), col("b.n")) * lit(tDen) >=
-            greatest(col("a.n"), col("b.n")) * lit(tNum) &&
-          (lit(1L) + least(col("a.n") - col("a.rnk"),
-                           col("b.n") - col("b.rnk"))) * lit(tDen + tNum) >=
-            (col("a.n") + col("b.n")) * lit(tNum))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.n").as("n1"), col("b.n").as("n2"))
-      .distinct()
+    val positional =
+      (lit(1L) + least(col("a.n") - col("a.rnk"),
+                       col("b.n") - col("b.rnk"))) * lit(tDen + tNum) >=
+        (col("a.n") + col("b.n")) * lit(tNum)
+    val cand =
+      if (indexPrefix)
+        // a = the (size, id)-smaller record, restricted to its SHORT
+        // prefix; b stays on the symmetric prefix. Output ids
+        // re-canonicalized to id1 < id2 below.
+        prefix.as("a").join(prefix.as("b"),
+            col("a.sh") === col("b.sh") &&
+              (col("a.n") < col("b.n") ||
+                (col("a.n") === col("b.n") &&
+                  col("a.doc_id") < col("b.doc_id"))) &&
+              col("a.rnk") <= col("a.short_end") &&
+              // length filter, a is the smaller side by construction
+              col("a.n") * lit(tDen) >= col("b.n") * lit(tNum) &&
+              positional)
+          .select(
+            when(col("a.doc_id") < col("b.doc_id"), col("a.doc_id"))
+              .otherwise(col("b.doc_id")).as("id1"),
+            when(col("a.doc_id") < col("b.doc_id"), col("b.doc_id"))
+              .otherwise(col("a.doc_id")).as("id2"),
+            when(col("a.doc_id") < col("b.doc_id"), col("a.n"))
+              .otherwise(col("b.n")).as("n1"),
+            when(col("a.doc_id") < col("b.doc_id"), col("b.n"))
+              .otherwise(col("a.n")).as("n2"))
+          .distinct()
+      else
+        prefix.as("a").join(prefix.as("b"),
+            col("a.sh") === col("b.sh") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              // length filter: J ≥ t forces t·|y| ≤ |x| for |x| ≤ |y|
+              least(col("a.n"), col("b.n")) * lit(tDen) >=
+                greatest(col("a.n"), col("b.n")) * lit(tNum) &&
+              positional)
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+            col("a.n").as("n1"), col("b.n").as("n2"))
+          .distinct()
     // exact verification: count the shared shingles of each candidate
     // pair — cost is Σ|x| over candidates, never over all pairs.
     // (An array_intersect variant — one shingle ARRAY per doc joined

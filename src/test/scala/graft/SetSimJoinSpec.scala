@@ -63,6 +63,32 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("indexing-prefix shape is complete: identical to the symmetric shape at every threshold") {
+    // the measured-but-rejected round-9 knob must stay CORRECT while
+    // it stays on the shelf: same seeded corpus as the brute-force
+    // test, both shapes, value-identical output (the prefix lemma
+    // with the pairwise overlap floor α ≥ max(⌈2t/(1+t)|x|⌉, ⌈t|y|⌉))
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "data", "spark", "join", "scan")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => vocab(math.abs(seed * 31 + i * 7) % vocab.length))
+        .mkString(" ")
+    val rows = (0 until 24).map { i =>
+      val base = doc(i % 6, 8 + (i % 5))
+      val tail = if (i % 3 == 0) " data spark join" else ""
+      (i.toLong, base + tail)
+    }
+    for ((tn, td) <- Seq((1L, 2L), (3L, 10L), (7L, 10L), (1L, 1L))) {
+      val ds = SetSimJoin.shingleRelation(rows.toDF("doc_id", "text"))
+      def shape(idx: Boolean) = SetSimJoin
+        .jaccardJoinImpl(ds, tn, td, fusedDf = true, pruneVerify = false,
+          indexPrefix = idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      assert(shape(true) == shape(false), s"threshold $tn/$td")
+    }
+  }
+
   test("threshold gate is integer-exact at the boundary") {
     // sets of size 4 and 4 sharing exactly 2 shingles: J = 2/6 = 1/3
     val a = "a b c d e f"   // shingles: abc bcd cde def (4)
