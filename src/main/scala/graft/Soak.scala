@@ -80,7 +80,9 @@ object Soak {
     "knn_ivf_delta", "doc_despan", "doc_markup",
     // round-8 additions: the gate-scaled recall eval (its exact ground
     // truth is the cost under watch) and the IVF drift report
-    "dedup_route_recall", "knn_ivf_compact", "doc_token_stats")
+    "dedup_route_recall", "knn_ivf_compact", "doc_token_stats",
+    // round-9 addition: the O(log n)-round star-contraction components
+    "graph_components")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -628,6 +628,13 @@ object SparkEntry {
           Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"),
           iterations = 5)
         .orderBy(desc("pr"), col("node")).limit(50)),
+    // shape-independent components: the O(log n)-round star
+    // contraction over the same simhash pair graph (min-label's
+    // diameter-bound alternative lives at dedup_clusters)
+    "graph_components" -> q((s, d) =>
+      operators.GraphOps.connectedComponents(
+          Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"))
+        .sortWithinPartitions("doc_id")),
     "dedup_embedding_cosine" -> q((s, d) =>
       Knn.nearDupPairs(Tables.embeddings(s, d))),
 
@@ -3011,6 +3018,36 @@ object SparkEntry {
          |ham AS (SELECT id1, id2, $hammingTerms AS hamming FROM pairs)
          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // components of the simhash pair graph: the star-contraction
+    // fixpoint equals the component minimum, which the recursive
+    // closure computes exactly (same oracle idea as dedup_clusters)
+    "graph_components" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |      UNION SELECT id2, id1 FROM ed0),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
     },
 
     "graph_pagerank" -> {

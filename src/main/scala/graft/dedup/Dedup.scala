@@ -223,7 +223,11 @@ object Dedup {
     * alternating-star algorithms of Kiveris et al., "Connected
     * components in MapReduce and beyond", SoCC 2014): each round is
     * one shuffle; rounds needed = graph diameter (near-dup clusters
-    * are shallow, so this converges in 2-3 rounds).
+    * are shallow, so this converges in 2-3 rounds). For graphs whose
+    * component SHAPE is unknown or adversarial (long chains), use
+    * [[graft.operators.GraphOps.connectedComponents]] — the actual
+    * Kiveris star contraction, O(log n) rounds at two shuffles each,
+    * regardless of diameter.
     *
     * `pairs` must have columns (id1, id2); returns (doc_id,
     * cluster_id) for every doc appearing in any pair. */

@@ -123,6 +123,85 @@ object GraphOps {
     materialize(pr)
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    * "Connected components in MapReduce and beyond", SoCC 2014) —
+    * the O(log n)-round labeling that [[graft.dedup.Dedup
+    * .nearDupClusters]]'s min-label propagation is NOT: min-label
+    * needs one round per unit of component DIAMETER, so a
+    * chain-shaped component (URL redirect chains, citation paths,
+    * doc-revision lineages) of length d costs d shuffles — at 100 TB
+    * a 10⁴-long chain is a job that never finishes. The star
+    * operations contract every component onto its minimum in rounds
+    * logarithmic in component SIZE regardless of shape:
+    *
+    *  - **large-star** (per node u): point every LARGER neighbor at
+    *    u's minimum neighborhood label m(u) = min(Γ(u) ∪ {u}) —
+    *    `⋃_u {(m(u), v) : v ∈ Γ(u), v > u}`.
+    *  - **small-star** (per node u over its SMALLER neighbors S):
+    *    point u and all of S at m = min(S) —
+    *    `⋃_u {(m, v) : v ∈ (S ∪ {u}) \ {m}}`.
+    *
+    * Both preserve connectivity exactly (proved in the paper); the
+    * unique fixpoint is a forest of stars rooted at each component's
+    * minimum id, read off as the label relation. Every round is two
+    * groupBy/join rounds over the current edge set — plain shuffles
+    * AQE can re-split on skew, nothing driver-side but the
+    * convergence Boolean.
+    *
+    * Same output contract as nearDupClusters: (doc_id, cluster_id =
+    * component-minimum id) for every id appearing in `pairs`. Use
+    * nearDupClusters for KNOWN-shallow graphs (near-dup clusters —
+    * one shuffle per round beats two when diameter ≤ 3); use this
+    * when component shape is unknown or adversarial. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // nodes from the ORIGINAL input (self-pairs label themselves even
+    // though the loop-free edge set drops them)
+    val nodes = pairs.select(col("id1").as("doc_id"))
+      .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+    var e = materialize(canonicalEdges(pairs))
+    var converged = e.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // large-star: neighbors of u with v > u attach to m(u)
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // m ≤ u < v, so (m, v) is already canonical and loop-free
+      val ls = nbrs.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+      // small-star: direct high→low; u and its smaller neighbors S
+      // all attach to min(S). Row-wise over (u, v ∈ S): the row
+      // holding the minimum contributes (m, u), every other row
+      // (m, v) — exactly (S ∪ {u}) \ {m}.
+      val dn = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMin = dn.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = dn.join(ssMin, "u")
+        .select(col("m").as("a"),
+          when(col("v") === col("m"), col("u")).otherwise(col("v")).as("b"))
+        .distinct()
+      val newE = materialize(ss)
+      // fixpoint test on materialized relations: same count AND no
+      // edge left the set ⇒ identical sets (both are distinct)
+      converged = newE.count() == e.count() && newE.exceptAll(e).isEmpty
+      e = newE
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIters alternating " +
+          "rounds (pathological — expected O(log n); raise maxIters)")
+    // the fixpoint is a star forest rooted at component minima: each
+    // non-root appears exactly once as b; roots (and isolated nodes)
+    // label themselves
+    nodes.join(e.select(col("b").as("doc_id"), col("a").as("root")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Canonical (a < b, distinct, loop-free) edge relation. */
   private def canonicalEdges(pairs: DataFrame): DataFrame =
     pairs

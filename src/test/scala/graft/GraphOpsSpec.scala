@@ -160,6 +160,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
 
+  test("connectedComponents: a 64-node chain resolves in logarithmic rounds") {
+    // THE case min-label propagation cannot do: diameter 63 would
+    // need 63 min-label rounds (nearDupClusters' default cap of 25
+    // throws); the alternating star contraction must land the whole
+    // chain on node 0 within a dozen alternations
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = GraphOps.connectedComponents(pairs, maxIters = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L), "one chain, one root")
+    // and the min-label path indeed cannot, at its default cap — the
+    // reason this operator exists
+    intercept[IllegalStateException] {
+      graft.dedup.Dedup.nearDupClusters(pairs).collect()
+    }
+  }
+
+  test("connectedComponents agrees with min-label propagation on random graphs") {
+    for (seed <- Seq(3, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to 250)
+        .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      val stars = GraphOps.connectedComponents(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val minLabel = graft.dedup.Dedup.nearDupClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(stars == minLabel, s"seed $seed")
+    }
+  }
+
+  test("connectedComponents: self-pairs and empty inputs are safe") {
+    val selfs = Seq((5L, 5L), (7L, 7L)).toDF("id1", "id2")
+    val got = GraphOps.connectedComponents(selfs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((5L, 5L), (7L, 7L)), "isolated nodes label themselves")
+    assert(GraphOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
+  }
+
   test("triangle census: self-loops and empty graphs are safe") {
     import spark.implicits._
     val loops = Seq((1L, 1L), (2L, 2L)).toDF("id1", "id2")
