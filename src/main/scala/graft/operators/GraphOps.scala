@@ -155,11 +155,15 @@ object GraphOps {
     * one shuffle per round beats two when diameter ≤ 3); use this
     * when component shape is unknown or adversarial. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // nodes from the ORIGINAL input (self-pairs label themselves even
-    // though the loop-free edge set drops them)
-    val nodes = pairs.select(col("id1").as("doc_id"))
-      .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
-    var e = materialize(canonicalEdges(pairs))
+    // materialize the INPUT once — `pairs` is typically a mining
+    // pipeline, and it feeds BOTH the node set (self-pairs label
+    // themselves even though the loop-free edge set drops them) and
+    // the edge canonicalization; without this the miner executed
+    // twice (same lesson as pageRank's input materialize)
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val nodes = pairsM.select(col("id1").as("doc_id"))
+      .unionByName(pairsM.select(col("id2").as("doc_id"))).distinct()
+    var e = materialize(canonicalEdges(pairsM))
     var converged = e.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
