@@ -164,7 +164,7 @@ object GraphOps {
     val nodes = pairsM.select(col("id1").as("doc_id"))
       .unionByName(pairsM.select(col("id2").as("doc_id"))).distinct()
     var e = materialize(canonicalEdges(pairsM))
-    var converged = e.isEmpty
+    var converged = isMinRootedStarForest(e)
     var iter = 0
     while (!converged && iter < maxIters) {
       // large-star: neighbors of u with v > u attach to m(u)
@@ -187,9 +187,7 @@ object GraphOps {
           when(col("v") === col("m"), col("u")).otherwise(col("v")).as("b"))
         .distinct()
       val newE = materialize(ss)
-      // fixpoint test on materialized relations: same count AND no
-      // edge left the set ⇒ identical sets (both are distinct)
-      converged = newE.count() == e.count() && newE.exceptAll(e).isEmpty
+      converged = isMinRootedStarForest(newE)
       e = newE
       iter += 1
     }
@@ -205,6 +203,24 @@ object GraphOps {
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
+
+  /** Structural convergence test for [[connectedComponents]]: a
+    * canonical (a < b, distinct) edge set is a min-rooted star forest
+    * iff NO node appears as both a source and a target (depth ≤ 1)
+    * and every target has exactly ONE source (parent function). Then
+    * each component IS one star and canonicality makes its root the
+    * component minimum — the labels are final. Checking the NEW edge
+    * set structurally, instead of comparing it to the previous round
+    * (count + exceptAll), both halves the per-round bookkeeping jobs
+    * and exits a full alternation EARLIER: the compare-based test
+    * must run one more round just to observe "no change". */
+  private def isMinRootedStarForest(e: DataFrame): Boolean =
+    e.select(col("a").as("n"), lit(1L).as("s"), lit(0L).as("t"))
+      .unionByName(e.select(col("b").as("n"), lit(0L).as("s"), lit(1L).as("t")))
+      .groupBy(col("n"))
+      .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
+      .filter((col("s") > 0 && col("t") > 0) || col("t") > 1)
+      .isEmpty
 
   /** Canonical (a < b, distinct, loop-free) edge relation. */
   private def canonicalEdges(pairs: DataFrame): DataFrame =
