@@ -28,6 +28,10 @@ object AbQueries {
     }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (r <- 1 to reps; n <- names) {
+      // drain dead localCheckpoint blocks before each timed rep (the
+      // Soak.timeIn hygiene) — iterative queries otherwise accumulate
+      // storage-pool squatters across reps
+      System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
