@@ -608,6 +608,16 @@ object SparkEntry {
     "dedup_setsim_join" -> q((s, d) =>
       dedup.SetSimJoin.jaccardJoin(Tables.documents(s, d))
         .sortWithinPartitions("id1", "id2")),
+    // the R-S (two-relation) form over a deterministic corpus split:
+    // even doc_ids as the left corpus, odd as the right — the
+    // cross-corpus matching shape (crawl vs reference, eval vs shard)
+    "dedup_setsim_rs" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      dedup.SetSimJoin.jaccardJoinRS(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .sortWithinPartitions("id1", "id2")
+    }),
     // the 100 TB routing: LSH mines bulk candidates, the exact
     // verifier touches only that slice (precision 1.0 by construction)
     "dedup_route" -> q((s, d) =>
@@ -3116,6 +3126,23 @@ object SparkEntry {
          |common AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
          |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE inter * 2 >= (s1.n + s2.n - inter) * 1
+         |ORDER BY id1, id2""".stripMargin,
+
+    "dedup_setsim_rs" ->
+      s"""WITH $TOKS, $ShinglesSql,
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle
+         |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
          |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard

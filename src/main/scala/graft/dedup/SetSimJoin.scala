@@ -213,6 +213,78 @@ object SetSimJoin {
           (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
   }
 
+  /** TWO-RELATION (R-S) exact set-similarity join — the general form
+    * of [[jaccardJoin]] (Vernica, Carey & Li's SIGMOD 2010 setting is
+    * R-S; the self-join is its special case): all (r, s) pairs with
+    * shingle-set Jaccard ≥ tNum/tDen between two DIFFERENT document
+    * relations. The training-pipeline uses are cross-corpus: match a
+    * crawl against a reference/blocklist corpus, a new snapshot
+    * against the previous one, eval sets against training shards
+    * (pair-level contamination, complementing doc_decontaminate's
+    * n-gram containment).
+    *
+    * Same machinery, R-S specifics:
+    *  - the GLOBAL prefix order must be one order shared by both
+    *    sides, so document frequency is computed over the UNION of
+    *    the two shingle relations (each side alone would rank the
+    *    same shingle differently — completeness requires one total
+    *    order);
+    *  - no id-inequality: the pair space is R × S, so both sides keep
+    *    the symmetric prefix (the self-join's size-ordering trick
+    *    does not apply) and every qualifying cross pair must share a
+    *    prefix element under the shared order — same lemma, same
+    *    100% recall;
+    *  - length + positional filters apply unchanged (both are
+    *    per-pair bounds, indifferent to which relation a side is
+    *    from).
+    *
+    * Output: (id1 = left doc_id, id2 = right doc_id, n1, n2, inter,
+    * jaccard) — id1/id2 are NOT ordered against each other (they
+    * live in different id spaces). */
+  def jaccardJoinRS(left: DataFrame, right: DataFrame,
+                    tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val lds = shingleRelation(left)
+    val rds = shingleRelation(right)
+    // ONE shared global order: df over the union corpus, computed
+    // with the fused one-exchange window (the adopted self-join
+    // shape), then split back per side. `side` rides through the
+    // window at zero extra shuffle cost.
+    val tagged = lds.withColumn("side", lit("l"))
+      .unionByName(rds.withColumn("side", lit("r")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    val byDoc = Window.partitionBy(col("side"), col("doc_id"))
+    val ranked = tagged.select(col("side"), col("doc_id"), col("sh"),
+      row_number().over(byDoc.orderBy(col("df"), col("sh"))).as("rnk"),
+      count(lit(1)).over(byDoc).as("n"))
+    val need = floor((col("n") * lit(tNum) + lit(tDen - 1)) / lit(tDen))
+      .cast("long")
+    val prefix = ranked.filter(col("rnk") <= col("n") - need + lit(1))
+      .select(col("side"), col("sh"), col("doc_id"), col("n"), col("rnk"))
+    val cand = prefix.filter(col("side") === "l").as("a")
+      .join(prefix.filter(col("side") === "r").as("b"),
+        col("a.sh") === col("b.sh") &&
+          least(col("a.n"), col("b.n")) * lit(tDen) >=
+            greatest(col("a.n"), col("b.n")) * lit(tNum) &&
+          (lit(1L) + least(col("a.n") - col("a.rnk"),
+                           col("b.n") - col("b.rnk"))) * lit(tDen + tNum) >=
+            (col("a.n") + col("b.n")) * lit(tNum))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
+      .distinct()
+    val verified = cand
+      .join(lds.select(col("doc_id").as("id1"), col("sh")), "id1")
+      .join(rds.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy(col("id1"), col("id2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+    verified
+      .filter(col("inter") * lit(tDen) >=
+        (col("n1") + col("n2") - col("inter")) * lit(tNum))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+  }
+
   /** ROUTED near-dup join — the 100 TB composition of the dedup
     * family: MinHash-LSH banding mines the bulk candidate pairs
     * (near-linear: one signature pass + bucket grouping, the 1.2×

@@ -89,6 +89,38 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  test("R-S join matches brute force across two relations at every threshold") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "data", "spark", "join", "scan")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => vocab(math.abs(seed * 31 + i * 7) % vocab.length))
+        .mkString(" ")
+    val rows = (0 until 24).map { i =>
+      val base = doc(i % 6, 8 + (i % 5))
+      val tail = if (i % 3 == 0) " data spark join" else ""
+      (i.toLong, base + tail)
+    }
+    val (lRows, rRows) = rows.partition(_._1 % 2 == 0)
+    def shingles(t: String): Set[String] = {
+      val toks = t.split(" ")
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    for ((tn, td) <- Seq((1L, 2L), (3L, 10L), (7L, 10L), (1L, 1L))) {
+      val got = SetSimJoin.jaccardJoinRS(
+          lRows.toDF("doc_id", "text"), rRows.toDF("doc_id", "text"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val want = (for {
+        (i, lt) <- lRows; (j, rt) <- rRows
+        si = shingles(lt); sj = shingles(rt)
+        if si.nonEmpty && sj.nonEmpty
+        inter = (si & sj).size.toLong
+        if inter * td >= tn * (si.size + sj.size - inter)
+      } yield (i, j, inter)).toSet
+      assert(got == want, s"threshold $tn/$td")
+    }
+  }
+
   test("threshold gate is integer-exact at the boundary") {
     // sets of size 4 and 4 sharing exactly 2 shingles: J = 2/6 = 1/3
     val a = "a b c d e f"   // shingles: abc bcd cde def (4)
