@@ -82,8 +82,9 @@ object Soak {
     // truth is the cost under watch) and the IVF drift report
     "dedup_route_recall", "knn_ivf_compact", "doc_token_stats",
     // round-9 additions: the O(log n)-round star-contraction
-    // components and the cross-corpus R-S exact similarity join
-    "graph_components", "dedup_setsim_rs")
+    // components and the cross-corpus R-S similarity joins (exact +
+    // routed)
+    "graph_components", "dedup_setsim_rs", "dedup_route_rs")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -618,6 +618,15 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .sortWithinPartitions("id1", "id2")
     }),
+    // the cross-corpus routing: per-side LSH bands, cross-side
+    // bucket collisions, exact verification over the candidate slice
+    "dedup_route_rs" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      dedup.SetSimJoin.routedJoinRS(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .sortWithinPartitions("id1", "id2")
+    }),
     // the 100 TB routing: LSH mines bulk candidates, the exact
     // verifier touches only that slice (precision 1.0 by construction)
     "dedup_route" -> q((s, d) =>
@@ -3201,6 +3210,39 @@ object SparkEntry {
          |        ORDER BY jaccard DESC, id2) AS rk FROM v)
          |SELECT id1 AS doc_id, id2 AS dup_of, n1, n2, inter, jaccard
          |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // cross-corpus routed join: same banding, candidates restricted
+    // to even×odd cross pairs (signatures are per-doc, so banding the
+    // full corpus then gating by parity ≡ banding each side)
+    "dedup_route_rs" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |    JOIN ds a ON a.doc_id = c.id1
+         |    JOIN ds b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, s1.n AS n1, s2.n AS n2, inter,
+         |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+         |FROM common
+         |  JOIN sizes s1 ON s1.doc_id = id1
+         |  JOIN sizes s2 ON s2.doc_id = id2
+         |WHERE inter * 2 >= (s1.n + s2.n - inter) * 1
+         |ORDER BY id1, id2""".stripMargin
     },
 
     "dedup_route" -> {

@@ -318,6 +318,55 @@ object SetSimJoin {
     verifyCandidates(cand, ds, tNum, tDen)
   }
 
+  /** [[routedJoin]] in the R-S setting — THE 100 TB path for
+    * cross-corpus matching, composing [[jaccardJoinRS]]'s exact
+    * verification with cross-side LSH mining: band signatures are
+    * computed per side (a doc's MinHash signature depends on nothing
+    * but the doc), candidates are the cross-side collisions on
+    * (band, key), and verification tokenizes ONLY docs appearing in
+    * some candidate pair. Precision 1.0 (output ⊆ the exact R-S
+    * join, spec-asserted); recall is the band configuration's, same
+    * contract as [[routedJoin]]. */
+  def routedJoinRS(left: DataFrame, right: DataFrame,
+                   tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val cand = graft.dedup.Dedup.minhashBands(left)
+      .select(col("doc_id").as("id1"), col("band"), col("key"))
+      .join(graft.dedup.Dedup.minhashBands(right)
+        .select(col("doc_id").as("id2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id1"), col("id2")).distinct()
+      .localCheckpoint()
+    val lds = shingleRelation(left.join(
+      cand.select(col("id1").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    val rds = shingleRelation(right.join(
+      cand.select(col("id2").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    verifyCandidatesRS(cand, lds, rds, tNum, tDen)
+  }
+
+  /** [[verifyCandidates]] against two DIFFERENT shingle relations
+    * (id1 resolves in `lds`, id2 in `rds`) — the R-S verification. */
+  private[dedup] def verifyCandidatesRS(cand: DataFrame, lds: DataFrame,
+                                        rds: DataFrame, tNum: Long,
+                                        tDen: Long): DataFrame = {
+    val sizesL = lds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesR = rds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(lds.select(col("doc_id").as("id1"), col("sh")), "id1")
+      .join(rds.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizesL.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sizesR.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .filter(col("inter") * lit(tDen) >=
+        (col("n1") + col("n2") - col("inter")) * lit(tNum))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+  }
+
   /** Exact verification of candidate pairs against a (doc_id, sh)
     * relation covering at least the candidate docs: cost Σ|x| over the
     * mined pairs, shuffle rows narrow and map-side-combinable.

@@ -95,8 +95,11 @@ class SetSimJoinSpec extends SparkSpec {
     def doc(seed: Int, len: Int): String =
       (0 until len).map(i => vocab(math.abs(seed * 31 + i * 7) % vocab.length))
         .mkString(" ")
+    // ODD family modulus: with % 6, a family's members all share one
+    // parity and the even/odd split has no cross-side near-dups —
+    // the R-S tests would pass vacuously
     val rows = (0 until 24).map { i =>
-      val base = doc(i % 6, 8 + (i % 5))
+      val base = doc(i % 5, 8 + (i % 4))
       val tail = if (i % 3 == 0) " data spark join" else ""
       (i.toLong, base + tail)
     }
@@ -117,7 +120,37 @@ class SetSimJoinSpec extends SparkSpec {
         inter = (si & sj).size.toLong
         if inter * td >= tn * (si.size + sj.size - inter)
       } yield (i, j, inter)).toSet
+      if (tn * 2 <= td)
+        assert(want.nonEmpty, s"fixture must cross-match at $tn/$td")
       assert(got == want, s"threshold $tn/$td")
+    }
+  }
+
+  test("routed R-S join is a subset of the exact R-S join with identical values") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "data", "spark", "join", "scan")
+    def doc(seed: Int, len: Int): String =
+      (0 until len).map(i => vocab(math.abs(seed * 31 + i * 7) % vocab.length))
+        .mkString(" ")
+    // odd family modulus — see the R-S brute-force test's fixture note
+    val rows = (0 until 24).map { i =>
+      val base = doc(i % 5, 8 + (i % 4))
+      val tail = if (i % 3 == 0) " data spark join" else ""
+      (i.toLong, base + tail)
+    }
+    val (lRows, rRows) = rows.partition(_._1 % 2 == 0)
+    val l = lRows.toDF("doc_id", "text")
+    val r = rRows.toDF("doc_id", "text")
+    val exact = SetSimJoin.jaccardJoinRS(l, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(4), x.getDouble(5)))
+      .toMap
+    val routed = SetSimJoin.routedJoinRS(l, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(4), x.getDouble(5)))
+      .toMap
+    assert(routed.nonEmpty, "fixture must produce cross-side near-dups")
+    routed.foreach { case (pair, v) =>
+      assert(exact.get(pair).contains(v),
+        s"routed pair $pair must appear in the exact join with equal values")
     }
   }
 
