@@ -627,6 +627,15 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .sortWithinPartitions("id1", "id2")
     }),
+    // R-S recall eval at gate scale: quarter-corpus slices per side
+    // (the exact cross ground truth is the dominant cost, same
+    // discipline as dedup_route_recall's sampleMod gate)
+    "dedup_route_rs_recall" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      dedup.SetSimJoin.routeRecallRS(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 === 1))
+    }),
     // the 100 TB routing: LSH mines bulk candidates, the exact
     // verifier touches only that slice (precision 1.0 by construction)
     "dedup_route" -> q((s, d) =>
@@ -3210,6 +3219,56 @@ object SparkEntry {
          |        ORDER BY jaccard DESC, id2) AS rk FROM v)
          |SELECT id1 AS doc_id, id2 AS dup_of, n1, n2, inter, jaccard
          |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // R-S recall eval: exact cross ground truth over the quarter
+    // slices vs the banded routing, same recall4 shape as
+    // dedup_route_recall
+    "dedup_route_rs_recall" -> {
+      val bandRows = (0 until Dedup.NumBands).map { b =>
+        val m = (b * Dedup.BandSize until (b + 1) * Dedup.BandSize)
+          .map(i => s"mh$i").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
+      }.mkString("\n UNION ALL ")
+      s"""$MinhashSigSql,
+         |band AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key
+         |    AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 1),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+         |allc AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |  FROM ds a JOIN ds b ON a.shingle = b.shingle
+         |    AND a.doc_id % 4 = 0 AND b.doc_id % 4 = 1
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT id1, id2 FROM allc
+         |    JOIN sizes s1 ON s1.doc_id = id1
+         |    JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE inter * 2 >= (s1.n + s2.n - inter) * 1),
+         |routedc AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |    JOIN ds a ON a.doc_id = c.id1
+         |    JOIN ds b ON b.doc_id = c.id2 AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |routed AS (
+         |  SELECT id1, id2 FROM routedc
+         |    JOIN sizes s1 ON s1.doc_id = id1
+         |    JOIN sizes s2 ON s2.doc_id = id2
+         |  WHERE inter * 2 >= (s1.n + s2.n - inter) * 1),
+         |ne AS (SELECT count(*) AS n_exact FROM exact),
+         |nr AS (SELECT count(*) AS n_routed FROM routed),
+         |nh AS (SELECT count(*) AS n_hit
+         |       FROM routed r JOIN exact e
+         |         ON r.id1 = e.id1 AND r.id2 = e.id2)
+         |SELECT n_exact, n_routed, n_hit,
+         |  round(CASE WHEN n_exact = 0 THEN 1.0
+         |        ELSE CAST(n_hit AS DOUBLE) / n_exact END, 4) AS recall4
+         |FROM ne, nr, nh""".stripMargin
     },
 
     // cross-corpus routed join: same banding, candidates restricted

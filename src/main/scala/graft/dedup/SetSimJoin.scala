@@ -242,10 +242,14 @@ object SetSimJoin {
     * jaccard) — id1/id2 are NOT ordered against each other (they
     * live in different id spaces). */
   def jaccardJoinRS(left: DataFrame, right: DataFrame,
-                    tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+                    tNum: Long = 1L, tDen: Long = 2L): DataFrame =
+    jaccardJoinRSOfShingles(shingleRelation(left), shingleRelation(right),
+      tNum, tDen)
+
+  private[graft] def jaccardJoinRSOfShingles(lds: DataFrame, rds: DataFrame,
+                                             tNum: Long, tDen: Long)
+      : DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val lds = shingleRelation(left)
-    val rds = shingleRelation(right)
     // ONE shared global order: df over the union corpus, computed
     // with the fused one-exchange window (the adopted self-join
     // shape), then split back per side. `side` rides through the
@@ -344,6 +348,38 @@ object SetSimJoin {
       cand.select(col("id2").as("doc_id")).distinct(),
       Seq("doc_id"), "left_semi"))
     verifyCandidatesRS(cand, lds, rds, tNum, tDen)
+  }
+
+  /** [[routeRecall]] for the R-S composition: routed vs exact over
+    * the SAME pair of relations, one shingle relation per side
+    * serving both paths. Output: one row (n_exact, n_routed, n_hit,
+    * recall4). Same cost note as the self-join eval — the exact
+    * ground truth dominates; run on sampled/gated slices, never the
+    * full corpora (the shipped query gates each side to a quarter of
+    * the corpus). */
+  def routeRecallRS(left: DataFrame, right: DataFrame,
+                    tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+    val lds = shingleRelation(left)
+    val rds = shingleRelation(right)
+    val exact = jaccardJoinRSOfShingles(lds, rds, tNum, tDen)
+      .select(col("id1"), col("id2"))
+    val cand = graft.dedup.Dedup.minhashBands(left)
+      .select(col("doc_id").as("id1"), col("band"), col("key"))
+      .join(graft.dedup.Dedup.minhashBands(right)
+        .select(col("doc_id").as("id2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id1"), col("id2")).distinct()
+    val routed = verifyCandidatesRS(cand, lds, rds, tNum, tDen)
+      .select(col("id1"), col("id2"))
+    val hits = routed.join(exact, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_hit"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(routed.agg(count(lit(1)).as("n_routed"))))
+      .crossJoin(broadcast(hits))
+      .select(col("n_exact"), col("n_routed"), col("n_hit"),
+        round(when(col("n_exact") === 0L, 1.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact")), 4)
+          .as("recall4"))
   }
 
   /** [[verifyCandidates]] against two DIFFERENT shingle relations

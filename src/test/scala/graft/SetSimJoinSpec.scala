@@ -192,4 +192,16 @@ class SetSimJoinSpec extends SparkSpec {
     assert(r.getLong(2) == nRouted) // precision 1.0 → every routed pair hits
     assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
   }
+
+  test("routeRecallRS reports hit counts consistent with both R-S joins") {
+    val l = docs.filter(col("doc_id") % 2 === 0)
+    val r0 = docs.filter(col("doc_id") % 2 === 1)
+    val r = SetSimJoin.routeRecallRS(l, r0).collect()(0)
+    val nExact = SetSimJoin.jaccardJoinRS(l, r0).count()
+    val nRouted = SetSimJoin.routedJoinRS(l, r0).count()
+    assert(r.getLong(0) == nExact)
+    assert(r.getLong(1) == nRouted)
+    assert(r.getLong(2) == nRouted) // precision 1.0 across relations too
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
 }
