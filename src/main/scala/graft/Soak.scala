@@ -84,7 +84,8 @@ object Soak {
     // round-9 additions: the O(log n)-round star-contraction
     // components and the cross-corpus R-S similarity joins (exact +
     // routed)
-    "graph_components", "dedup_setsim_rs", "dedup_route_rs")
+    "graph_components", "dedup_setsim_rs", "dedup_route_rs",
+    "dedup_route_rs_recall")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
