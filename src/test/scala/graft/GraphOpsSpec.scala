@@ -191,6 +191,51 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals local union-find on mixed random topologies") {
+    // an independent oracle (path-compressed union-find on the
+    // driver) over topologies that stress different convergence
+    // paths: sparse random, dense random, chain+star mixtures, and
+    // a graph of many small cliques
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    val topologies: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "sparse" -> {
+        val rnd = new scala.util.Random(41)
+        (1 to 120).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      },
+      "dense" -> {
+        val rnd = new scala.util.Random(42)
+        (1 to 400).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      },
+      "chains+stars" -> {
+        val chains = (0L until 30L).map(i => (i * 7 + 100, i * 7 + 107))
+        val star = (1L to 20L).map(l => (1000L, 1000L + l))
+        chains ++ star
+      },
+      "cliques" -> (for {
+        c <- 0L until 8L
+        a <- 0L until 5L; b <- (a + 1) until 5L
+      } yield (c * 10 + a, c * 10 + b)))
+    topologies.foreach { case (name, raw) =>
+      val edges = raw.filter(e => e._1 != e._2)
+      val got = GraphOps.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(edges), s"topology $name")
+    }
+  }
+
   test("connectedComponents: self-pairs and empty inputs are safe") {
     val selfs = Seq((5L, 5L), (7L, 7L)).toDF("id1", "id2")
     val got = GraphOps.connectedComponents(selfs)
