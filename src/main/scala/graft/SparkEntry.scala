@@ -3230,7 +3230,7 @@ object SparkEntry {
           .map(i => s"mh$i").mkString(" || '|' || ")
         s"SELECT doc_id, $b AS band, md5($m) AS key FROM sig"
       }.mkString("\n UNION ALL ")
-      s"""$MinhashSigSql,
+      s"""${minhashSigSql("doc_id % 4 <= 1")},
          |band AS ($bandRows),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

@@ -331,15 +331,41 @@ object SetSimJoin {
     * some candidate pair. Precision 1.0 (output ⊆ the exact R-S
     * join, spec-asserted); recall is the band configuration's, same
     * contract as [[routedJoin]]. */
-  def routedJoinRS(left: DataFrame, right: DataFrame,
-                   tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
-    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    val cand = graft.dedup.Dedup.minhashBands(left)
-      .select(col("doc_id").as("id1"), col("band"), col("key"))
-      .join(graft.dedup.Dedup.minhashBands(right)
-        .select(col("doc_id").as("id2"), col("band"), col("key")),
-        Seq("band", "key"))
+  /** Cross-side LSH band collisions — the shared candidate miner of
+    * [[routedJoinRS]] and [[routeRecallRS]] (one definition, so the
+    * eval always measures the candidate set the shipped path uses).
+    * `maxBucket` bounds the degenerate-bucket blowup the same way
+    * [[graft.dedup.Dedup.minhashPairs]] does for the self-join: an
+    * oversized (band, key) bucket contributes only its `maxBucket`
+    * smallest doc_ids PER SIDE (deterministic truncation), capping
+    * per-bucket pair volume at maxBucket² instead of B_L·B_R — a
+    * common boilerplate family present in both corpora is exactly the
+    * key that would otherwise dominate the join at scale. Truncation
+    * trades recall on pathological buckets only; [[routeRecallRS]]
+    * reports it, and the default keeps exact behavior at the
+    * oracle-checked corpus sizes (no bucket approaches the cap). The
+    * per-side row_number window shuffles on (band, key) — the same
+    * keys the collision join needs, so the cap adds a sort, not an
+    * exchange. */
+  private def bandCollisionsRS(left: DataFrame, right: DataFrame,
+                               maxBucket: Int): DataFrame = {
+    def capped(docs: DataFrame, idName: String): DataFrame = {
+      val w = Window.partitionBy(col("band"), col("key"))
+        .orderBy(col("doc_id"))
+      graft.dedup.Dedup.minhashBands(docs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxBucket)
+        .select(col("doc_id").as(idName), col("band"), col("key"))
+    }
+    capped(left, "id1").join(capped(right, "id2"), Seq("band", "key"))
       .select(col("id1"), col("id2")).distinct()
+  }
+
+  def routedJoinRS(left: DataFrame, right: DataFrame,
+                   tNum: Long = 1L, tDen: Long = 2L,
+                   maxBucket: Int = 10000): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val cand = bandCollisionsRS(left, right, maxBucket)
       .localCheckpoint()
     val lds = shingleRelation(left.join(
       cand.select(col("id1").as("doc_id")).distinct(),
@@ -358,18 +384,14 @@ object SetSimJoin {
     * full corpora (the shipped query gates each side to a quarter of
     * the corpus). */
   def routeRecallRS(left: DataFrame, right: DataFrame,
-                    tNum: Long = 1L, tDen: Long = 2L): DataFrame = {
+                    tNum: Long = 1L, tDen: Long = 2L,
+                    maxBucket: Int = 10000): DataFrame = {
     val lds = shingleRelation(left)
     val rds = shingleRelation(right)
     val exact = jaccardJoinRSOfShingles(lds, rds, tNum, tDen)
       .select(col("id1"), col("id2"))
-    val cand = graft.dedup.Dedup.minhashBands(left)
-      .select(col("doc_id").as("id1"), col("band"), col("key"))
-      .join(graft.dedup.Dedup.minhashBands(right)
-        .select(col("doc_id").as("id2"), col("band"), col("key")),
-        Seq("band", "key"))
-      .select(col("id1"), col("id2")).distinct()
-    val routed = verifyCandidatesRS(cand, lds, rds, tNum, tDen)
+    val routed = verifyCandidatesRS(
+        bandCollisionsRS(left, right, maxBucket), lds, rds, tNum, tDen)
       .select(col("id1"), col("id2"))
     val hits = routed.join(exact, Seq("id1", "id2"))
       .agg(count(lit(1)).as("n_hit"))

@@ -43,12 +43,13 @@ object GraphOps {
     * per-round materialization would only add a full job per round —
     * instead the edge list materializes once and the rank vector only
     * every `checkpointEvery` rounds, bounding both plan depth and the
-    * recomputation a lost executor could trigger at scale. */
-  /** Fixed-iteration PageRank, executed under the SESSION'S OWN conf
-    * — pageRank mutates no session state, so it is reentrant and safe
-    * next to concurrent queries (a library operator's obligation; the
-    * round-8 version toggled session-global AQE off for its
-    * iterations and was neither).
+    * recomputation a lost executor could trigger at scale.
+    *
+    * Executes under the SESSION'S OWN conf — pageRank mutates no
+    * session state, so it is reentrant and safe next to concurrent
+    * queries (a library operator's obligation; the round-8 version
+    * toggled session-global AQE off for its iterations and was
+    * neither).
     *
     * The AQE history, so it is not re-litigated: round 8 measured
     * AQE-off winning the iterations at sf1 (11.8 vs 21.2 s, min of

@@ -150,13 +150,17 @@ object Snapshots {
 
   /** Newest mtime under a snapshot directory — the snapshot's age
     * anchor (directory mtimes alone are unreliable across stores; the
-    * newest FILE is when the snapshot finished writing). */
+    * newest FILE is when the snapshot finished writing). The fold
+    * SEEDS with the directory's own mtime, never 0: a directory a
+    * publisher just created but has not yet written a file into would
+    * otherwise read as infinitely old and lose exactly the in-flight
+    * shielding min-age promises. */
   private def newestFileMillis(dir: java.nio.file.Path): Long = {
     val walk = Files.walk(dir)
     try walk.iterator().asScala
       .filter(Files.isRegularFile(_))
       .map(Files.getLastModifiedTime(_).toMillis)
-      .foldLeft(0L)(math.max)
+      .foldLeft(Files.getLastModifiedTime(dir).toMillis)(math.max)
     finally walk.close()
   }
 
