@@ -663,6 +663,16 @@ object SparkEntry {
       operators.GraphOps.connectedComponents(
           Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"))
         .sortWithinPartitions("doc_id")),
+    // proximity to a trusted seed set (every 7th doc): min similarity
+    // hops caps at 10 — the seed-expansion / contamination-spread
+    // grade the component labels can't give (reachable-or-not only)
+    "graph_bfs" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.GraphOps.bfsHops(
+          Dedup.simhashPairs(docs).select("id1", "id2"),
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+        .sortWithinPartitions("doc_id")
+    }),
     "dedup_embedding_cosine" -> q((s, d) =>
       Knn.nearDupPairs(Tables.embeddings(s, d))),
 
@@ -3076,6 +3086,41 @@ object SparkEntry {
          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    },
+
+    // min hop distance from the seed set (doc_id % 7 = 0, restricted
+    // to pair-graph nodes): the walk recursion is bounded at hops < 10
+    // — the operator's maxHops cap — so a (node, hops) state space of
+    // |V|×11 terminates the recursive UNION, and min(hops) over the
+    // bounded walks IS the BFS distance for every node within the cap
+    // while nodes beyond it are absent from both engines
+    "graph_bfs" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |      UNION SELECT id2, id1 FROM ed0),
+         |seeds AS (SELECT DISTINCT a AS doc_id FROM e WHERE a % 7 = 0),
+         |walk AS (
+         |  SELECT doc_id, 0 AS hops FROM seeds
+         |  UNION
+         |  SELECT e2.b, w.hops + 1 FROM walk w JOIN e e2 ON w.doc_id = e2.a
+         |  WHERE w.hops < 10)
+         |SELECT doc_id, min(hops) AS hops FROM walk
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "graph_pagerank" -> {

@@ -205,6 +205,63 @@ object GraphOps {
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Multi-source BFS over an UNDIRECTED edge list `pairs` (columns
+    * id1, id2): minimum hop distance from any node of `seeds` (a
+    * 1-column relation of node ids) to every reachable node, capped
+    * at `maxHops`. Returns (doc_id, hops) for nodes at distance
+    * ≤ maxHops ONLY — seeds outside the pair graph and nodes beyond
+    * the cap are absent, so the cap is part of the output contract
+    * (the oracle bounds its path recursion identically).
+    *
+    * This is the curation primitive the component/cluster labels
+    * don't give: PROXIMITY to a trusted set — "how many similarity
+    * hops from a known-good (or known-bad) document" grades
+    * contamination spread and seed-set expansion, where
+    * [[connectedComponents]] only answers reachable-or-not.
+    *
+    * Scale posture (100 TB): textbook frontier BSP. The edge list
+    * materializes once, hash-partitioned on src, so each round's
+    * frontier-expansion join shuffles ONLY the frontier (≤ |V| rows,
+    * not |E|); the visited set is a union of per-round MATERIALIZED
+    * frontiers — lineage depth one per round, nothing recomputes —
+    * and each new frontier anti-joins against it so work per round is
+    * proportional to the frontier, the property that makes BFS finish
+    * on graphs where per-round full-relabel passes don't. The loop
+    * exits on the first empty frontier (one driver Boolean per round,
+    * the same convergence probe the other iterative operators use). */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 0, "bfsHops: maxHops must be >= 0")
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val edges = materialize(
+      pairsM.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .repartition(col("src")))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val seedCol = seeds.columns.head
+    // hop 0 = seed nodes that exist in the graph; left_semi keeps the
+    // node set's own (deduplicated) rows whatever the seed relation is
+    var frontier = materialize(
+      nodes.join(seeds.select(col(seedCol).as("doc_id")), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), lit(0).as("hops")))
+    var visited = Vector(frontier)
+    var hop = 0
+    var done = frontier.isEmpty
+    while (!done && hop < maxHops) {
+      hop += 1
+      val dist = visited.reduce(_ unionByName _).select(col("doc_id"))
+      val next = materialize(
+        edges.join(frontier.select(col("doc_id").as("src")), Seq("src"))
+          .select(col("dst").as("doc_id")).distinct()
+          .join(dist, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(hop).as("hops")))
+      if (next.isEmpty) done = true
+      else { visited = visited :+ next; frontier = next }
+    }
+    visited.reduce(_ unionByName _)
+  }
+
   /** Structural convergence test for [[connectedComponents]]: a
     * canonical (a < b, distinct) edge set is a min-rooted star forest
     * iff NO node appears as both a source and a target (depth ≤ 1)

@@ -245,6 +245,76 @@ class GraphOpsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("id1", "id2")).count() == 0)
   }
 
+  test("bfsHops: chain distances, multi-seed min, unreachable excluded") {
+    // chain 0-1-...-9 plus a disconnected pair (100, 101)
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) :+ (100L, 101L))
+      .toDF("id1", "id2")
+    val fromZero = GraphOps.bfsHops(pairs, Seq(0L).toDF("seed"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(fromZero == (0L to 9L).map(i => i -> i.toInt).toMap,
+      "hop = chain position; the disconnected pair never appears")
+    // two seeds: every node takes the NEARER one
+    val twoSeeds = GraphOps.bfsHops(pairs, Seq(0L, 9L).toDF("seed"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(twoSeeds == (0L to 9L).map(i => i -> math.min(i, 9 - i).toInt).toMap)
+  }
+
+  test("bfsHops: maxHops caps the output; cycle distances wrap both ways") {
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("id1", "id2")
+    val d = GraphOps.bfsHops(cycle, Seq(0L).toDF("seed"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(d == Map(0L -> 0, 1L -> 1, 7L -> 1, 2L -> 2, 6L -> 2,
+      3L -> 3, 5L -> 3, 4L -> 4), "cycle distance is min of both directions")
+    val capped = GraphOps.bfsHops(cycle, Seq(0L).toDF("seed"), maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(capped == Map(0L -> 0, 1L -> 1, 7L -> 1, 2L -> 2, 6L -> 2),
+      "nodes beyond the cap are absent, not clamped")
+  }
+
+  test("bfsHops: seeds outside the graph and empty seed sets are safe") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val ghost = GraphOps.bfsHops(pairs, Seq(99L).toDF("seed")).collect()
+    assert(ghost.isEmpty, "a seed absent from the graph reaches nothing")
+    val none = GraphOps.bfsHops(pairs, Seq.empty[Long].toDF("seed")).collect()
+    assert(none.isEmpty)
+    val mixed = GraphOps.bfsHops(pairs, Seq(99L, 3L).toDF("seed"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(mixed == Map(3L -> 0, 2L -> 1, 1L -> 2),
+      "in-graph seeds still expand next to absent ones")
+  }
+
+  test("bfsHops equals driver-side BFS on random graphs, any partitioning") {
+    def driverBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+                  cap: Int): Map[Long, Int] = {
+      val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+      val nodes = adj.keySet
+      val dist = scala.collection.mutable.Map.empty[Long, Int]
+      var frontier = seeds.intersect(nodes)
+      frontier.foreach(dist(_) = 0)
+      var h = 0
+      while (frontier.nonEmpty && h < cap) {
+        h += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(dist(_) = h)
+      }
+      dist.toMap
+    }
+    for (seed <- Seq(7, 23); parts <- Seq(1, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 200)
+        .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter(e => e._1 != e._2)
+      val seedNodes = (0L until 150L).filter(_ % 13 == 0).toSet
+      val got = GraphOps.bfsHops(edges.toDF("id1", "id2").repartition(parts),
+          seedNodes.toSeq.toDF("seed"), maxHops = 6)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(got == driverBfs(edges, seedNodes, cap = 6),
+        s"seed $seed parts $parts")
+    }
+  }
+
   test("triangle census: self-loops and empty graphs are safe") {
     import spark.implicits._
     val loops = Seq((1L, 1L), (2L, 2L)).toDF("id1", "id2")
