@@ -219,32 +219,95 @@ object GraphOps {
     * contamination spread and seed-set expansion, where
     * [[connectedComponents]] only answers reachable-or-not.
     *
-    * Scale posture (100 TB): textbook frontier BSP. The edge list
-    * materializes once, hash-partitioned on src, so each round's
-    * frontier-expansion join shuffles ONLY the frontier (≤ |V| rows,
-    * not |E|); the visited set is a union of per-round MATERIALIZED
-    * frontiers — lineage depth one per round, nothing recomputes —
-    * and each new frontier anti-joins against it so work per round is
-    * proportional to the frontier, the property that makes BFS finish
-    * on graphs where per-round full-relabel passes don't. The loop
-    * exits on the first empty frontier (one driver Boolean per round,
-    * the same convergence probe the other iterative operators use). */
-  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 10): DataFrame = {
+    * Scale posture (100 TB): textbook frontier BSP, one Spark job per
+    * round. The edge list checkpoints once, hash-partitioned on src
+    * (symmetrized by a single explode pass — the pair source is
+    * scanned once — and deduplicated by a post-repartition aggregate
+    * that reuses that partitioning, so setup is ONE exchange). Each
+    * round joins the frontier (a narrow filter on the distance
+    * relation, whose groupBy partitioning aligns with the edges' —
+    * no exchange on either join side) and folds the candidates in
+    * with ONE min-aggregate shuffle: rows whose min stays at an older
+    * hop are exactly the already-visited ones, so the aggregate IS
+    * the dedup + anti-join. The round's `count()` doubles as the
+    * materialization action (lazy localCheckpoint — lineage depth one
+    * per round) AND the convergence probe: the relation only ever
+    * grows, so a stable count means an empty frontier and the loop
+    * exits without a separate isEmpty job.
+    *
+    * `aggShape = false` keeps the first-cut distinct + anti-join
+    * round for [[graft.AbBfs]]'s interleaved comparison: two extra
+    * shuffles and a second job per round, plus an anti-join side that
+    * re-scans every prior frontier checkpoint. At sf0.1 the shapes
+    * TIE within session noise (both ~3.1-3.5 s; per-round cost is
+    * 0.06-0.11 s against ~1.5 s of pair-gen + setup, profiled per
+    * round) — the agg fold is kept because its per-round cost is one
+    * shuffle of the |V|-row distance relation with O(1) checkpoint
+    * scans, where the anti-join shape scans all k prior frontier
+    * checkpoints in round k, the term that grows with graph diameter
+    * at 100 TB. */
+  def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 10,
+              aggShape: Boolean = true): DataFrame = {
     require(maxHops >= 0, "bfsHops: maxHops must be >= 0")
-    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
-    val edges = materialize(
-      pairsM.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .repartition(col("src")))
-    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    val sym = pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    if (aggShape) {
+      // lazy checkpoints: hop0's count() below materializes the whole
+      // setup chain — edges included — in a single job
+      val edges = sym.repartition(col("src")).dropDuplicates("src", "dst")
+        .localCheckpoint(eager = false)
+      val hop0 = bfsSeedFrontier(edges, seeds).localCheckpoint(eager = false)
+      bfsRoundsAgg(edges, hop0, maxHops)
+    } else {
+      val edges = sym.distinct().repartition(col("src"))
+        .localCheckpoint(eager = true)
+      val hop0 = materialize(bfsSeedFrontier(edges, seeds))
+      bfsRoundsAntiJoin(edges, hop0, maxHops)
+    }
+  }
+
+  /** Hop 0 = seed nodes that exist in the graph; left_semi keeps the
+    * node set's own (deduplicated) rows whatever the seed relation
+    * holds. Every node of the symmetrized edge list appears as a src,
+    * so src alone covers the vertex set. */
+  private def bfsSeedFrontier(edges: DataFrame, seeds: DataFrame): DataFrame = {
     val seedCol = seeds.columns.head
-    // hop 0 = seed nodes that exist in the graph; left_semi keeps the
-    // node set's own (deduplicated) rows whatever the seed relation is
-    var frontier = materialize(
-      nodes.join(seeds.select(col(seedCol).as("doc_id")), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), lit(0).as("hops")))
+    edges.select(col("src").as("doc_id")).distinct()
+      .join(seeds.select(col(seedCol).as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), lit(0).as("hops"))
+  }
+
+  /** One job and one shuffle per round:
+    * dist ∪ (edges ⋈ frontier) → min(hops), count as the probe. */
+  private def bfsRoundsAgg(edges: DataFrame, hop0: DataFrame,
+                           maxHops: Int): DataFrame = {
+    var dist = hop0
+    var size = dist.count()
+    var hop = 0
+    var done = size == 0L
+    while (!done && hop < maxHops) {
+      hop += 1
+      val frontier = dist.filter(col("hops") === hop - 1)
+      val cand = edges.join(frontier.select(col("doc_id").as("src")), Seq("src"))
+        .select(col("dst").as("doc_id"), lit(hop).as("hops"))
+      dist = dist.unionByName(cand).groupBy("doc_id")
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = false)
+      val n = dist.count()
+      done = n == size
+      size = n
+    }
+    dist
+  }
+
+  /** First-cut round shape: distinct + anti-join vs all prior
+    * frontiers (three shuffles; measurement baseline only). */
+  private def bfsRoundsAntiJoin(edges: DataFrame, hop0: DataFrame,
+                                maxHops: Int): DataFrame = {
+    var frontier = hop0
     var visited = Vector(frontier)
     var hop = 0
     var done = frontier.isEmpty
