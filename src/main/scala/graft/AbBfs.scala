@@ -13,14 +13,16 @@ import graft.operators.GraphOps
   * Both produce identical output (asserted here per rep); the
   * question is purely per-round cost at a given scale.
   *
-  * Round-9 result at sf0.1 (idle machine, 5 interleaved reps): the
+  * Round-9 result. sf0.1 (idle machine, 5 interleaved reps): the
   * shapes TIE — agg-fold min 3.40 / median 3.51 s, anti-join min
   * 3.13 / median 3.35 s, parity 0 — because the similarity graph's
   * diameter is ~3 and per-round cost (0.06-0.11 s, profiled) is
-  * dwarfed by pair generation + edge setup (~1.5 s). The agg fold
-  * ships anyway: its round cost is one shuffle with O(1) checkpoint
-  * scans, where the anti-join round re-scans k checkpoints at round
-  * k — the term that grows with diameter at scale.
+  * dwarfed by pair generation + edge setup (~1.5 s). sf1 (10× data,
+  * 3 interleaved reps): agg-fold wins EVERY rep — min 17.11 /
+  * median 17.75 s vs anti-join 18.14 / 19.27 s — the scale where the
+  * round cost matters. The agg fold ships: one shuffle per round
+  * with O(1) checkpoint scans, where the anti-join round re-scans k
+  * checkpoints at round k — the term that grows with diameter.
   *
   * Usage: runMain graft.AbBfs [sfDir] [reps]
   */

@@ -85,7 +85,9 @@ object Soak {
     // components and the cross-corpus R-S similarity joins (exact +
     // routed)
     "graph_components", "dedup_setsim_rs", "dedup_route_rs",
-    "dedup_route_rs_recall")
+    "dedup_route_rs_recall",
+    // late round 9: seed-proximity BFS over the similarity graph
+    "graph_bfs")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
