@@ -673,6 +673,14 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
         .sortWithinPartitions("doc_id")
     }),
+    // dense near-dup cores: nodes similar to ≥3 others AFTER peeling —
+    // template farms and mirror rings, where components/bfs only say
+    // reachable (a star's leaves share a component but peel out here)
+    "graph_kcore" -> q((s, d) =>
+      operators.GraphOps.kCore(
+          Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"),
+          k = 3)
+        .sortWithinPartitions("doc_id")),
     "dedup_embedding_cosine" -> q((s, d) =>
       Knn.nearDupPairs(Tables.embeddings(s, d))),
 
@@ -3121,6 +3129,45 @@ object SparkEntry {
          |  WHERE w.hops < 10)
          |SELECT doc_id, min(hops) AS hops FROM walk
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // 3-core by explicit peel recursion: level i carries the edge set
+    // after i peels (a window count per endpoint is that level's
+    // degree), bounded at 30 peels exactly like the operator; a
+    // converged set reproduces itself through the remaining levels,
+    // so the iter = 30 slice IS the fixpoint whenever the peel
+    // converges within the bound and the 30-peel prefix otherwise —
+    // the same contract on both engines
+    "graph_kcore" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS src, id2 AS dst FROM ed0 WHERE id1 <> id2
+         |      UNION SELECT id2, id1 FROM ed0 WHERE id1 <> id2),
+         |peel AS (
+         |  SELECT src, dst, 0 AS iter FROM e
+         |  UNION ALL
+         |  SELECT src, dst, iter + 1 FROM (
+         |    SELECT src, dst, iter,
+         |           count(*) OVER (PARTITION BY iter, src) AS dsrc,
+         |           count(*) OVER (PARTITION BY iter, dst) AS ddst
+         |    FROM peel)
+         |  WHERE iter < 30 AND dsrc >= 3 AND ddst >= 3)
+         |SELECT DISTINCT src AS doc_id FROM peel WHERE iter = 30
+         |ORDER BY doc_id""".stripMargin
     },
 
     "graph_pagerank" -> {

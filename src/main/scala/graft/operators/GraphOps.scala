@@ -249,11 +249,7 @@ object GraphOps {
   def bfsHops(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 10,
               aggShape: Boolean = true): DataFrame = {
     require(maxHops >= 0, "bfsHops: maxHops must be >= 0")
-    val sym = pairs.select(explode(array(
-        struct(col("id1").as("src"), col("id2").as("dst")),
-        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .filter(col("src") =!= col("dst"))
+    val sym = symmetrize(pairs)
     if (aggShape) {
       // lazy checkpoints: hop0's count() below materializes the whole
       // setup chain — edges included — in a single job
@@ -268,6 +264,16 @@ object GraphOps {
       bfsRoundsAntiJoin(edges, hop0, maxHops)
     }
   }
+
+  /** Both directions of an (id1, id2) pair list as (src, dst) rows,
+    * self-loops dropped — ONE pass over the source (explode, not a
+    * self-union, so an expensive upstream miner is scanned once). */
+  private def symmetrize(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
 
   /** Hop 0 = seed nodes that exist in the graph; left_semi keeps the
     * node set's own (deduplicated) rows whatever the seed relation
@@ -323,6 +329,57 @@ object GraphOps {
       else { visited = visited :+ next; frontier = next }
     }
     visited.reduce(_ unionByName _)
+  }
+
+  /** k-core of an UNDIRECTED edge list `pairs` (columns id1, id2):
+    * the maximal subgraph in which every node has degree ≥ k,
+    * computed by the standard peel — repeatedly drop every node whose
+    * CURRENT degree is below k until a fixpoint (or `maxRounds`
+    * peels; a converged graph is a no-op under further peels, so the
+    * bound only matters for adversarially deep peel chains and the
+    * oracle applies the identical bound). Returns the surviving node
+    * ids as (doc_id).
+    *
+    * The curation read: in a near-duplicate similarity graph, plain
+    * components find reachable groups but a k-core finds the DENSE
+    * groups — template farms, boilerplate rings, mirror clusters —
+    * where every member is similar to k+ others. Pairs and stars
+    * (one hub, many leaves) peel away; mutually-similar cliques
+    * survive. That makes core membership a per-document removal
+    * signal components can't give (a star's leaves share a component
+    * with the hub but are NOT in its 2-core).
+    *
+    * Scale posture (100 TB): one job and at most one |E|-row shuffle
+    * per peel round. Degrees reuse the edge relation's src hash
+    * partitioning (no exchange); dropped nodes come back as an
+    * anti-join on both endpoints, and because the dropped set shrinks
+    * to near-nothing after the first rounds AQE turns those
+    * anti-joins into broadcasts — late rounds shuffle nothing. The
+    * round's `count()` doubles as the lazy-checkpoint materialization
+    * and the convergence probe: peeling only removes edges, so a
+    * stable edge count ⟺ no node dropped ⟺ fixpoint. */
+  def kCore(pairs: DataFrame, k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    require(maxRounds >= 0, "kCore: maxRounds must be >= 0")
+    var edges = symmetrize(pairs)
+      .repartition(col("src")).dropDuplicates("src", "dst")
+      .localCheckpoint(eager = false)
+    var size = edges.count()
+    var round = 0
+    var done = size == 0L
+    while (!done && round < maxRounds) {
+      round += 1
+      val dropped = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src"))
+      edges = edges.join(dropped, Seq("src"), "left_anti")
+        .join(dropped.select(col("src").as("dst")), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(eager = false)
+      val n = edges.count()
+      done = n == size
+      size = n
+    }
+    edges.select(col("src").as("doc_id")).distinct()
   }
 
   /** Structural convergence test for [[connectedComponents]]: a

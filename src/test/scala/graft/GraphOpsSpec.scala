@@ -315,6 +315,69 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("kCore: stars and chains peel away, cliques survive") {
+    // triangle {1,2,3} + tail 3-4-5 + star hub 10 with leaves 11-14
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)) ++
+      (11L to 14L).map(l => (10L, l))).toDF("id1", "id2")
+    val core2 = GraphOps.kCore(pairs, k = 2).collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L),
+      "only the triangle is 2-mutually-similar; the tail and the star peel")
+    assert(GraphOps.kCore(pairs, k = 3).collect().isEmpty,
+      "a triangle has degree 2 — no 3-core anywhere")
+    // k=1 keeps every non-self-loop node (no peel fires)
+    val core1 = GraphOps.kCore(pairs, k = 1).collect().map(_.getLong(0)).toSet
+    assert(core1 == Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("kCore: peeling cascades — removing leaves can unravel a whole chain") {
+    // path 0-1-...-19: every 2-core peel round removes both current
+    // endpoints, so the chain unravels end-in; 10 rounds empty it
+    val path = (0L until 19L).map(i => (i, i + 1)).toDF("id1", "id2")
+    assert(GraphOps.kCore(path, k = 2).collect().isEmpty,
+      "a path has no cycle, hence no 2-core")
+    // maxRounds below the peel depth leaves the unconverged middle —
+    // the documented bound-is-part-of-the-contract behavior
+    val partial = GraphOps.kCore(path, k = 2, maxRounds = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(partial == (3L to 16L).toSet,
+      "3 peels strip exactly 3 nodes from each end")
+  }
+
+  test("kCore: self-loops don't count toward degree; empty input is safe") {
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("id1", "id2")
+    assert(GraphOps.kCore(loops, k = 2).collect().isEmpty,
+      "1-2 is a single undirected edge; self-loops add no degree")
+    assert(GraphOps.kCore(
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), k = 2).collect().isEmpty)
+  }
+
+  test("kCore equals driver-side peel on random graphs, any partitioning") {
+    def driverKCore(edges: Seq[(Long, Long)], k: Int): Set[Long] = {
+      var adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+        .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+        changed = drop.nonEmpty
+        adj = adj.removedAll(drop).map { case (n, nb) => n -> (nb -- drop) }
+          .filter(_._2.nonEmpty)
+      }
+      adj.keySet
+    }
+    for (seed <- Seq(11, 42); parts <- Seq(1, 7); k <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 300)
+        .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter(e => e._1 != e._2)
+      // maxRounds high enough that the operator reaches the true
+      // fixpoint the driver model computes
+      val got = GraphOps.kCore(edges.toDF("id1", "id2").repartition(parts), k,
+          maxRounds = 200)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == driverKCore(edges, k), s"seed $seed parts $parts k $k")
+    }
+  }
+
   test("triangle census: self-loops and empty graphs are safe") {
     import spark.implicits._
     val loops = Seq((1L, 1L), (2L, 2L)).toDF("id1", "id2")
