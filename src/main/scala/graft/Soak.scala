@@ -86,9 +86,9 @@ object Soak {
     // routed)
     "graph_components", "dedup_setsim_rs", "dedup_route_rs",
     "dedup_route_rs_recall",
-    // late round 9: seed-proximity BFS and dense-core peel over the
-    // similarity graph
-    "graph_bfs", "graph_kcore")
+    // late round 9: seed-proximity BFS, dense-core peel, and
+    // incremental components over the similarity graph
+    "graph_bfs", "graph_kcore", "graph_components_delta")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

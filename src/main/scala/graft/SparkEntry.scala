@@ -673,6 +673,24 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
         .sortWithinPartitions("doc_id")
     }),
+    // incremental clustering: label the even-doc "yesterday" subgraph,
+    // then fold the odd-involving delta in WITHOUT re-clustering —
+    // result must equal from-scratch components over the full graph
+    // (the equivalence the oracle checks: same closure SQL as
+    // graph_components)
+    "graph_components_delta" -> q((s, d) => {
+      val pairs = Dedup.simhashPairs(Tables.documents(s, d))
+        .select("id1", "id2").localCheckpoint(true)
+      // prior labeling via the same shape-independent contraction the
+      // fold uses (an interleaved-ish A/B vs a min-label prior was a
+      // wash at sf0.1 — mins 5.6 vs 6.5 s across adjacent sessions —
+      // and this form has no chain-depth cap to trip)
+      val prev = operators.GraphOps.connectedComponents(
+        pairs.filter(col("id1") % 2 === 0 && col("id2") % 2 === 0))
+      operators.GraphOps.componentsDelta(prev,
+          pairs.filter(col("id1") % 2 =!= 0 || col("id2") % 2 =!= 0))
+        .sortWithinPartitions("doc_id")
+    }),
     // dense near-dup cores: nodes similar to ≥3 others AFTER peeling —
     // template farms and mirror rings, where components/bfs only say
     // reachable (a star's leaves share a component but peel out here)
@@ -3070,6 +3088,38 @@ object SparkEntry {
     // fixpoint equals the component minimum, which the recursive
     // closure computes exactly (same oracle idea as dedup_clusters)
     "graph_components" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |      UNION SELECT id2, id1 FROM ed0),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    },
+
+    // incremental = from-scratch is the CLAIM under test, so the
+    // oracle for the delta-folded labeling is literally the
+    // full-graph closure: Spark clusters the even-doc subgraph, folds
+    // the odd-involving delta in as label stars, and must land on the
+    // same labels the closure computes over every pair
+    "graph_components_delta" -> {
       val hammingTerms = (1 to 16).map(i =>
         s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
         .mkString(" + ")

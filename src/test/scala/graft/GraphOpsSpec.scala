@@ -315,6 +315,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("componentsDelta: merges, untouched components, and singletons") {
+    // prior world: component {1,2,3} rooted at 1, component {10,11}
+    // rooted at 10, singleton {20}
+    val prev = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "cluster_id")
+    // delta: 3-10 merges the two components; 30-31 is brand new
+    val delta = Seq((3L, 10L), (30L, 31L)).toDF("id1", "id2")
+    val got = GraphOps.componentsDelta(prev, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L),
+      "merged component takes the global min; the untouched singleton survives")
+  }
+
+  test("componentsDelta(cc(A), B) == cc(A ∪ B) on random splits") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 250)
+        .map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      val (a, b) = edges.partition(_ => rnd.nextBoolean())
+      val full = GraphOps.connectedComponents(edges.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prev = GraphOps.connectedComponents(a.toDF("id1", "id2"))
+      val inc = GraphOps.componentsDelta(prev, b.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the incremental labeling covers A's nodes ∪ B's nodes = the
+      // full graph's nodes, with identical labels
+      assert(inc == full, s"seed $seed")
+    }
+  }
+
   test("kCore: stars and chains peel away, cliques survive") {
     // triangle {1,2,3} + tail 3-4-5 + star hub 10 with leaves 11-14
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)) ++
