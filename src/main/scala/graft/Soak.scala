@@ -86,9 +86,10 @@ object Soak {
     // routed)
     "graph_components", "dedup_setsim_rs", "dedup_route_rs",
     "dedup_route_rs_recall",
-    // late round 9: seed-proximity BFS, dense-core peel, and
-    // incremental components over the similarity graph
-    "graph_bfs", "graph_kcore", "graph_components_delta")
+    // late round 9: seed-proximity BFS, dense-core peel, incremental
+    // components, and the canonical-survivor drop step
+    "graph_bfs", "graph_kcore", "graph_components_delta",
+    "dedup_canonical")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

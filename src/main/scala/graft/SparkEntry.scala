@@ -673,6 +673,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
         .sortWithinPartitions("doc_id")
     }),
+    // the DROP step the cluster labels exist for: one survivor per
+    // near-dup cluster (longest doc, ties to min id), unpaired docs
+    // survive as their own cluster
+    "dedup_canonical" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalPerCluster(docs,
+          operators.GraphOps.connectedComponents(
+            Dedup.simhashPairs(docs).select("id1", "id2")))
+        .sortWithinPartitions("doc_id")
+    }),
     // incremental clustering: label the even-doc "yesterday" subgraph,
     // then fold the odd-involving delta in WITHOUT re-clustering —
     // result must equal from-scratch components over the full graph
@@ -3112,6 +3122,45 @@ object SparkEntry {
          |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+    },
+
+    // survivors = rank-1 per closure cluster by (n_chars desc, doc_id),
+    // with unpaired documents surviving as their own cluster
+    "dedup_canonical" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |      UNION SELECT id2, id1 FROM ed0),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |alld AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+         |         d.n_chars
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         |rk AS (SELECT doc_id, cluster_id, n_chars,
+         |         row_number() OVER (PARTITION BY cluster_id
+         |           ORDER BY n_chars DESC, doc_id) AS rnk
+         |       FROM alld)
+         |SELECT doc_id, cluster_id, n_chars FROM rk WHERE rnk = 1
+         |ORDER BY doc_id""".stripMargin
     },
 
     // incremental = from-scratch is the CLAIM under test, so the

@@ -631,6 +631,33 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Canonical-document selection — the DROP step the cluster labels
+    * exist for: per near-dup cluster keep exactly ONE survivor, the
+    * document with the largest `sizeCol` (most-complete-version
+    * heuristic), ties to the smallest doc_id. `docs` must carry
+    * (doc_id, sizeCol); `labels` is a (doc_id, cluster_id) relation
+    * covering the CLUSTERED docs only — unlabeled documents are their
+    * own cluster and survive untouched. Returns
+    * (doc_id, cluster_id, <sizeCol>) for survivors.
+    *
+    * Scale shape: one broadcast-or-shuffle join docs⋈labels (labels
+    * is |paired docs| rows, far smaller than the corpus) and ONE
+    * aggregate with a map-side combine — `max(struct(size, -doc_id))`
+    * is the argmax, so no corpus-wide window sort: a window rank
+    * would range-partition and fully sort every cluster's rows where
+    * the aggregate ships one struct per cluster per partition. */
+  def canonicalPerCluster(docs: DataFrame, labels: DataFrame,
+                          sizeCol: String = "n_chars"): DataFrame =
+    docs.select(col("doc_id"), col(sizeCol))
+      .join(labels.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col(sizeCol),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col(sizeCol), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("best.neg_id").unary_-.as("doc_id"), col("cluster_id"),
+        col(s"best.$sizeCol").as(sizeCol))
+
   def dupRateOfTokens(tok: DataFrame, minDf: Int = 2): DataFrame = {
     val spans = dupSpansOfTokens(tok, minDf)
       .select(col("doc_id"), col("span_start").as("s"),

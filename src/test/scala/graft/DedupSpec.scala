@@ -333,4 +333,42 @@ class DedupSpec extends SparkSpec {
     // raising minDf above the doc frequency empties the result
     assert(Dedup.dupSpans(d, minDf = 3).count() == 0)
   }
+
+  test("canonicalPerCluster keeps the longest doc, ties to min id") {
+    val corpus = Seq(
+      (1L, 100L), (2L, 300L), (3L, 300L), // cluster 1: 2 and 3 tie on size
+      (10L, 50L),                         // unlabeled: survives as itself
+      (20L, 10L), (21L, 40L))             // cluster 20: 21 is longest
+      .toDF("doc_id", "n_chars")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.canonicalPerCluster(corpus, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((2L, 1L, 300L), (10L, 10L, 50L), (21L, 20L, 40L)),
+      "longest wins, equal lengths go to the smaller doc_id, " +
+        "unlabeled docs are their own cluster")
+  }
+
+  test("canonicalPerCluster equals the window-rank formulation") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong + 1))
+      .toDF("doc_id", "n_chars")
+    // every 3rd doc joins cluster (i / 9) * 9 — clusters of ≤ 3 docs
+    val labels = (0L until 500L by 3).map(i => (i, (i / 9) * 9))
+      .toDF("doc_id", "cluster_id")
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val all = corpus.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      all.withColumn("rnk", row_number().over(Window.partitionBy("cluster_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rnk") === 1).drop("rnk")
+        .select("doc_id", "cluster_id", "n_chars")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val got = Dedup.canonicalPerCluster(corpus, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == viaWindow)
+  }
 }
