@@ -346,6 +346,41 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming label maintenance: componentsDelta folds micro-batch deltas") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Long)](spark)
+    // the label state a real pipeline would keep in a table; foreachBatch
+    // executes serially so a plain var models it faithfully
+    var labels: Option[org.apache.spark.sql.DataFrame] = None
+    val q = input.toDF().toDF("id1", "id2").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.localCheckpoint(true)
+        labels = Some((labels match {
+          case None       => GraphOps.connectedComponents(delta)
+          case Some(prev) => GraphOps.componentsDelta(prev, delta)
+        }).localCheckpoint(true))
+        ()
+      }.start()
+    try {
+      input.addData((1L, 2L), (3L, 4L)); q.processAllAvailable()
+      input.addData((2L, 3L)); q.processAllAvailable() // merge {1,2} ∪ {3,4}
+      input.addData((10L, 11L), (4L, 10L)); q.processAllAvailable() // extend
+      val got = labels.get.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 1L, 11L -> 1L),
+        "three folded deltas converge on one min-rooted component")
+      // the invariant the operator exists for: folded-per-batch equals
+      // from-scratch over the concatenation of every delta
+      val fromScratch = GraphOps.connectedComponents(
+        Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L), (4L, 10L))
+          .toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == fromScratch)
+    } finally q.stop()
+  }
+
   test("kCore: stars and chains peel away, cliques survive") {
     // triangle {1,2,3} + tail 3-4-5 + star hub 10 with leaves 11-14
     val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)) ++
