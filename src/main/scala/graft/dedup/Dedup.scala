@@ -642,10 +642,13 @@ object Dedup {
     *
     * Scale shape: one broadcast-or-shuffle join docs⋈labels (labels
     * is |paired docs| rows, far smaller than the corpus) and ONE
-    * aggregate with a map-side combine — `max(struct(size, -doc_id))`
-    * is the argmax, so no corpus-wide window sort: a window rank
-    * would range-partition and fully sort every cluster's rows where
-    * the aggregate ships one struct per cluster per partition. */
+    * aggregate with a map-side partial combine — `max(struct(size,
+    * -doc_id))` is the argmax, so only one struct per cluster per
+    * partition crosses the exchange, where a window rank would
+    * shuffle EVERY corpus row before sorting it. The struct buffer
+    * makes the aggregate a SortAggregate (per-partition sort by the
+    * group key — CPU, not network); the plan spec pins partial-below-
+    * exchange and no-Window. */
   def canonicalPerCluster(docs: DataFrame, labels: DataFrame,
                           sizeCol: String = "n_chars"): DataFrame =
     docs.select(col("doc_id"), col(sizeCol))

@@ -349,6 +349,25 @@ class DedupSpec extends SparkSpec {
         "unlabeled docs are their own cluster")
   }
 
+  test("canonicalPerCluster plans as a partial-combined aggregate, no window") {
+    val corpus = (0L until 100L).map(i => (i, i % 7)).toDF("doc_id", "n_chars")
+    val labels = (0L until 100L by 2).map(i => (i, i / 10 * 10))
+      .toDF("doc_id", "cluster_id")
+    val plan = Dedup.canonicalPerCluster(corpus, labels)
+      .queryExecution.executedPlan.toString
+    // a window-rank formulation would exchange EVERY corpus row; the
+    // argmax must instead partial-combine map-side so only one struct
+    // per cluster per partition crosses the shuffle (the struct buffer
+    // makes it a SortAggregate — per-partition sort by the group key,
+    // no corpus-wide range sort)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_max")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      "partial aggregation must sit BELOW the exchange: " + plan)
+  }
+
   test("canonicalPerCluster equals the window-rank formulation") {
     val rnd = new scala.util.Random(3)
     val corpus = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong + 1))
