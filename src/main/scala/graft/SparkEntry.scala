@@ -571,6 +571,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.functions.Portable.exactSum(col("l_quantity")).as("sum_qty"))
         .sortWithinPartitions("fold")),
+    // leakage-safe folds: hash the CLUSTER id, not the doc id, so a
+    // near-dup pair can never straddle a train/eval split — the fold
+    // assignment doc-level hashing gets wrong by construction
+    "sample_folds_safe" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = operators.GraphOps.connectedComponents(
+        Dedup.simhashPairs(docs).select("id1", "id2"))
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("h", graft.functions.Portable.hash52(col("cluster_id")))
+        .withColumn("fold", expr("(h * 4) div 4503599627370496"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .sortWithinPartitions("fold")
+    }),
+    // fill a 1M-char budget with the longest documents first — the
+    // distributed prefix-sum selection (no single-task global window)
+    "sample_budget" -> q((s, d) =>
+      operators.Sampling.budgetSelect(Tables.documents(s, d),
+          col("doc_id"), col("n_chars"), col("n_chars"), 1000000L)
+        .sortWithinPartitions("doc_id")),
     "sample_quantiles" -> q((s, d) =>
       operators.Sampling.bernoulli(Tables.lineitem(s, d),
           concat_ws(":", col("l_orderkey"), col("l_linenumber")), 1, 10)
@@ -2971,6 +2994,54 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2)
         |    AS sum_qty
         |FROM lineitem GROUP BY fold ORDER BY fold""".stripMargin,
+
+    // leakage-safe folds: same md5 fold formula as sample_folds but
+    // over the closure's cluster labels (unpaired docs = own cluster)
+    "sample_folds_safe" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |e AS (SELECT id1 AS a, id2 AS b FROM ed0
+         |      UNION SELECT id2, id1 FROM ed0),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |alld AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id)
+         |SELECT (CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 13)
+         |          AS BIGINT) * 4) // 4503599627370496 AS fold,
+         |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+         |FROM alld GROUP BY fold ORDER BY fold""".stripMargin
+    },
+
+    // best-first selection under a cumulative budget: the window
+    // cumsum is fine at ORACLE scale; the engine side is the
+    // distributed two-pass prefix sum
+    "sample_budget" ->
+      """WITH ord AS (
+        |  SELECT doc_id, n_chars,
+        |         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        |  FROM documents)
+        |SELECT doc_id, n_chars AS score, n_chars AS cost, cum_cost
+        |FROM ord WHERE cum_cost <= 1000000 ORDER BY doc_id""".stripMargin,
 
     // estimate-from-sample composite: both engines draw the IDENTICAL
     // deterministic sample, so even the estimates hash-match

@@ -194,4 +194,48 @@ object Sampling {
       .filter(col("rnk") <= col("_m"))
       .drop("_m")
   }
+
+  /** Budget-bounded best-first selection: take rows in (`score` desc,
+    * `id` asc) order while the running sum of `cost` stays ≤ `budget`
+    * — "fill a token budget with the best documents", the corpus-
+    * selection step a fixed training-compute plan needs. All three
+    * columns must be integer-valued (cast to long); returns
+    * (doc_id, score, cost, cum_cost) for the selected prefix.
+    *
+    * Scale shape — a distributed prefix sum, NOT a global window: a
+    * running total over one global ORDER BY would plan as a single
+    * unbounded window partition (one task owns the whole corpus).
+    * Instead the corpus range-sorts once (Spark's distributed sort),
+    * pass 1 reduces each partition to ONE subtotal (collected:
+    * #partitions longs on the driver), the exclusive prefix offsets
+    * broadcast back, and pass 2 streams each partition once adding
+    * its offset — partitions whose offset already exceeds the budget
+    * return without reading a row. Result is independent of the range
+    * boundaries (the global order is total via the id tie-break), so
+    * skewed sampling can only hurt balance, never the answer. */
+  def budgetSelect(df: DataFrame, id: Column, score: Column, cost: Column,
+                   budget: Long): DataFrame = {
+    require(budget >= 0L, "budgetSelect: budget must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = df.select(id.cast("long").as("doc_id"),
+        score.cast("long").as("score"), cost.cast("long").as("cost"))
+      .repartitionByRange(col("score").desc, col("doc_id"))
+      .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .localCheckpoint(eager = true) // two passes read one layout
+      .as[(Long, Long, Long)]
+    val subtotals = ordered.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      subtotals.scanLeft(0L)(_ + _)) // offsets(i) = total before partition i
+    ordered.mapPartitions { it =>
+      var run = offsets.value(org.apache.spark.TaskContext.getPartitionId())
+      if (run > budget) Iterator.empty
+      else it.map { case (i, s, c) => run += c; (i, s, c, run) }
+        .takeWhile(_._4 <= budget)
+    }.toDF("doc_id", "score", "cost", "cum_cost")
+  }
 }

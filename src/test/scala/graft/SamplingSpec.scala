@@ -187,4 +187,46 @@ class SamplingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("budgetSelect: greedy best-first prefix, exact boundary, edge budgets") {
+    import spark.implicits._
+    // scores = ids, cost 10 each: budget 35 fits the top 3 (ids 9,8,7)
+    val df = (0L until 10L).map(i => (i, i, 10L)).toDF("id", "sc", "c")
+    val got = Sampling.budgetSelect(df, $"id", $"sc", $"c", 35L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == Map(9L -> 10L, 8L -> 20L, 7L -> 30L))
+    // exact boundary is INCLUSIVE
+    val exact = Sampling.budgetSelect(df, $"id", $"sc", $"c", 30L)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(9L, 8L, 7L))
+    assert(Sampling.budgetSelect(df, $"id", $"sc", $"c", 0L).count() == 0)
+    assert(Sampling.budgetSelect(df, $"id", $"sc", $"c", 1L).count() == 0,
+      "a budget smaller than the first cost selects nothing")
+    assert(Sampling.budgetSelect(df, $"id", $"sc", $"c", 1000L).count() == 10,
+      "a budget above the corpus total selects everything")
+    // score ties break toward the smaller id
+    val tied = Seq((1L, 5L, 10L), (2L, 5L, 10L), (3L, 5L, 10L))
+      .toDF("id", "sc", "c")
+    assert(Sampling.budgetSelect(tied, $"id", $"sc", $"c", 20L)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("budgetSelect equals the single-node cumsum on random data, any partitioning") {
+    import spark.implicits._
+    for (seed <- Seq(2, 9); parts <- Seq(1, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 1000L).map(i =>
+        (i, rnd.nextInt(50).toLong, rnd.nextInt(30).toLong))
+      val budget = 3000L
+      val expect = rows.sortBy { case (i, s, _) => (-s, i) }
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (i, s, c)) =>
+          (i, s, c, cum + c)
+        }.drop(1).takeWhile(_._4 <= budget).map(t => (t._1, t._4)).toMap
+      val got = Sampling.budgetSelect(
+          rows.toDF("id", "sc", "c").repartition(parts),
+          $"id", $"sc", $"c", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(got == expect, s"seed $seed parts $parts")
+    }
+  }
 }
