@@ -89,7 +89,8 @@ object Soak {
     // late round 9: seed-proximity BFS, dense-core peel, incremental
     // components, and the canonical-survivor drop step
     "graph_bfs", "graph_kcore", "graph_components_delta",
-    "dedup_canonical", "sample_budget", "sample_folds_safe")
+    "dedup_canonical", "sample_budget", "sample_folds_safe",
+    "skyline_parts")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

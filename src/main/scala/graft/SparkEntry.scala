@@ -155,6 +155,13 @@ object SparkEntry {
         .sortWithinPartitions("o_orderpriority")),
     "topk_lineitems" -> q((s, d) =>
       Relational.topLineitems(Tables.lineitem(s, d))),
+    // Pareto frontier of parts on (cheapest, largest) — the skyline
+    // operator as a distributed sweep line, not an n² dominance join
+    "skyline_parts" -> q((s, d) =>
+      Relational.skyline2D(Tables.part(s, d),
+          (col("p_retailprice") * 100).cast("long"), col("p_size"))
+        .select(col("a").as("price_cents"), col("b").as("p_size"), col("n"))
+        .sortWithinPartitions("price_cents")),
     "agg_event_stats" -> q((s, d) =>
       Relational.eventTypeStats(Tables.events(s, d))
         .sortWithinPartitions("event_type")),
@@ -1493,6 +1500,22 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    // skyline via the same exclusive prefix-max the engine's sweep
+    // line computes (window form is fine at oracle scale); strict
+    // compare resolves every tie class identically on both engines
+    "skyline_parts" ->
+      """WITH pts AS (
+        |  SELECT CAST(p_retailprice * 100 AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS p_size, count(*) AS n
+        |  FROM part GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT price_cents, p_size, n,
+        |    max(p_size) OVER (ORDER BY price_cents ASC, p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM pts)
+        |SELECT price_cents, p_size, n FROM sc
+        |WHERE pm IS NULL OR p_size > pm ORDER BY price_cents""".stripMargin,
 
     "agg_event_stats" ->
       """SELECT event_type, count(*) AS n,

@@ -919,4 +919,52 @@ object Relational {
       .join(broadcast(supplier), col("blamed_supp") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
   }
+
+  /** 2-D skyline (Pareto frontier — Börzsönyi, Kossmann & Stocker,
+    * ICDE 2001, "The Skyline Operator"): the points not dominated on
+    * (minimize `minimize`, maximize `maximize`) — s dominates r iff
+    * s.a ≤ r.a ∧ s.b ≥ r.b with at least one strict. Both columns
+    * must be integer-valued (cast to long). Returns one row per
+    * DISTINCT skyline point: (a, b, n = rows at that point); exact
+    * (a, b) ties are mutual non-dominators and all their rows count.
+    *
+    * Scale shape — a distributed sweep line, not the O(n²)
+    * dominance self-join: collapse to distinct points (one exact
+    * groupBy), range-sort by (a asc, b desc), and a point survives
+    * iff its b strictly exceeds the running max-b of every EARLIER
+    * point — the classic sort-scan skyline. The running max
+    * distributes exactly like [[Sampling.budgetSelect]]'s prefix sum:
+    * pass 1 reduces each partition to ONE max-b (collected:
+    * #partitions longs), exclusive prefix maxima broadcast back,
+    * pass 2 streams each partition once. Equal-a groups need no
+    * special case: the sort puts the group's max-b first, so
+    * followers fail the strict compare against their own group head,
+    * and an equal-b point at larger a fails it against the earlier
+    * point that set the max. */
+  def skyline2D(df: DataFrame, minimize: Column, maximize: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(minimize.cast("long").as("a"),
+        maximize.cast("long").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .repartitionByRange(col("a"), col("b").desc)
+      .sortWithinPartitions(col("a"), col("b").desc)
+      .localCheckpoint(eager = true) // two passes read one layout
+      .as[(Long, Long, Long)]
+    val partMax = pts.mapPartitions { it =>
+      var m = Long.MinValue
+      it.foreach(r => m = math.max(m, r._2))
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(
+      partMax.scanLeft(Long.MinValue)(math.max)) // max-b BEFORE partition i
+    pts.mapPartitions { it =>
+      var run = offsets.value(org.apache.spark.TaskContext.getPartitionId())
+      it.flatMap { case (a, b, n) =>
+        val keep = b > run
+        run = math.max(run, b)
+        if (keep) Some((a, b, n)) else None
+      }
+    }.toDF("a", "b", "n")
+  }
 }
