@@ -155,6 +155,15 @@ object SparkEntry {
         .sortWithinPartitions("o_orderpriority")),
     "topk_lineitems" -> q((s, d) =>
       Relational.topLineitems(Tables.lineitem(s, d))),
+    // metric-guaranteed string-similarity join: part names within
+    // edit distance 2, via Ed-Join's rarest-q-gram prefixes + length
+    // filter + codegen levenshtein verify (deterministic %10 slice —
+    // the oracle's quadratic truth stays gate-sized)
+    "join_editdist" -> q((s, d) =>
+      graft.dedup.EditJoin.editJoin(
+          Tables.part(s, d).filter(col("p_partkey") % 10 === 0),
+          col("p_partkey"), col("p_name"), k = 2)
+        .sortWithinPartitions("id1", "id2")),
     // Pareto frontier of parts on (cheapest, largest) — the skyline
     // operator as a distributed sweep line, not an n² dominance join
     "skyline_parts" -> q((s, d) =>
@@ -1500,6 +1509,19 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS l_extendedprice
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,
+
+    // the oracle computes the TRUE edit-distance join directly (the
+    // engine's prefix filter is lossless by the Ed-Join theorem, so
+    // truth is the comparison); the length filter keeps the
+    // quadratic pass gate-sized on the %10 slice
+    "join_editdist" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |           WHERE p_partkey % 10 = 0)
+        |SELECT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+        |FROM p a JOIN p b
+        |  ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY id1, id2""".stripMargin,
 
     // skyline via the same exclusive prefix-max the engine's sweep
     // line computes (window form is fine at oracle scale); strict
