@@ -695,6 +695,17 @@ object SparkEntry {
           Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2"),
           iterations = 5)
         .orderBy(desc("pr"), col("node")).limit(50)),
+    // TrustRank composition: teleport mass only on the trusted seed
+    // slice (every 7th doc) — ranks docs by path-weighted closeness
+    // to trusted documents, where graph_bfs only counts hops
+    "graph_ppr" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.GraphOps.personalizedPageRank(
+          Dedup.simhashPairs(docs).select("id1", "id2"),
+          docs.filter(col("doc_id") % 7 === 0).select("doc_id"),
+          iterations = 5)
+        .orderBy(desc("pr"), col("node")).limit(50)
+    }),
     // shape-independent components: the O(log n)-round star
     // contraction over the same simhash pair graph (min-label's
     // diameter-bound alternative lives at dedup_clusters)
@@ -3424,6 +3435,55 @@ object SparkEntry {
          |nn AS (SELECT count(*) AS n_nodes FROM nodesv),
          |pr0 AS (SELECT node, 1000000000000 // (SELECT n_nodes FROM nn) AS pr
          |        FROM nodesv),
+         |$iterCtes
+         |SELECT node, pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    },
+
+    // same unrolled integer recurrence with the teleport mass on the
+    // %7 seed slice only — pr0 = tele, each step mixes (15·tele)//100
+    // with the damped in-sum
+    "graph_ppr" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT t.node,
+           |    (15 * t.tele) // 100 +
+           |    (85 * coalesce(c.s, CAST(0 AS BIGINT))) // 100 AS pr
+           |  FROM tele t LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+           |    FROM edges e
+           |      JOIN pr${i - 1} p ON p.node = e.src
+           |      JOIN deg dg ON dg.src = e.src
+           |    GROUP BY e.dst) c ON c.node = t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM ed0
+         |          UNION SELECT id2, id1 FROM ed0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodesv AS (SELECT DISTINCT src AS node FROM edges),
+         |seedsv AS (SELECT node FROM nodesv WHERE node % 7 = 0),
+         |ns AS (SELECT count(*) AS n_seeds FROM seedsv),
+         |tele AS (SELECT n.node,
+         |           CASE WHEN s.node IS NOT NULL
+         |             THEN 1000000000000 // (SELECT n_seeds FROM ns)
+         |             ELSE CAST(0 AS BIGINT) END AS tele
+         |         FROM nodesv n LEFT JOIN seedsv s ON s.node = n.node),
+         |pr0 AS (SELECT node, tele AS pr FROM tele),
          |$iterCtes
          |SELECT node, pr FROM pr5
          |ORDER BY pr DESC, node LIMIT 50""".stripMargin

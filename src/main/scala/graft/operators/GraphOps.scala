@@ -80,23 +80,27 @@ object GraphOps {
       checkpointEvery)
   }
 
-  private def pageRankLoop(pairsM: DataFrame, iterations: Int,
-                           dampNum: Long, dampDen: Long, scale: Long,
-                           checkpointEvery: Int): DataFrame = {
+  /** Symmetrized (src, dst, deg) relation, materialized hash-
+    * partitioned on src — degree travels WITH each edge: one
+    * materialized relation means each rank round is a single join +
+    * a single groupBy (the division per edge row recomputes a
+    * per-src constant, free next to the exchange it avoids), and the
+    * checkpointed src layout means every round's join satisfies its
+    * distribution from storage, so only the rank vector — |V| rows,
+    * not |E| — crosses the wire per round. */
+  private def edgesWithDegree(pairsM: DataFrame): DataFrame = {
     val edges = pairsM.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-    // degree travels WITH each edge: one materialized (src, dst, deg)
-    // relation means each round is a single join + a single groupBy —
-    // the division per edge row recomputes a per-src constant, which
-    // is free next to the exchange it avoids. Materialized ALREADY
-    // hash-partitioned on src (checkpoint preserves partitioning):
-    // every round's join on e.src = p.node then satisfies its
-    // distribution from the checkpointed layout, so only the rank
-    // vector — |V| rows, not |E| — crosses the wire per round.
-    val edgesDeg = materialize(edges.as("e")
+    materialize(edges.as("e")
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src")
       .repartition(col("src")))
+  }
+
+  private def pageRankLoop(pairsM: DataFrame, iterations: Int,
+                           dampNum: Long, dampDen: Long, scale: Long,
+                           checkpointEvery: Int): DataFrame = {
+    val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     // 1-row side, explicitly broadcast: the plan must never depend on
     // AQE noticing the single-row side of a cross join
@@ -203,6 +207,68 @@ object GraphOps {
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("root"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Personalized PageRank: importance RELATIVE to a trusted seed
+    * set. Same integer recurrence as [[pageRank]] but the teleport
+    * mass lands only on seeds — tele(v) = scale/|S| for in-graph
+    * seeds, 0 elsewhere; pr₀ = tele, prₖ₊₁(v) = ((dampDen−dampNum)·
+    * tele(v)) div dampDen + (dampNum·Σᵤ→ᵥ prₖ(u)/deg(u)) div dampDen,
+    * every division a floor division so both engines agree bit-
+    * for-bit.
+    *
+    * The curation read: [[bfsHops]] grades proximity in HOPS —
+    * binary per ring, blind to how many independent paths connect a
+    * doc to the trusted set. PPR weights multiplicity and closeness
+    * together (the standard TrustRank/spam-mass construction:
+    * Gyöngyi, Garcia-Molina & Pedersen, "Combating web spam with
+    * TrustRank", VLDB 2004), so a doc similar to MANY trusted docs
+    * outranks one hanging off a single thread, and mass decays
+    * geometrically with distance.
+    *
+    * Scale posture: identical to pageRank — the (src, dst, deg)
+    * relation checkpoints once hash-partitioned on src, rounds
+    * shuffle only the |V|-row rank vector, the teleport relation
+    * materializes once and joins by node. Throws if no seed is in
+    * the graph (PPR is undefined without teleport mass). */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+                           iterations: Int = 10,
+                           dampNum: Long = 85, dampDen: Long = 100,
+                           scale: Long = 1000000000000L,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "personalizedPageRank: need 0 < damp < 1")
+    require(checkpointEvery >= 1,
+      "personalizedPageRank: checkpointEvery must be >= 1")
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val edgesDeg = edgesWithDegree(pairsM)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    val seedCol = seeds.columns.head
+    val seedNodes = nodes.join(
+      seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
+    val nSeeds = seedNodes.count()
+    if (nSeeds == 0L)
+      throw new IllegalArgumentException(
+        "personalizedPageRank: no seed appears in the graph — " +
+          "teleport mass would be undefined")
+    val tele = materialize(
+      nodes.join(seedNodes.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed").isNotNull, lit(scale / nSeeds))
+            .otherwise(lit(0L)).as("tele")))
+    var pr = tele.select(col("node"), col("tele").as("pr"))
+    for (i <- 1 to iterations) {
+      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
+        .join(tele.as("t"), col("dst") === col("t.node"))
+        .select(col("t.node"),
+          (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+            expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
+    }
+    materialize(pr)
   }
 
   /** Incremental [[connectedComponents]]: fold a NEW edge delta into

@@ -315,6 +315,71 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: mass concentrates at and decays from the seeds") {
+    // path 1-2-3-4-5 seeded at node 1: rank must strictly decay with
+    // distance from the seed
+    val path = (1L until 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val pr = GraphOps.personalizedPageRank(path, Seq(1L).toDF("seed"),
+        iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(i => pr(i) > pr(i + 1)),
+      s"rank must decay along the path: $pr")
+    // symmetric seeds on a symmetric graph tie symmetrically
+    val two = GraphOps.personalizedPageRank(path,
+        Seq(1L, 5L).toDF("seed"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(1L) == two(5L) && two(2L) == two(4L), s"$two")
+  }
+
+  test("personalizedPageRank: no in-graph seed throws; ghost seeds ignored") {
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(pairs, Seq(99L).toDF("seed"))
+    }
+    // even iteration count: a 2-node graph is bipartite, so odd
+    // counts park the oscillating mass on the neighbor — the damped
+    // limit (0.54/0.46 of scale) favors the seed
+    val mixed = GraphOps.personalizedPageRank(pairs,
+        Seq(99L, 1L).toDF("seed"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mixed(1L) > mixed(2L), "only the in-graph seed carries mass")
+  }
+
+  test("personalizedPageRank equals the driver integer recurrence on random graphs") {
+    def driverPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+                  scale: Long = 1000000000000L): Map[Long, Long] = {
+      val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+      val adj = sym.groupBy(_._1).map { case (n, v) => n -> v.map(_._2) }
+      val deg = adj.map { case (n, v) => n -> v.size.toLong }
+      val nodes = adj.keySet
+      val inGraph = seeds.intersect(nodes)
+      val tele = nodes.map(n =>
+        n -> (if (inGraph(n)) scale / inGraph.size else 0L)).toMap
+      var pr = tele
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        for ((u, vs) <- adj; v <- vs) in(v) += pr(u) / deg(u)
+        pr = nodes.map(n =>
+          n -> ((15L * tele(n)) / 100L + (85L * in(n)) / 100L)).toMap
+      }
+      pr
+    }
+    for (seed <- Seq(6, 31); parts <- Seq(1, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 200)
+        .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(e => e._1 != e._2)
+      val seedNodes = (0L until 80L).filter(_ % 11 == 0).toSet
+      val got = GraphOps.personalizedPageRank(
+          edges.toDF("id1", "id2").repartition(parts),
+          seedNodes.toSeq.toDF("seed"), iterations = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == driverPpr(edges, seedNodes, iters = 6),
+        s"seed $seed parts $parts")
+    }
+  }
+
   test("componentsDelta: merges, untouched components, and singletons") {
     // prior world: component {1,2,3} rooted at 1, component {10,11}
     // rooted at 10, singleton {20}
