@@ -944,26 +944,34 @@ object Relational {
   def skyline2D(df: DataFrame, minimize: Column, maximize: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the partition id is FROZEN at checkpoint time and pass 2 keys
+    // off the stored value — TaskContext.getPartitionId() reports the
+    // task's index in the DOWNSTREAM plan and remaps under union/
+    // coalesce (the budgetSelect lesson, caught by graft.DetCheck)
     val pts = df.select(minimize.cast("long").as("a"),
         maximize.cast("long").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
       .repartitionByRange(col("a"), col("b").desc)
       .sortWithinPartitions(col("a"), col("b").desc)
+      .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true) // two passes read one layout
-      .as[(Long, Long, Long)]
-    val partMax = pts.mapPartitions { it =>
-      var m = Long.MinValue
-      it.foreach(r => m = math.max(m, r._2))
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), m))
-    }.collect().sortBy(_._1).map(_._2)
+      .as[(Long, Long, Long, Int)]
+    val nParts = pts.rdd.getNumPartitions
+    val byPid = pts.groupBy(col("pid")).agg(max(col("b")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val partMax = (0 until nParts).map(byPid.getOrElse(_, Long.MinValue))
     val offsets = spark.sparkContext.broadcast(
-      partMax.scanLeft(Long.MinValue)(math.max)) // max-b BEFORE partition i
+      partMax.scanLeft(Long.MinValue)(math.max).toArray) // BEFORE partition i
     pts.mapPartitions { it =>
-      var run = offsets.value(org.apache.spark.TaskContext.getPartitionId())
-      it.flatMap { case (a, b, n) =>
-        val keep = b > run
-        run = math.max(run, b)
-        if (keep) Some((a, b, n)) else None
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var run = offsets.value(buf.head._4)
+        buf.flatMap { case (a, b, n, _) =>
+          val keep = b > run
+          run = math.max(run, b)
+          if (keep) Some((a, b, n)) else None
+        }
       }
     }.toDF("a", "b", "n")
   }

@@ -218,24 +218,34 @@ object Sampling {
     require(budget >= 0L, "budgetSelect: budget must be >= 0")
     val spark = df.sparkSession
     import spark.implicits._
+    // the partition id is FROZEN as a column when the checkpoint
+    // materializes, and pass 2 keys its offset lookup off the stored
+    // value — never TaskContext.getPartitionId(), which reports the
+    // task's index in the DOWNSTREAM plan and silently remaps under
+    // union/coalesce (a real bug graft.DetCheck caught: the same
+    // query unioned with itself read wrong offsets on one branch)
     val ordered = df.select(id.cast("long").as("doc_id"),
         score.cast("long").as("score"), cost.cast("long").as("cost"))
       .repartitionByRange(col("score").desc, col("doc_id"))
       .sortWithinPartitions(col("score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
       .localCheckpoint(eager = true) // two passes read one layout
-      .as[(Long, Long, Long)]
-    val subtotals = ordered.mapPartitions { it =>
-      var s = 0L
-      it.foreach(s += _._3)
-      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s))
-    }.collect().sortBy(_._1).map(_._2)
+      .as[(Long, Long, Long, Int)]
+    val nParts = ordered.rdd.getNumPartitions
+    val byPid = ordered.groupBy(col("pid")).agg(sum(col("cost")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val subtotals = (0 until nParts).map(byPid.getOrElse(_, 0L))
     val offsets = spark.sparkContext.broadcast(
-      subtotals.scanLeft(0L)(_ + _)) // offsets(i) = total before partition i
+      subtotals.scanLeft(0L)(_ + _).toArray) // total BEFORE partition i
     ordered.mapPartitions { it =>
-      var run = offsets.value(org.apache.spark.TaskContext.getPartitionId())
-      if (run > budget) Iterator.empty
-      else it.map { case (i, s, c) => run += c; (i, s, c, run) }
-        .takeWhile(_._4 <= budget)
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var run = offsets.value(buf.head._4)
+        if (run > budget) Iterator.empty
+        else buf.map { case (i, s, c, _) => run += c; (i, s, c, run) }
+          .takeWhile(_._4 <= budget)
+      }
     }.toDF("doc_id", "score", "cost", "cum_cost")
   }
 }

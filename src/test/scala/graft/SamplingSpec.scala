@@ -211,6 +211,21 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("budgetSelect survives downstream partition remapping (union with itself)") {
+    import spark.implicits._
+    // regression: pass 2 once keyed offsets off TaskContext
+    // .getPartitionId(), which a downstream union remaps — every row
+    // must appear exactly twice when the query unions with itself
+    val df = (0L until 500L).map(i => (i, i % 37, (i % 11) + 1))
+      .toDF("id", "sc", "c")
+    val one = Sampling.budgetSelect(df, $"id", $"sc", $"c", 600L)
+    val two = Sampling.budgetSelect(df, $"id", $"sc", $"c", 600L)
+    val odd = one.unionByName(two)
+      .groupBy("doc_id", "score", "cost", "cum_cost").count()
+      .filter(col("count") =!= 2).count()
+    assert(odd == 0, "both branches must read their own stored offsets")
+  }
+
   test("budgetSelect equals the single-node cumsum on random data, any partitioning") {
     import spark.implicits._
     for (seed <- Seq(2, 9); parts <- Seq(1, 13)) {

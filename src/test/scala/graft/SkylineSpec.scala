@@ -51,6 +51,18 @@ class SkylineSpec extends SparkSpec {
     }
   }
 
+  test("skyline survives downstream partition remapping (union with itself)") {
+    // regression: the sweep's pass 2 once keyed offsets off
+    // TaskContext.getPartitionId(), which a downstream union remaps
+    val rnd = new scala.util.Random(12)
+    val pts = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("a", "b")
+    def sky = Relational.skyline2D(pts, col("a"), col("b"))
+    val odd = sky.unionByName(sky)
+      .groupBy("a", "b", "n").count().filter(col("count") =!= 2).count()
+    assert(odd == 0, "both branches must read their own stored offsets")
+  }
+
   test("degenerate inputs: empty set, single point, one axis constant") {
     assert(run(Seq.empty) == Set.empty)
     assert(run(Seq((7L, 7L))) == Set((7L, 7L, 1L)))
