@@ -868,6 +868,14 @@ object SparkEntry {
       operators.GraphOps.triangleCensus(
         dedup.Blocking.customerNeighbors(Tables.customer(s, d))
           .select(col("id1"), col("id2")))),
+    // the census's global closure broken down per vertex: triangles
+    // through each node over its C(deg,2) wedges — hubs with mutually
+    // dissimilar neighborhoods score 0, clique members 1
+    "graph_lcc" -> q((s, d) =>
+      operators.GraphOps.localClustering(
+          dedup.Blocking.customerNeighbors(Tables.customer(s, d))
+            .select(col("id1"), col("id2")))
+        .sortWithinPartitions("doc_id")),
     "basket_rules" -> q((s, d) =>
       operators.MarketBasket.pairRules(Tables.lineitem(s, d),
         col("l_orderkey"), col("l_partkey"))),
@@ -4360,6 +4368,43 @@ object SparkEntry {
         |        ELSE 3 * CAST(n_triangles AS DOUBLE) / n_wedges END, 8)
         |    AS closure8
         |FROM nn, ec, wcnt, tc""".stripMargin,
+
+    // per-corner triangle credit over the same neighbor graph; the
+    // oracle enumerates id-ordered wedges (affordable at gate scale —
+    // the engine's degree-ordering is an execution concern, the
+    // triangle SET is identical)
+    "graph_lcc" ->
+      """WITH w AS (
+        |  SELECT c_custkey,
+        |    lead(c_custkey, 1) OVER win AS l1,
+        |    lead(c_custkey, 2) OVER win AS l2
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal, c_custkey)),
+        |pr AS (
+        |  SELECT c_custkey AS id1, l1 AS id2 FROM w WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey, l2 FROM w WHERE l2 IS NOT NULL),
+        |e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+        |      FROM pr WHERE id1 <> id2),
+        |deg AS (SELECT v, count(*) AS deg FROM
+        |         (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |        GROUP BY v),
+        |wg AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+        |       FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |tris AS (SELECT wg.wa AS x, wg.wb AS y, wg.wc AS z
+        |         FROM wg JOIN e e3 ON wg.wa = e3.a AND wg.wc = e3.b),
+        |tn AS (SELECT x AS v FROM tris UNION ALL
+        |       SELECT y FROM tris UNION ALL SELECT z FROM tris),
+        |tcnt AS (SELECT v, count(*) AS n_tri FROM tn GROUP BY v)
+        |SELECT d.v AS doc_id,
+        |  CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS n_wedges,
+        |  round(CASE WHEN d.deg < 2 THEN 0.0
+        |        ELSE CAST(coalesce(t.n_tri, 0) AS DOUBLE) /
+        |             (d.deg * (d.deg - 1) // 2) END, 8) AS lcc8
+        |FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+        |ORDER BY doc_id""".stripMargin,
 
     // triangular-discrimination drift: rational arithmetic only, so
     // per-bin contributions are bit-identical across engines

@@ -521,8 +521,9 @@ object GraphOps {
     * (deg, id)-minimal vertex), so the closing join counts each
     * triangle exactly once with no /3 correction. Package-private so
     * the skew spec can measure the wedge volume directly.
-    * Columns: (wu, ww) — the two out-neighbors, wu < ww by id, the
-    * candidate closing edge already in canonical form. */
+    * Columns: (wp, wu, ww) — the pivot and its two out-neighbors,
+    * wu < ww by id, the candidate closing edge already in canonical
+    * form (the pivot rides along for per-node statistics). */
   private[graft] def orientedWedges(pairs: DataFrame): DataFrame = {
     val e = canonicalEdges(pairs)
     val deg = degrees(e)
@@ -541,7 +542,8 @@ object GraphOps {
     eo.alias("o1")
       .join(eo.alias("o2"), col("o1.src") === col("o2.src") &&
         col("o1.dst") < col("o2.dst"))
-      .select(col("o1.dst").as("wu"), col("o2.dst").as("ww"))
+      .select(col("o1.src").as("wp"),
+        col("o1.dst").as("wu"), col("o2.dst").as("ww"))
   }
 
   /** Triangle census of an undirected pair graph — the classic
@@ -580,5 +582,39 @@ object GraphOps {
           when(col("n_wedges") === 0L, 0.0)
             .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")),
           8).as("closure8"))
+  }
+
+  /** Per-node triangle participation and LOCAL clustering coefficient
+    * — [[triangleCensus]]'s global statistic broken down per vertex:
+    * (doc_id, n_tri, n_wedges = C(deg, 2), lcc8 = n_tri / n_wedges).
+    * In a near-dup similarity graph high lcc marks nodes whose
+    * neighborhoods are mutually similar — template neighborhoods —
+    * where a star hub (many neighbors, none similar to each other)
+    * scores 0; the per-document score the census's single global
+    * number can't give.
+    *
+    * Same skew posture as the census: triangles enumerate once via
+    * the degree-ordered oriented wedges (O(m^{3/2}) volume under any
+    * skew), each triangle explodes to its three corners, and the
+    * per-node count is one aggregate; wedge counts come from the
+    * degree relation — no enumeration. Integer columns are exact;
+    * lcc8 follows closure8's round-to-8 contract. */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    val deg = degrees(e)
+    val tri = orientedWedges(pairs).join(e.alias("e3"),
+      col("wu") === col("e3.a") && col("ww") === col("e3.b"))
+    val perNode = tri
+      .select(explode(array(col("wp"), col("wu"), col("ww"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("deg * (deg - 1) div 2").as("n_wedges"),
+        round(
+          when(col("deg") < 2, 0.0)
+            .otherwise(coalesce(col("n_tri"), lit(0L)) /
+              expr("deg * (deg - 1) div 2")),
+          8).as("lcc8"))
   }
 }

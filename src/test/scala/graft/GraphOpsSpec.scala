@@ -509,6 +509,39 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("localClustering: triangles per corner, hubs score zero, cliques one") {
+    // triangle {1,2,3} + hub 10 with leaves 11-13 (no leaf-leaf edges)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++
+      (11L to 13L).map(l => (10L, l))).toDF("id1", "id2")
+    val got = GraphOps.localClustering(pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    (1L to 3L).foreach(v => assert(got(v) == (1L, 1L, 1.0), s"node $v"))
+    assert(got(10L) == (0L, 3L, 0.0), "star hub: wedges but no closures")
+    (11L to 13L).foreach(v => assert(got(v) == (0L, 0L, 0.0),
+      "degree-1 leaves have no wedges — coefficient pinned to 0"))
+    // K4: every node sits in C(3,2)=3 wedges, all closed
+    val k4 = (for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b))
+      .toDF("id1", "id2")
+    GraphOps.localClustering(k4).collect().foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) == (3L, 3L, 1.0))
+    }
+  }
+
+  test("localClustering sums to the census: Σ n_tri = 3 × triangles") {
+    val rnd = new scala.util.Random(13)
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("id1", "id2")
+    val local = GraphOps.localClustering(pairs)
+    val sumTri = local.agg(sum("n_tri")).head().getLong(0)
+    val sumWedges = local.agg(sum("n_wedges")).head().getLong(0)
+    val census = GraphOps.triangleCensus(pairs).head()
+    assert(sumTri == 3L * census.getAs[Long]("n_triangles"),
+      "each triangle must be credited to exactly its three corners")
+    assert(sumWedges == census.getAs[Long]("n_wedges"))
+  }
+
   test("triangle census: self-loops and empty graphs are safe") {
     import spark.implicits._
     val loops = Seq((1L, 1L), (2L, 2L)).toDF("id1", "id2")
