@@ -304,6 +304,11 @@ object SparkEntry {
           "l_linestatus")).sortWithinPartitions("col_name")),
     "ts_funnel" -> q((s, d) =>
       TimeSeries.conversionFunnel(ev(s, d)).sortWithinPartitions("step")),
+    // CEP negation pattern: view → next purchase within an hour with
+    // NO error between — one window pass, no event self-join
+    "ts_cep_match" -> q((s, d) =>
+      TimeSeries.cepMatch(ev(s, d))
+        .sortWithinPartitions("user_id", "first_id")),
     "ts_retention" -> q((s, d) =>
       TimeSeries.cohortRetention(ev(s, d)).sortWithinPartitions("cohort", "offset")),
     "ts_ab_lift" -> q((s, d) =>
@@ -2038,6 +2043,33 @@ object SparkEntry {
          |SELECT cohort, "offset", n_users,
          |  round(CAST(n_users AS DOUBLE) / c0, 8) AS retention8
          |FROM s ORDER BY cohort, "offset" """.stripMargin,
+
+    // negation CEP: per view, the next purchase (rn order = total
+    // (ts_us, event_id) order) within the hour, matched iff the next
+    // error sits strictly after it; the rn join-back fetches the
+    // purchase's own ts/id
+    "ts_cep_match" ->
+      s"""WITH $EV,
+         |e2 AS (SELECT user_id, event_id, ts_us, event_type,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts_us, event_id) AS rn
+         |       FROM ev),
+         |m AS (SELECT user_id, event_id, ts_us, event_type, rn,
+         |        min(CASE WHEN event_type = 'purchase' THEN rn END)
+         |          OVER (PARTITION BY user_id ORDER BY rn DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS nb_rn,
+         |        min(CASE WHEN event_type = 'error' THEN rn END)
+         |          OVER (PARTITION BY user_id ORDER BY rn DESC
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |          AS nx_rn
+         |      FROM e2)
+         |SELECT m.user_id, m.event_id AS first_id, b.event_id AS second_id,
+         |       b.ts_us - m.ts_us AS gap_us
+         |FROM m JOIN e2 b ON b.user_id = m.user_id AND b.rn = m.nb_rn
+         |WHERE m.event_type = 'view' AND b.ts_us <= m.ts_us + 3600000000
+         |  AND (m.nx_rn IS NULL OR m.nx_rn > m.nb_rn)
+         |ORDER BY m.user_id, first_id""".stripMargin,
 
     // first-touch funnel: step i = earliest event of its type strictly
     // after step i-1's time; NULL propagates "never reached"

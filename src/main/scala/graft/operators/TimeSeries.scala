@@ -674,4 +674,43 @@ object TimeSeries {
            dev * dev > lit(tau.toLong * tau).cast(d38) * varTimesW2,
         lit(1)).otherwise(lit(0)).as("is_anomaly"))
   }
+
+  /** CEP first-match pattern: every occurrence of `first` followed by
+    * the NEXT `second` within `windowUs`, with NO `anti` event between
+    * them — the negation-within-window pattern
+    * (view→purchase-with-no-error) that [[conversionFunnel]]'s
+    * stage counts and [[topPaths]]' bigrams can't express. Returns
+    * one row per match: (user_id, first_id, second_id, gap_us).
+    * "Next" and "between" are over the total per-user order
+    * (ts_us, event_id), so ties are deterministic.
+    *
+    * The MATCH_RECOGNIZE-style lowering is ONE window pass, not an
+    * event self-join: ordered DESC per user, a running min over the
+    * preceding frame carries each row's next-`second` (ts, id) and
+    * next-`anti` position from the future side in O(n) per user —
+    * the running frame accumulates, where an unbounded-FOLLOWING
+    * frame would rescan the tail per row (O(n²) per partition). A
+    * match is a `first` row whose next-`second` lands inside the
+    * window with the next-`anti` strictly after it. One shuffle on
+    * user_id, no join, no candidate blowup: per-user event volume is
+    * the only term, which is what bounds it at corpus scale. */
+  def cepMatch(events: DataFrame, first: String = "view",
+               second: String = "purchase", anti: String = "error",
+               windowUs: Long = 3600000000L): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("user_id"), col("event_id"), col("ts_us"),
+        col("event_type"))
+      .withColumn("nb", min(when(col("event_type") === second,
+        struct(col("ts_us"), col("event_id")))).over(wDesc))
+      .withColumn("nx", min(when(col("event_type") === anti,
+        struct(col("ts_us"), col("event_id")))).over(wDesc))
+      .filter(col("event_type") === first && col("nb").isNotNull &&
+        col("nb.ts_us") <= col("ts_us") + lit(windowUs) &&
+        (col("nx").isNull || col("nx") > col("nb")))
+      .select(col("user_id"), col("event_id").as("first_id"),
+        col("nb.event_id").as("second_id"),
+        (col("nb.ts_us") - col("ts_us")).as("gap_us"))
+  }
 }

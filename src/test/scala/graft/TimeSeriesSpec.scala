@@ -381,4 +381,75 @@ class TimeSeriesSpec extends SparkSpec {
       (0L, 10L, -5.0, 99.0, 0.0, 9.0),   // min@3, max@7, first=v(0), last=v(9)
       (1L, 10L, 10.0, 19.0, 10.0, 19.0)))
   }
+
+  test("cepMatch: next-second semantics, negation, window bound, per-user isolation") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long, String)], w: Long = 100L) =
+      TimeSeries.cepMatch(
+          rows.toDF("user_id", "event_id", "ts_us", "event_type"),
+          "view", "purchase", "error", windowUs = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    // plain match: view@10 → purchase@30 (gap 20); the SECOND purchase
+    // @50 is not the match (first-after wins)
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 30L, "purchase"),
+      (1L, 3L, 50L, "purchase"))) == Set((1L, 1L, 2L, 20L)))
+    // an error BETWEEN kills the match
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 20L, "error"),
+      (1L, 3L, 30L, "purchase"))).isEmpty)
+    // an error AFTER the purchase does not
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 30L, "purchase"),
+      (1L, 3L, 40L, "error"))) == Set((1L, 1L, 2L, 20L)))
+    // outside the window: no match
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 300L, "purchase"))).isEmpty)
+    // another user's error never interferes
+    assert(run(Seq((1L, 1L, 10L, "view"), (2L, 9L, 20L, "error"),
+      (1L, 2L, 30L, "purchase"))) == Set((1L, 1L, 2L, 20L)))
+    // two views share the same next purchase (both match)
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 15L, "view"),
+      (1L, 3L, 30L, "purchase"))) ==
+      Set((1L, 1L, 3L, 20L), (1L, 2L, 3L, 15L)))
+    // same-ts tie: order falls back to event_id, so purchase with a
+    // LARGER id at the same ts still counts as "after"
+    assert(run(Seq((1L, 1L, 10L, "view"), (1L, 2L, 10L, "purchase"))) ==
+      Set((1L, 1L, 2L, 0L)))
+  }
+
+  test("cepMatch equals the brute-force scan on random event streams") {
+    import spark.implicits._
+    def brute(rows: Seq[(Long, Long, Long, String)],
+              w: Long): Set[(Long, Long, Long, Long)] =
+      rows.groupBy(_._1).flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        sorted.indices.flatMap { i =>
+          val (u, id, ts, t) = sorted(i)
+          if (t != "view") None
+          else {
+            val rest = sorted.drop(i + 1)
+            val bIdx = rest.indexWhere(_._4 == "purchase")
+            if (bIdx < 0) None
+            else {
+              val (_, bid, bts, _) = rest(bIdx)
+              val blocked = rest.take(bIdx).exists(_._4 == "error")
+              if (bts <= ts + w && !blocked) Some((u, id, bid, bts - ts))
+              else None
+            }
+          }
+        }
+      }.toSet
+    val types = Array("view", "purchase", "error", "click")
+    for (seed <- Seq(3, 27); parts <- Seq(1, 6)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1L to 400L).map(id =>
+        (rnd.nextInt(12).toLong, id, rnd.nextInt(200).toLong,
+          types(rnd.nextInt(4))))
+      val got = TimeSeries.cepMatch(
+          rows.toDF("user_id", "event_id", "ts_us", "event_type")
+            .repartition(parts),
+          "view", "purchase", "error", windowUs = 60L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == brute(rows, 60L), s"seed $seed parts $parts")
+    }
+  }
 }
