@@ -90,7 +90,7 @@ object Soak {
     // components, and the canonical-survivor drop step
     "graph_bfs", "graph_kcore", "graph_components_delta",
     "dedup_canonical", "sample_budget", "sample_folds_safe",
-    "skyline_parts", "join_editdist", "graph_ppr", "graph_lcc", "ts_cep_match")
+    "skyline_parts", "join_editdist", "graph_ppr", "graph_lcc", "ts_cep_match", "qc_referential")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

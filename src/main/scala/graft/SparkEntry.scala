@@ -884,6 +884,27 @@ object SparkEntry {
     "basket_rules" -> q((s, d) =>
       operators.MarketBasket.pairRules(Tables.lineitem(s, d),
         col("l_orderkey"), col("l_partkey"))),
+    // the warehouse load gate: orphan FKs and null FKs per edge,
+    // partitioning the defect space (clean data → all zeros, and the
+    // oracle proves the zeros rather than assuming them)
+    "qc_referential" -> q((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      operators.Expectations.referentialAudit(Seq(
+        ("customer->nation", Tables.customer(s, d), "c_nationkey",
+          Tables.nation(s, d), "n_nationkey"),
+        ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem->part", li, "l_partkey", Tables.part(s, d), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        ("nation->region", Tables.nation(s, d), "n_regionkey",
+          Tables.region(s, d), "r_regionkey"),
+        ("orders->customer", o, "o_custkey",
+          Tables.customer(s, d), "c_custkey"),
+        ("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+          Tables.nation(s, d), "n_nationkey")))
+        .sortWithinPartitions("relationship")
+    }),
     "qc_mad_outliers" -> q((s, d) =>
       operators.Expectations.orderPriceOutliers(Tables.orders(s, d))
         .sortWithinPartitions("grp")),
@@ -4522,6 +4543,30 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(max(node) AS BIGINT) AS max_member
         |FROM lbl GROUP BY ent ORDER BY entity_id""".stripMargin,
+
+    // one UNION ALL branch per FK edge; orphans = non-null child keys
+    // with no parent, nulls counted separately
+    "qc_referential" -> {
+      val edges = Seq(
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      edges.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS relationship,
+           |  count(*) AS n_child,
+           |  CAST((SELECT count(*) FROM $child c
+           |        WHERE c.$ck IS NOT NULL AND NOT EXISTS (
+           |          SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+           |    AS BIGINT) AS n_orphans,
+           |  CAST(sum(CASE WHEN $ck IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null_keys
+           |FROM $child""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
 
     "qc_mad_outliers" ->
       """WITH med AS (

@@ -241,4 +241,35 @@ object Expectations {
   def orderPriceOutliers(orders: DataFrame): DataFrame =
     madOutliers(orders, col("o_orderpriority"), col("o_totalprice"),
       cutoff = 1.8)
+
+  /** Referential-integrity audit across a set of foreign-key edges:
+    * for each (name, child, childKey, parent, parentKey) returns
+    * (relationship, n_child, n_orphans, n_null_keys) — orphans are
+    * non-null child keys absent from the parent, the anti-join audit
+    * every warehouse load gate runs. NULL child keys are counted
+    * separately (a null FK is a different defect than a dangling
+    * one), and excluded from the orphan anti-join so the two numbers
+    * partition the defect space.
+    *
+    * Scale shape: one left_anti join per edge, keyed on the FK.
+    * Dimension parents broadcast (AQE sizes them); fact-to-fact
+    * edges (lineitem→orders) shuffle both sides on the key — the
+    * correct distribution, and the ONLY per-edge exchange since both
+    * counts fold into the same single-row aggregate. The edges
+    * evaluate as one unioned plan, not driver-side loops over
+    * actions. */
+  def referentialAudit(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, ck, parent, pk) =>
+      val keys = child.select(col(ck).as("k"))
+      val nonNull = keys.filter(col("k").isNotNull)
+      val orphans = nonNull.join(
+        parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+      keys.agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_keys"))
+        .crossJoin(broadcast(orphans.agg(count(lit(1)).as("n_orphans"))))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"), coalesce(col("n_null_keys"), lit(0L))
+            .as("n_null_keys"))
+    }.reduce(_ unionByName _)
 }

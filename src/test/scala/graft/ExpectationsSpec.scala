@@ -160,4 +160,29 @@ class ExpectationsSpec extends SparkSpec {
       s"expected broadcast joins of the stat tables:\n$plan")
     assert(rep.collect().length == 5) // one row per priority
   }
+
+  test("referentialAudit: orphans and null keys partition the defect space") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(3L), Some(8L))
+      .toDF("fk")
+    val clean = Seq(Some(2L), Some(2L)).toDF("fk2")
+    val got = Expectations.referentialAudit(Seq(
+        ("dirty", child, "fk", parent, "pk"),
+        ("clean", clean, "fk2", parent, "pk")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("dirty") == (6L, 2L, 1L),
+      "6 children: orphans {9, 8}, one null key — counted apart")
+    assert(got("clean") == (2L, 0L, 0L))
+  }
+
+  test("referentialAudit: duplicate parent keys don't double-count matches") {
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // dup parent rows
+    val child = Seq(1L, 1L, 2L, 5L).map(Option(_)).toDF("fk")
+    val got = Expectations.referentialAudit(
+        Seq(("e", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((4L, 1L, 0L)),
+      "only 5 is an orphan; the parent-side distinct prevents inflation")
+  }
 }
