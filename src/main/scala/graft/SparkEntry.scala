@@ -692,6 +692,18 @@ object SparkEntry {
     // The full-corpus eval remains available as routeRecall(docs).
     "dedup_route_recall" -> q((s, d) =>
       dedup.SetSimJoin.routeRecall(Tables.documents(s, d), sampleMod = 2L)),
+    // link prediction: the near-dup pairs the miner's hamming cut
+    // MISSED — non-adjacent doc pairs ranked by shared neighborhood
+    // (common-neighbor count + integer-ppm resource allocation).
+    // maxMiddleDegree = 64 bounds wedge volume at cap·Σdeg (the
+    // 301M-wedge uncapped graph at sf0.1 is exactly the hub blow-up
+    // the cap exists for); the cap is SEMANTICS — the oracle
+    // replicates it — not a silent approximation
+    "graph_common_neighbors" -> q((s, d) =>
+      operators.GraphOps.commonNeighbors(
+          Dedup.simhashPairs(Tables.documents(s, d)).select("id1", "id2")
+            .localCheckpoint(true),
+          limit = 50, maxMiddleDegree = 64)),
     // 5 iterations, not the operator-default 10: ranking order on the
     // shallow near-dup graph stabilizes by round 5, and each extra
     // round is a fixed AQE stage-scheduling cost at bench scale
@@ -3280,6 +3292,42 @@ object SparkEntry {
          |ham AS (SELECT id1, id2, $hammingTerms AS hamming FROM pairs)
          |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // link prediction: wedge enumeration over the capped-degree
+    // middles, RA index as integer ppm (1000000 // deg summed) —
+    // engine-portable, no float summation order
+    "graph_common_neighbors" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |sym AS (SELECT id1 AS m, id2 AS x FROM ed0
+         |        UNION ALL SELECT id2, id1 FROM ed0),
+         |deg AS (SELECT m, count(*) AS deg FROM sym GROUP BY m),
+         |mids AS (SELECT * FROM deg WHERE deg <= 64),
+         |adj AS (SELECT s.m, s.x, d.deg FROM sym s JOIN mids d USING (m)),
+         |sc AS (SELECT a.x AS id1, b.x AS id2, count(*) AS cn,
+         |         CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_ppm
+         |       FROM adj a JOIN adj b ON a.m = b.m AND a.x < b.x
+         |       GROUP BY 1, 2),
+         |na AS (SELECT sc.* FROM sc LEFT JOIN ed0 e
+         |         ON sc.id1 = e.id1 AND sc.id2 = e.id2
+         |       WHERE e.id1 IS NULL)
+         |SELECT id1, id2, cn, ra_ppm FROM na
+         |ORDER BY cn DESC, ra_ppm DESC, id1, id2 LIMIT 50""".stripMargin
     },
 
     // components of the simhash pair graph: the star-contraction

@@ -550,4 +550,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_triangles") == 0L)
     assert(r.getAs[Double]("closure8") == 0.0)
   }
+
+  test("commonNeighbors: path graph scores exactly the distance-2 pairs") {
+    // path 1-2-3-4: non-adjacent pairs at distance 2 are (1,3) via
+    // middle 2 (deg 2) and (2,4) via middle 3 (deg 2); (1,4) shares
+    // no neighbor and must be absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val r = GraphOps.commonNeighbors(pairs).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), (x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(r((1L, 3L)) == (1L, 500000L), "one middle of degree 2 → ra = 1e6/2")
+    assert(r((2L, 4L)) == (1L, 500000L))
+  }
+
+  test("commonNeighbors: adjacent pairs are excluded, shared-many rank first") {
+    // diamond 1-2, 1-3, 4-2, 4-3 plus chord 2-3: (1,4) shares {2,3}
+    // (cn 2); 2-3 ARE adjacent so the wedge through 1 or 4 must not
+    // resurface them
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (2L, 3L))
+      .toDF("id1", "id2")
+    val rows = GraphOps.commonNeighbors(pairs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 4L)))
+    val top = rows.head
+    // middles 2 and 3 both have degree 3 → ra = 2 × (1e6 div 3)
+    assert(top.getLong(2) == 2L && top.getLong(3) == 2L * 333333L)
+  }
+
+  test("commonNeighbors: the middle-degree cap silences hub wedges") {
+    // star hub 100 with 10 leaves: every leaf pair shares the hub —
+    // C(10,2)=45 pairs uncapped, zero once the cap excludes the hub
+    val pairs = (1L to 10L).map(l => (100L, l)).toDF("id1", "id2")
+    assert(GraphOps.commonNeighbors(pairs, limit = 100).count() == 45L)
+    assert(GraphOps.commonNeighbors(pairs, limit = 100,
+      maxMiddleDegree = 5).isEmpty)
+  }
 }
