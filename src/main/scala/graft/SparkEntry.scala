@@ -792,6 +792,13 @@ object SparkEntry {
     "emb_semantic_prune" -> q((s, d) =>
       Knn.semanticPrune(Tables.embeddings(s, d), threshold = 0.4)
         .sortWithinPartitions("vec_id")),
+    // mutual-kNN semantic clusters: each edge requires BOTH endpoints
+    // in the other's top-5 (hub vectors can't stitch regions), then
+    // components; every vector labeled, isolates are their own
+    // singleton cluster — the kNN-graph step of embedding curation
+    "emb_mutual_knn_clusters" -> q((s, d) =>
+      Knn.mutualKnnClusters(Tables.embeddings(s, d))
+        .sortWithinPartitions("vec_id")),
     "knn_ivf_search" -> q((s, d) =>
       Knn.ivfSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     // frozen-centroid delta ingest: base-trained cells, delta batch
@@ -3867,6 +3874,41 @@ object SparkEntry {
          |    AS cos_sim
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |ORDER BY cos_sim DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    // mutual-kNN graph + recursive closure; norms hoisted once (the
+    // per-pair cosine is identical arithmetic to Portable.cosine)
+    "emb_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE n AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |    round(${dotSql("a.embedding", "b.embedding")} /
+         |          (a.nrm * b.nrm), 4) AS cs
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cs DESC, vid) AS rnk
+         |      FROM s),
+         |knn AS (SELECT qid, vid FROM r WHERE rnk <= 5),
+         |m AS (SELECT x.qid AS id1, x.vid AS id2
+         |      FROM knn x JOIN knn y ON x.qid = y.vid AND x.vid = y.qid
+         |      WHERE x.qid < x.vid),
+         |e AS (SELECT id1 AS a, id2 AS b FROM m
+         |      UNION SELECT id2, id1 FROM m),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r2.a, e2.b FROM reach r2 JOIN e e2 ON r2.b = e2.a),
+         |lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |allv AS (SELECT v.vec_id,
+         |           coalesce(l.cluster_id, v.vec_id) AS cluster_id
+         |         FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.vec_id),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM allv
+         |       GROUP BY cluster_id)
+         |SELECT allv.vec_id, allv.cluster_id, sz.csize
+         |FROM allv JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
 
     "knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec

@@ -532,4 +532,55 @@ object Knn {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 4)
           .as("recall4"))
   }
+
+  /** Mutual-kNN semantic clusters: the kNN-graph clustering step of
+    * embedding-level curation (the structure behind SemDeDup-style
+    * semantic dedup and density pruning — Abbas et al., "SemDeDup",
+    * 2023 uses cluster-local neighbors the same way). Two vectors
+    * join the graph only when each is in the OTHER's top-k — the
+    * mutuality gate is what keeps hub vectors (near the centroid of a
+    * dense region) from stitching unrelated regions into one blob,
+    * the known failure of one-directional kNN graphs.
+    *
+    * Pipeline: per-vector top-k by rounded cosine (ties to the lower
+    * id — fully deterministic), mutualize via self-join on the
+    * reversed pair, then shape-independent connected components.
+    * Every vector appears in the output; mutual isolates label
+    * themselves (`cluster_id = vec_id`, `csize = 1`).
+    *
+    * This form scores all n² pairs — the measured-exact baseline, same
+    * posture as [[bruteForce]] vs the IVF/LSH paths. At 100 TB the
+    * top-k pass swaps for candidate generation from LSH buckets
+    * ([[rpLshBuckets]]) or IVF cells ([[IvfIndex.probe]]) and the
+    * mutualize + components tail is UNCHANGED — the tail only ever
+    * sees n·k rows. The kNN relation is checkpointed: the mutualize
+    * self-join reads it twice, and re-deriving it would re-run the n²
+    * cosine pass both times. */
+  def mutualKnnClusters(emb: DataFrame, k: Int = 5): DataFrame = {
+    val e = spread(emb).select(col("vec_id"), col("embedding"))
+    val q = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(col("qvec"), col("embedding")).as("cos_sim"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val knn = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    val mutual = knn.alias("x").join(knn.alias("y"),
+        col("x.qid") === col("y.vec_id") && col("x.vec_id") === col("y.qid") &&
+        col("x.qid") < col("x.vec_id"))
+      .select(col("x.qid").as("id1"), col("x.vec_id").as("id2"))
+    val comp = graft.operators.GraphOps.connectedComponents(mutual)
+      .withColumnRenamed("doc_id", "vec_id")
+    val labeled = emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("csize"))
+  }
 }
