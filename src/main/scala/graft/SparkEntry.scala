@@ -799,6 +799,13 @@ object SparkEntry {
     "emb_mutual_knn_clusters" -> q((s, d) =>
       Knn.mutualKnnClusters(Tables.embeddings(s, d))
         .sortWithinPartitions("vec_id")),
+    // MMR diversified top-k: each pick maximizes relevance minus
+    // max-similarity-to-picked (integer basis points, λ=0.5) — the
+    // redundancy penalty a plain top-k lacks; greedy trajectory is
+    // engine-exact, oracle = the same greedy unrolled as 10 CTE steps
+    "ret_mmr" -> q((s, d) =>
+      Knn.mmrRerank(Tables.embeddings(s, d))
+        .sortWithinPartitions("qid", "rnk")),
     "knn_ivf_search" -> q((s, d) =>
       Knn.ivfSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
     // frozen-centroid delta ingest: base-trained cells, delta batch
@@ -3909,6 +3916,57 @@ object SparkEntry {
          |       GROUP BY cluster_id)
          |SELECT allv.vec_id, allv.cluster_id, sz.csize
          |FROM allv JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+
+    // MMR greedy unrolled: selT picks step T's argmax of
+    // rel − max(sim to prevT-1) with (mmr DESC, vec_id) tie order;
+    // prevT accumulates the selected set. Integer basis points via
+    // floor(round(cos,4)·1e4 + 0.5) — same doubles both engines.
+    // Every chained CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and prevT referencing prevT-1 three times would expand
+    // the scan tree 3^9-fold (observed as fd exhaustion).
+    "ret_mmr" -> {
+      val steps = (2 to 10).map { t =>
+        s"""sel$t AS MATERIALIZED (SELECT qid, vec_id, mmr, $t AS rnk FROM (
+           |  SELECT qid, vec_id, mmr, row_number() OVER (
+           |    PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rn
+           |  FROM (
+           |    SELECT c.qid, c.vec_id,
+           |      c.rel - (SELECT max(p.sim) FROM ps p
+           |        JOIN prev${t - 1} s ON s.qid = p.qid AND s.vec_id = p.vb
+           |        WHERE p.qid = c.qid AND p.va = c.vec_id) AS mmr
+           |    FROM cand c
+           |    WHERE NOT EXISTS (SELECT 1 FROM prev${t - 1} s2
+           |      WHERE s2.qid = c.qid AND s2.vec_id = c.vec_id))
+           |) WHERE rn = 1),
+           |prev$t AS MATERIALIZED (SELECT * FROM prev${t - 1}
+           |           UNION ALL SELECT * FROM sel$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < 3),
+         |s AS (
+         |  SELECT qid, e.vec_id, e.embedding,
+         |    CAST(floor(${cosSql("qvec", "e.embedding")} * 10000 + 0.5)
+         |      AS BIGINT) AS rel
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> qid),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY rel DESC, vec_id) AS rn
+         |      FROM s),
+         |cand AS MATERIALIZED (SELECT qid, vec_id, embedding, rel
+         |                     FROM r WHERE rn <= 30),
+         |ps AS MATERIALIZED (
+         |  SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000 + 0.5)
+         |      AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (SELECT qid, vec_id, rel AS mmr, 1 AS rnk FROM (
+         |  SELECT qid, vec_id, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+         |prev1 AS MATERIALIZED (SELECT * FROM sel1),
+         |$steps
+         |SELECT qid, rnk, vec_id, mmr FROM prev10
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec

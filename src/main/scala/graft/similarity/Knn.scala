@@ -533,6 +533,86 @@ object Knn {
           .as("recall4"))
   }
 
+  /** MMR (maximal marginal relevance — Carbonell & Goldstein, SIGIR
+    * 1998) diversified re-ranking: greedily pick k results where each
+    * pick maximizes `relevance − max-similarity-to-already-picked`
+    * (λ = 0.5, folded into integer arithmetic: with both terms on the
+    * same scale the λ/(1−λ) weights cancel). The redundancy penalty is
+    * what a plain top-k lacks — a near-dup-heavy corpus fills all k
+    * slots with copies of the best hit; MMR returns one copy and
+    * spends the rest of the budget on coverage.
+    *
+    * Scores are integer basis points: floor(round(cos, 4)·1e4 + 0.5)
+    * — a deterministic function of the same doubles both engines
+    * compute, so the greedy trajectory is engine-exact with no float
+    * comparison anywhere. Ties break to the lower vec_id at every
+    * step (including the first, which is pure relevance).
+    *
+    * Shape: the O(n) relevance pass ranks a top-`poolSize` candidate
+    * pool per query (one window), the pool pairs with itself for the
+    * O(poolSize²) similarity matrix, and the greedy loop runs inside
+    * ONE `flatMapGroups` per query — per-group state is the pool's
+    * integer matrix (bounded by poolSize², not corpus size), and
+    * queries distribute across executors. This is the re-rank HEAD:
+    * at 100 TB the candidate pool comes from the IVF/LSH paths and
+    * poolSize stays O(100), so the quadratic term never sees the
+    * corpus. The pool is checkpointed — the pair self-join reads it
+    * twice and would otherwise re-run the relevance scan. */
+  def mmrRerank(emb: DataFrame, nQueries: Int = 3, poolSize: Int = 30,
+                k: Int = 10): DataFrame = {
+    require(poolSize >= 2 && k >= 1 && k <= poolSize,
+      s"mmrRerank: need 2 <= k <= poolSize, got k=$k pool=$poolSize")
+    val session = emb.sparkSession
+    import session.implicits._
+    def bp(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)).cast("long")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val scored = spread(emb).join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        bp(cosine(col("qvec"), col("embedding"))).as("rel"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= poolSize)
+      .select(col("qid"), col("vec_id"), col("embedding"), col("rel"))
+      .localCheckpoint(true)
+    val pairs = cand.alias("a").join(cand.alias("b"),
+        col("a.qid") === col("b.qid") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.qid"), col("a.vec_id").as("va"), col("a.rel").as("rel"),
+        col("b.vec_id").as("vb"),
+        bp(cosine(col("a.embedding"), col("b.embedding"))).as("sim"))
+      .as[(Long, Long, Long, Long, Long)]
+    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rel = collection.mutable.LongMap.empty[Long]
+      val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
+      it.foreach { case (_, va, ra, vb, s) =>
+        rel(va) = ra; sim((va, vb)) = s
+      }
+      // ascending-id iteration + strict > keeps the LOWEST id on ties,
+      // matching the oracle's (mmr DESC, vec_id ASC) row_number
+      val remaining = collection.mutable.SortedSet.empty[Long] ++ rel.keys
+      val selected = collection.mutable.ArrayBuffer.empty[Long]
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var t = 1
+      while (t <= k && remaining.nonEmpty) {
+        var bestV = -1L
+        var bestScore = Long.MinValue
+        for (c <- remaining) {
+          val pen = if (selected.isEmpty) 0L
+            else selected.iterator.map(s0 => sim((c, s0))).max
+          val sc = rel(c) - pen
+          if (sc > bestScore) { bestScore = sc; bestV = c }
+        }
+        out += ((qid, t, bestV, bestScore))
+        selected += bestV
+        remaining -= bestV
+        t += 1
+      }
+      out.iterator
+    }.toDF("qid", "rnk", "vec_id", "mmr")
+  }
+
   /** Mutual-kNN semantic clusters: the kNN-graph clustering step of
     * embedding-level curation (the structure behind SemDeDup-style
     * semantic dedup and density pruning — Abbas et al., "SemDeDup",
