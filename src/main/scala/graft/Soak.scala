@@ -90,7 +90,12 @@ object Soak {
     // components, and the canonical-survivor drop step
     "graph_bfs", "graph_kcore", "graph_components_delta",
     "dedup_canonical", "sample_budget", "sample_folds_safe",
-    "skyline_parts", "join_editdist", "graph_ppr", "graph_lcc", "ts_cep_match", "qc_referential")
+    "skyline_parts", "join_editdist", "graph_ppr", "graph_lcc", "ts_cep_match", "qc_referential",
+    // round-9 continuation: link prediction (capped wedge volume is
+    // the claim under test), the mutual-kNN n² baseline, and the
+    // pool-bounded MMR re-rank head
+    "graph_common_neighbors", "emb_mutual_knn_clusters", "ret_mmr",
+    "emb_mutual_knn_lsh")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

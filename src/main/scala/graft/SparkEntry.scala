@@ -799,6 +799,12 @@ object SparkEntry {
     "emb_mutual_knn_clusters" -> q((s, d) =>
       Knn.mutualKnnClusters(Tables.embeddings(s, d))
         .sortWithinPartitions("vec_id")),
+    // the 100 TB form of the mutual-kNN clustering: candidates from
+    // shared LSH buckets (bucket-keyed equi-self-join, pair volume
+    // Σ bucket² instead of n²) — top-k/mutualize/components identical
+    "emb_mutual_knn_lsh" -> q((s, d) =>
+      Knn.mutualKnnClustersLsh(Tables.embeddings(s, d))
+        .sortWithinPartitions("vec_id")),
     // MMR diversified top-k: each pick maximizes relevance minus
     // max-similarity-to-picked (integer basis points, λ=0.5) — the
     // redundancy penalty a plain top-k lacks; greedy trajectory is
@@ -3916,6 +3922,44 @@ object SparkEntry {
          |       GROUP BY cluster_id)
          |SELECT allv.vec_id, allv.cluster_id, sz.csize
          |FROM allv JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+
+    // LSH-candidate mutual-kNN clusters: same tail as the exact form,
+    // candidates restricted to shared hyperplane buckets. RpLshSigSql
+    // already opens its own WITH; the recursive closure CTE rides in
+    // the same chain.
+    "emb_mutual_knn_lsh" -> {
+      val base = RpLshSigSql.replaceFirst("WITH ", "WITH RECURSIVE ")
+      s"""$base,
+         |sj AS (SELECT s.vec_id, s.bucket, e.embedding
+         |       FROM sigs s JOIN embeddings e USING (vec_id)),
+         |sc AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cs
+         |  FROM sj a JOIN sj b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid
+         |        ORDER BY cs DESC, vid) AS rnk
+         |      FROM sc),
+         |knn AS (SELECT qid, vid FROM r WHERE rnk <= 5),
+         |m AS (SELECT x.qid AS id1, x.vid AS id2
+         |      FROM knn x JOIN knn y ON x.qid = y.vid AND x.vid = y.qid
+         |      WHERE x.qid < x.vid),
+         |e AS (SELECT id1 AS a, id2 AS b FROM m
+         |      UNION SELECT id2, id1 FROM m),
+         |reach AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r2.a, e2.b FROM reach r2 JOIN e e2 ON r2.b = e2.a),
+         |lab AS (SELECT a AS vec_id, least(a, min(b)) AS cluster_id
+         |        FROM reach GROUP BY a),
+         |allv AS (SELECT v.vec_id,
+         |           coalesce(l.cluster_id, v.vec_id) AS cluster_id
+         |         FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.vec_id),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM allv
+         |       GROUP BY cluster_id)
+         |SELECT allv.vec_id, allv.cluster_id, sz.csize
+         |FROM allv JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin
+    },
 
     // MMR greedy unrolled: selT picks step T's argmax of
     // rel − max(sim to prevT-1) with (mmr DESC, vec_id) tie order;

@@ -642,12 +642,48 @@ object Knn {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         cosine(col("qvec"), col("embedding")).as("cos_sim"))
+    mutualTail(emb, topkOf(scored, k))
+  }
+
+  /** The 100 TB form of [[mutualKnnClusters]]: candidates come from
+    * shared hyperplane-LSH buckets ([[rpLshBuckets]]) instead of the
+    * full n² pass — a bucket-keyed equi-self-join, so pair volume is
+    * Σ bucket² (tunable via `nPlanes`, ~|V|²/2^nPlanes expected) and
+    * the join is an ordinary hash exchange, nothing broadcast-shaped.
+    * Top-k, mutualize, and components are IDENTICAL to the exact
+    * form — only candidate generation changes, which is the whole
+    * point: recall loss is confined to pairs LSH never co-buckets
+    * (same trade as [[rpLshSearch]] vs [[bruteForce]], measured by
+    * `knn_recall_lsh`), while the mutuality gate and the cluster
+    * semantics are untouched. */
+  def mutualKnnClustersLsh(emb: DataFrame, nPlanes: Int = 8,
+                           k: Int = 5): DataFrame = {
+    val sig = rpLshBuckets(emb, nPlanes)
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+    val scored = sig.alias("a").join(sig.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vec_id"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+    mutualTail(emb, topkOf(scored, k))
+  }
+
+  /** Per-query top-k of a scored (qid, vec_id, cos_sim) relation —
+    * rounded-cosine order, ties to the lower id, checkpointed because
+    * the mutualize self-join reads it twice. */
+  private def topkOf(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    val knn = scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint(true)
+  }
+
+  /** Mutualize + components + full labeling: edges only where both
+    * endpoints picked each other; every vector labeled, isolates as
+    * singleton clusters with their own id. */
+  private def mutualTail(emb: DataFrame, knn: DataFrame): DataFrame = {
     val mutual = knn.alias("x").join(knn.alias("y"),
         col("x.qid") === col("y.vec_id") && col("x.vec_id") === col("y.qid") &&
         col("x.qid") < col("x.vec_id"))

@@ -64,6 +64,28 @@ class MutualKnnSpec extends SparkSpec {
     assert(out.map(_._1).toSet == (0L to 20L).toSet)
   }
 
+  test("LSH form with exhaustive k degenerates to the bucket partition") {
+    // with ONE plane and k covering the whole fixture, the
+    // bucket-restricted top-k is the entire bucket and mutuality is
+    // total within it — clusters must be exactly the bucket groups
+    val buckets = Knn.rpLshBuckets(groups, nPlanes = 1).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    val label = Knn.mutualKnnClustersLsh(groups, nPlanes = 1, k = 21)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(label.keySet == buckets.keySet, "every vector labeled")
+    for (a <- buckets.keys; b <- buckets.keys if a < b)
+      assert((label(a) == label(b)) == (buckets(a) == buckets(b)),
+        s"vectors $a,$b: same-cluster must equal same-bucket")
+  }
+
+  test("LSH form labels everyone once and keeps csize bookkeeping") {
+    val out = Knn.mutualKnnClustersLsh(groups, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == (0L to 20L).toSet && out.length == 21)
+    val mult = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (_, c, sz) => assert(sz == mult(c)) }
+  }
+
   test("cluster labels are the component minimum id") {
     val out = Knn.mutualKnnClusters(groups, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
