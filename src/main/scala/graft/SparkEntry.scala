@@ -206,6 +206,17 @@ object SparkEntry {
             greatest(col("lo1"), col("lo2"))).as("overlap_us"))
         .sortWithinPartitions("u1", "u2")
     }),
+    // 2-D ε-join: same-minute cross-user proximity on the positioned
+    // event grid — candidates from (minute, cell) equi-keys, exact
+    // integer d² residual; per-event neighbor count + nearest d²
+    "join_spatial_grid" -> q((s, d) => {
+      val p = Movements.positioned(ev(s, d))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .select(col("event_id").as("id"), col("user_id").as("grp"),
+          expr("ts_us div 60000000").as("part"), col("x"), col("y"))
+      operators.RangeJoin.gridEpsilonJoin(p, r = 5)
+        .sortWithinPartitions("event_id")
+    }),
     "join_range_binned" -> q((s, d) => {
       import s.implicits._
       val bands = (0 until 8)
@@ -556,6 +567,22 @@ object SparkEntry {
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"), ts = 1L)
         .where(pmod(abs(col("o_orderkey")), lit(10)).isin(1, 3, 7))
         .sortWithinPartitions("o_orderkey", "valid_from")
+    }),
+    // incremental view maintenance: fold the diff into the PRIOR
+    // per-status aggregate without rescanning orders — the oracle is
+    // the from-scratch aggregate over the new snapshot, and equality
+    // with it IS the contract (same idea as graph_components_delta)
+    "cdc_agg_delta" -> q((s, d) => {
+      val (oldS, newS) = cdcSnapshots(s, d)
+      val prior = operators.Cdc.groupAggState(
+        oldS, "o_orderstatus", "o_totalprice")
+      val changes = operators.Cdc.snapshotDiff(oldS, newS,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      operators.Cdc.aggDelta(prior, changes,
+          "o_orderstatus", "o_totalprice")
+        .select(col("o_orderstatus"), col("cnt"),
+          round(col("total").cast("double"), 2).as("total"))
+        .sortWithinPartitions("o_orderstatus")
     }),
     "cms_term_counts" -> q((s, d) => {
       // one per-term aggregate feeds the sketch (weighted form), the
@@ -1706,6 +1733,24 @@ object SparkEntry {
 
     // binned-equi-join formulation; the relation it computes is the
     // same point-in-interval join, so the oracle is identical
+    // ε-join oracle: minute-equi self-join with the exact d² filter —
+    // semantics only; the engine's grid cells are pure access path
+    "join_spatial_grid" ->
+      s"""WITH $POS,
+         |p AS (SELECT event_id, user_id, ts_us // 60000000 AS minute,
+         |             x, y
+         |      FROM pos WHERE x IS NOT NULL AND y IS NOT NULL),
+         |pr AS (SELECT a.event_id AS id1, b.event_id AS id2,
+         |         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+         |       FROM p a JOIN p b
+         |         ON a.minute = b.minute AND a.event_id < b.event_id
+         |        AND a.user_id <> b.user_id
+         |       WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 25),
+         |bo AS (SELECT id1 AS event_id, d2 FROM pr
+         |       UNION ALL SELECT id2, d2 FROM pr)
+         |SELECT event_id, count(*) AS n_nbr, min(d2) AS min_d2
+         |FROM bo GROUP BY event_id ORDER BY event_id""".stripMargin,
+
     "join_range_binned" ->
       """WITH bands AS (
         |  SELECT band, band * 50000.0 AS lo, (band + 1) * 50000.0 AS hi
@@ -3028,6 +3073,23 @@ object SparkEntry {
         |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |ORDER BY 1""".stripMargin,
+
+    // IVM contract: the folded state must equal the from-scratch
+    // aggregate over the NEW snapshot — so that recompute IS the
+    // oracle; DECIMAL sums make the equality exact, not approximate
+    "cdc_agg_delta" ->
+      """WITH news AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |  UNION ALL
+        |  SELECT -o_orderkey, o_orderstatus, o_totalprice + 0.5
+        |  FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+        |    AS total
+        |FROM news GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "cdc_scd2" ->
       """WITH olds AS (

@@ -73,4 +73,48 @@ object Cdc {
       .withColumn("valid_to", lit(null).cast("bigint"))
     closed.unionByName(openAfter).unionByName(opened)
   }
+
+  /** Maintainable per-group aggregate STATE: (group, cnt, total) with
+    * the total in DECIMAL — exact and order-independent, so folding
+    * deltas in later ([[aggDelta]]) is associative with no float
+    * drift. This is the materialized-view shape; round/cast `total`
+    * at the read edge, never in the state. */
+  def groupAggState(df: DataFrame, groupCol: String,
+                    measureCol: String): DataFrame =
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(measureCol).cast("decimal(18,4)")).as("total"))
+
+  /** Incremental view maintenance for the [[groupAggState]] shape:
+    * fold a [[snapshotDiff]] change set into the prior state WITHOUT
+    * touching the fact table. Each change emits retraction and/or
+    * addition deltas — D retracts (−1, −old) at the old group, I adds
+    * (+1, +new) at the new group, U does both (the row may MOVE
+    * groups) — and one re-aggregate merges them with the prior rows.
+    * Groups whose count reaches zero drop out entirely.
+    *
+    * The maintained invariant (the oracle's contract): fold(prior,
+    * diff(old, new)) equals the from-scratch aggregate over `new`,
+    * exactly — DECIMAL addition is order-independent, so the folded
+    * total is bit-identical to the recomputed one.
+    *
+    * Scale posture: the fold's cost is |state| + |changes| — one
+    * union, one group-key exchange — while the recompute it replaces
+    * scans the full fact table. At 100 TB with a daily 0.1% delta
+    * that is the difference between touching 100 GB and 100 TB. */
+  def aggDelta(prior: DataFrame, changes: DataFrame,
+               groupCol: String, measureCol: String): DataFrame = {
+    val retract = changes.filter(col("change_type").isin("D", "U"))
+      .select(col(s"old_$groupCol").as(groupCol),
+        lit(-1L).as("cnt"),
+        (-col(s"old_$measureCol")).cast("decimal(18,4)").as("total"))
+    val add = changes.filter(col("change_type").isin("I", "U"))
+      .select(col(s"new_$groupCol").as(groupCol),
+        lit(1L).as("cnt"),
+        col(s"new_$measureCol").cast("decimal(18,4)").as("total"))
+    prior.unionByName(retract).unionByName(add)
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("total")).as("total"))
+      .filter(col("cnt") > 0)
+  }
 }

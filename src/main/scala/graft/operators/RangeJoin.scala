@@ -213,4 +213,52 @@ object RangeJoin {
         floor(greatest(col(lLo), col(rLo)) / binWidth).cast("long"))
       .drop(bin)
   }
+
+  /** Grid-bucketed ε-join (2-D fixed-radius neighbor stats): for each
+    * point, how many OTHER-group points of the same partition key sit
+    * within Euclidean distance `r`, and how close is the nearest —
+    * the co-location / contact-pattern primitive (same-minute spatial
+    * proximity, co-visits, sensor coincidence).
+    *
+    * `points` columns: `id` (unique long), `grp` (pairs within one
+    * group are ignored — e.g. the same user), `part` (hard partition
+    * key — e.g. the minute bucket; only same-`part` pairs pair), `x`,
+    * `y` (non-negative ints). Output: (id, n_nbr, min_d2) for points
+    * with ≥ 1 neighbor.
+    *
+    * Scale shape: cells of side `r` make the candidate join an
+    * EQUI-join on (part, cellx, celly) — the build side keys to its
+    * home cell once, the probe side explodes to its 3×3 neighborhood
+    * (a fixed ×9 on ids-and-coords rows, not payloads), and any pair
+    * within `r` shares the probe's neighborhood by construction while
+    * each candidate is found exactly once per direction (the build
+    * point has ONE home cell); `probe.id < build.id` keeps one
+    * direction, the residual integer d² ≤ r² filter is exact. Cost is
+    * Σ cell-occupancy², never |P|² — the same bin-the-domain move as
+    * [[pointInInterval]], lifted to 2-D. */
+  def gridEpsilonJoin(points: DataFrame, r: Int): DataFrame = {
+    require(r > 0, s"gridEpsilonJoin: radius must be positive, got $r")
+    val home = points.select(col("id"), col("grp"), col("part"),
+      col("x"), col("y"),
+      expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+    val probe = home.select(col("id").as("id1"), col("grp").as("g1"),
+        col("part"), col("x").as("x1"), col("y").as("y1"),
+        explode(sequence(col("cx") - 1, col("cx") + 1)).as("cx"),
+        col("cy"))
+      .select(col("id1"), col("g1"), col("part"), col("x1"), col("y1"),
+        col("cx"),
+        explode(sequence(col("cy") - 1, col("cy") + 1)).as("cy"))
+    val d2 = (col("x1") - col("x")) * (col("x1") - col("x")) +
+      (col("y1") - col("y")) * (col("y1") - col("y"))
+    val pairs = probe.join(home, Seq("part", "cx", "cy"))
+      .filter(col("id1") < col("id") && col("g1") =!= col("grp") &&
+        d2 <= lit(r * r))
+      .select(col("id1"), col("id").as("id2"), d2.as("d2"))
+    pairs.select(explode(array(
+        struct(col("id1").as("event_id"), col("d2")),
+        struct(col("id2").as("event_id"), col("d2")))).as("s"))
+      .select(col("s.event_id"), col("s.d2"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nbr"), min(col("d2")).as("min_d2"))
+  }
 }

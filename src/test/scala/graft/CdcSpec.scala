@@ -93,4 +93,48 @@ class CdcSpec extends SparkSpec {
     val open = after.where(col("valid_to").isNull).select("k", "status", "price")
     assert(Cdc.snapshotDiff(open, newS, Seq("k"), Seq("status", "price")).isEmpty)
   }
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0),
+      (r.getLong(1), r.getDecimal(2).stripTrailingZeros))).toMap
+
+  test("aggDelta: fold(prior, diff) equals the from-scratch aggregate") {
+    // exercises every delta shape at once: a group-MOVING update
+    // (1: a→b), a measure-only update (2), a full-group deletion
+    // (c vanishes — group must drop out), and a new-group insert (e)
+    val o = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "g", "m")
+    val n = Seq((1L, "b", 11.0), (2L, "b", 25.0), (5L, "e", 50.0))
+      .toDF("k", "g", "m")
+    val folded = Cdc.aggDelta(
+      Cdc.groupAggState(o, "g", "m"),
+      Cdc.snapshotDiff(o, n, Seq("k"), Seq("g", "m")), "g", "m")
+    val scratch = Cdc.groupAggState(n, "g", "m")
+    assert(aggOf(folded) == aggOf(scratch))
+    assert(!aggOf(folded).contains("c"), "emptied groups drop out")
+    assert(aggOf(folded)("b")._1 == 2L, "the moved row lands in b")
+  }
+
+  test("aggDelta: randomized fold/recompute equivalence") {
+    val rnd = new scala.util.Random(41)
+    def snap(keys: Seq[Long]) = keys.map(k =>
+      (k, s"g${rnd.nextInt(5)}", rnd.nextInt(1000) / 4.0)).toDF("k", "g", "m")
+    for (_ <- 1 to 3) {
+      val oldKeys = (1L to 60L).filter(_ => rnd.nextDouble() < 0.8)
+      val newKeys = (1L to 70L).filter(_ => rnd.nextDouble() < 0.8)
+      val (o, n) = (snap(oldKeys), snap(newKeys))
+      val folded = Cdc.aggDelta(
+        Cdc.groupAggState(o, "g", "m"),
+        Cdc.snapshotDiff(o, n, Seq("k"), Seq("g", "m")), "g", "m")
+      assert(aggOf(folded) == aggOf(Cdc.groupAggState(n, "g", "m")))
+    }
+  }
+
+  test("aggDelta: an empty change set is the identity on state") {
+    val o = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "m")
+    val folded = Cdc.aggDelta(
+      Cdc.groupAggState(o, "g", "m"),
+      Cdc.snapshotDiff(o, o, Seq("k"), Seq("g", "m")), "g", "m")
+    assert(aggOf(folded) == aggOf(Cdc.groupAggState(o, "g", "m")))
+  }
 }

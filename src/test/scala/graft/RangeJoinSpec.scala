@@ -155,4 +155,54 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"range join fell back to a non-equi plan:\n$plan")
   }
+
+  test("gridEpsilonJoin: boundary inclusive, group and partition gates") {
+    // (0,0)↔(3,4) is exactly d²=25=r² (inclusive); the same-group
+    // twin and the other-partition twin must both be invisible
+    val pts = Seq(
+      (1L, 10L, 0L, 0, 0),
+      (2L, 20L, 0L, 3, 4),   // pairs with 1
+      (3L, 10L, 0L, 1, 1),   // same group as 1 → never pairs with 1
+      (4L, 40L, 9L, 0, 1))   // other partition → invisible to all
+      .toDF("id", "grp", "part", "x", "y")
+    val got = RangeJoin.gridEpsilonJoin(pts, r = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // 1 sees 2 (d²=25) and 3? no — 3 shares group 10 with 1; but 2↔3
+    // differ in group (20 vs 10, d²=13) so both see each other
+    assert(got(1L) == (1L, 25))
+    assert(got(2L) == (2L, 13))
+    assert(got(3L) == (1L, 13))
+    assert(!got.contains(4L))
+  }
+
+  test("gridEpsilonJoin: cross-cell neighbors are found (cell side = r)") {
+    // (4,0) and (6,0): cells 0 and 1 at r=5, d²=4 — only the 3×3
+    // neighborhood expansion can see across the cell wall
+    val pts = Seq((1L, 1L, 0L, 4, 0), (2L, 2L, 0L, 6, 0))
+      .toDF("id", "grp", "part", "x", "y")
+    val got = RangeJoin.gridEpsilonJoin(pts, r = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 1L, 4), (2L, 1L, 4)))
+  }
+
+  test("gridEpsilonJoin: brute-force equivalence on random points") {
+    val rnd = new scala.util.Random(7)
+    val data = (1L to 400L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(3).toLong,
+        rnd.nextInt(60), rnd.nextInt(100)))
+    val r = 5
+    val brute = (for {
+      a <- data; b <- data
+      if a._1 < b._1 && a._2 != b._2 && a._3 == b._3
+      d2 = (a._4 - b._4) * (a._4 - b._4) + (a._5 - b._5) * (a._5 - b._5)
+      if d2 <= r * r
+      e <- Seq((a._1, d2), (b._1, d2))
+    } yield e).groupBy(_._1).map { case (id, xs) =>
+      id -> (xs.length.toLong, xs.map(_._2).min)
+    }
+    val got = RangeJoin.gridEpsilonJoin(
+        data.toDF("id", "grp", "part", "x", "y"), r).collect()
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getInt(2))).toMap
+    assert(got == brute)
+  }
 }
