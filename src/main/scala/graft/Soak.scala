@@ -95,7 +95,8 @@ object Soak {
     // the claim under test), the mutual-kNN n² baseline, and the
     // pool-bounded MMR re-rank head
     "graph_common_neighbors", "emb_mutual_knn_clusters", "ret_mmr",
-    "emb_mutual_knn_lsh", "cdc_agg_delta", "join_spatial_grid")
+    "emb_mutual_knn_lsh", "cdc_agg_delta", "join_spatial_grid",
+    "qc_uniqueness")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -964,6 +964,24 @@ object SparkEntry {
           Tables.nation(s, d), "n_nationkey")))
         .sortWithinPartitions("relationship")
     }),
+    // referentialAudit's sibling gate: PK uniqueness per table —
+    // row/key/dup counts and worst multiplicity in ONE key-grouped
+    // aggregate each; the composite lineitem key widens the group
+    // key, not the plan
+    "qc_uniqueness" -> q((s, d) =>
+      operators.Expectations.uniquenessAudit(Seq(
+        ("region", Tables.region(s, d), Seq("r_regionkey")),
+        ("nation", Tables.nation(s, d), Seq("n_nationkey")),
+        ("customer", Tables.customer(s, d), Seq("c_custkey")),
+        ("supplier", Tables.supplier(s, d), Seq("s_suppkey")),
+        ("part", Tables.part(s, d), Seq("p_partkey")),
+        ("orders", Tables.orders(s, d), Seq("o_orderkey")),
+        ("lineitem", Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber")),
+        ("events", Tables.events(s, d), Seq("event_id")),
+        ("documents", Tables.documents(s, d), Seq("doc_id")),
+        ("embeddings", Tables.embeddings(s, d), Seq("vec_id"))))
+        .sortWithinPartitions("table_key")),
     "qc_mad_outliers" -> q((s, d) =>
       operators.Expectations.orderPriceOutliers(Tables.orders(s, d))
         .sortWithinPartitions("grp")),
@@ -4800,6 +4818,32 @@ object SparkEntry {
 
     // one UNION ALL branch per FK edge; orphans = non-null child keys
     // with no parent, nulls counted separately
+    // per-table key-grouped aggregate; clean data must PROVE its
+    // zeros (n_dup_keys = 0, max_mult = 1), not assume them
+    "qc_uniqueness" -> {
+      val specs = Seq(
+        ("region", Seq("r_regionkey")),
+        ("nation", Seq("n_nationkey")),
+        ("customer", Seq("c_custkey")),
+        ("supplier", Seq("s_suppkey")),
+        ("part", Seq("p_partkey")),
+        ("orders", Seq("o_orderkey")),
+        ("lineitem", Seq("l_orderkey", "l_linenumber")),
+        ("events", Seq("event_id")),
+        ("documents", Seq("doc_id")),
+        ("embeddings", Seq("vec_id")))
+      specs.map { case (name, ks) =>
+        s"""SELECT '$name' AS table_key,
+           |  CAST(coalesce(sum(mult), 0) AS BIGINT) AS n_rows,
+           |  count(*) AS n_keys,
+           |  CAST(coalesce(sum(CASE WHEN mult > 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_dup_keys,
+           |  coalesce(max(mult), 0) AS max_mult
+           |FROM (SELECT count(*) AS mult FROM $name
+           |      GROUP BY ${ks.mkString(", ")}) g""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY table_key")
+    },
+
     "qc_referential" -> {
       val edges = Seq(
         ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),

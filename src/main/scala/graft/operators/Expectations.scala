@@ -272,4 +272,29 @@ object Expectations {
           col("n_orphans"), coalesce(col("n_null_keys"), lit(0L))
             .as("n_null_keys"))
     }.reduce(_ unionByName _)
+
+  /** Primary-key uniqueness audit — [[referentialAudit]]'s sibling
+    * load gate: per (table, declared key) one key-grouped aggregate
+    * reporting row count, distinct-key count, duplicated-key count,
+    * and the worst multiplicity. Clean data yields n_dup_keys = 0 and
+    * max_mult = 1, and the oracle PROVES those zeros rather than
+    * assuming them; a dup-injection spec pins detection. Composite
+    * keys (lineitem) pass as multiple columns — the group key widens,
+    * the plan shape doesn't change.
+    *
+    * Scale: one hash exchange per table on its own key — the same
+    * shuffle a dedup would pay, with a four-number result; tables
+    * evaluate as one unioned plan, so the scheduler overlaps them. */
+  def uniquenessAudit(
+      tables: Seq[(String, DataFrame, Seq[String])]): DataFrame =
+    tables.map { case (name, df, keyCols) =>
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("mult"))
+        .agg(coalesce(sum(col("mult")), lit(0L)).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          coalesce(sum(when(col("mult") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("n_dup_keys"),
+          coalesce(max(col("mult")), lit(0L)).as("max_mult"))
+        .select(lit(name).as("table_key"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"), col("max_mult"))
+    }.reduce(_ unionByName _)
 }

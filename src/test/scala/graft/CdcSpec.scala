@@ -130,6 +130,38 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("streaming IVM: aggDelta folds diff micro-batches into live state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val changes = MemoryStream[
+      (Long, String, Option[String], Option[Double],
+        Option[String], Option[Double])](spark)
+    val s0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "m")
+    var state = Cdc.groupAggState(s0, "g", "m").localCheckpoint()
+    val query = changes.toDF()
+      .toDF("k", "change_type", "old_g", "old_m", "new_g", "new_m")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Cdc.aggDelta(state, batch, "g", "m").localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      // s1 = {1:(a,10), 2:(a,21), 3:(c,30)} — 2 moves groups b→a
+      changes.addData(
+        (2L, "U", Some("b"), Some(20.0), Some("a"), Some(21.0)),
+        (3L, "I", None, None, Some("c"), Some(30.0)))
+      query.processAllAvailable()
+      // s2 = {2:(a,21), 3:(a,5)} — 1 deleted, 3 moves c→a; b AND c gone
+      changes.addData(
+        (1L, "D", Some("a"), Some(10.0), None, None),
+        (3L, "U", Some("c"), Some(30.0), Some("a"), Some(5.0)))
+      query.processAllAvailable()
+      val s2 = Seq((2L, "a", 21.0), (3L, "a", 5.0)).toDF("k", "g", "m")
+      assert(aggOf(state) == aggOf(Cdc.groupAggState(s2, "g", "m")),
+        "live folded state must equal the recompute over the final snapshot")
+    } finally query.stop()
+  }
+
   test("aggDelta: an empty change set is the identity on state") {
     val o = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "m")
     val folded = Cdc.aggDelta(

@@ -185,4 +185,37 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.toSeq == Seq((4L, 1L, 0L)),
       "only 5 is an orphan; the parent-side distinct prevents inflation")
   }
+
+  test("uniquenessAudit detects injected duplicates and their multiplicity") {
+    val clean = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val dirty = Seq((1L, "a"), (1L, "x"), (1L, "y"), (2L, "b"))
+      .toDF("k", "v")
+    val got = Expectations.uniquenessAudit(Seq(
+        ("clean", clean, Seq("k")), ("dirty", dirty, Seq("k"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("clean") == (3L, 3L, 0L, 1L))
+    assert(got("dirty") == (4L, 2L, 1L, 3L),
+      "one duplicated key, worst multiplicity 3")
+  }
+
+  test("uniquenessAudit: composite key dedups on the FULL key") {
+    // (1, x) twice is a dup; (1, y) sharing only the first column is not
+    val t = Seq((1L, "x"), (1L, "x"), (1L, "y")).toDF("a", "b")
+    val comp = Expectations.uniquenessAudit(Seq(("t", t, Seq("a", "b"))))
+      .head()
+    assert((comp.getLong(1), comp.getLong(2), comp.getLong(3),
+      comp.getLong(4)) == (3L, 2L, 1L, 2L))
+    val single = Expectations.uniquenessAudit(Seq(("t", t, Seq("a"))))
+      .head()
+    assert(single.getLong(3) == 1L && single.getLong(4) == 3L,
+      "keyed on the first column alone, all three rows collide")
+  }
+
+  test("uniquenessAudit: an empty table reports zeros, not nulls") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val r = Expectations.uniquenessAudit(Seq(("e", empty, Seq("k")))).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == (0L, 0L, 0L, 0L))
+  }
 }
