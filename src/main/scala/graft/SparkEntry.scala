@@ -283,6 +283,12 @@ object SparkEntry {
     // ---- time series ----
     "ts_asof_purchase_click" -> q((s, d) =>
       TimeSeries.asofPurchaseClick(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
+    // linear multi-touch attribution: one unit of credit per purchase
+    // split round(1/n, 6) across its 30-min lookback touches (summed
+    // in DECIMAL), unmatched purchases credit 'direct'; touches pair
+    // with conversions via a TIME-BINNED (user, bin) equi-join
+    "ts_attribution" -> q((s, d) =>
+      TimeSeries.attribution(ev(s, d)).sortWithinPartitions("channel")),
     "ts_asof_native" -> q((s, d) =>
       TimeSeries.asofNative(ev(s, d)).sortWithinPartitions("user_id", "event_id")),
     "ts_sliding_avg" -> q((s, d) =>
@@ -342,6 +348,11 @@ object SparkEntry {
       Relational.kmvSetAlgebra(Tables.lineitem(s, d))),
     "agg_regression" -> q((s, d) =>
       Relational.regressionByFlag(Tables.lineitem(s, d))
+        .sortWithinPartitions("l_returnflag")),
+    // third standardized moment from decimal power sums — portable
+    // where the built-in skewness() streams partition-dependent floats
+    "agg_skewness" -> q((s, d) =>
+      Relational.skewnessByFlag(Tables.lineitem(s, d))
         .sortWithinPartitions("l_returnflag")),
     "agg_outliers" -> q((s, d) =>
       Relational.outlierCounts(Tables.lineitem(s, d))
@@ -922,6 +933,16 @@ object SparkEntry {
     "qc_drift" -> q((s, d) =>
       operators.Expectations.orderPriceDrift(Tables.orders(s, d))
         .sortWithinPartitions("bin")),
+    // exact two-sample KS statistic (integer numerator, divided only
+    // at the read edge) between the even- and odd-key order-price
+    // populations — the unbinned drift measure qc_drift quantizes away
+    "qc_ks_drift" -> q((s, d) => {
+      val o = Tables.orders(s, d)
+      operators.Expectations.ksDrift(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        o.filter(pmod(col("o_orderkey"), lit(2)) =!= 0),
+        "o_totalprice")
+    }),
     "qc_drift_seg" -> q((s, d) =>
       operators.Expectations.orderPriceDriftBySegment(Tables.orders(s, d))
         .sortWithinPartitions("seg", "bin")),
@@ -2006,6 +2027,31 @@ object SparkEntry {
          |  arg_min(event_id, k) AS min_value_event
          |FROM keyed GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // attribution oracle: plain user-equi band join (semantics); the
+    // engine's bin keys are pure access path. DECIMAL credit sums.
+    "ts_attribution" ->
+      s"""WITH $EV,
+         |tt AS (SELECT user_id, ts_us AS tts, event_type AS channel
+         |       FROM ev WHERE event_type IN ('click', 'view', 'signup')),
+         |cc AS (SELECT user_id, ts_us AS pts, event_id AS pid
+         |       FROM ev WHERE event_type = 'purchase'),
+         |mm AS (SELECT cc.pid, tt.channel
+         |       FROM cc JOIN tt ON cc.user_id = tt.user_id
+         |        AND tt.tts < cc.pts AND cc.pts - tt.tts <= 1800000000),
+         |w AS (SELECT pid, channel,
+         |        count(*) OVER (PARTITION BY pid) AS ntouch
+         |      FROM mm),
+         |cr AS (SELECT channel, count(*) AS n_events,
+         |         round(CAST(sum(CAST(round(1.0 / ntouch, 6)
+         |           AS DECIMAL(18,6))) AS DOUBLE), 6) AS credit6
+         |       FROM w GROUP BY channel),
+         |d AS (SELECT 'direct' AS channel, count(*) AS n_events,
+         |        round(CAST(count(*) AS DOUBLE), 6) AS credit6
+         |      FROM cc WHERE NOT EXISTS
+         |        (SELECT 1 FROM mm WHERE mm.pid = cc.pid))
+         |SELECT * FROM cr UNION ALL SELECT * FROM d
+         |ORDER BY channel""".stripMargin,
+
     "ts_asof_purchase_click" ->
       s"""WITH $EV,
          |t AS (SELECT user_id, event_id, ts_us, event_type FROM ev
@@ -2341,6 +2387,28 @@ object SparkEntry {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },
+
+    // skewness oracle: identical decimal power sums, identical double
+    // epilogue — the 3/2 power spelled m2*sqrt(m2) (sqrt is IEEE
+    // correctly-rounded; pow(x,1.5) is engine-varying libm)
+    "agg_skewness" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(9,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(9,2))
+        |             AS DECIMAL(19,4)) *
+        |             CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE) AS s3
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  round((s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |         + 2.0 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |        ((s2 / n - (s1 / n) * (s1 / n)) *
+        |         sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew6
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "agg_regression" ->
       """WITH m AS (
@@ -4733,6 +4801,28 @@ object SparkEntry {
 
     // triangular-discrimination drift: rational arithmetic only, so
     // per-bin contributions are bit-identical across engines
+    // exact KS: per-value counts, window cumsums, integer numerator
+    // max |ca*m - cb*n|; the division happens once, at the read edge
+    "qc_ks_drift" ->
+      """WITH t AS (
+        |  SELECT o_totalprice AS v, o_orderkey % 2 = 0 AS ia FROM orders),
+        |g AS (SELECT v,
+        |        CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |      FROM t GROUP BY v),
+        |c AS (SELECT sum(na) OVER (ORDER BY v) AS ca,
+        |             sum(nb) OVER (ORDER BY v) AS cb
+        |      FROM g),
+        |st AS (SELECT
+        |         CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS m
+        |       FROM t)
+        |SELECT n, m,
+        |  CAST(max(abs(ca * m - cb * n)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(ca * m - cb * n)) AS DOUBLE) /
+        |        (CAST(n AS DOUBLE) * m), 6) AS ks6
+        |FROM c, st GROUP BY n, m""".stripMargin,
+
     "qc_drift" ->
       """WITH r AS (
         |  SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,

@@ -273,6 +273,68 @@ object Expectations {
             .as("n_null_keys"))
     }.reduce(_ unionByName _)
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic — distribution
+    * drift measured RIGHT: D = sup |ECDF_a − ECDF_b|, computed as an
+    * integer (max |ca·m − cb·n| over distinct values, divided by n·m
+    * only at the read edge) so the answer is exact and
+    * engine-portable, where the binned chi-square-style drift report
+    * ([[orderPriceDrift]]) quantizes first and answers "did the bins
+    * move". Returns one row: (n, m, d_num, ks6).
+    *
+    * Distributed shape (the [[graft.operators.Sampling.budgetSelect]]
+    * two-pass prefix sum): per-value (na, nb) counts in one exchange,
+    * range-repartition by value, per-partition subtotals to the
+    * driver (one Int pair per partition), broadcast offsets back, and
+    * a running-max inside each partition — no single-partition global
+    * window anywhere. The partition id is FROZEN as a column at
+    * checkpoint time (never TaskContext at pass 2 — the DetCheck
+    * lesson). d_num ≤ n·m: keep both sides under ~9.4e7 rows per
+    * comparison (2^53 portability) — sample-gate above that. */
+  def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val v = col(valueCol)
+    val tagged = a.select(v.cast("double").as("v"), lit(1L).as("na"),
+        lit(0L).as("nb"))
+      .unionByName(b.select(v.cast("double").as("v"), lit(0L).as("na"),
+        lit(1L).as("nb")))
+    val perV = tagged.groupBy(col("v"))
+      .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+      .as[(Double, Long, Long, Int)]
+    val nParts = perV.rdd.getNumPartitions
+    val byPid = perV.groupBy(col("pid"))
+      .agg(sum(col("na")).as("a"), sum(col("nb")).as("b"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val subtotals = (0 until nParts).map(byPid.getOrElse(_, (0L, 0L)))
+    val n = subtotals.map(_._1).sum
+    val m = subtotals.map(_._2).sum
+    val offsets = spark.sparkContext.broadcast(
+      subtotals.scanLeft((0L, 0L)) { case ((x1, y1), (x2, y2)) =>
+        (x1 + x2, y1 + y2)
+      }.toArray)
+    val dnum = perV.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val buf = it.buffered
+        var (ca, cb) = offsets.value(buf.head._4)
+        var best = 0L
+        buf.foreach { case (_, na, nb, _) =>
+          ca += na; cb += nb
+          val d = math.abs(ca * m - cb * n)
+          if (d > best) best = d
+        }
+        Iterator.single(best)
+      }
+    }.toDF("d").agg(coalesce(max(col("d")), lit(0L)).as("d_num"))
+    dnum.select(lit(n).as("n"), lit(m).as("m"), col("d_num"),
+      when(lit(n * m) === 0L, lit(0.0))
+        .otherwise(round(col("d_num") / lit(n.toDouble * m), 6)).as("ks6"))
+  }
+
   /** Primary-key uniqueness audit — [[referentialAudit]]'s sibling
     * load gate: per (table, declared key) one key-grouped aggregate
     * reporting row count, distinct-key count, duplicated-key count,

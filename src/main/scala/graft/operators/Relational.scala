@@ -241,6 +241,36 @@ object Relational {
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Population skewness from exact decimal POWER SUMS — the same
+    * portable-moments discipline as [[regressionByFlag]], one power
+    * higher: Σx, Σx², Σx³ accumulate in DECIMAL (x as (9,2), so x³
+    * lands exactly within decimal bounds with no precision loss on
+    * either engine — wider input casts push DuckDB's stepwise
+    * multiply over its 38-digit cap), then the third standardized moment m₃/m₂^{3/2} is a
+    * fixed sequence of correctly-rounded double ops — with the 3/2
+    * power written as m₂·√m₂, because `sqrt` is IEEE
+    * correctly-rounded everywhere while `pow(x, 1.5)` is a libm call
+    * whose low bits vary by engine. Built-in `skewness()` streams
+    * float updates whose result depends on partitioning —
+    * unverifiable. Moments also merge by addition, so this state
+    * refreshes incrementally at 100 TB exactly like the regression's. */
+  def skewnessByFlag(lineitem: DataFrame): DataFrame = {
+    val x = col("l_extendedprice").cast("decimal(9,2)")
+    def m(c: Column) = c / col("n")
+    val m2 = m(col("s2")) - m(col("s1")) * m(col("s1"))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"),
+        sum(x * x * x).cast("double").as("s3"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((m(col("s3")) - lit(3.0) * m(col("s1")) * m(col("s2"))
+          + lit(2.0) * m(col("s1")) * m(col("s1")) * m(col("s1"))) /
+          (m2 * sqrt(m2)), 6).as("skew6"))
+  }
+
   /** BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL):
     * multiplicity-aware membership — a customer with 3 orders in 1995
     * and 2 in 1996 contributes min(3,2)=2 to the intersection and

@@ -713,4 +713,53 @@ object TimeSeries {
         col("nb.event_id").as("second_id"),
         (col("nb.ts_us") - col("ts_us")).as("gap_us"))
   }
+
+  /** Linear multi-touch attribution: each conversion splits ONE unit
+    * of credit equally across the touch events in its lookback window
+    * (round(1/n, 6), summed per channel in DECIMAL so the total is
+    * order-independent); conversions with no preceding touch credit
+    * the synthetic 'direct' channel one whole unit — so total credit
+    * always equals the conversion count, up to the stated per-touch
+    * rounding. The single-touch specializations are the as-of joins
+    * (`ts_asof_purchase_click` IS last-touch); this is the multi-touch
+    * generalization marketing/warehouse stacks report.
+    *
+    * Scale shape: the touch↔conversion pairing is a TIME-BINNED
+    * equi-join — touches key to bin ⌊ts/W⌋ once, conversions probe
+    * (bin−1, bin) — so the join key is (user, bin) and candidate
+    * volume is per-(user, bin) occupancy², never per-user touches ×
+    * conversions; the residual 0 < conv − touch ≤ W is exact integer
+    * micros. The same bin-the-domain move as RangeJoin, 1-D. */
+  def attribution(events: DataFrame,
+                  touchTypes: Seq[String] = Seq("click", "view", "signup"),
+                  convType: String = "purchase",
+                  windowSec: Long = 1800L): DataFrame = {
+    require(windowSec > 0, s"attribution: windowSec must be positive")
+    val wUs = windowSec * 1000000L
+    val touches = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("ts_us").as("tts"),
+        col("event_type").as("channel"),
+        expr(s"ts_us div $wUs").as("bin"))
+    val convs = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("ts_us").as("pts"),
+        col("event_id").as("pid"))
+      .withColumn("bin",
+        explode(array(expr(s"pts div $wUs") - 1, expr(s"pts div $wUs"))))
+    val matched = convs.join(touches, Seq("user_id", "bin"))
+      .filter(col("tts") < col("pts") && col("pts") - col("tts") <= wUs)
+      .select(col("pid"), col("channel"))
+    val perConv = Window.partitionBy(col("pid"))
+    val credited = matched
+      .withColumn("ntouch", count(lit(1)).over(perConv))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(round(lit(1.0) / col("ntouch"), 6)
+          .cast("decimal(18,6)")).cast("double"), 6).as("credit6"))
+    val direct = convs.select(col("pid")).distinct()
+      .join(matched.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_events"))
+      .select(lit("direct").as("channel"), col("n_events"),
+        round(col("n_events").cast("double"), 6).as("credit6"))
+    credited.unionByName(direct)
+  }
 }

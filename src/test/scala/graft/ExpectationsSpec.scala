@@ -212,6 +212,40 @@ class ExpectationsSpec extends SparkSpec {
       "keyed on the first column alone, all three rows collide")
   }
 
+  test("ksDrift: identical samples give D = 0, disjoint samples give 1") {
+    val a = (1 to 50).map(_.toDouble).toDF("v")
+    assert(Expectations.ksDrift(a, a, "v").head().getLong(2) == 0L)
+    val lo = (1 to 40).map(_.toDouble).toDF("v")
+    val hi = (100 to 129).map(_.toDouble).toDF("v")
+    val r = Expectations.ksDrift(lo, hi, "v").head()
+    assert(r.getLong(2) == 40L * 30L && r.getDouble(3) == 1.0,
+      "fully separated distributions reach the KS maximum")
+  }
+
+  test("ksDrift: hand-computed ECDF gap, ties collapse per distinct value") {
+    // A = {1,1,2,3} (n=4), B = {2,3,3,4} (m=4):
+    //   v=1: ca=2 cb=0 → |8−0|=8;  v=2: ca=3 cb=1 → |12−4|=8
+    //   v=3: ca=4 cb=3 → |16−12|=4; v=4: ca=4 cb=4 → 0   ⇒ D=8/16
+    val a = Seq(1.0, 1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 3.0, 4.0).toDF("v")
+    val r = Expectations.ksDrift(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 4L, 8L))
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("ksDrift: partitioning invariance of the two-pass prefix sum") {
+    val rnd = new scala.util.Random(17)
+    val a = (1 to 500).map(_ => rnd.nextInt(80).toDouble).toDF("v")
+    val b = (1 to 400).map(_ => rnd.nextInt(80).toDouble + 3.0).toDF("v")
+    val one = Expectations.ksDrift(a.repartition(1), b.repartition(1), "v")
+      .head()
+    val many = Expectations.ksDrift(a.repartition(7), b.repartition(5), "v")
+      .head()
+    assert(one.getLong(2) == many.getLong(2) &&
+      one.getDouble(3) == many.getDouble(3))
+    assert(one.getLong(2) > 0L, "the +3 shift must register as drift")
+  }
+
   test("uniquenessAudit: an empty table reports zeros, not nulls") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val r = Expectations.uniquenessAudit(Seq(("e", empty, Seq("k")))).head()

@@ -289,4 +289,28 @@ class PlanSpec extends SparkSpec {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
     }.nonEmpty), "window must consume the bucket aggregate, not raw events")
   }
+
+  test("spatial ε-join: candidates via equi-join, never a nested loop") {
+    val p = finalPlan(q("join_spatial_grid"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the grid keys must make this an equi-join:\n$p")
+  }
+
+  test("attribution: the time-binned pairing is an equi-join, never a nested loop") {
+    val p = finalPlan(q("ts_attribution"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"the (user, bin) keys must make this an equi-join:\n$p")
+  }
+
+  test("LSH mutual-kNN: the bucket self-join is hash-keyed, not broadcast-nested") {
+    val p = finalPlan(q("emb_mutual_knn_lsh"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"bucket equality must drive the candidate join:\n$p")
+  }
+
+  test("common neighbors: the wedge join is keyed on the middle; no nested loop") {
+    val p = finalPlan(q("graph_common_neighbors"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"wedges must form via the src equi-key:\n$p")
+  }
 }

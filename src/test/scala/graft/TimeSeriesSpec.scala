@@ -452,4 +452,59 @@ class TimeSeriesSpec extends SparkSpec {
       assert(got == brute(rows, 60L), s"seed $seed parts $parts")
     }
   }
+
+  // ---- linear multi-touch attribution ----
+
+  private def evRow(id: Long, user: Long, tsSec: Long, typ: String) =
+    (id, user, tsSec * 1000000L, typ)
+
+  private def attrib(rows: Seq[(Long, Long, Long, String)]) =
+    graft.operators.TimeSeries.attribution(
+      rows.toDF("event_id", "user_id", "ts_us", "event_type"),
+      windowSec = 1800L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+
+  test("attribution: equal split across touches, direct for untouched") {
+    val rows = Seq(
+      evRow(1, 1, 100, "click"), evRow(2, 1, 200, "view"),
+      evRow(3, 1, 300, "purchase"),                      // 2 touches → ½ each
+      evRow(4, 2, 100, "purchase"),                      // no touches → direct
+      evRow(5, 3, 500, "click"), evRow(6, 3, 600, "purchase")) // 1 touch
+    val got = attrib(rows)
+    assert(got("click") == (2L, 1.5), "½ from user 1 + 1 from user 3")
+    assert(got("view") == (1L, 0.5))
+    assert(got("direct") == (1L, 1.0))
+  }
+
+  test("attribution: window boundary — exactly W counts, beyond W and ties do not") {
+    val W = 1800L
+    val rows = Seq(
+      evRow(1, 1, 1000, "click"), evRow(2, 1, 1000 + W, "purchase"),  // = W: in
+      evRow(3, 2, 1000, "click"), evRow(4, 2, 1001 + W, "purchase"),  // > W: out
+      evRow(5, 3, 1000, "click"), evRow(6, 3, 1000, "purchase"))      // tie: out
+    val got = attrib(rows)
+    assert(got("click") == (1L, 1.0))
+    assert(got("direct") == (2L, 2.0))
+  }
+
+  test("attribution: credit is conserved — totals equal the conversion count") {
+    val rnd = new scala.util.Random(23)
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    val rows = (1L to 600L).map(i =>
+      evRow(i, rnd.nextInt(5).toLong, rnd.nextInt(40000).toLong,
+        types(rnd.nextInt(types.length))))
+    val got = attrib(rows)
+    val nConv = rows.count(_._4 == "purchase")
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - nConv) < 1e-3,
+      s"credit $total vs $nConv conversions (per-touch rounding only)")
+  }
+
+  test("attribution: cross-bin touches are found (bin-1 probe)") {
+    // touch at 1799s, purchase at 1801s: different 1800s bins, gap 2s
+    val rows = Seq(
+      evRow(1, 1, 1799, "click"), evRow(2, 1, 1801, "purchase"))
+    assert(attrib(rows)("click") == (1L, 1.0))
+  }
 }
