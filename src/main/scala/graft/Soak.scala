@@ -96,7 +96,8 @@ object Soak {
     // pool-bounded MMR re-rank head
     "graph_common_neighbors", "emb_mutual_knn_clusters", "ret_mmr",
     "emb_mutual_knn_lsh", "cdc_agg_delta", "join_spatial_grid",
-    "qc_uniqueness", "agg_skewness", "qc_ks_drift", "ts_attribution")
+    "qc_uniqueness", "agg_skewness", "qc_ks_drift", "ts_attribution",
+    "doc_contrastive_pairs")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

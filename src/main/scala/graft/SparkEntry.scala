@@ -677,6 +677,12 @@ object SparkEntry {
         .sortWithinPartitions("doc_id")),
     "dedup_simhash" -> q((s, d) =>
       Dedup.simhash(Tables.documents(s, d)).sortWithinPartitions("doc_id")),
+    // contrastive pair mining: miner positives (label 1) + one
+    // deterministic hash-derived negative per doc (label 0), both
+    // carrying true simhash hamming as the hardness signal
+    "doc_contrastive_pairs" -> q((s, d) =>
+      Dedup.contrastivePairs(Tables.documents(s, d))
+        .sortWithinPartitions("label", "id1", "id2")),
     "dedup_simhash_pairs" -> q((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d)).sortWithinPartitions("id1", "id2")),
     "dedup_ngram_jaccard" -> q((s, d) =>
@@ -3440,6 +3446,47 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH $SimhashSql
          |SELECT doc_id, simhash16 FROM sim ORDER BY doc_id""".stripMargin,
+
+    "doc_contrastive_pairs" -> {
+      val hp = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val hn = (1 to 16).map(i =>
+        s"CASE WHEN substr(s1.simhash16, $i, 1) = substr(s2.simhash16, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |pos AS (SELECT id1, id2, $hp AS hamming, 1 AS label
+         |        FROM pairs WHERE $hp <= 3),
+         |n1 AS (SELECT count(*) AS n FROM documents),
+         |cnd AS (SELECT least(doc_id, j) AS id1, greatest(doc_id, j) AS id2
+         |        FROM (SELECT doc_id,
+         |                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+         |                     1, 13) AS BIGINT) % (SELECT n FROM n1) AS j
+         |              FROM documents)
+         |        WHERE doc_id <> j GROUP BY 1, 2),
+         |ex AS (SELECT c.id1, c.id2 FROM cnd c
+         |       JOIN documents d1 ON c.id1 = d1.doc_id
+         |       JOIN documents d2 ON c.id2 = d2.doc_id
+         |       LEFT JOIN pos p ON p.id1 = c.id1 AND p.id2 = c.id2
+         |       WHERE p.id1 IS NULL),
+         |neg AS (SELECT e.id1, e.id2, $hn AS hamming, 0 AS label
+         |        FROM ex e JOIN sim s1 ON s1.doc_id = e.id1
+         |                  JOIN sim s2 ON s2.doc_id = e.id2)
+         |SELECT id1, id2, hamming, label FROM pos
+         |UNION ALL SELECT id1, id2, hamming, label FROM neg
+         |ORDER BY label, id1, id2""".stripMargin
+    },
 
     "dedup_simhash_pairs" -> {
       val hammingTerms = (1 to 16).map(i =>

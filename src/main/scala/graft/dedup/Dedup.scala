@@ -684,4 +684,51 @@ object Dedup {
         round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
           col("n_tokens"), 4).as("dup_frac"))
   }
+
+  /** Contrastive training pairs — the data-GENERATION side of the
+    * dedup stack: positives are the near-dup pairs the simhash miner
+    * finds (label 1), negatives a deterministic hash-derived pairing
+    * (label 0, partner of doc i = hash52(i) mod n, canonicalized,
+    * existence-checked, anti-joined against the positives so no
+    * accidental positive leaks in). BOTH sides carry the true simhash
+    * hamming distance as the hardness signal — a negative at hamming
+    * 4 is a hard negative, one at 8 is easy — which is what a
+    * contrastive similarity model trains on (the SimCSE/E5-style
+    * pair-mining recipe, expressed over the corpus's own near-dup
+    * structure).
+    *
+    * Scale: negatives are ONE row per document derived by a
+    * stateless hash — no sampling shuffle, no global order; the
+    * hamming join ships two 16-char signatures per pair. Class
+    * balance is corpus-dependent (≈ n negatives vs the miner's
+    * positive count) — re-weight downstream, don't re-sample here. */
+  def contrastivePairs(documents: DataFrame): DataFrame = {
+    val pos = simhashPairs(documents)
+      .select(col("id1"), col("id2"), col("hamming"), lit(1).as("label"))
+      .localCheckpoint(true)
+    val sigs = simhash(documents)
+    val ids = documents.select(col("doc_id"))
+    val nRow = broadcast(documents.agg(count(lit(1)).as("n")))
+    val cand = ids.crossJoin(nRow)
+      .select(col("doc_id").as("i"),
+        pmod(hash52(col("doc_id")), col("n")).as("j"))
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("id1"),
+        greatest(col("i"), col("j")).as("id2"))
+      .distinct()
+    val neg = cand
+      .join(ids.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      .join(pos.select(col("id1"), col("id2")), Seq("id1", "id2"),
+        "left_anti")
+      .join(sigs.select(col("doc_id").as("id1"),
+        col("simhash16").as("sh1")), Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"),
+        col("simhash16").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        call_function("graft_hamming", col("sh1"), col("sh2"))
+          .cast("long").as("hamming"),
+        lit(0).as("label"))
+    pos.unionByName(neg)
+  }
 }

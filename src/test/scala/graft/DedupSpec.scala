@@ -390,4 +390,38 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == viaWindow)
   }
+
+  // ---- contrastive pair mining ----
+
+  test("contrastivePairs: labels partition the pair space, hamming is true") {
+    val out = graft.dedup.Dedup.contrastivePairs(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3))))
+    // no pair carries both labels, every pair canonical
+    val byPair = out.groupBy(_._1)
+    byPair.foreach { case (pr, rows) =>
+      assert(rows.map(_._2._2).distinct.length == 1, s"pair $pr double-labeled")
+      assert(pr._1 < pr._2, s"pair $pr not canonical")
+    }
+    // positives are exactly the miner's pairs
+    val minerPairs = graft.dedup.Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.filter(_._2._2 == 1).map(_._1).toSet == minerPairs)
+    // every row's hamming equals the recomputed signature distance
+    val sig = graft.dedup.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case ((a, b), (h, _)) =>
+      val expect = sig(a).zip(sig(b)).count { case (x, y) => x != y }
+      assert(h == expect, s"pair ($a,$b): hamming $h != $expect")
+    }
+    // at most one hash-derived negative per document
+    assert(out.count(_._2._2 == 0) <= docs.count())
+  }
+
+  test("contrastivePairs is deterministic") {
+    val a = graft.dedup.Dedup.contrastivePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val b = graft.dedup.Dedup.contrastivePairs(docs.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
 }

@@ -244,4 +244,39 @@ class SamplingSpec extends SparkSpec {
       assert(got == expect, s"seed $seed parts $parts")
     }
   }
+
+  test("streaming reservoir: per-batch priority-sample fold equals the batch sample") {
+    // priority sampling is MERGEABLE: folding top-k(state ∪ batch)
+    // per micro-batch holds a bounded k-row state yet ends exactly
+    // where one batch pass over the whole stream would — the
+    // streaming reservoir contract (priorities are pure functions of
+    // (key, weight), so refolding recomputes identical values)
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val k = 8
+    val in = MemoryStream[(Long, Double)](spark)
+    var state = Seq.empty[(Long, Double)].toDF("key", "w")
+    val query = in.toDF().toDF("key", "w")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = graft.operators.Sampling.weightedTopK(
+            state.unionByName(batch), col("key"), col("w"), k)
+          .select(col("key"), col("w")).localCheckpoint()
+        ()
+      }.start()
+    val rnd = new scala.util.Random(31)
+    val batches = (1 to 3).map(b =>
+      (1 to 40).map(i => ((b * 100 + i).toLong, rnd.nextInt(50) + 1.0)))
+    try {
+      batches.foreach { rows => in.addData(rows: _*); query.processAllAvailable() }
+      val streamed = state.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val all = batches.flatten.toDF("key", "w")
+      val batchSample = graft.operators.Sampling
+        .weightedTopK(all, col("key"), col("w"), k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(streamed == batchSample)
+      assert(streamed.size == k)
+    } finally query.stop()
+  }
 }
