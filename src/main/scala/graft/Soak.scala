@@ -97,7 +97,7 @@ object Soak {
     "graph_common_neighbors", "emb_mutual_knn_clusters", "ret_mmr",
     "emb_mutual_knn_lsh", "cdc_agg_delta", "join_spatial_grid",
     "qc_uniqueness", "agg_skewness", "qc_ks_drift", "ts_attribution",
-    "doc_contrastive_pairs")
+    "doc_contrastive_pairs", "emb_label_centroids")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

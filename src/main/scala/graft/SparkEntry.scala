@@ -872,6 +872,12 @@ object SparkEntry {
       Knn.rpLshBuckets(Tables.embeddings(s, d)).sortWithinPartitions("vec_id")),
     "knn_lsh_search" -> q((s, d) =>
       Knn.rpLshSearch(Tables.embeddings(s, d)).sortWithinPartitions("qid", "rnk")),
+    // per-label centroid diagnostics: mean-vector norm + intra-class
+    // cohesion (cos-to-centroid == cos-to-sum-vector, 1/n cancels) —
+    // the label health check before filtered search trusts labels
+    "emb_label_centroids" -> q((s, d) =>
+      Knn.labelCentroids(Tables.embeddings(s, d))
+        .sortWithinPartitions("label")),
     "emb_norms" -> q((s, d) =>
       Knn.norms(Tables.embeddings(s, d)).sortWithinPartitions("vec_id")),
     "emb_quantize" -> q((s, d) =>
@@ -4493,6 +4499,33 @@ object SparkEntry {
          |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / 3, 4) AS recall4
          |FROM qids LEFT JOIN hits ON qids.qid = hits.qid
          |ORDER BY qids.qid""".stripMargin,
+
+    // centroid oracle: parallel unnest for (d, x), DECIMAL(22,18)
+    // per-dim sums, ordered list agg rebuilds the sum vector
+    "emb_label_centroids" ->
+      s"""WITH dims AS (
+         |  SELECT label, vec_id, unnest(embedding) AS x,
+         |         unnest(range(64)) AS d
+         |  FROM embeddings),
+         |sums AS (SELECT label, d, sum(CAST(x AS DECIMAL(22,18))) AS s
+         |         FROM dims GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY d) AS svec
+         |         FROM sums GROUP BY 1),
+         |cn AS (SELECT label, svec,
+         |         sqrt(list_dot_product(svec, svec)) AS norm_s
+         |       FROM cent),
+         |mem AS (
+         |  SELECT e.label, c.norm_s,
+         |    CASE WHEN c.norm_s = 0.0 THEN 0.0 ELSE
+         |      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.svec) /
+         |        (sqrt(${dotSql("e.embedding", "e.embedding")}) *
+         |         sqrt(list_dot_product(c.svec, c.svec))), 4) END AS cv
+         |  FROM embeddings e JOIN cn c USING (label))
+         |SELECT label, count(*) AS n,
+         |  round(any_value(norm_s) / count(*), 4) AS centroid_norm4,
+         |  round(CAST(sum(CAST(cv AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)
+         |    AS cohesion4
+         |FROM mem GROUP BY label ORDER BY label""".stripMargin,
 
     "emb_norms" ->
       s"""SELECT vec_id, len(embedding) AS dim,

@@ -533,6 +533,49 @@ object Knn {
           .as("recall4"))
   }
 
+  /** Per-label embedding diagnostics: mean-vector norm and intra-class
+    * cohesion — the two numbers that say whether a label's region is
+    * tight (high cohesion, norm near the members') or smeared (low
+    * both), the health check run before trusting labels for filtered
+    * search or stratified sampling.
+    *
+    * Exactness: per-dim sums accumulate in DECIMAL(22,18) (the RpLsh
+    * pattern — double→decimal at scale 18 rounds identically across
+    * engines, and both engines widen the SUM type, so no overflow);
+    * cosine-to-centroid equals cosine-to-SUM-vector (the 1/n scaling
+    * cancels in the ratio), so no decimal division exists anywhere —
+    * the only divisions are double ops on identical inputs. The mean
+    * norm reads sqrt(dot(S,S))/n.
+    *
+    * Shape: one (label, dim) exchange for the sums (labels×dims rows),
+    * label-count-sized centroid relation broadcast back, one
+    * per-member fused cosine pass, one label aggregate. */
+  def labelCentroids(emb: DataFrame): DataFrame = {
+    val dims = spread(emb).select(col("label"), col("vec_id"),
+      posexplode(col("embedding")).as(Seq("d", "x")))
+    val sums = dims.groupBy(col("label"), col("d"))
+      .agg(sum(col("x").cast("decimal(22,18)")).as("s"))
+    val cent = sums.groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("s")))),
+        c => c.getField("s").cast("double")).as("svec"))
+      .withColumn("norm_s", sqrt(dotFold(col("svec"), col("svec"))))
+    // a perfectly-cancelling label (sum vector = 0) has no direction:
+    // define its cohesion contribution as 0 rather than NaN-poisoning
+    // the aggregate (and the oracle states the same CASE)
+    val cosv = when(col("norm_s") === 0.0, lit(0.0))
+      .otherwise(round(dotFold(col("embedding"), col("svec")) /
+        (sqrt(dotFold(col("embedding"), col("embedding"))) *
+          sqrt(dotFold(col("svec"), col("svec")))), 4))
+    emb.select(col("label"), col("embedding"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("norm_s"), cosv.as("cv"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(first(col("norm_s")) / count(lit(1)), 4).as("centroid_norm4"),
+        round(sum(col("cv").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("cohesion4"))
+  }
+
   /** MMR (maximal marginal relevance — Carbonell & Goldstein, SIGIR
     * 1998) diversified re-ranking: greedily pick k results where each
     * pick maximizes `relevance − max-similarity-to-already-picked`

@@ -86,6 +86,25 @@ class MutualKnnSpec extends SparkSpec {
     out.foreach { case (_, c, sz) => assert(sz == mult(c)) }
   }
 
+  test("labelCentroids: tight, spread, and cancelling labels") {
+    val emb = Seq(
+      // label 0: four copies of (3,4) — cohesion 1, mean norm 5
+      (0L, 0, Array(3.0f, 4.0f)), (1L, 0, Array(3.0f, 4.0f)),
+      (2L, 0, Array(3.0f, 4.0f)), (3L, 0, Array(3.0f, 4.0f)),
+      // label 1: orthogonal units — S=(1,1), each cos = 1/√2
+      (4L, 1, Array(1.0f, 0.0f)), (5L, 1, Array(0.0f, 1.0f)),
+      // label 2: antipodal — sum vector is 0, cohesion defined as 0
+      (6L, 2, Array(1.0f, 0.0f)), (7L, 2, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.similarity.Knn.labelCentroids(emb).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got(0) == (4L, 5.0, 1.0))
+    assert(got(1) == (2L, 0.7071, 0.7071))
+    assert(got(2) == (2L, 0.0, 0.0),
+      "a cancelling label must report 0, not NaN")
+  }
+
   test("cluster labels are the component minimum id") {
     val out = Knn.mutualKnnClusters(groups, k = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
