@@ -6,7 +6,12 @@ Usage: python3 scripts/check.py [sfDir] [outDir] [--tolerant]
 
 Exact value equality by default (the driver's gate is an exact hash
 compare); --tolerant enables a 1e-9 relative float tolerance for
-debugging only.
+debugging only. Since round 10 the compare is also DTYPE-aware:
+an integer column on one side arriving as float on the other
+(e.g. DuckDB HUGEINT -> fetchdf float64 vs engine int64) FAILS,
+because the driver's hash is type-sensitive — this is exactly how
+round 9's sample_budget red row slipped past the old type-blind
+replica. Local green predicts driver green; it is not identical.
 
 Reads outDir/<name>/ parquet (written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views
@@ -48,12 +53,30 @@ def values_equal(a, b) -> bool:
         return TOLERANT and abs(af - bf) < 1e-9 * max(1.0, abs(af), abs(bf))
     return a == b
 
+def dtype_mismatch(s_dtype, d_dtype):
+    """The driver's hash is TYPE-SENSITIVE: a DuckDB HUGEINT (fetchdf ->
+    float64) vs an engine int64 hashes differently even when every value
+    is identical (round-9 sample_budget shipped red exactly this way).
+    Flag integer-vs-float kind splits in either direction; same-kind
+    width differences (int32 vs int64) are fine. Nullable ints become
+    float64 on BOTH sides (pandas + fetchdf) so nulls don't false-flag."""
+    sk, dk = s_dtype.kind, d_dtype.kind
+    ints, flts = ("i", "u"), ("f",)
+    if (sk in ints and dk in flts) or (sk in flts and dk in ints):
+        return True
+    return False
+
 def compare(name, spark_df, duck_df):
     sn, dn = norm(spark_df), norm(duck_df)
     if list(sn.columns) != list(dn.columns):
         return f"SCHEMA spark={list(sn.columns)} duck={list(dn.columns)}"
     if len(sn) != len(dn):
         return f"ROWS spark={len(sn)} duck={len(dn)}"
+    for c in sn.columns:
+        if dtype_mismatch(sn[c].dtype, dn[c].dtype):
+            return (f"DTYPE col={c} spark={sn[c].dtype} duck={dn[c].dtype}"
+                    " (driver hash is type-sensitive; likely missing"
+                    " CAST(... AS BIGINT) in the oracle SQL)")
     for c in sn.columns:
         sv, dv = sn[c].tolist(), dn[c].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):

@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   *    structure is identical to sf0.1's, never overlapping;
   *  - dimension tables stay fixed (fan-out per dim key grows 10×,
   *    which is the stress a bigger fact table puts on a join);
-  *  - document text gets a per-copy vowel-rotation (`translate`), so
-  *    cross-copy shingle/minhash/simhash collisions vanish and the
-  *    near-duplicate RATE stays that of sf0.1 — naive replication
-  *    would make every doc a 10-way exact duplicate and inflate every
-  *    pair-expansion superlinearly, soaking a fiction.
+  *  - document text gets a per-copy FULL-ALPHABET Caesar shift and
+  *    embeddings a per-copy dimension rotation (both bijective /
+  *    orthogonal, so within-copy duplicate and similarity structure
+  *    is preserved EXACTLY), so cross-copy shingle/minhash/simhash/
+  *    cosine collisions vanish and the near-duplicate RATE stays
+  *    that of sf0.1 — naive replication would make every doc a
+  *    10-way duplicate and inflate every pair expansion
+  *    superlinearly, soaking a fiction (this was partially true of
+  *    the pre-round-10 vowel-rotation fixture: 5 distinct rotations
+  *    for 10 copies + verbatim vectors — see the generate() notes).
   *
   * Usage: runMain graft.Soak [baseDir] [outDir] [copies] [queryCsv] [jsonOut]
   * (queryCsv = optional comma-separated subset of SoakQueries, or the
@@ -151,19 +156,48 @@ object Soak {
         .withColumn("user_id", col("user_id") + lit(i * userStride))
     }, "events", 16)
 
+    // Per-copy FULL-ALPHABET Caesar shift (round-10 fixture fix): the
+    // old vowel rotation had only 5 distinct rotations for 10 copies
+    // (copies i and i+5 were byte-identical) and left consonant-heavy
+    // shingles shared across ALL copies, so every doc soaked as a
+    // ~10-way near-dup and the dedup-family ratios measured the
+    // fixture's quadratic pair blow-up, not data growth (VERDICT r9
+    // item 6). A per-copy substitution cipher is a BIJECTION on
+    // characters: within a copy every shingle-set Jaccard, span
+    // overlap, and duplicate relation is preserved EXACTLY (the
+    // distributional shape the soak wants), while cross-copy shingles
+    // are disjoint for any i ≠ j (every letter maps differently under
+    // distinct shifts — only all-punctuation shingles can collide).
     val docs = Tables.table(spark, base, "documents")
     val docStride = stride(docs, "doc_id")
-    val vowels = "aeiou"
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
     write(copiesOf(docs, copies) { (d, i) =>
-      val rot = (vowels + vowels).substring(i % 5, i % 5 + 5)
+      val k = i % 26
+      val rotL = lower.substring(k) + lower.substring(0, k)
+      val rotU = upper.substring(k) + upper.substring(0, k)
       d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
-        .withColumn("text", translate(col("text"), vowels, rot))
+        .withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
     }, "documents", 16)
 
+    // Per-copy DIMENSION ROTATION for embeddings (same r10 fix): the
+    // old generator copied vectors verbatim, so every vector soaked
+    // with 9 exact duplicates — kNN/mutual-kNN/semantic-prune ratios
+    // again measured fixture duplication. A circular shift of the
+    // dimensions is an ORTHOGONAL transform: every within-copy dot
+    // product (and hence cosine, LSH bucket geometry, IVF cell
+    // structure) is preserved exactly, while cross-copy pairs
+    // decorrelate to near-random cosines.
     val embs = Tables.table(spark, base, "embeddings")
     val vecStride = stride(embs, "vec_id")
     write(copiesOf(embs, copies) { (d, i) =>
+      val shifted =
+        if (i == 0) col("embedding")
+        else concat(
+          expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
+          expr(s"slice(embedding, 1, $i)"))
       d.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
+        .withColumn("embedding", shifted)
     }, "embeddings", 8)
   }
 

@@ -3346,8 +3346,9 @@ object SparkEntry {
     "sample_budget" ->
       """WITH ord AS (
         |  SELECT doc_id, n_chars,
-        |         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        |         CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_cost
         |  FROM documents)
         |SELECT doc_id, n_chars AS score, n_chars AS cost, cum_cost
         |FROM ord WHERE cum_cost <= 1000000 ORDER BY doc_id""".stripMargin,
@@ -4885,7 +4886,8 @@ object SparkEntry {
     // max |ca*m - cb*n|; the division happens once, at the read edge
     "qc_ks_drift" ->
       """WITH t AS (
-        |  SELECT o_totalprice AS v, o_orderkey % 2 = 0 AS ia FROM orders),
+        |  SELECT o_totalprice AS v, o_orderkey % 2 = 0 AS ia FROM orders
+        |  WHERE o_totalprice IS NOT NULL),
         |g AS (SELECT v,
         |        CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS na,
         |        CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS nb

@@ -289,15 +289,21 @@ object Expectations {
     * window anywhere. The partition id is FROZEN as a column at
     * checkpoint time (never TaskContext at pass 2 — the DetCheck
     * lesson). d_num ≤ n·m: keep both sides under ~9.4e7 rows per
-    * comparison (2^53 portability) — sample-gate above that. */
+    * comparison (2^53 portability) — sample-gate above that.
+    *
+    * NULL contract: rows with a NULL `valueCol` are EXCLUDED from
+    * both samples (n and m count non-null rows only). KS over nulls
+    * is statistically undefined, and engines disagree on null sort
+    * position (Spark nulls-first vs DuckDB nulls-last), so admitting
+    * them would make the ECDF prefix engine-dependent. */
   def ksDrift(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
-    val v = col(valueCol)
-    val tagged = a.select(v.cast("double").as("v"), lit(1L).as("na"),
-        lit(0L).as("nb"))
-      .unionByName(b.select(v.cast("double").as("v"), lit(0L).as("na"),
-        lit(1L).as("nb")))
+    val cv = col(valueCol).cast("double")
+    val tagged = a.select(cv.as("v"), lit(1L).as("na"), lit(0L).as("nb"))
+      .filter(col("v").isNotNull)
+      .unionByName(b.select(cv.as("v"), lit(0L).as("na"), lit(1L).as("nb"))
+        .filter(col("v").isNotNull))
     val perV = tagged.groupBy(col("v"))
       .agg(sum(col("na")).as("na"), sum(col("nb")).as("nb"))
       .repartitionByRange(col("v"))

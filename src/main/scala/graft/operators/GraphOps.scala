@@ -226,11 +226,17 @@ object GraphOps {
     * outranks one hanging off a single thread, and mass decays
     * geometrically with distance.
     *
-    * Scale posture: identical to pageRank — the (src, dst, deg)
-    * relation checkpoints once hash-partitioned on src, rounds
-    * shuffle only the |V|-row rank vector, the teleport relation
-    * materializes once and joins by node. Throws if no seed is in
-    * the graph (PPR is undefined without teleport mass). */
+    * Scale posture: identical to pageRank — the (src, dst, deg,
+    * tele_dst) relation checkpoints once hash-partitioned on src and
+    * rounds shuffle only the |V|-row rank vector. The teleport mass
+    * is FUSED into that checkpointed edge layout (tele(dst) rides
+    * each edge row; the per-dst aggregate reads it back with a max),
+    * so every round is ONE join + ONE aggregate — round 9 shipped a
+    * per-round tele join by node instead, and soak measured it at
+    * 5.6× on 10× data, the steepest of the graph family, exactly the
+    * extra |V|-row exchange per round this fusion removes. Throws if
+    * no seed is in the graph (PPR is undefined without teleport
+    * mass). */
   def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
                            iterations: Int = 10,
                            dampNum: Long = 85, dampDen: Long = 100,
@@ -257,13 +263,24 @@ object GraphOps {
         .select(col("node"),
           when(col("is_seed").isNotNull, lit(scale / nSeeds))
             .otherwise(lit(0L)).as("tele")))
+    // one-time fusion: tele(dst) onto the edge layout, re-partitioned
+    // back on src (the per-round join key). Costs one edge-sized join
+    // + checkpoint at setup; saves one |V|-row tele join PER ROUND —
+    // the round-9 soak's 5.6× row. groupBy(dst) covers every node
+    // (the graph is symmetrized, so all nodes have in-edges), and
+    // tele_dst is constant per dst group, read back with max().
+    val edgesTele = materialize(
+      edgesDeg.join(
+          tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
+          Seq("dst"))
+        .repartition(col("src")))
     var pr = tele.select(col("node"), col("tele").as("pr"))
     for (i <- 1 to iterations) {
-      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+      pr = edgesTele.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
-        .agg(sum(expr("pr div deg")).as("in_sum"))
-        .join(tele.as("t"), col("dst") === col("t.node"))
-        .select(col("t.node"),
+        .agg(sum(expr("pr div deg")).as("in_sum"),
+          max(col("e.tele_dst")).as("tele"))
+        .select(col("dst").as("node"),
           (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
             expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
@@ -639,13 +656,19 @@ object GraphOps {
     * RA mass (1e6/deg → 0) anyway, so capping changes little signal
     * for quadratically less work. The cap is part of the operator's
     * SEMANTICS (the oracle replicates it), not a silent approximation.
+    * The cap is DEFAULT-ON (64, the bench semantics): the uncapped
+    * sf0.1 near-dup graph already enumerates 301M wedges, so an
+    * unbounded default is a scale hazard — pass `maxMiddleDegree = 0`
+    * only as an explicit "I know this is quadratic in hub degree".
     *
     * One wedge join (shuffle on the middle id), one (id1, id2)
     * aggregate, one anti-join against the edge list; the pair miner
     * feeding `pairs` should be checkpointed by the caller when
     * expensive — this relation is scanned for edges and degrees. */
   def commonNeighbors(pairs: DataFrame, limit: Int = 50,
-                      maxMiddleDegree: Int = 0): DataFrame = {
+                      maxMiddleDegree: Int = 64): DataFrame = {
+    require(maxMiddleDegree >= 0,
+      "commonNeighbors: maxMiddleDegree must be >= 0 (0 = explicitly uncapped)")
     val e = canonicalEdges(pairs)
     val sym = symmetrize(e.select(col("a").as("id1"), col("b").as("id2")))
     val deg = sym.groupBy(col("src").as("m")).agg(count(lit(1)).as("deg"))

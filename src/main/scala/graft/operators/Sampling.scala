@@ -232,8 +232,23 @@ object Sampling {
       .localCheckpoint(eager = true) // two passes read one layout
       .as[(Long, Long, Long, Int)]
     val nParts = ordered.rdd.getNumPartitions
-    val byPid = ordered.groupBy(col("pid")).agg(sum(col("cost")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // costs must be non-negative: a negative cost breaks BOTH the
+    // takeWhile prefix cut (the running sum is no longer monotone)
+    // and the offset-based partition skip (a partition whose
+    // exclusive offset exceeds the budget is skipped even though a
+    // later negative-cost row could bring the sum back under). The
+    // check rides pass 1's existing per-partition aggregate — no
+    // extra corpus pass.
+    val byPidRows = ordered.groupBy(col("pid"))
+      .agg(sum(col("cost")).as("t"), min(col("cost")).as("mn"))
+      .collect()
+    val minCost = byPidRows.foldLeft(Long.MaxValue)((m, r) =>
+      math.min(m, r.getLong(2)))
+    require(byPidRows.isEmpty || minCost >= 0L,
+      s"budgetSelect: costs must be >= 0 (saw $minCost); filter or " +
+        "clamp negative costs upstream — the prefix cut assumes a " +
+        "monotone running sum")
+    val byPid = byPidRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val subtotals = (0 until nParts).map(byPid.getOrElse(_, 0L))
     val offsets = spark.sparkContext.broadcast(
       subtotals.scanLeft(0L)(_ + _).toArray) // total BEFORE partition i

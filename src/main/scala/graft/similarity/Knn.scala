@@ -626,11 +626,19 @@ object Knn {
         col("b.vec_id").as("vb"),
         bp(cosine(col("a.embedding"), col("b.embedding"))).as("sim"))
       .as[(Long, Long, Long, Long, Long)]
-    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+    // Seed each group from the POOL relation, not only the pair join:
+    // a 1-member pool has an empty pair self-join, and without these
+    // rows flatMapGroups never sees the group at all — the query's
+    // single candidate (rank 1) would be silently dropped. vb = -1 is
+    // a sentinel (vec_ids are non-negative) carrying rel only.
+    val seeds = cand.select(col("qid"), col("vec_id").as("va"), col("rel"),
+        lit(-1L).as("vb"), lit(0L).as("sim"))
+      .as[(Long, Long, Long, Long, Long)]
+    seeds.union(pairs).groupByKey(_._1).flatMapGroups { (qid, it) =>
       val rel = collection.mutable.LongMap.empty[Long]
       val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
       it.foreach { case (_, va, ra, vb, s) =>
-        rel(va) = ra; sim((va, vb)) = s
+        rel(va) = ra; if (vb >= 0L) sim((va, vb)) = s
       }
       // ascending-id iteration + strict > keeps the LOWEST id on ties,
       // matching the oracle's (mmr DESC, vec_id ASC) row_number

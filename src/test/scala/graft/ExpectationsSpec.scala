@@ -246,6 +246,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(one.getLong(2) > 0L, "the +3 shift must register as drift")
   }
 
+  test("ksDrift: NULL values are excluded from both samples") {
+    // nulls would inflate n/m and enter the ECDF prefix at an
+    // ENGINE-DEPENDENT position (Spark nulls-first vs DuckDB
+    // nulls-last) — the contract is non-null-only (ADVICE r9)
+    val a = Seq[java.lang.Double](1.0, 2.0, null, 3.0, null).toDF("v")
+    val b = Seq[java.lang.Double](1.0, null, 2.0, 3.0).toDF("v")
+    val r = Expectations.ksDrift(a, b, "v").head()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 3L),
+      "n and m count non-null rows only")
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0,
+      "the non-null parts are identical distributions")
+  }
+
   test("uniquenessAudit: an empty table reports zeros, not nulls") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val r = Expectations.uniquenessAudit(Seq(("e", empty, Seq("k")))).head()

@@ -59,4 +59,17 @@ class MmrSpec extends SparkSpec {
     assert(out.groupBy(_._1).keySet == Set(0L, 1L))
     assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2)))
   }
+
+  test("a 1-member pool still emits rank 1 (degenerate corpus)") {
+    // two vectors total: query 0's pool is just vector 1, so the pool
+    // pair self-join is EMPTY — pre-fix, flatMapGroups never saw the
+    // group and the query silently produced no rows (ADVICE r9). The
+    // seed rows from the pool relation itself restore rank 1, with
+    // mmr = pure relevance (no selected partner to penalize against).
+    val two = Seq((0L, ang(0)), (1L, ang(-5))).toDF("vec_id", "embedding")
+    val rows = Knn.mmrRerank(two, nQueries = 1, poolSize = 3, k = 2).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 0L && rows.head.getInt(1) == 1 &&
+      rows.head.getLong(2) == 1L && rows.head.getLong(3) == 9962L)
+  }
 }

@@ -211,6 +211,22 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("budgetSelect rejects negative costs (prefix cut assumes monotone sums)") {
+    import spark.implicits._
+    // a negative cost breaks the takeWhile cut AND the offset-based
+    // partition skip (a skipped partition could come back under
+    // budget) — the guard rides pass 1's aggregate (ADVICE r9)
+    val df = Seq((1L, 9L, 10L), (2L, 8L, -5L), (3L, 7L, 10L))
+      .toDF("id", "sc", "c")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSelect(df, $"id", $"sc", $"c", 100L).collect()
+    }
+    assert(e.getMessage.contains("costs must be >= 0"))
+    // zero-cost rows remain legal
+    val zero = Seq((1L, 9L, 0L), (2L, 8L, 10L)).toDF("id", "sc", "c")
+    assert(Sampling.budgetSelect(zero, $"id", $"sc", $"c", 10L).count() == 2L)
+  }
+
   test("budgetSelect survives downstream partition remapping (union with itself)") {
     import spark.implicits._
     // regression: pass 2 once keyed offsets off TaskContext
