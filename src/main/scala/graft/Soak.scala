@@ -102,7 +102,11 @@ object Soak {
     "graph_common_neighbors", "emb_mutual_knn_clusters", "ret_mmr",
     "emb_mutual_knn_lsh", "cdc_agg_delta", "join_spatial_grid",
     "qc_uniqueness", "agg_skewness", "qc_ks_drift", "ts_attribution",
-    "doc_contrastive_pairs", "emb_label_centroids")
+    "doc_contrastive_pairs", "emb_label_centroids",
+    // round-10 additions: ranking eval (one corpus pass for qrels +
+    // top-k-sized metrics), block-level media dedup (fingerprint-only
+    // exchange), Benford first-digit audit (scan + 9-group aggregate)
+    "ret_eval", "mm_dup_blocks", "qc_benford")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
@@ -112,7 +116,11 @@ object Soak {
     "graph_pagerank", "doc_admission_lm", "basket_rules",
     // round-9 additions (VERDICT r8 item 6): the two shipped bulk
     // paths whose soak numbers previously lived only in prose
-    "doc_admission_gate", "dedup_route")
+    "doc_admission_gate", "dedup_route",
+    // round-10 addition (VERDICT r9 item 4): PPR was the steepest new
+    // graph row (5.6×, per-round teleport join); gated after the
+    // teleport-fusion fix so the ratio stays under watch
+    "graph_ppr")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L

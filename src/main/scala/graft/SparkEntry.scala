@@ -468,6 +468,20 @@ object SparkEntry {
         .select(col("qid"), col("vec_id").as("item"), col("rnk"))
       graft.text.Retrieval.rrfFuse(lex, sem).sortWithinPartitions("qid", "rnk")
     }),
+    // ranking-quality eval: BM25 top-10 graded against deterministic
+    // term-overlap qrels (≥2 distinct query terms = relevant) —
+    // precision/recall/MRR in integer ppm, the lexical stack's
+    // knn_recall counterpart
+    "ret_eval" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.rankEval(
+          graft.text.Retrieval.bm25(docs, qs),
+          graft.text.Retrieval.qrelsByTermOverlap(docs, qs))
+        .sortWithinPartitions("qid")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -918,6 +932,17 @@ object SparkEntry {
           md5(col("frame")).as("frame_md5"),
           length(col("frame")).cast("int").as("frame_len"))
         .sortWithinPartitions("doc_id", "frame_id")),
+    // storage-style BLOCK-level exact dedup: identical sampled frames
+    // (16-byte blocks) across media objects — only (md5, length)
+    // fingerprints cross the exchange, never payloads. Block grain
+    // (vs whole payloads, which the operator equally accepts) keeps
+    // the demo non-degenerate at gate scale: the corpus has shared
+    // boilerplate blocks everywhere but few whole-payload duplicates
+    "mm_dup_blocks" -> q((s, d) =>
+      Multimodal.dupContent(
+          Multimodal.sampleFrames(Multimodal.mediaTable(Tables.documents(s, d)))
+            .select(col("doc_id"), col("media_type"), col("frame").as("data")))
+        .sortWithinPartitions("media_type", "canonical_id", "content_md5")),
 
     // ---- scale patterns: runtime filters + layout ----
     "join_bloom_prune" -> q((s, d) =>
@@ -958,6 +983,12 @@ object SparkEntry {
     "qc_drift_seg" -> q((s, d) =>
       operators.Expectations.orderPriceDriftBySegment(Tables.orders(s, d))
         .sortWithinPartitions("seg", "bin")),
+    // Benford first-digit forensics on order totals: observed vs
+    // frozen expected ppm per digit — fabricated/truncated amount
+    // columns surface as a deviation profile
+    "qc_benford" -> q((s, d) =>
+      operators.Expectations.benfordAudit(Tables.orders(s, d), "o_totalprice")
+        .sortWithinPartitions("digit")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .sortWithinPartitions("c_nationkey", "id1", "dist")),
@@ -2854,6 +2885,39 @@ object SparkEntry {
          |SELECT CAST(qid AS BIGINT) AS qid, rnk, item, rrf
          |FROM fr WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
 
+    // ranking eval: boolean ≥2-term-overlap qrels, metrics as integer
+    // ppm floor divisions — no float ratio anywhere
+    "ret_eval" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |res AS (SELECT qid, rnk, doc_id FROM bm25r WHERE rnk <= 10),
+         |dterm AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+         |qrel AS (SELECT qt.qid, dterm.doc_id
+         |         FROM dterm JOIN qt USING (term)
+         |         GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+         |nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel
+         |       FROM qrel GROUP BY 1),
+         |h AS (SELECT r.qid,
+         |        CAST(sum(CASE WHEN r.rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS hits_5,
+         |        CAST(sum(CASE WHEN r.rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS hits_10,
+         |        CAST(min(r.rnk) AS BIGINT) AS first_rel
+         |      FROM res r JOIN qrel USING (qid, doc_id) GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM res)
+         |SELECT CAST(q.qid AS BIGINT) AS qid,
+         |  coalesce(n_rel, 0) AS n_rel,
+         |  coalesce(hits_5, 0) AS hits_5,
+         |  coalesce(hits_10, 0) AS hits_10,
+         |  CAST(coalesce(hits_5, 0) * 1000000 // 5 AS BIGINT) AS p5_ppm,
+         |  CAST(coalesce(hits_10, 0) * 1000000 // 10 AS BIGINT) AS p10_ppm,
+         |  CAST(CASE WHEN coalesce(n_rel, 0) = 0 THEN 0
+         |       ELSE coalesce(hits_10, 0) * 1000000 // n_rel END AS BIGINT)
+         |    AS r10_ppm,
+         |  CAST(CASE WHEN first_rel IS NULL THEN 0
+         |       ELSE 1000000 // first_rel END AS BIGINT) AS mrr_ppm
+         |FROM qs q LEFT JOIN h USING (qid) LEFT JOIN nr USING (qid)
+         |ORDER BY qid""".stripMargin,
+
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (
         |  VALUES ('src0', 24), ('src1', 18), ('src2', 12), ('src3', 6)),
@@ -4555,6 +4619,30 @@ object SparkEntry {
         |WHERE octet_length(encode(substring(text, frame_id * 16 + 1, 16))) > 0
         |ORDER BY doc_id, frame_id""".stripMargin,
 
+    // block-level exact dedup by (type, md5, length) over the sampled
+    // 16-byte frames: frame bytes are substrings of encode(text), so
+    // md5 on the VARCHAR substring hashes the same bytes (the
+    // mm_frames convention)
+    "mm_dup_blocks" ->
+      """WITH fr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+        |      AS media_type,
+        |    substring(text, frame_id * 16 + 1, 16) AS frame
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_id) f
+        |  WHERE octet_length(encode(substring(text, frame_id * 16 + 1, 16)))
+        |        > 0),
+        |m AS (SELECT doc_id, media_type, md5(frame) AS content_md5,
+        |        CAST(octet_length(encode(frame)) AS BIGINT) AS n_bytes
+        |      FROM fr)
+        |SELECT media_type, content_md5, n_bytes,
+        |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST((count(*) - 1) * n_bytes AS BIGINT) AS reclaim_bytes
+        |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY media_type, canonical_id, content_md5""".stripMargin,
+
     // Bloom pruning is result-transparent: the oracle is the plain
     // semi-join the pruned plan must reproduce exactly
     "join_bloom_prune" ->
@@ -4904,6 +4992,33 @@ object SparkEntry {
         |  round(CAST(max(abs(ca * m - cb * n)) AS DOUBLE) /
         |        (CAST(n AS DOUBLE) * m), 6) AS ks6
         |FROM c, st GROUP BY n, m""".stripMargin,
+
+    // Benford first-digit audit: first digit via the decimal
+    // rendering of integer cents (exact for DECIMAL(p,2)); expected
+    // ppm are FROZEN floor(1e6·log10(1+1/d)) constants — no runtime
+    // libm log on either engine
+    "qc_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 0),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        |        AS digit FROM c WHERE cents > 0),
+        |e(digit, exp_ppm) AS (VALUES
+        |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM o)
+        |SELECT CAST(e.digit AS BIGINT) AS digit,
+        |  coalesce(o.n, 0) AS n,
+        |  CAST(CASE WHEN tot = 0 THEN 0
+        |       ELSE coalesce(o.n, 0) * 1000000 // tot END AS BIGINT)
+        |    AS obs_ppm,
+        |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |  CAST(abs(CASE WHEN tot = 0 THEN 0
+        |       ELSE coalesce(o.n, 0) * 1000000 // tot END - e.exp_ppm)
+        |    AS BIGINT) AS dev_ppm
+        |FROM e LEFT JOIN o USING (digit), t
+        |ORDER BY digit""".stripMargin,
 
     "qc_drift" ->
       """WITH r AS (

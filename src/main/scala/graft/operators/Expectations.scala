@@ -365,4 +365,52 @@ object Expectations {
         .select(lit(name).as("table_key"), col("n_rows"), col("n_keys"),
           col("n_dup_keys"), col("max_mult"))
     }.reduce(_ unionByName _)
+
+  /** Benford's-law first-digit audit — the classic forensic data-QC
+    * check (Benford, "The law of anomalous numbers", Proc. APS 1938;
+    * widely used for fraud/synthetic-data detection): naturally
+    * occurring positive amounts have first significant digit d with
+    * probability log10(1 + 1/d), so a fabricated or truncated column
+    * shows up as a deviation profile. Emits one row per digit 1-9:
+    * observed count, observed ppm, expected ppm, |deviation| ppm.
+    *
+    * Exactness: the value is converted to integer hundredths
+    * (floor(x·100) — floor is IEEE-exact and engine-identical where
+    * a raw double→int cast is NOT: Spark truncates, DuckDB rounds),
+    * and the
+    * first digit is the first character of that integer's decimal
+    * rendering, which both engines produce identically; the expected
+    * probabilities are FROZEN integer constants (floor(1e6·log10(1 +
+    * 1/d))), so no runtime libm log appears on either side. Digits
+    * with zero observations still report (the audit's absence signal).
+    *
+    * Scale: one scan + one 9-group aggregate; the total crosses as a
+    * broadcast 1-row relation. 2^53 rule: counts are row counts,
+    * obs·1e6 stays under 2^53 below ~9e9 rows per audit — shard the
+    * audit by partition column above that. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(1L -> 301029L, 2L -> 176091L, 3L -> 124938L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66946L, 7L -> 57991L,
+      8L -> 51152L, 9L -> 45757L).toDF("digit", "exp_ppm")
+    // floor, never a raw integer cast: Spark truncates double→long
+    // where DuckDB ROUNDS, so the portable form is floor() (IEEE-
+    // exact and identical in both) followed by an integral cast
+    val cents = df.filter(col(valueCol) > 0)
+      .select(floor(col(valueCol) * lit(100)).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+    val obs = cents
+      .select(substring(col("cents").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(obs.agg(coalesce(sum(col("n")), lit(0L)).as("tot")))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .crossJoin(tot)
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("tot") === 0L, lit(0L))
+          .otherwise(expr("coalesce(n, 0) * 1000000 div tot")).as("obs_ppm"),
+        col("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+  }
 }

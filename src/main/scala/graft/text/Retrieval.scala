@@ -133,4 +133,63 @@ object Retrieval {
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("item"), col("rrf"))
   }
+
+  /** Deterministic relevance judgments for ranking evaluation: a doc
+    * is relevant to a query iff it contains at least `minTerms`
+    * DISTINCT query terms — boolean multi-term containment, the
+    * standard pooling stand-in when no human qrels exist. Same
+    * scan-out-first shape as [[bm25]]: the query vocabulary
+    * broadcasts into the corpus token explode, so the distinct and
+    * the (qid, doc) aggregate only ever see query-vocab tokens. */
+  def qrelsByTermOverlap(docs: DataFrame, queries: DataFrame,
+                         minTerms: Int = 2): DataFrame = {
+    require(minTerms >= 1, "need minTerms >= 1")
+    val qterms = queries.select(col("qid"),
+      explode(tokens(col("query"))).as("term")).distinct()
+    val qvocab = qterms.select(col("term")).distinct()
+    spread(docs).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qvocab), "term").distinct()
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("n_match"))
+      .filter(col("n_match") >= minTerms)
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** Ranking-quality evaluation — precision@5/@10, recall@10, and MRR
+    * per query, all in integer parts-per-million (`div` floor
+    * division) so the metrics are engine-portable with no float
+    * ratio: the retrieval twin of the ANN family's `knn_recall`
+    * evals, closing the measure-don't-guess loop for the lexical
+    * stack. `results` is a (qid, rnk, doc_id) ranking (rnk 1-based,
+    * already top-k); `qrels` is the (qid, doc_id) relevant set.
+    * Queries with no relevant docs report zeros rather than
+    * vanishing, and unjudged rankings score 0 — absence is signal.
+    *
+    * Scale: `results` is top-k-sized (queries × k rows); only qrel
+    * construction touches the corpus. One semi-join + two grouped
+    * aggregates, everything keyed by qid. */
+  def rankEval(results: DataFrame, qrels: DataFrame): DataFrame = {
+    val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = results.join(qrels, Seq("qid", "doc_id"), "left_semi")
+      .groupBy(col("qid")).agg(
+        sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("hits_5"),
+        sum(when(col("rnk") <= 10, 1L).otherwise(0L)).as("hits_10"),
+        min(col("rnk")).cast("long").as("first_rel"))
+    results.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .join(nrel, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits_5"), lit(0L)).as("hits_5"),
+        coalesce(col("hits_10"), lit(0L)).as("hits_10"),
+        expr("coalesce(hits_5, 0L) * 1000000 div 5").as("p5_ppm"),
+        expr("coalesce(hits_10, 0L) * 1000000 div 10").as("p10_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("coalesce(hits_10, 0L) * 1000000 div n_rel"))
+          .as("r10_ppm"),
+        when(col("first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 div first_rel")).as("mrr_ppm"))
+  }
 }

@@ -259,6 +259,31 @@ class ExpectationsSpec extends SparkSpec {
       "the non-null parts are identical distributions")
   }
 
+  test("benfordAudit: hand-computed digit ppm, absent digits report zero") {
+    // cents first digits: 1 ×4, 2 ×3, 9 ×1 over 8 rows (zero and
+    // negative amounts excluded) → obs ppm are floor(n·1e6/8)
+    val amounts = Seq(1.00, 1.50, 19.99, 100.00, 0.25, 2.50, 25.00,
+      -3.00, 0.0, 9.00).toDF("v")
+    val got = Expectations.benfordAudit(amounts, "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (4L, 500000L))
+    assert(got(2L) == (3L, 375000L), "0.25 → 25 cents → digit 2")
+    assert(got(9L) == (1L, 125000L))
+    assert(got.size == 9 && Seq(3L, 4L, 5L, 6L, 7L, 8L).forall(d =>
+      got(d) == (0L, 0L)), "every digit 1-9 reports, zeros included")
+    // expected ppm are the frozen Benford constants
+    val exp = Expectations.benfordAudit(amounts, "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(exp(1L) == 301029L && exp(9L) == 45757L)
+  }
+
+  test("benfordAudit: empty and all-nonpositive inputs yield 9 zero rows") {
+    val none = Seq(-1.0, 0.0).toDF("v")
+    val got = Expectations.benfordAudit(none, "v").collect()
+    assert(got.length == 9)
+    assert(got.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+  }
+
   test("uniquenessAudit: an empty table reports zeros, not nulls") {
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
     val r = Expectations.uniquenessAudit(Seq(("e", empty, Seq("k")))).head()

@@ -208,4 +208,47 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(_.getAs[Array[Byte]]("frame").length <= 16))
     assert(f.map(_.getAs[Int]("frame_id")).sorted.toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("dupContent groups identical payloads and prices the reclaim") {
+    import spark.implicits._
+    // three copies of payload A under one type, two of B under
+    // another, one singleton: two groups, reclaim (n−1)·bytes each
+    val media = Seq(
+      (1L, "image/png", "AAAAAAAA"), (5L, "image/png", "AAAAAAAA"),
+      (3L, "image/png", "AAAAAAAA"),
+      (2L, "audio/wav", "BBBB"), (4L, "audio/wav", "BBBB"),
+      (6L, "image/png", "unique-payload"))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))
+    val got = Multimodal.dupContent(media).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set(("image/png", 1L, 3L, 16L), ("audio/wav", 2L, 2L, 4L)))
+  }
+
+  test("dupContent: same bytes under DIFFERENT media types do not merge") {
+    import spark.implicits._
+    val media = Seq((1L, "image/png", "XX"), (2L, "audio/wav", "XX"))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))
+    assert(Multimodal.dupContent(media).isEmpty)
+  }
+
+  test("dupContent shuffles fingerprints, not payloads") {
+    // the exchange feeding the group-by must not carry the binary
+    // column — the 100 TB contract is that only (type, md5, length)
+    // crosses the wire. Post-AQE plan string, the PlanSpec pattern.
+    val df = Multimodal.dupContent(Multimodal.mediaTable(docs))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exLines = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exLines.nonEmpty, s"no hash exchange in:\n$p")
+    exLines.foreach { l =>
+      assert(l.contains("content_md5") && !l.contains("data#"),
+        s"exchange must key on the fingerprint, never carry bytes: $l")
+    }
+  }
 }

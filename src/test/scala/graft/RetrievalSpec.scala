@@ -108,4 +108,50 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(fused(docs, emb) == fused(docs.repartition(5), emb.repartition(3)))
   }
+
+  test("rankEval: hand-computed precision/recall/MRR in ppm") {
+    // q1: relevant docs {10, 20, 30}; ranking hits 10 at rank 2 and
+    // 30 at rank 7 → hits_5 = 1, hits_10 = 2, p5 = 1/5, p10 = 2/10,
+    // recall = 2/3, mrr = 1/2
+    val results = (1 to 10).map(r =>
+        (1L, r, if (r == 2) 10L else if (r == 7) 30L else r * 100L))
+      .toDF("qid", "rnk", "doc_id")
+    val qrels = Seq((1L, 10L), (1L, 20L), (1L, 30L)).toDF("qid", "doc_id")
+    val m = Retrieval.rankEval(results, qrels).head()
+    assert((m.getLong(1), m.getLong(2), m.getLong(3)) == (3L, 1L, 2L))
+    assert(m.getLong(4) == 200000L && m.getLong(5) == 200000L)
+    assert(m.getLong(6) == 666666L, "recall 2/3 floors to 666666 ppm")
+    assert(m.getLong(7) == 500000L, "first relevant at rank 2")
+  }
+
+  test("rankEval: no relevant docs and unjudged rankings report zeros") {
+    val results = Seq((1L, 1, 100L), (1L, 2, 200L)).toDF("qid", "rnk", "doc_id")
+    val none = Retrieval.rankEval(results,
+      Seq.empty[(Long, Long)].toDF("qid", "doc_id")).head()
+    assert((2 to 7).forall(i => none.getLong(i) == 0L),
+      "empty qrels: every metric is 0, the query row still reports")
+    // judged for a DIFFERENT query only: still zeros for q1
+    val other = Retrieval.rankEval(results,
+      Seq((9L, 100L)).toDF("qid", "doc_id"))
+      .filter(col("qid") === 1L).head()
+    assert((2 to 7).forall(i => other.getLong(i) == 0L))
+  }
+
+  test("ret_eval composition: bm25 against term-overlap qrels is " +
+       "partitioning-invariant and self-consistent") {
+    val qs = Seq((1L, "apple banana")).toDF("qid", "query")
+    val qr = Retrieval.qrelsByTermOverlap(docs, qs, minTerms = 2)
+    // qrels are exactly the docs containing BOTH terms
+    val expect = docs.filter(col("text").contains("apple") &&
+        col("text").contains("banana"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(qr.collect().map(_.getLong(1)).toSet == expect)
+    val a = Retrieval.rankEval(Retrieval.bm25(docs, qs), qr)
+      .collect().map(_.toSeq).toSeq
+    val b = Retrieval.rankEval(
+        Retrieval.bm25(docs.repartition(7), qs),
+        Retrieval.qrelsByTermOverlap(docs.repartition(3), qs, minTerms = 2))
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
