@@ -23,6 +23,27 @@ def main():
     print(f"bench_full.json: {n_bench} queries, total {bench['value']}"
           f" {bench.get('unit', 's')}, errors: {errors or 'none'}")
 
+    # Spike transparency (round 11): with per-query pass_times in the
+    # artifact, a co-tenant spike self-documents as ONE outlier pass.
+    # Print the worst max/min pass ratios so a reader sees at a glance
+    # which committed rows are one-pass noise.
+    pts = bench.get("pass_times", {})
+    if pts:
+        la = bench.get("loadavg", {})
+        print(f"  loadavg start={la.get('start')} end={la.get('end')}")
+        ratios = []
+        for q, ts in pts.items():
+            ok = [t for t in ts if t >= 0]
+            if len(ok) >= 2 and min(ok) > 0:
+                ratios.append((max(ok) / min(ok), q, ok))
+        ratios.sort(reverse=True)
+        spiky = [r for r in ratios if r[0] >= 2.0]
+        print(f"  pass-ratio outliers >=2x: {len(spiky)}")
+        for ratio, q, ok in ratios[:8]:
+            marker = " <-- one-pass spike" if ratio >= 2.0 else ""
+            print(f"    {q}: passes {['%.2f' % t for t in ok]} "
+                  f"ratio {ratio:.1f}x{marker}")
+
     corr = sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if corr:

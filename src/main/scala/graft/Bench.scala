@@ -22,6 +22,15 @@ package graft
   * co-tenant stealing cores) that a single pass bakes in. The pass
   * count is reported in the JSON ("passes") for transparency.
   *
+  * Spike transparency (round 11): the artifact records EVERY pass
+  * time per query ("pass_times") plus the machine's 1-minute load
+  * average at start and end ("loadavg"), because on this co-tenanted
+  * machine a single pass can spike 2-13× (round 10's
+  * agg_arg_extremes: committed 2.69 s vs a 0.26 s interleaved-A/B
+  * min). With both passes in the record, a spike self-documents as
+  * one outlier pass instead of requiring a re-run to diagnose;
+  * `scripts/counts.py` prints the worst pass-ratio outliers.
+  *
   * A query that throws in the timed pass is recorded in an "errors"
   * array and its time is reported as -1 — failures must be visible in
   * the artifact, not only on stderr.
@@ -59,6 +68,11 @@ object Bench {
     // a query lands in "errors" (and reports -1) only when EVERY pass
     // failed; a transient single-pass failure is stderr-only and the
     // min is taken over the passes that succeeded
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").head.toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = load1()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -66,15 +80,19 @@ object Bench {
       val ts = (1 to passes).map(_ => timeOnce(name, fn))
       val ok = ts.filter(_ >= 0)
       if (ok.isEmpty) failed += name
-      name -> (if (ok.isEmpty) -1.0 else ok.min)
+      (name, if (ok.isEmpty) -1.0 else ok.min, ts)
     }
+    val loadEnd = load1()
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val pts = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"errors":$errs}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_times":$pts,"loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"errors":$errs}"""
     println(line)
     // the driver's artifact keeps only a truncated stdout tail, which
     // loses the first ~half of the per-query timings — persist the

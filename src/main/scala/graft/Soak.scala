@@ -120,7 +120,14 @@ object Soak {
     // round-10 addition (VERDICT r9 item 4): PPR was the steepest new
     // graph row (5.6×, per-round teleport join); gated after the
     // teleport-fusion fix so the ratio stays under watch
-    "graph_ppr")
+    "graph_ppr",
+    // round-11 additions (VERDICT r10 item 3): the three most
+    // expensive bench rows not previously gated — the incremental
+    // clustering demo (#1 bench row; prices a from-scratch prior
+    // build + fold, envelope ≈2×), the shipped ANN-clustering scale
+    // path (bucket-bounded), and the survivor-selection agg
+    // (one max(struct) per cluster, agg-bounded)
+    "graph_components_delta", "emb_mutual_knn_lsh", "dedup_canonical")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
@@ -131,6 +138,13 @@ object Soak {
 
   def generate(spark: SparkSession, base: String, out: String,
                copies: Int): Unit = {
+    // Fail LOUDLY past the transform families' distinctness range
+    // (ADVICE r10 item 1): 312 affine ciphers for text, 2·dim
+    // orthogonal transforms for embeddings (dim checked below).
+    // Past these bounds copies silently degrade to verbatim
+    // duplicates — the exact fixture bug round 10 fixed.
+    require(copies >= 1 && copies <= 312,
+      s"copies=$copies exceeds the 312 distinct affine text ciphers")
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
@@ -164,28 +178,38 @@ object Soak {
         .withColumn("user_id", col("user_id") + lit(i * userStride))
     }, "events", 16)
 
-    // Per-copy FULL-ALPHABET Caesar shift (round-10 fixture fix): the
-    // old vowel rotation had only 5 distinct rotations for 10 copies
-    // (copies i and i+5 were byte-identical) and left consonant-heavy
-    // shingles shared across ALL copies, so every doc soaked as a
-    // ~10-way near-dup and the dedup-family ratios measured the
-    // fixture's quadratic pair blow-up, not data growth (VERDICT r9
-    // item 6). A per-copy substitution cipher is a BIJECTION on
-    // characters: within a copy every shingle-set Jaccard, span
-    // overlap, and duplicate relation is preserved EXACTLY (the
-    // distributional shape the soak wants), while cross-copy shingles
-    // are disjoint for any i ≠ j (every letter maps differently under
-    // distinct shifts — only all-punctuation shingles can collide).
+    // Per-copy AFFINE substitution cipher (round-10 fixture fix,
+    // extended round 11): the old vowel rotation had only 5 distinct
+    // rotations for 10 copies (copies i and i+5 were byte-identical)
+    // and left consonant-heavy shingles shared across ALL copies, so
+    // every doc soaked as a ~10-way near-dup and the dedup-family
+    // ratios measured the fixture's quadratic pair blow-up, not data
+    // growth (VERDICT r9 item 6). Round 10 used a Caesar shift — a
+    // bijection, but only 26 distinct maps, so copies > 26 would have
+    // silently re-introduced verbatim duplicates (ADVICE r10 item 1).
+    // Round 11 generalizes to the affine cipher x → a·x + b (mod 26)
+    // with a coprime to 26: 12 × 26 = 312 distinct bijections. Any
+    // bijection preserves every within-copy shingle-set Jaccard, span
+    // overlap, and duplicate relation EXACTLY (the distributional
+    // shape the soak wants); two DISTINCT affine maps agree on at
+    // most 2 of the 26 letters (a difference of two affine maps is
+    // affine; gcd(a₁−a₂, 26) ≤ 2 solutions), so multi-letter
+    // alphabetic shingles stay cross-copy disjoint except the
+    // measure-zero case of a shingle drawn entirely from the ≤2
+    // coincident letters. `MaxCopies` below makes any future bump
+    // past the transform families' range fail LOUDLY at generate().
     val docs = Tables.table(spark, base, "documents")
     val docStride = stride(docs, "doc_id")
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
+    val coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
     write(copiesOf(docs, copies) { (d, i) =>
-      val k = i % 26
-      val rotL = lower.substring(k) + lower.substring(0, k)
-      val rotU = upper.substring(k) + upper.substring(0, k)
+      val a = coprimes((i / 26) % coprimes.size) // copy 0 → identity
+      val b = i % 26
+      val mapped = (0 until 26).map(x => lower((a * x + b) % 26)).mkString
       d.withColumn("doc_id", col("doc_id") + lit(i * docStride))
-        .withColumn("text", translate(col("text"), lower + upper, rotL + rotU))
+        .withColumn("text", translate(col("text"), lower + upper,
+          mapped + mapped.toUpperCase))
     }, "documents", 16)
 
     // Per-copy DIMENSION ROTATION for embeddings (same r10 fix): the
@@ -196,16 +220,29 @@ object Soak {
     // product (and hence cosine, LSH bucket geometry, IVF cell
     // structure) is preserved exactly, while cross-copy pairs
     // decorrelate to near-random cosines.
+    // Round 11: rotation index is i mod dim (the raw `i` slice
+    // degenerated at i = dim — verbatim copy — and errored past it,
+    // ADVICE r10 item 1), and copies beyond dim compose a GLOBAL
+    // NEGATION (also orthogonal: within-copy dot products, cosines,
+    // LSH geometry all preserved; cross-copy cosines to the unnegated
+    // twin flip sign — still decorrelated). 2·dim distinct transforms.
     val embs = Tables.table(spark, base, "embeddings")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    require(copies <= 2 * dim,
+      s"copies=$copies exceeds the 2·dim=${2 * dim} distinct orthogonal embedding transforms")
     val vecStride = stride(embs, "vec_id")
     write(copiesOf(embs, copies) { (d, i) =>
+      val k = i % dim
       val shifted =
-        if (i == 0) col("embedding")
+        if (k == 0) col("embedding")
         else concat(
-          expr(s"slice(embedding, ${i + 1}, size(embedding) - $i)"),
-          expr(s"slice(embedding, 1, $i)"))
+          expr(s"slice(embedding, ${k + 1}, size(embedding) - $k)"),
+          expr(s"slice(embedding, 1, $k)"))
+      val oriented =
+        if ((i / dim) % 2 == 0) shifted
+        else transform(shifted, v => -v)
       d.withColumn("vec_id", col("vec_id") + lit(i * vecStride))
-        .withColumn("embedding", shifted)
+        .withColumn("embedding", oriented)
     }, "embeddings", 8)
   }
 

@@ -210,25 +210,50 @@ object Relational {
         count(lit(1)).as("n"))
 
   /** Linear-regression aggregates (slope/intercept/r²) from exact
-    * decimal MOMENTS — the portable, parallel formulation: the five
-    * sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in DECIMAL, so they
-    * are order-independent and engine-exact; everything after is a
-    * fixed sequence of correctly-rounded double ops on identical
-    * inputs, hence bit-identical across engines. The built-in
-    * regr_slope/covar_pop use streaming float updates whose low bits
-    * depend on partitioning — unverifiable against another engine.
-    * Moments are also what you'd persist for INCREMENTAL refits at
-    * 100 TB (they merge by addition; the fit is a cheap epilogue). */
+    * MOMENTS — the portable, parallel formulation: the five sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact and order-independent, so
+    * everything after is a fixed sequence of correctly-rounded double
+    * ops on identical inputs, hence bit-identical across engines. The
+    * built-in regr_slope/covar_pop use streaming float updates whose
+    * low bits depend on partitioning — unverifiable against another
+    * engine. Moments are also what you'd persist for INCREMENTAL
+    * refits at 100 TB (they merge by addition; the fit is a cheap
+    * epilogue).
+    *
+    * Round 11 per-row fast path: the hot loop previously multiplied
+    * decimal(30,4) values — per-row BigDecimal arithmetic. Inputs
+    * have ≤2 decimal places, so x·100 and y·100 are exact LONGS
+    * (`floor(v·100+0.5)`; the double rounding error is ≪0.5), the
+    * per-row products are primitive long multiplies (exact while
+    * |100·v| < 3·10⁹, i.e. values < 3·10⁷ — far above any price),
+    * and only the SUM buffer is decimal(38,0), where long-backed
+    * compact adds apply. The epilogue divides the integer sums by
+    * decimal 100 / 10⁴ — exact, since the true moments have ≤4
+    * fractional digits — recovering the IDENTICAL exact decimals the
+    * old decimal(30,4) shape summed, so the double casts and the
+    * DuckDB oracle (unchanged) agree bit-for-bit by construction.
+    * Interleaved A/B at sf0.1 (AbRegression): 1.45 s → 1.08 s min. */
   def regressionByFlag(lineitem: DataFrame): DataFrame = {
-    def dsum(c: Column) = sum(c).cast("double")
-    val x = col("l_quantity").cast("decimal(30,4)")
-    val y = col("l_extendedprice").cast("decimal(30,4)")
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    val x2 = floor(col("l_quantity") * lit(100.0) + lit(0.5))
+    val y2 = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+    val c2 = lit(100).cast("decimal(3,0)")    // exact decimal rescale:
+    val c4 = lit(10000).cast("decimal(5,0)")  // scale-6 result, ≤4dp value
     lineitem
+      .select(col("l_returnflag"), x2.as("x2"), y2.as("y2"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).cast("double").as("n"),
-        dsum(x).as("sx"), dsum(y).as("sy"),
-        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+        dsum(col("x2")).as("sx2"), dsum(col("y2")).as("sy2"),
+        dsum(col("x2") * col("y2")).as("sxy4"),
+        dsum(col("x2") * col("x2")).as("sxx4"),
+        dsum(col("y2") * col("y2")).as("syy4"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx2") / c2).cast("double").as("sx"),
+        (col("sy2") / c2).cast("double").as("sy"),
+        (col("sxy4") / c4).cast("double").as("sxy"),
+        (col("sxx4") / c4).cast("double").as("sxx"),
+        (col("syy4") / c4).cast("double").as("syy"))
       .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
         round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),

@@ -166,18 +166,25 @@ object Retrieval {
     * already top-k); `qrels` is the (qid, doc_id) relevant set.
     * Queries with no relevant docs report zeros rather than
     * vanishing, and unjudged rankings score 0 — absence is signal.
+    * The evaluation depth is capped at `depth` (default 10) INSIDE
+    * the operator: rankings deeper than the cap are truncated before
+    * any metric, so `first_rel` (hence MRR) can never reflect a rank
+    * beyond what precision@k sees, for any caller depth.
     *
     * Scale: `results` is top-k-sized (queries × k rows); only qrel
     * construction touches the corpus. One semi-join + two grouped
     * aggregates, everything keyed by qid. */
-  def rankEval(results: DataFrame, qrels: DataFrame): DataFrame = {
+  def rankEval(results: DataFrame, qrels: DataFrame,
+               depth: Int = 10): DataFrame = {
+    require(depth >= 5, "need depth >= 5 (p@5 is reported)")
+    val capped = results.filter(col("rnk") <= depth)
     val nrel = qrels.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-    val hits = results.join(qrels, Seq("qid", "doc_id"), "left_semi")
+    val hits = capped.join(qrels, Seq("qid", "doc_id"), "left_semi")
       .groupBy(col("qid")).agg(
         sum(when(col("rnk") <= 5, 1L).otherwise(0L)).as("hits_5"),
         sum(when(col("rnk") <= 10, 1L).otherwise(0L)).as("hits_10"),
         min(col("rnk")).cast("long").as("first_rel"))
-    results.select(col("qid")).distinct()
+    capped.select(col("qid")).distinct()
       .join(hits, Seq("qid"), "left")
       .join(nrel, Seq("qid"), "left")
       .select(col("qid"),

@@ -28,6 +28,48 @@ class MomentsSpec extends SparkSpec {
     assert(s > 0 && m == -s)
   }
 
+  test("regressionByFlag long-scaled fast path ≡ decimal(30,4) " +
+       "reference shape, and hand-checked fit") {
+    // round 11 moved the per-row arithmetic to scaled longs; the
+    // epilogue's decimal 100/10⁴ divisions must recover the IDENTICAL
+    // exact moments the old decimal(30,4) shape summed. Pin against
+    // an inline decimal reference over 2dp data, plus a hand fit.
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 500).map { i =>
+      (if (i % 2 == 0) "A" else "R",
+       (i % 47 + 1).toDouble,                     // qty: integers
+       ((i % 193) * 100 + i % 100) / 100.0 * 7)   // price: 2dp
+    }
+    val df = rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .repartition(7)
+    def dsum(c: org.apache.spark.sql.Column) = sum(c).cast("double")
+    val x = col("l_quantity").cast("decimal(30,4)")
+    val y = col("l_extendedprice").cast("decimal(30,4)")
+    val ref = df.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum(x).as("sx"), dsum(y).as("sy"),
+        dsum(x * y).as("sxy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 4).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    val got = Relational.regressionByFlag(df)
+    assert(got.orderBy("l_returnflag").collect().toSeq ==
+           ref.orderBy("l_returnflag").collect().toSeq)
+    // hand case: y = 3x + 1 exactly → slope 3, intercept 1, r² 1
+    val exact = Relational.regressionByFlag(
+      Seq(1.0, 2.0, 5.0, 9.0).map(v => ("A", v, 3 * v + 1))
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice")).head()
+    assert((exact.getDouble(2), exact.getDouble(3), exact.getDouble(4)) ==
+           (3.0, 1.0, 1.0))
+  }
+
   test("partitioning invariance: decimal sums don't drift") {
     val vs = (1 to 999).map(i => (i % 37) * 13.25 + (i % 11))
     val one = Relational.skewnessByFlag(

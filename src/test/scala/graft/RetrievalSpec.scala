@@ -137,6 +137,27 @@ class RetrievalSpec extends SparkSpec {
     assert((2 to 7).forall(i => other.getLong(i) == 0L))
   }
 
+  test("rankEval caps evaluation depth INSIDE the operator " +
+       "(ADVICE r10): a rank-12 hit is invisible to every metric") {
+    // 15-deep ranking whose only relevant doc sits at rank 12: with
+    // the old when-clause-only cap, mrr_ppm would report 1/12 while
+    // p@k saw nothing — and the DuckDB oracle (which truncates at
+    // rnk <= 10) would diverge. Now the ranking is truncated to
+    // `depth` first, so the hit is invisible everywhere, matching
+    // the oracle for ANY caller depth.
+    val deep = (1 to 15).map(r =>
+        (1L, r, if (r == 12) 10L else r * 100L))
+      .toDF("qid", "rnk", "doc_id")
+    val qrels = Seq((1L, 10L)).toDF("qid", "doc_id")
+    val m = Retrieval.rankEval(deep, qrels).head()
+    assert((2 to 7).forall(i => m.getLong(i) == 0L),
+      "rank-12 hit must not leak into hits/recall/mrr at depth 10")
+    // raising depth to 15 restores it in MRR (1/12) — while the
+    // @10-capped hit counts correctly stay 0
+    val wide = Retrieval.rankEval(deep, qrels, depth = 15).head()
+    assert(wide.getLong(3) == 0L && wide.getLong(7) == 83333L)
+  }
+
   test("ret_eval composition: bm25 against term-overlap qrels is " +
        "partitioning-invariant and self-consistent") {
     val qs = Seq((1L, "apple banana")).toDF("qid", "query")
