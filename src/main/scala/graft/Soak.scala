@@ -106,7 +106,11 @@ object Soak {
     // round-10 additions: ranking eval (one corpus pass for qrels +
     // top-k-sized metrics), block-level media dedup (fingerprint-only
     // exchange), Benford first-digit audit (scan + 9-group aggregate)
-    "ret_eval", "mm_dup_blocks", "qc_benford")
+    "ret_eval", "mm_dup_blocks", "qc_benford",
+    // round-11 additions: perceptual media near-dup (bucketed band
+    // join — expansion volume is the claim under test) and graded
+    // nDCG (qrel corpus pass + qid-keyed eval, expected scan-bound)
+    "mm_near_blocks", "ret_ndcg")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -482,6 +482,19 @@ object SparkEntry {
           graft.text.Retrieval.qrelsByTermOverlap(docs, qs))
         .sortWithinPartitions("qid")
     }),
+    // graded ranking eval: nDCG@10 where the grade is the
+    // distinct-term-overlap count the qrels already compute — frozen
+    // integer log2 discounts, gains 2^min(g,9)-1, everything long
+    "ret_ndcg" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.ndcg(
+          graft.text.Retrieval.bm25(docs, qs),
+          graft.text.Retrieval.qrelsGraded(docs, qs))
+        .sortWithinPartitions("qid")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -943,6 +956,12 @@ object SparkEntry {
           Multimodal.sampleFrames(Multimodal.mediaTable(Tables.documents(s, d)))
             .select(col("doc_id"), col("media_type"), col("frame").as("data")))
         .sortWithinPartitions("media_type", "canonical_id", "content_md5")),
+    // near-dup media: simhash over frame-byte shingles, banded on the
+    // signature prefix within a media type, Hamming-verified — the
+    // perceptual counterpart of mm_dup_blocks' exact md5 matching
+    "mm_near_blocks" -> q((s, d) =>
+      Multimodal.nearBlocks(Multimodal.mediaTable(Tables.documents(s, d)))
+        .sortWithinPartitions("media_type", "id1", "id2")),
 
     // ---- scale patterns: runtime filters + layout ----
     "join_bloom_prune" -> q((s, d) =>
@@ -2918,6 +2937,44 @@ object SparkEntry {
          |FROM qs q LEFT JOIN h USING (qid) LEFT JOIN nr USING (qid)
          |ORDER BY qid""".stripMargin,
 
+    // graded ranking eval: frozen floor(1e6/log2(r+1)) discount
+    // constants (log2 is libm — never computed at query time), gains
+    // (1 << min(grade,9)) - 1, ndcg = dcg*1e6 floor-div idcg
+    "ret_ndcg" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |res AS (SELECT qid, rnk, doc_id FROM bm25r WHERE rnk <= 10),
+         |dterm AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+         |qrel AS (SELECT qt.qid, dterm.doc_id,
+         |           CAST(count(DISTINCT term) AS BIGINT) AS grade
+         |         FROM dterm JOIN qt USING (term)
+         |         GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+         |disc(rnk, d) AS (VALUES (1, 1000000), (2, 630929),
+         |  (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+         |  (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+         |dcg AS (SELECT r.qid,
+         |          CAST(sum(((CAST(1 AS BIGINT) <<
+         |            CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |            AS BIGINT) AS dcg_ppm
+         |        FROM res r JOIN qrel q USING (qid, doc_id)
+         |        JOIN disc d USING (rnk) GROUP BY 1),
+         |ir AS (SELECT qid, grade, row_number() OVER (PARTITION BY qid
+         |         ORDER BY grade DESC, doc_id) AS rnk FROM qrel),
+         |idcg AS (SELECT ir.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(ir.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS idcg_ppm
+         |         FROM ir JOIN disc d USING (rnk)
+         |         WHERE ir.rnk <= 10 GROUP BY 1),
+         |qs AS (SELECT DISTINCT qid FROM res)
+         |SELECT CAST(q.qid AS BIGINT) AS qid,
+         |  CAST(coalesce(dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+         |  CAST(coalesce(idcg_ppm, 0) AS BIGINT) AS idcg_ppm,
+         |  CAST(CASE WHEN coalesce(idcg_ppm, 0) = 0 THEN 0
+         |       ELSE coalesce(dcg_ppm, 0) * 1000000 // idcg_ppm END
+         |    AS BIGINT) AS ndcg_ppm
+         |FROM qs q LEFT JOIN dcg USING (qid) LEFT JOIN idcg USING (qid)
+         |ORDER BY qid""".stripMargin,
+
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (
         |  VALUES ('src0', 24), ('src1', 18), ('src2', 12), ('src3', 6)),
@@ -4642,6 +4699,50 @@ object SparkEntry {
         |  CAST((count(*) - 1) * n_bytes AS BIGINT) AS reclaim_bytes
         |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY media_type, canonical_id, content_md5""".stripMargin,
+
+    // near-dup media: 16-bit simhash over 4-char shingles of the four
+    // sampled 16-byte frames (frame bytes are substrings of
+    // encode(text), so VARCHAR substrings hash the same bytes — the
+    // mm_frames convention), banded 4 x 4 bits within media type
+    // (pigeonhole: hamming <= 3 pairs share a band), hamming-verified
+    "mm_near_blocks" -> {
+      val hexSet = "('8','9','a','b','c','d','e','f')"
+      val sums = (1 to 16).map(i =>
+        s"CAST(sum(CASE WHEN substr(md5(tok), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+        .mkString(", ")
+      val bits = (1 to 16).map(i =>
+        s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+         |      AS media_type,
+         |    substring(text, frame_id * 16 + 1, 16) AS frame
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_id) f
+         |  WHERE length(substring(text, frame_id * 16 + 1, 16)) >= 4),
+         |gr AS (SELECT doc_id, media_type, substring(frame, p, 4) AS tok
+         |       FROM fr CROSS JOIN (SELECT unnest(range(1, 14)) AS p) pp
+         |       WHERE p <= length(frame) - 3),
+         |shagg AS (SELECT doc_id, media_type, $sums FROM gr GROUP BY 1, 2),
+         |sim AS (SELECT doc_id, media_type, $bits AS simhash16 FROM shagg),
+         |bd AS (SELECT doc_id, media_type, simhash16, band,
+         |         substr(simhash16, band * 4 + 1, 4) AS bits
+         |       FROM sim
+         |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bb),
+         |pairs AS (
+         |  SELECT DISTINCT a.media_type, a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM bd a JOIN bd b
+         |    ON a.media_type = b.media_type AND a.band = b.band
+         |   AND a.bits = b.bits AND a.doc_id < b.doc_id),
+         |ham AS (SELECT media_type, id1, id2, $hammingTerms AS hamming
+         |        FROM pairs)
+         |SELECT media_type, id1, id2, hamming FROM ham WHERE hamming <= 3
+         |ORDER BY media_type, id1, id2""".stripMargin
+    },
 
     // Bloom pruning is result-transparent: the oracle is the plain
     // semi-join the pruned plan must reproduce exactly

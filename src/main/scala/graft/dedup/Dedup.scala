@@ -119,8 +119,9 @@ object Dedup {
     * for transitive clustering while the pair count stays linear in B.
     *
     * Input: one row per bucket with a sorted array column `items`.
-    * Output: columns (a, b) of the items' element type, a < b. */
-  private def pairRowsOf(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    * Output: columns (a, b) of the items' element type, a < b.
+    * (`private[graft]`: the multimodal near-dup banding reuses it.) */
+  private[graft] def pairRowsOf(bucketed: DataFrame, maxBucket: Int): DataFrame = {
     // Shuffle-byte bound: only the first maxBucket element rows carry
     // the (maxBucket-capped) array; overflow rows carry one scalar —
     // ≤ maxBucket² + B cells exchanged for a B-doc bucket, not B².

@@ -335,6 +335,78 @@ object Multimodal {
     * a petabyte of images moves only fingerprints. (md5 alone spans
     * 2^128; the length in the key is belt-and-braces and free — it
     * also lets the reclaim arithmetic ride the group key.) */
+  /** NEAR-duplicate media matching — the perceptual member the media
+    * dedup family lacked next to [[dupContent]]'s exact md5 form: a
+    * 16-bit SimHash over frame-byte shingles (sample `nFrames`
+    * frames of `frameBytes` bytes — the [[sampleFrames]] convention —
+    * then every `gram`-byte sliding window of each frame votes into
+    * the signature via the native `graft_simhash` kernel), banded on
+    * the signature's first `prefixBits` bits WITHIN a media type, and
+    * verified by exact Hamming distance (`graft_hamming`) ≤
+    * `maxHamming`. A re-encoded or slightly-corrupted payload keeps
+    * most of its frame shingles, so its signature lands within a few
+    * bits of the original — the content-addressed-store near-match
+    * `dupContent`'s exact hash can never make.
+    *
+    * Banding gives a PIGEONHOLE RECALL GUARANTEE: the 16 bits split
+    * into `maxHamming + 1` contiguous bands, so any pair within the
+    * Hamming budget differs in at most `maxHamming` bands and must
+    * agree EXACTLY on at least one — every true near-dup surfaces as
+    * a candidate (a single-prefix band can't promise that: a media
+    * signature has only ~dozens of voting shingles, so even a 1-byte
+    * corruption routinely flips a prefix bit).
+    *
+    * Scale shape, mirroring `dedup_simhash_pairs`/`dedup_minhash`:
+    * the signature is a pure projection (frames, shingles, and the
+    * simhash vote all happen in one map stage — only doc_id + 16-bit
+    * signature ever cross the exchange, never payload bytes);
+    * candidate generation is a bucketed (media_type, band, bits)
+    * equi-group — NEVER all-pairs — with
+    * [[graft.dedup.Dedup.pairRowsOf]] bounding any degenerate
+    * bucket's expansion at `maxBucket`. */
+  def nearBlocks(media: DataFrame, frameBytes: Int = 16, nFrames: Int = 4,
+                 gram: Int = 4, maxHamming: Int = 3,
+                 maxBucket: Int = 10000): DataFrame = {
+    require(frameBytes >= gram && nFrames >= 1,
+      "need frameBytes >= gram and at least one frame")
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "need 0 <= maxHamming <= 7 (bands of >= 2 bits)")
+    val toks = expr(
+      s"""flatten(transform(
+         |  filter(transform(sequence(0, ${nFrames - 1}),
+         |    i -> cast(substring(data, i * $frameBytes + 1, $frameBytes)
+         |              as string)),
+         |    f -> length(f) >= $gram),
+         |  f -> transform(sequence(1, length(f) - ${gram - 1}),
+         |    p -> substring(f, p, $gram))))""".stripMargin)
+    val sig = media.select(col("doc_id"), col("media_type"),
+        call_function("graft_simhash", toks).as("simhash16"))
+      .filter(col("simhash16").isNotNull)
+    // maxHamming+1 contiguous bands over the 16 bits (pigeonhole):
+    // band k covers [start(k), start(k+1)) with near-equal widths
+    val nBands = maxHamming + 1
+    val starts = (0 to nBands).map(k => k * 16 / nBands)
+    val bands = (0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        substring(col("simhash16"), starts(k) + 1, starts(k + 1) - starts(k))
+          .as("bits"))
+    }
+    val bucketed = sig
+      .select(col("doc_id"), col("media_type"), col("simhash16"),
+        explode(array(bands: _*)).as("bk"))
+      .groupBy(col("media_type"), col("bk.band"), col("bk.bits"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("simhash16"), col("media_type"))))
+        .as("items"))
+      .filter(size(col("items")) > 1)
+    graft.dedup.Dedup.pairRowsOf(bucketed, maxBucket)
+      .select(col("a.media_type").as("media_type"),
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("graft_hamming(a.simhash16, b.simhash16)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   def dupContent(media: DataFrame): DataFrame =
     media
       .select(col("doc_id"), col("media_type"),

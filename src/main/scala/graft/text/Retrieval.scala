@@ -142,7 +142,15 @@ object Retrieval {
     * broadcasts into the corpus token explode, so the distinct and
     * the (qid, doc) aggregate only ever see query-vocab tokens. */
   def qrelsByTermOverlap(docs: DataFrame, queries: DataFrame,
-                         minTerms: Int = 2): DataFrame = {
+                         minTerms: Int = 2): DataFrame =
+    qrelsGraded(docs, queries, minTerms).select(col("qid"), col("doc_id"))
+
+  /** Graded variant of [[qrelsByTermOverlap]]: the relevance GRADE is
+    * the distinct-query-term-overlap count itself — the judgment the
+    * boolean form thresholds away, and exactly what graded metrics
+    * (nDCG) need. Same single corpus pass. */
+  def qrelsGraded(docs: DataFrame, queries: DataFrame,
+                  minTerms: Int = 2): DataFrame = {
     require(minTerms >= 1, "need minTerms >= 1")
     val qterms = queries.select(col("qid"),
       explode(tokens(col("query"))).as("term")).distinct()
@@ -154,7 +162,8 @@ object Retrieval {
       .groupBy(col("qid"), col("doc_id"))
       .agg(countDistinct(col("term")).as("n_match"))
       .filter(col("n_match") >= minTerms)
-      .select(col("qid"), col("doc_id"))
+      .select(col("qid"), col("doc_id"),
+        col("n_match").cast("long").as("grade"))
   }
 
   /** Ranking-quality evaluation — precision@5/@10, recall@10, and MRR
@@ -198,5 +207,59 @@ object Retrieval {
           .as("r10_ppm"),
         when(col("first_rel").isNull, lit(0L))
           .otherwise(expr("1000000 div first_rel")).as("mrr_ppm"))
+  }
+
+  /** Frozen integer discounts for nDCG: floor(10⁶ / log₂(r+1)) for
+    * ranks 1-10, precomputed as constants because log₂ is a libm call
+    * whose low bits vary by engine (the `qc_benford` trick applied to
+    * ranks — frozen log constants, integer arithmetic after). */
+  private val NdcgDiscountPpm: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** nDCG@depth with graded relevance, entirely in integer
+    * arithmetic: gain(g) = 2^min(g,9) − 1 (the standard exponential
+    * gain; the cap bounds every product so dcg·10⁶ stays below 2⁵³ —
+    * the portable-exactness envelope), discount = the frozen
+    * [[NdcgDiscountPpm]] constants, `ndcg_ppm = dcg·10⁶ div idcg`.
+    * `results` is a (qid, rnk, doc_id) ranking; `qrels` is graded —
+    * (qid, doc_id, grade) from [[qrelsGraded]]. The ideal ranking
+    * (IDCG) orders each query's judged docs by grade descending
+    * (doc_id tiebreak — tie ORDER doesn't change the IDCG value,
+    * equal grades have equal gains). Queries with no judged docs
+    * report 0 — absence is signal, matching [[rankEval]].
+    *
+    * Scale: `results` is top-k-sized; qrels are judged-pool-sized.
+    * One keyed join + one per-qid window + two grouped aggregates,
+    * everything keyed by qid — nothing corpus-sized. */
+  def ndcg(results: DataFrame, qrels: DataFrame,
+           depth: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= NdcgDiscountPpm.size,
+      s"frozen discounts cover ranks 1-${NdcgDiscountPpm.size}")
+    val capped = results.filter(col("rnk") <= depth)
+    def disc = element_at(
+      array(NdcgDiscountPpm.map(lit): _*), col("rnk").cast("int"))
+    def gain = expr(
+      "shiftleft(CAST(1 AS BIGINT), CAST(least(grade, 9) AS INT)) - 1")
+    val dcg = capped.join(qrels, Seq("qid", "doc_id"))
+      .select(col("qid"), (gain * disc).as("term"))
+      .groupBy(col("qid")).agg(sum(col("term")).as("dcg_ppm"))
+    val wIdeal = Window.partitionBy(col("qid"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    val idcg = qrels
+      .withColumn("rnk", row_number().over(wIdeal))
+      .filter(col("rnk") <= depth)
+      .select(col("qid"), (gain * disc).as("term"))
+      .groupBy(col("qid")).agg(sum(col("term")).as("idcg_ppm"))
+    capped.select(col("qid")).distinct()
+      .join(dcg, Seq("qid"), "left")
+      .join(idcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
+        coalesce(col("idcg_ppm"), lit(0L)).as("idcg_ppm"),
+        when(coalesce(col("idcg_ppm"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr(
+            "coalesce(dcg_ppm, 0L) * 1000000 div idcg_ppm"))
+          .as("ndcg_ppm"))
   }
 }

@@ -236,6 +236,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dupContent(media).isEmpty)
   }
 
+  test("nearBlocks: identical payloads pair at hamming 0, a " +
+       "few corrupted bytes stay near, disjoint payloads don't pair") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "keeps on running far away into the woods tonight"
+    // doc 3 corrupts ONE byte inside the sampled 64-byte window
+    // (measured signature hamming 3 — within budget, and the
+    // pigeonhole banding GUARANTEES it surfaces as a candidate);
+    // doc 9 is an unrelated payload
+    val media = Seq(
+      (1L, "image/png", base),
+      (3L, "image/png", base.updated(10, 'X')),
+      (9L, "image/png", "completely different bytes with no shared " +
+        "shingles anywhere in this other payload at all ok"))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))
+    val pairs = Multimodal.nearBlocks(media).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h <= 3 },
+      s"corrupted twin must pair within the hamming budget: $pairs")
+    assert(!pairs.exists { case (a, b, _) => b == 9L || a == 9L },
+      s"unrelated payload must not pair: $pairs")
+    // byte-identical payloads: hamming exactly 0
+    val twin = Multimodal.nearBlocks(Seq(
+        (1L, "image/png", base), (2L, "image/png", base))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))).collect()
+    assert(twin.map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSeq ==
+           Seq((1L, 2L, 0)))
+  }
+
+  test("nearBlocks: same bytes under DIFFERENT media types never " +
+       "pair, and candidates come from buckets, not a cross join") {
+    import spark.implicits._
+    val media = Seq((1L, "image/png", "same payload bytes here"),
+        (2L, "audio/wav", "same payload bytes here"))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))
+    assert(Multimodal.nearBlocks(media).isEmpty)
+    // banding contract on the real corpus: the physical plan is
+    // bucket-group + in-bucket expansion — no cartesian/BNL join
+    // anywhere, and the exchange carries signatures, never payloads
+    val df = Multimodal.nearBlocks(Multimodal.mediaTable(docs))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates must be bucketed, never all-pairs:\n$p")
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("data#"),
+        s"exchange must never carry payload bytes: $l"))
+  }
+
   test("dupContent shuffles fingerprints, not payloads") {
     // the exchange feeding the group-by must not carry the binary
     // column — the 100 TB contract is that only (type, md5, length)

@@ -158,6 +158,51 @@ class RetrievalSpec extends SparkSpec {
     assert(wide.getLong(3) == 0L && wide.getLong(7) == 83333L)
   }
 
+  test("ndcg: hand-computed graded DCG/IDCG with frozen discounts") {
+    // q1 qrels: doc10 grade 3, doc20 grade 2, doc30 grade 2; ranking
+    // hits doc10 at rank 2 and doc30 at rank 7.
+    // dcg  = (2³−1)·630929 + (2²−1)·⌊10⁶/log₂8⌋
+    //      = 7·630929 + 3·333333                       = 5416502
+    // idcg = (2³−1)·10⁶ + (2²−1)·630929 + (2²−1)·5·10⁵ = 10392787
+    // ndcg = 5416502·10⁶ // 10392787                   = 521178
+    val results = (1 to 10).map(r =>
+        (1L, r, if (r == 2) 10L else if (r == 7) 30L else r * 100L))
+      .toDF("qid", "rnk", "doc_id")
+    val qrels = Seq((1L, 10L, 3L), (1L, 20L, 2L), (1L, 30L, 2L))
+      .toDF("qid", "doc_id", "grade")
+    val m = Retrieval.ndcg(results, qrels).head()
+    assert((m.getLong(1), m.getLong(2), m.getLong(3)) ==
+           (5416502L, 10392787L, 521178L))
+  }
+
+  test("ndcg edge cases: perfect ranking is exactly 10⁶, grades " +
+       "saturate at 9, unjudged queries report zeros") {
+    // ideal-order ranking → ndcg = 1000000 exactly
+    val perfect = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("qid", "rnk", "doc_id")
+    val qr = Seq((1L, 10L, 3L), (1L, 20L, 2L)).toDF("qid", "doc_id", "grade")
+    assert(Retrieval.ndcg(perfect, qr).head().getLong(3) == 1000000L)
+    // grade 50 saturates to gain 2⁹−1 = 511 (keeps dcg·10⁶ < 2⁵³)
+    val sat = Retrieval.ndcg(
+      Seq((1L, 1, 10L)).toDF("qid", "rnk", "doc_id"),
+      Seq((1L, 10L, 50L)).toDF("qid", "doc_id", "grade")).head()
+    assert((sat.getLong(1), sat.getLong(3)) == (511L * 1000000L, 1000000L))
+    // no qrels at all: zeros, row still reports
+    val none = Retrieval.ndcg(perfect,
+      Seq.empty[(Long, Long, Long)].toDF("qid", "doc_id", "grade")).head()
+    assert((1 to 3).forall(i => none.getLong(i) == 0L))
+  }
+
+  test("qrelsGraded: grade is the distinct-term-overlap count and " +
+       "the boolean form is its projection") {
+    val qs = Seq((1L, "apple banana")).toDF("qid", "query")
+    val graded = Retrieval.qrelsGraded(docs, qs, minTerms = 2)
+    assert(graded.collect().forall(_.getLong(2) == 2L),
+      "two-term query: every surviving doc matched both terms")
+    assert(Retrieval.qrelsByTermOverlap(docs, qs, minTerms = 2)
+      .collect().map(_.toSeq).toSet ==
+      graded.select(col("qid"), col("doc_id")).collect().map(_.toSeq).toSet)
+  }
+
   test("ret_eval composition: bm25 against term-overlap qrels is " +
        "partitioning-invariant and self-consistent") {
     val qs = Seq((1L, "apple banana")).toDF("qid", "query")

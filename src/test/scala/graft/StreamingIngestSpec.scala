@@ -299,6 +299,113 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("composed front door: ingest -> streaming dedup -> IVF append " +
+       "on ONE stream survives a mid-stream restart and equals the " +
+       "batch recompute") {
+    // VERDICT r10 item 6: the pieces (CorpusIngest, StreamingDedup,
+    // IvfIndex append) composed end-to-end on one MemoryStream, the
+    // query killed and restarted mid-stream from its checkpoint, and
+    // BOTH live artifacts — the admitted doc set and the IVF index
+    // contents — checked against a from-scratch batch recompute.
+    import org.apache.spark.sql.functions._
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_frontdoor_ivf").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_frontdoor_ckpt").toString
+    // base index: the two-blob fixture (ids 0..99); streamed docs
+    // land as vec_id = 1000 + doc_id, high blob for odd ids
+    def jit(id: Long, d: Int): Float = ((id * 31 + d * 7) % 10) / 10.0f
+    val blobs = (0L until 100L).map { id =>
+      val base = if (id < 50) 0.0f else 10.0f
+      (id, Array.tabulate(4)(d => base + jit(id, d)))
+    }.toDF("vec_id", "embedding")
+    graft.similarity.IvfIndex.build(blobs, ivfDir, k = 2, iters = 4)
+    val thirdDoc =
+      "vector indexes append admitted documents under checkpointed state"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val deliveries = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val sumFn = new java.util.function.BiFunction[Integer, Integer, Integer] {
+      def apply(a: Integer, b: Integer): Integer = a + b
+    }
+    // deterministic embedding derived from the admitted doc row — the
+    // decode stub convention: the Spark-side plumbing (schema, append
+    // path, cell assignment) is real
+    def embed(batch: org.apache.spark.sql.DataFrame) = batch.select(
+      (col("doc_id") + 1000L).as("vec_id"),
+      expr("""transform(sequence(0, 3), d -> cast(
+               cast((doc_id % 2) * 10 as double) +
+               cast((doc_id * 31 + d * 7) % 10 as double) / 10.0
+             as float))""").as("embedding"))
+    def start() = CorpusIngest.ingest(docs, lateness = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        b.collect().foreach(r =>
+          deliveries.merge(r.getAs[Long]("doc_id"), 1, sumFn))
+        graft.similarity.IvfIndex.append(spark, ivfDir, embed(b))
+        b.unpersist()
+        ()
+      }.start()
+    val q1 = start()
+    input.addData(
+      (1L, t(1000), good),        // admitted
+      (2L, t(1100), "tiny doc"),  // rejected at the gate
+      (3L, t(1200), distinctDoc)) // admitted
+    q1.processAllAvailable()
+    q1.stop() // mid-stream kill
+    val q2 = start()
+    try {
+      input.addData(
+        (4L, t(2000), good),      // same signature as doc 1, ACROSS
+                                  // the restart -> recovered dedup
+                                  // state must suppress it
+        (5L, t(2100), thirdDoc))  // admitted
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // batch recompute on the same five documents: annotate + gate,
+    // then first-arrival-per-signature (arrival order == doc_id order
+    // here), the exact uniqueBySignature key construction
+    val allDocs = Seq((1L, t(1000), good), (2L, t(1100), "tiny doc"),
+        (3L, t(1200), distinctDoc), (4L, t(2000), good),
+        (5L, t(2100), thirdDoc))
+      .toDF("doc_id", "ts", "text")
+    val batchAdmitted = CorpusIngest.annotate(allDocs)
+      .filter(col("keep"))
+      .withColumn("dedup_key", coalesce(
+        md5(concat_ws("|", call_function("graft_minhash",
+          graft.functions.Portable.tokens(col("text"))))),
+        concat(lit("short:"), col("doc_id"))))
+      .groupBy(col("dedup_key")).agg(min(col("doc_id")).as("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(batchAdmitted == Set(1L, 3L, 5L), s"fixture: $batchAdmitted")
+    // 1) admitted set across the restart == batch recompute, each
+    //    delivered exactly once (no replay of committed batches)
+    import scala.jdk.CollectionConverters._
+    val streamed = deliveries.keySet.asScala.toSet
+    assert(streamed == batchAdmitted,
+      s"streaming admitted $streamed != batch $batchAdmitted")
+    assert(deliveries.values.asScala.forall(_ == 1),
+      s"every admitted doc exactly once across the restart: $deliveries")
+    // 2) index contents == base vectors + exactly the admitted docs
+    val stored = spark.read.parquet(s"$ivfDir/vectors.parquet")
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n")).collect()
+    assert(stored.map(_.getLong(0)).toSet ==
+      (0L until 100L).toSet ++ batchAdmitted.map(_ + 1000L),
+      "index must hold base + admitted, nothing else")
+    assert(stored.forall(_.getLong(1) == 1L),
+      "restart must not double-append any vector")
+    // 3) the index still serves: all streamed docs are odd ids ->
+    //    high blob; a high-blob probe must surface every one
+    val res = graft.similarity.IvfIndex.probe(spark, ivfDir,
+        Seq((9000L, Array.fill(4)(10.5f))).toDF("qid", "qvec"),
+        k = 60, nprobe = 1)
+      .collect().map(_.getLong(2)).toSet
+    assert(batchAdmitted.map(_ + 1000L).subsetOf(res),
+      s"probe must see every admitted vector: $res")
+  }
+
   test("observed gate metrics ride the stream: n_in/n_kept/n_pii per batch") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "ts", "text")
