@@ -108,9 +108,14 @@ object Soak {
     // exchange), Benford first-digit audit (scan + 9-group aggregate)
     "ret_eval", "mm_dup_blocks", "qc_benford",
     // round-11 additions: perceptual media near-dup (bucketed band
-    // join — expansion volume is the claim under test) and graded
-    // nDCG (qrel corpus pass + qid-keyed eval, expected scan-bound)
-    "mm_near_blocks", "ret_ndcg")
+    // join — expansion volume is the claim under test), graded nDCG
+    // (qrel corpus pass + qid-keyed eval, expected scan-bound), PRF
+    // expansion (two corpus scans, pool-sized everything after),
+    // truncated EMA (grouping agg + 16-lag window), bounded-state
+    // top-k IVM (group-limit windows), and the class-balance audit
+    // (label-vocab-sized second agg)
+    "mm_near_blocks", "ret_ndcg", "ret_expand", "ts_ema",
+    "cdc_topk_delta", "qc_class_balance")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

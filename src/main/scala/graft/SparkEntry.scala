@@ -338,6 +338,12 @@ object SparkEntry {
     "ts_monthly_revenue" -> q((s, d) =>
       TimeSeries.monthlyRevenue(Tables.orders(s, d))
         .sortWithinPartitions("month_start_ms")),
+    // truncated exponential smoothing: per-priority daily revenue,
+    // frozen alpha=1/4 ppm weights over 16 row lags, leading edge
+    // renormalized — all-long arithmetic, floor div at the end
+    "ts_ema" -> q((s, d) =>
+      TimeSeries.emaDaily(Tables.orders(s, d))
+        .sortWithinPartitions("o_orderpriority", "day_ms")),
     "q15_top_supplier" -> q((s, d) =>
       Relational.topRevenueSupplier(Tables.lineitem(s, d))
         .sortWithinPartitions("l_suppkey")),
@@ -495,6 +501,16 @@ object SparkEntry {
           graft.text.Retrieval.qrelsGraded(docs, qs))
         .sortWithinPartitions("qid")
     }),
+    // pseudo-relevance feedback: top-5 expansion terms per query from
+    // the bm25 top-10 pool, ML weight P(term|pool) in integer ppm,
+    // query terms excluded, >= 2 pool docs per term
+    "ret_expand" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      graft.text.Retrieval.expandTerms(Tables.documents(s, d), qs)
+        .sortWithinPartitions("qid", "rnk")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -621,6 +637,22 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("cnt"),
           round(col("total").cast("double"), 2).as("total"))
         .sortWithinPartitions("o_orderstatus")
+    }),
+    // bounded-state IVM: per-priority top-3 orders maintained by
+    // folding an insert batch (o_orderkey % 10 == 0) into the prior
+    // top-k state — the oracle is the from-scratch top-k over ALL
+    // orders, and exact equality with it IS the merge law's contract
+    "cdc_topk_delta" -> q((s, d) => {
+      val o = Tables.orders(s, d).withColumn("price_cents",
+        (col("o_totalprice").cast("decimal(9,2)") * lit(100))
+          .cast("long"))
+      val base = o.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      val ins = o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      val state = operators.Cdc.topkState(
+        base, "o_orderpriority", "price_cents", "o_orderkey", k = 3)
+      operators.Cdc.topkDelta(state, ins,
+          "o_orderpriority", "price_cents", "o_orderkey", k = 3)
+        .sortWithinPartitions("o_orderpriority", "rnk")
     }),
     "cms_term_counts" -> q((s, d) => {
       // one per-term aggregate feeds the sketch (weighted form), the
@@ -1008,6 +1040,12 @@ object SparkEntry {
     "qc_benford" -> q((s, d) =>
       operators.Expectations.benfordAudit(Tables.orders(s, d), "o_totalprice")
         .sortWithinPartitions("digit")),
+    // label-skew audit: per-source language balance — class count,
+    // majority share, Gini impurity, all integer ppm (no libm)
+    "qc_class_balance" -> q((s, d) =>
+      operators.Expectations.classBalance(
+          Tables.documents(s, d), "source", "lang")
+        .sortWithinPartitions("segment")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .sortWithinPartitions("c_nationkey", "id1", "dist")),
@@ -2329,6 +2367,33 @@ object SparkEntry {
         |    AS revenue
         |FROM orders GROUP BY month_start_ms ORDER BY month_start_ms""".stripMargin,
 
+    // truncated EMA: frozen floor(1e6·(1/4)(3/4)^i) ppm weights over
+    // 16 row lags, leading edge renormalized over available lags,
+    // one floor division at the end — all BIGINT arithmetic
+    "ts_ema" -> {
+      val ws = Seq(250000L, 187500L, 140625L, 105468L, 79101L, 59326L,
+        44494L, 33370L, 25028L, 18771L, 14078L, 10558L, 7919L, 5939L,
+        4454L, 3340L)
+      val lagCols = ws.indices.map(i =>
+        s"lag(revenue_cents, $i) OVER w AS x$i").mkString(", ")
+      val num = ws.zipWithIndex.map { case (wi, i) =>
+        s"coalesce(x$i * $wi, 0)" }.mkString(" + ")
+      val den = ws.zipWithIndex.map { case (wi, i) =>
+        s"CASE WHEN x$i IS NOT NULL THEN $wi ELSE 0 END" }.mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority,
+         |    epoch_ms(date_trunc('day', o_orderdate)) AS day_ms,
+         |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS revenue_cents
+         |  FROM orders GROUP BY 1, 2),
+         |lg AS (SELECT o_orderpriority, day_ms, revenue_cents, $lagCols
+         |       FROM daily
+         |       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_ms))
+         |SELECT o_orderpriority, day_ms, revenue_cents,
+         |  CAST(($num) // ($den) AS BIGINT) AS ema_cents
+         |FROM lg ORDER BY o_orderpriority, day_ms""".stripMargin
+    },
+
     "q15_top_supplier" ->
       """WITH bysupp AS (
         |  SELECT l_suppkey,
@@ -2975,6 +3040,33 @@ object SparkEntry {
          |FROM qs q LEFT JOIN dcg USING (qid) LEFT JOIN idcg USING (qid)
          |ORDER BY qid""".stripMargin,
 
+    // pseudo-relevance feedback: ML weight P(term|pool) in ppm over
+    // the bm25 top-10 pool, query terms excluded, pool_df >= 2,
+    // top 5 per query by (weight, term) — floor divisions stated
+    "ret_expand" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |pool AS (SELECT qid, doc_id FROM bm25r WHERE rnk <= 10),
+         |ptok AS (SELECT p.qid, t.doc_id, unnest(t.t) AS term
+         |         FROM toks t JOIN pool p USING (doc_id)),
+         |plen AS (SELECT qid, count(*) AS pool_len FROM ptok GROUP BY 1),
+         |cand AS (SELECT qid, term, count(*) AS pool_tf,
+         |           count(DISTINCT doc_id) AS pool_df
+         |         FROM ptok GROUP BY 1, 2
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |fil AS (SELECT c.* FROM cand c
+         |        WHERE NOT EXISTS (SELECT 1 FROM qt
+         |          WHERE qt.qid = c.qid AND qt.term = c.term)),
+         |wt AS (SELECT f.qid, f.term, f.pool_tf, f.pool_df,
+         |         f.pool_tf * 1000000 // p.pool_len AS weight_ppm
+         |       FROM fil f JOIN plen p USING (qid)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY weight_ppm DESC, term) AS rnk FROM wt)
+         |SELECT CAST(qid AS BIGINT) AS qid, rnk, term,
+         |  CAST(pool_tf AS BIGINT) AS pool_tf,
+         |  CAST(pool_df AS BIGINT) AS pool_df,
+         |  CAST(weight_ppm AS BIGINT) AS weight_ppm
+         |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (
         |  VALUES ('src0', 24), ('src1', 18), ('src2', 12), ('src3', 6)),
@@ -3309,6 +3401,21 @@ object SparkEntry {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
         |    AS total
         |FROM news GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bounded-state top-k IVM: the oracle is the from-scratch top-3
+    // over ALL orders — equality with the folded state IS the
+    // insert-only merge law's contract
+    "cdc_topk_delta" ->
+      """WITH pc AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM orders),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |         ORDER BY price_cents DESC, o_orderkey) AS rnk FROM pc)
+        |SELECT o_orderpriority, rnk, o_orderkey, price_cents
+        |FROM rk WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
 
     "cdc_scd2" ->
       """WITH olds AS (
@@ -4700,19 +4807,22 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2, 3 HAVING count(*) >= 2
         |ORDER BY media_type, canonical_id, content_md5""".stripMargin,
 
-    // near-dup media: 16-bit simhash over 4-char shingles of the four
-    // sampled 16-byte frames (frame bytes are substrings of
-    // encode(text), so VARCHAR substrings hash the same bytes — the
-    // mm_frames convention), banded 4 x 4 bits within media type
-    // (pigeonhole: hamming <= 3 pairs share a band), hamming-verified
+    // near-dup media: 64-bit simhash = four independently-salted
+    // 16-bit blocks (salt '#k' on every shingle — matches the
+    // engine's four salted graft_simhash calls bit-for-bit), over
+    // 4-char shingles of the four sampled 16-byte frames (frame
+    // bytes are substrings of encode(text), so VARCHAR substrings
+    // hash the same bytes — the mm_frames convention), banded
+    // 4 x 16 bits within a media type (pigeonhole: hamming <= 3
+    // pairs share a band), hamming-verified
     "mm_near_blocks" -> {
       val hexSet = "('8','9','a','b','c','d','e','f')"
-      val sums = (1 to 16).map(i =>
-        s"CAST(sum(CASE WHEN substr(md5(tok), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b$i")
+      val sums = (for (k <- 0 to 3; i <- 1 to 16) yield
+        s"CAST(sum(CASE WHEN substr(md5(tok || '#$k'), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b${k}_$i")
         .mkString(", ")
-      val bits = (1 to 16).map(i =>
-        s"CASE WHEN b$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
-      val hammingTerms = (1 to 16).map(i =>
+      val bits = (for (k <- 0 to 3; i <- 1 to 16) yield
+        s"CASE WHEN b${k}_$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      val hammingTerms = (1 to 64).map(i =>
         s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
         .mkString(" + ")
       s"""WITH fr AS (
@@ -4727,14 +4837,14 @@ object SparkEntry {
          |       FROM fr CROSS JOIN (SELECT unnest(range(1, 14)) AS p) pp
          |       WHERE p <= length(frame) - 3),
          |shagg AS (SELECT doc_id, media_type, $sums FROM gr GROUP BY 1, 2),
-         |sim AS (SELECT doc_id, media_type, $bits AS simhash16 FROM shagg),
-         |bd AS (SELECT doc_id, media_type, simhash16, band,
-         |         substr(simhash16, band * 4 + 1, 4) AS bits
+         |sim AS (SELECT doc_id, media_type, $bits AS simhash64 FROM shagg),
+         |bd AS (SELECT doc_id, media_type, simhash64, band,
+         |         substr(simhash64, band * 16 + 1, 16) AS bits
          |       FROM sim
          |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bb),
          |pairs AS (
          |  SELECT DISTINCT a.media_type, a.doc_id AS id1, b.doc_id AS id2,
-         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |         a.simhash64 AS sh1, b.simhash64 AS sh2
          |  FROM bd a JOIN bd b
          |    ON a.media_type = b.media_type AND a.band = b.band
          |   AND a.bits = b.bits AND a.doc_id < b.doc_id),
@@ -5120,6 +5230,29 @@ object SparkEntry {
         |    AS BIGINT) AS dev_ppm
         |FROM e LEFT JOIN o USING (digit), t
         |ORDER BY digit""".stripMargin,
+
+    // class balance per source: majority tie breaks to the
+    // lexicographically larger label (= Spark's max(struct(n,label)));
+    // gini as ONE floor division (n²−Σnᵢ²)·10⁶ // n², not 10⁶−floor
+    "qc_class_balance" ->
+      """WITH c AS (SELECT source AS segment, lang AS label,
+        |            count(*) AS n
+        |          FROM documents GROUP BY 1, 2),
+        |mj AS (SELECT segment, label AS majority_label, n AS maj_n
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY segment
+        |               ORDER BY n DESC, label DESC) AS r FROM c)
+        |       WHERE r = 1),
+        |ag AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_classes,
+        |         CAST(sum(n) AS BIGINT) AS n_rows,
+        |         sum(CAST(n AS HUGEINT) * n) AS sum_sq
+        |       FROM c GROUP BY 1)
+        |SELECT a.segment, a.n_rows, a.n_classes, m.majority_label,
+        |  CAST(m.maj_n * 1000000 // a.n_rows AS BIGINT) AS majority_ppm,
+        |  CAST((CAST(a.n_rows AS HUGEINT) * a.n_rows - sum_sq) * 1000000
+        |       // (CAST(a.n_rows AS HUGEINT) * a.n_rows) AS BIGINT)
+        |    AS gini_ppm
+        |FROM ag a JOIN mj m USING (segment)
+        |ORDER BY segment""".stripMargin,
 
     "qc_drift" ->
       """WITH r AS (

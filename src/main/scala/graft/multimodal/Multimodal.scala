@@ -337,18 +337,31 @@ object Multimodal {
     * also lets the reclaim arithmetic ride the group key.) */
   /** NEAR-duplicate media matching — the perceptual member the media
     * dedup family lacked next to [[dupContent]]'s exact md5 form: a
-    * 16-bit SimHash over frame-byte shingles (sample `nFrames`
+    * 64-bit SimHash over frame-byte shingles (sample `nFrames`
     * frames of `frameBytes` bytes — the [[sampleFrames]] convention —
     * then every `gram`-byte sliding window of each frame votes into
-    * the signature via the native `graft_simhash` kernel), banded on
-    * the signature's first `prefixBits` bits WITHIN a media type, and
-    * verified by exact Hamming distance (`graft_hamming`) ≤
-    * `maxHamming`. A re-encoded or slightly-corrupted payload keeps
-    * most of its frame shingles, so its signature lands within a few
-    * bits of the original — the content-addressed-store near-match
+    * the signature), banded WITHIN a media type, and verified by
+    * exact Hamming distance (`graft_hamming`) ≤ `maxHamming`. A
+    * re-encoded or slightly-corrupted payload keeps most of its
+    * frame shingles, so its signature lands within a few bits of the
+    * original — the content-addressed-store near-match
     * `dupContent`'s exact hash can never make.
     *
-    * Banding gives a PIGEONHOLE RECALL GUARANTEE: the 16 bits split
+    * The signature is 64 bits built as FOUR independently-salted
+    * 16-bit `graft_simhash` blocks (salt `#k` appended to every
+    * shingle — four independent hash families), for a reason that is
+    * pure scale arithmetic: the pigeonhole banding below needs
+    * `maxHamming + 1` bands, and a band's BIT WIDTH is the bucket
+    * key's entropy. On a 16-bit signature with the default budget a
+    * band is 4 bits = 16 possible buckets per media type — buckets
+    * grow linearly with the corpus and in-bucket pair expansion goes
+    * quadratic (the commonNeighbors-hub failure mode in disguise).
+    * At 64 bits a band is 16 bits = 65 536 buckets (the Manku
+    * WWW'07 64-bit regime), so expected bucket size — and with it
+    * the candidate-pair volume — drops 4 096× at the same corpus
+    * size and stays sub-quadratic deep into the billions of objects.
+    *
+    * Banding gives a PIGEONHOLE RECALL GUARANTEE: the 64 bits split
     * into `maxHamming + 1` contiguous bands, so any pair within the
     * Hamming budget differs in at most `maxHamming` bands and must
     * agree EXACTLY on at least one — every true near-dup surfaces as
@@ -358,10 +371,10 @@ object Multimodal {
     *
     * Scale shape, mirroring `dedup_simhash_pairs`/`dedup_minhash`:
     * the signature is a pure projection (frames, shingles, and the
-    * simhash vote all happen in one map stage — only doc_id + 16-bit
-    * signature ever cross the exchange, never payload bytes);
-    * candidate generation is a bucketed (media_type, band, bits)
-    * equi-group — NEVER all-pairs — with
+    * four salted votes all happen in one map stage over ONE shared
+    * shingle array — only doc_id + 64 bits ever cross the exchange,
+    * never payload bytes); candidate generation is a bucketed
+    * (media_type, band, bits) equi-group — NEVER all-pairs — with
     * [[graft.dedup.Dedup.pairRowsOf]] bounding any degenerate
     * bucket's expansion at `maxBucket`. */
   def nearBlocks(media: DataFrame, frameBytes: Int = 16, nFrames: Int = 4,
@@ -370,7 +383,7 @@ object Multimodal {
     require(frameBytes >= gram && nFrames >= 1,
       "need frameBytes >= gram and at least one frame")
     require(maxHamming >= 0 && maxHamming <= 7,
-      "need 0 <= maxHamming <= 7 (bands of >= 2 bits)")
+      "need 0 <= maxHamming <= 7 (bands of >= 8 bits)")
     val toks = expr(
       s"""flatten(transform(
          |  filter(transform(sequence(0, ${nFrames - 1}),
@@ -379,30 +392,36 @@ object Multimodal {
          |    f -> length(f) >= $gram),
          |  f -> transform(sequence(1, length(f) - ${gram - 1}),
          |    p -> substring(f, p, $gram))))""".stripMargin)
-    val sig = media.select(col("doc_id"), col("media_type"),
-        call_function("graft_simhash", toks).as("simhash16"))
-      .filter(col("simhash16").isNotNull)
-    // maxHamming+1 contiguous bands over the 16 bits (pigeonhole):
+    // one shared shingle array; each 16-bit block hashes it under its
+    // own salt (project chaining so the array is built once per row)
+    val blocks = (0 until 4).map(k => call_function("graft_simhash",
+      transform(col("tk"), t => concat(t, lit(s"#$k")))))
+    val sig = media
+      .select(col("doc_id"), col("media_type"), toks.as("tk"))
+      .select(col("doc_id"), col("media_type"),
+        concat(blocks: _*).as("simhash64"))
+      .filter(col("simhash64").isNotNull)
+    // maxHamming+1 contiguous bands over the 64 bits (pigeonhole):
     // band k covers [start(k), start(k+1)) with near-equal widths
     val nBands = maxHamming + 1
-    val starts = (0 to nBands).map(k => k * 16 / nBands)
+    val starts = (0 to nBands).map(k => k * 64 / nBands)
     val bands = (0 until nBands).map { k =>
       struct(lit(k).as("band"),
-        substring(col("simhash16"), starts(k) + 1, starts(k + 1) - starts(k))
+        substring(col("simhash64"), starts(k) + 1, starts(k + 1) - starts(k))
           .as("bits"))
     }
     val bucketed = sig
-      .select(col("doc_id"), col("media_type"), col("simhash16"),
+      .select(col("doc_id"), col("media_type"), col("simhash64"),
         explode(array(bands: _*)).as("bk"))
       .groupBy(col("media_type"), col("bk.band"), col("bk.bits"))
       .agg(sort_array(collect_list(
-        struct(col("doc_id"), col("simhash16"), col("media_type"))))
+        struct(col("doc_id"), col("simhash64"), col("media_type"))))
         .as("items"))
       .filter(size(col("items")) > 1)
     graft.dedup.Dedup.pairRowsOf(bucketed, maxBucket)
       .select(col("a.media_type").as("media_type"),
         col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("graft_hamming(a.simhash16, b.simhash16)").as("hamming"))
+        expr("graft_hamming(a.simhash64, b.simhash64)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -102,6 +102,51 @@ object Cdc {
     * union, one group-key exchange — while the recompute it replaces
     * scans the full fact table. At 100 TB with a daily 0.1% delta
     * that is the difference between touching 100 GB and 100 TB. */
+  /** Maintainable per-group TOP-K state: the k best rows per group by
+    * (`valueCol` desc, `idCol` asc — the id tiebreak makes the state
+    * deterministic under any partitioning). Columns out: group,
+    * `rnk` (1..k), id, value. Bounded state: k rows per group, ever.
+    * The per-group window prunes to k via InferWindowGroupLimit, so
+    * building state over a fact table is one exchange + a group-limit
+    * window, never a full sort. */
+  def topkState(df: DataFrame, groupCol: String, valueCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k > 0, "cdc: need k > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+    df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol))
+  }
+
+  /** Incremental top-k maintenance for INSERT-ONLY feeds — the third
+    * IVM member next to [[aggDelta]] (additive aggregates) and
+    * `GraphOps.componentsDelta` (fixpoint labels): fold a batch of
+    * inserted rows into a prior [[topkState]] without touching the
+    * fact table. Exactness is the merge law max-based top-k enjoys
+    * under inserts: every old row of topk(old ∪ Δ) ranks at least as
+    * well within `old` alone, so it is already IN the prior state —
+    * `topk(state ∪ topk(Δ)) = topk(old ∪ Δ)`, bit-for-bit (the
+    * from-scratch recompute IS the oracle's contract, as for
+    * aggDelta). Deletes are deliberately out of scope: a delete can
+    * promote a row the bounded state no longer holds, which is why
+    * delete-capable engines keep k′ > k shadow rows — documented
+    * here rather than silently mishandled (inserts-only is the
+    * append-only-log case the streaming front door actually has).
+    *
+    * Cost: |state| + |Δ| through one union and one group-limit
+    * window — k rows per group in, k out, while the recompute scans
+    * the full fact table. */
+  def topkDelta(state: DataFrame, inserts: DataFrame, groupCol: String,
+                valueCol: String, idCol: String, k: Int): DataFrame =
+    topkState(
+      state.select(col(groupCol), col(idCol), col(valueCol))
+        .unionByName(topkState(inserts, groupCol, valueCol, idCol, k)
+          .select(col(groupCol), col(idCol), col(valueCol))),
+      groupCol, valueCol, idCol, k)
+
   def aggDelta(prior: DataFrame, changes: DataFrame,
                groupCol: String, measureCol: String): DataFrame = {
     val retract = changes.filter(col("change_type").isin("D", "U"))

@@ -413,4 +413,45 @@ object Expectations {
         col("exp_ppm"))
       .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
   }
+
+  /** Class-balance audit per segment — the label-skew diagnostic a
+    * training-data pipeline runs before any sampling decision: for
+    * each segment, the class count, majority class + its share, and
+    * the Gini impurity `1 − Σᵢ pᵢ²` — all in integer ppm. Impurity
+    * (not entropy) deliberately: entropy needs a libm log per class
+    * where Gini is pure rational arithmetic, and the two rank
+    * segment skew identically for this audit's purpose. The exact
+    * forms (the oracle's contract, floor divisions stated):
+    * `majority_ppm = maj_n·10⁶ div n_rows`,
+    * `gini_ppm = (n_rows² − Σᵢ nᵢ²)·10⁶ div n_rows²` — note this is
+    * ONE floor at the end, not 10⁶ − floor(Σnᵢ²·10⁶/n²), which can
+    * differ by 1. Majority ties break to the lexicographically
+    * larger label via max(struct(n, label)) — deterministic under
+    * any partitioning, replicated by the oracle.
+    *
+    * Scale: one (segment, label) count aggregate (map-side
+    * combined), then a label-cardinality-sized second aggregate —
+    * nothing wider than the label vocabulary ever shuffles. The
+    * squared sums ride DECIMAL(38,0) so n_rows far past the 2⁵³
+    * double envelope stays exact; only the ≤10⁶ ppm readouts ship
+    * as longs. */
+  def classBalance(df: DataFrame, segCol: String,
+                   labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(segCol).as("segment"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n")).as("n_rows"),
+        max(struct(col("n"), col("label"))).as("maj"),
+        sum(col("n").cast("decimal(38,0)") * col("n")).as("sum_sq"))
+      .withColumn("nsq",
+        col("n_rows").cast("decimal(19,0)") * col("n_rows"))
+      .select(col("segment"), col("n_rows"), col("n_classes"),
+        col("maj.label").as("majority_label"),
+        expr("maj.n * 1000000 div n_rows").as("majority_ppm"),
+        // Spark's `div` is INTEGRAL division on decimals too — one
+        // floor at the end, matching the oracle's `//` exactly
+        expr("(nsq - sum_sq) * 1000000 div nsq").as("gini_ppm"))
+  }
 }

@@ -324,6 +324,63 @@ object TimeSeries {
         round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2)
           .as("sum_value"))
 
+  /** Frozen EMA kernel: `w_i = floor(10⁶ · α(1−α)^i)` for α = 1/4 and
+    * lags i = 0..15 — exact dyadic rationals (denominators are powers
+    * of 4) floored ONCE to ppm constants, so no engine ever computes
+    * a power at query time (the `qc_benford` frozen-constant trick
+    * applied to smoothing weights). */
+  private val EmaWeightsPpm: Seq[Long] = Seq(
+    250000L, 187500L, 140625L, 105468L, 79101L, 59326L, 44494L,
+    33370L, 25028L, 18771L, 14078L, 10558L, 7919L, 5939L, 4454L,
+    3340L)
+
+  /** Truncated exponential smoothing over the per-priority daily
+    * revenue series — the forecasting-baseline smoother the ts family
+    * lacked next to its fixed-width sliding means: recent days
+    * dominate with geometrically decaying memory (α = 1/4), but the
+    * tail is TRUNCATED at 16 lags so the smoothed value is a pure
+    * function of a bounded row frame (the recursive EMA is a
+    * prefix-product over the whole history — unverifiable exactly and
+    * unmergeable; the 16-lag truncation leaves < 1% of the mass and
+    * makes the operator a plain window).
+    *
+    * `ema_cents = floor(Σᵢ wᵢ·xᵢ / Σᵢ wᵢ)` over the lags that EXIST
+    * (the leading edge of each series renormalizes over the available
+    * prefix — the standard adjusted/bias-corrected EMA form), with
+    * revenue in integer cents and the frozen [[EmaWeightsPpm]]
+    * weights: all-long arithmetic, worst case ≈ 16·10⁶·maxDayCents
+    * < 2⁵³ for day revenues under ~$5.6 B. Smoothing is over
+    * SUCCESSIVE OBSERVED days (row lags, not calendar lags): an
+    * absent day contributes no observation rather than a zero.
+    *
+    * Scale: one group-by to the (series, day) grain, then one
+    * per-series window whose state is 16 longs — series distribute
+    * across executors, nothing global. */
+  def emaDaily(orders: DataFrame): DataFrame = {
+    val daily = orders.groupBy(col("o_orderpriority"),
+        unix_millis(date_trunc("day", col("o_orderdate"))
+          .cast("timestamp")).as("day_ms"))
+      .agg(sum((col("o_totalprice").cast("decimal(9,2)") * lit(100))
+        .cast("long")).as("revenue_cents"))
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day_ms"))
+    val lags = EmaWeightsPpm.indices.map(i =>
+      lag(col("revenue_cents"), i).over(w).as(s"x$i"))
+    val num = EmaWeightsPpm.zipWithIndex
+      .map { case (wi, i) => coalesce(col(s"x$i") * lit(wi), lit(0L)) }
+      .reduce(_ + _)
+    val den = EmaWeightsPpm.zipWithIndex
+      .map { case (wi, i) =>
+        when(col(s"x$i").isNotNull, lit(wi)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    daily.select(
+        Seq(col("o_orderpriority"), col("day_ms"),
+          col("revenue_cents")) ++ lags: _*)
+      .select(col("o_orderpriority"), col("day_ms"), col("revenue_cents"),
+        num.as("num"), den.as("den"))
+      .select(col("o_orderpriority"), col("day_ms"), col("revenue_cents"),
+        expr("num div den").as("ema_cents"))
+  }
+
   /** Two-arm A/B conversion readout: users split by id parity (the
     * deterministic stand-in for an assignment column), conversion =
     * any `convType` event. One row: per-arm counts/rates, the rate

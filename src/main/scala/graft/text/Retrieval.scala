@@ -209,6 +209,59 @@ object Retrieval {
           .otherwise(expr("1000000 div first_rel")).as("mrr_ppm"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (the RM1 relevance-
+    * model shape, Lavrenko & Croft SIGIR'01, with the integer-exact
+    * estimator this repo's gate demands): retrieve each query's
+    * [[bm25]] top-`topKDocs` feedback pool, then rank the pool's
+    * vocabulary by its maximum-likelihood weight under the pool
+    * language model — `weight_ppm = floor(10⁶ · pool_tf /
+    * pool_len)`, i.e. P(term | pool) in parts-per-million — keeping
+    * terms that appear in ≥ `minPoolDf` distinct pool docs (the
+    * classic one-outlier-doc guard) and dropping the original query
+    * terms. Top `topTerms` per query by (weight, term).
+    *
+    * Why ML-in-ppm and not log-space RM1: the ranking only needs the
+    * per-query monotone order of P(term|pool), which the integer
+    * floor division preserves; logs are libm and would break the
+    * exact-hash gate for zero ranking benefit.
+    *
+    * Plan shape: retrieval is [[bm25]]'s one corpus pass; the pool
+    * (|Q|·topKDocs ids) broadcasts into a SECOND corpus scan that
+    * tokenizes ONLY pool docs (the hash-join filter prunes before
+    * the explode, so pass 2's token work is pool-sized). Everything
+    * after — pool lengths, candidate counts, the rank window — is
+    * keyed by qid and pool-sized. PRF is inherently two-pass
+    * (retrieve, then read what you retrieved); nothing here is
+    * corpus-sized past the two scans. */
+  def expandTerms(docs: DataFrame, queries: DataFrame,
+                  topKDocs: Int = 10, minPoolDf: Int = 2,
+                  topTerms: Int = 5): DataFrame = {
+    require(topKDocs > 0 && minPoolDf >= 1 && topTerms > 0,
+      "need topKDocs > 0, minPoolDf >= 1, topTerms > 0")
+    val pool = bm25(docs, queries, topK = topKDocs)
+      .select(col("qid"), col("doc_id"))
+    val poolToks = spread(docs).join(broadcast(pool), "doc_id")
+      .select(col("qid"), col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+    val poolLen = poolToks.groupBy(col("qid"))
+      .agg(count(lit(1)).as("pool_len"))
+    val qterms = queries.select(col("qid"),
+      explode(tokens(col("query"))).as("term")).distinct()
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("weight_ppm").desc, col("term"))
+    poolToks.groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).as("pool_tf"),
+        countDistinct(col("doc_id")).as("pool_df"))
+      .filter(col("pool_df") >= minPoolDf)
+      .join(broadcast(qterms), Seq("qid", "term"), "left_anti")
+      .join(broadcast(poolLen), Seq("qid"))
+      .withColumn("weight_ppm", expr("pool_tf * 1000000 div pool_len"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topTerms)
+      .select(col("qid"), col("rnk"), col("term"),
+        col("pool_tf"), col("pool_df"), col("weight_ppm"))
+  }
+
   /** Frozen integer discounts for nDCG: floor(10⁶ / log₂(r+1)) for
     * ranks 1-10, precomputed as constants because log₂ is a libm call
     * whose low bits vary by engine (the `qc_benford` trick applied to

@@ -262,4 +262,85 @@ class CdcSpec extends SparkSpec {
     assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L), (6L, 5L)))
   }
+
+  // ---- bounded-state top-k IVM ----
+
+  test("streaming top-k IVM: the fold rides foreachBatch and equals " +
+       "the from-scratch top-k at EVERY micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val inserts = MemoryStream[(String, Long, Long)](spark)
+    val s0 = Seq(("a", 1L, 100L), ("a", 2L, 90L)).toDF("g", "id", "v")
+    var state = Cdc.topkState(s0, "g", "v", "id", k = 2).localCheckpoint()
+    val seen = collection.mutable.ArrayBuffer(("a", 1L, 100L), ("a", 2L, 90L))
+    val failures = collection.mutable.ArrayBuffer.empty[String]
+    val query = inserts.toDF().toDF("g", "id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Cdc.topkDelta(state, batch, "g", "v", "id", k = 2)
+          .localCheckpoint()
+        seen ++= batch.collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2)))
+        val scratch = Cdc.topkState(
+          seen.toSeq.toDF("g", "id", "v"), "g", "v", "id", k = 2)
+        val got = rows(state)
+        val want = rows(scratch)
+        if (got != want) failures += s"batch mismatch: $got != $want"
+        ()
+      }.start()
+    try {
+      inserts.addData(("a", 3L, 95L), ("b", 4L, 10L)) // displaces id=2
+      query.processAllAvailable()
+      inserts.addData(("a", 5L, 1L), ("b", 6L, 20L))  // a unchanged
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(failures.isEmpty, failures.mkString("; "))
+    assert(rows(state) == Seq(("a", 1, 1L, 100L), ("a", 2, 3L, 95L),
+      ("b", 1, 6L, 20L), ("b", 2, 4L, 10L)))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("g", "rnk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+  test("topkDelta: fold(state, inserts) == from-scratch top-k, " +
+       "including a delta row displacing a state row") {
+    val base = Seq(("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 80L),
+        ("a", 4L, 70L), ("b", 5L, 10L))
+      .toDF("g", "id", "v")
+    val ins = Seq(("a", 6L, 95L),   // displaces id=3 from a's top-3
+        ("b", 7L, 5L))              // b still under k: both rows kept
+      .toDF("g", "id", "v")
+    val state = Cdc.topkState(base, "g", "v", "id", k = 3)
+    val folded = Cdc.topkDelta(state, ins, "g", "v", "id", k = 3)
+    val scratch = Cdc.topkState(base.unionByName(ins), "g", "v", "id", k = 3)
+    assert(rows(folded) == rows(scratch))
+    assert(rows(folded) == Seq(
+      ("a", 1, 1L, 100L), ("a", 2, 6L, 95L), ("a", 3, 2L, 90L),
+      ("b", 1, 5L, 10L), ("b", 2, 7L, 5L)))
+  }
+
+  test("topkDelta: value ties break to the smaller id, " +
+       "deterministically under any partitioning") {
+    val base = Seq(("a", 9L, 50L), ("a", 7L, 50L)).toDF("g", "id", "v")
+    val ins = Seq(("a", 8L, 50L)).toDF("g", "id", "v")
+    val state = Cdc.topkState(base.repartition(7), "g", "v", "id", k = 2)
+    val folded = Cdc.topkDelta(state, ins.repartition(3), "g", "v", "id", 2)
+    assert(rows(folded) == Seq(("a", 1, 7L, 50L), ("a", 2, 8L, 50L)))
+  }
+
+  test("topkDelta folds associatively batch by batch: " +
+       "fold(fold(s, d1), d2) == topk(all)") {
+    val base = (1L to 20L).map(i => ("g", i, i * 10L)).toDF("g", "id", "v")
+    val d1 = Seq(("g", 21L, 500L), ("g", 22L, 1L)).toDF("g", "id", "v")
+    val d2 = Seq(("g", 23L, 250L), ("h", 24L, 7L)).toDF("g", "id", "v")
+    val s0 = Cdc.topkState(base, "g", "v", "id", k = 3)
+    val s2 = Cdc.topkDelta(Cdc.topkDelta(s0, d1, "g", "v", "id", 3),
+      d2, "g", "v", "id", 3)
+    val scratch = Cdc.topkState(
+      base.unionByName(d1).unionByName(d2), "g", "v", "id", k = 3)
+    assert(rows(s2) == rows(scratch))
+    // bounded state: never more than k rows per group in the fold
+    assert(s2.groupBy("g").count().collect().forall(_.getLong(1) <= 3))
+  }
 }

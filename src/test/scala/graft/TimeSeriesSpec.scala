@@ -507,4 +507,45 @@ class TimeSeriesSpec extends SparkSpec {
       evRow(1, 1, 1799, "click"), evRow(2, 1, 1801, "purchase"))
     assert(attrib(rows)("click") == (1L, 1.0))
   }
+
+  // ---- truncated EMA ----
+
+  private def emaOf(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    val df = rows.toDF("o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp_ntz")).drop("d")
+    TimeSeries.emaDaily(df).orderBy("o_orderpriority", "day_ms")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+  }
+
+  test("emaDaily: leading-edge renormalization and the frozen-weight " +
+       "arithmetic, hand-computed") {
+    val got = emaOf(Seq(
+      ("P", "1995-01-01 10:00:00", 100.00),   // two same-day orders sum
+      ("P", "1995-01-01 11:00:00", 100.00),
+      ("P", "1995-01-02 09:00:00", 100.00),
+      ("P", "1995-01-03 09:00:00", 400.00)))
+    // day1: 20000 cents, den=w0 -> ema = 20000
+    // day2: (10000*250000 + 20000*187500) div 437500 = 14285
+    // day3: (40000*250000 + 10000*187500 + 20000*140625)
+    //        div 578125 = 25405
+    assert(got.map(t => (t._2, t._3)).toSeq ==
+      Seq((20000L, 20000L), (10000L, 14285L), (40000L, 25405L)))
+  }
+
+  test("emaDaily: the window is 16 lags — day 17 no longer sees " +
+       "day 1, and series are independent") {
+    // series A: a huge day-1 spike then 16 flat days; series B flat.
+    // At row 17 the spike has aged out: ema == the flat value.
+    val days = (1 to 17).map(i => f"1995-02-$i%02d 00:00:00")
+    val a = days.zipWithIndex.map { case (d, i) =>
+      ("A", d, if (i == 0) 1e6 else 50.0) }
+    val b = days.map(d => ("B", d, 50.0))
+    val got = emaOf(a ++ b)
+    val aRows = got.filter(_._1 == "A")
+    assert(aRows.last._3 == 5000L,
+      s"day-1 spike must age out of the 16-lag frame: ${aRows.last}")
+    assert(aRows(15)._3 > 5000L, "day 16 still sees the spike")
+    assert(got.filter(_._1 == "B").forall(_._3 == 5000L))
+  }
 }
