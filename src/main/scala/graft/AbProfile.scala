@@ -6,7 +6,9 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
   * planning time vs executor task time vs GC, so a cross-build wall
   * gap can be attributed to a layer instead of re-measured forever.
   *
-  * Usage: runMain graft.AbProfile <sfDir> <reps> <query>
+  * Usage: runMain graft.AbProfile <sfDir> <reps> <query> [warmupDir]
+  * (warmup defaults to sfDir itself, so any fixture layout works;
+  * pass a smaller dir, e.g. sf0.001, for a cheaper warmup)
   */
 object AbProfile {
 
@@ -34,7 +36,8 @@ object AbProfile {
         m.synchronized { m.stages += 1 }
     })
 
-    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val warmupDir = args.lift(3).getOrElse(dir)
+    SparkEntry.queries(name)(spark, warmupDir)
       .write.format("noop").mode("overwrite").save()
     for (r <- 1 to reps) {
       System.gc()

@@ -367,7 +367,24 @@ object Multimodal {
     * agree EXACTLY on at least one — every true near-dup surfaces as
     * a candidate (a single-prefix band can't promise that: a media
     * signature has only ~dozens of voting shingles, so even a 1-byte
-    * corruption routinely flips a prefix bit).
+    * corruption routinely flips a prefix bit). The guarantee holds UP
+    * TO the `maxBucket` bound: [[graft.dedup.Dedup.pairRowsOf]] only
+    * expands pairs among the first `maxBucket` members of a bucket,
+    * so a pair whose every agreeing band lands in a > `maxBucket`
+    * (degenerate) bucket can be dropped. A healthy 64-bit banding
+    * keeps buckets ~4 orders of magnitude under the cap; audit
+    * truncation with [[truncatedBuckets]] before trusting recall on
+    * a new corpus.
+    *
+    * BYTE-vs-CHARACTER seam: shingles are sliced from the BINARY
+    * `data` column by BYTES and then cast to string. For ASCII
+    * payloads (this repo's fixtures) bytes == characters and the
+    * character-slicing DuckDB oracle agrees exactly; a multi-byte
+    * UTF-8 payload would split code points at frame boundaries and
+    * diverge from any character-based reference. That is acceptable
+    * for opaque media bytes (the slicing only needs to be
+    * DETERMINISTIC, not linguistic) but callers comparing against a
+    * character-sliced oracle must feed ASCII-only data.
     *
     * Scale shape, mirroring `dedup_simhash_pairs`/`dedup_minhash`:
     * the signature is a pure projection (frames, shingles, and the
@@ -380,6 +397,36 @@ object Multimodal {
   def nearBlocks(media: DataFrame, frameBytes: Int = 16, nFrames: Int = 4,
                  gram: Int = 4, maxHamming: Int = 3,
                  maxBucket: Int = 10000): DataFrame = {
+    val bucketed = nearBuckets(media, frameBytes, nFrames, gram, maxHamming)
+    graft.dedup.Dedup.pairRowsOf(bucketed, maxBucket)
+      .select(col("a.media_type").as("media_type"),
+        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("graft_hamming(a.simhash64, b.simhash64)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Truncation audit for [[nearBlocks]]: one row per banded bucket
+    * that exceeds `maxBucket` (i.e. where [[nearBlocks]]' pigeonhole
+    * recall guarantee degrades), with its actual size. Zero rows ⇒
+    * the guarantee held exactly on this corpus; any row quantifies
+    * the recall exposure before trusting the capped pair list. Same
+    * one-map-stage signature build as [[nearBlocks]] — running the
+    * audit costs one extra pass, never an uncapped pair expansion. */
+  def nearBlocksTruncated(media: DataFrame, frameBytes: Int = 16,
+                          nFrames: Int = 4, gram: Int = 4,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = 10000): DataFrame =
+    nearBuckets(media, frameBytes, nFrames, gram, maxHamming)
+      .select(col("media_type"), col("band"), col("bits"),
+        size(col("items")).cast("long").as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Shared signature + banded-bucket build for [[nearBlocks]] and
+    * its [[nearBlocksTruncated]] audit. */
+  private def nearBuckets(media: DataFrame, frameBytes: Int,
+                          nFrames: Int, gram: Int,
+                          maxHamming: Int): DataFrame = {
     require(frameBytes >= gram && nFrames >= 1,
       "need frameBytes >= gram and at least one frame")
     require(maxHamming >= 0 && maxHamming <= 7,
@@ -410,7 +457,7 @@ object Multimodal {
         substring(col("simhash64"), starts(k) + 1, starts(k + 1) - starts(k))
           .as("bits"))
     }
-    val bucketed = sig
+    sig
       .select(col("doc_id"), col("media_type"), col("simhash64"),
         explode(array(bands: _*)).as("bk"))
       .groupBy(col("media_type"), col("bk.band"), col("bk.bits"))
@@ -418,12 +465,6 @@ object Multimodal {
         struct(col("doc_id"), col("simhash64"), col("media_type"))))
         .as("items"))
       .filter(size(col("items")) > 1)
-    graft.dedup.Dedup.pairRowsOf(bucketed, maxBucket)
-      .select(col("a.media_type").as("media_type"),
-        col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("graft_hamming(a.simhash64, b.simhash64)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   def dupContent(media: DataFrame): DataFrame =

@@ -232,8 +232,26 @@ object Relational {
     * fractional digits — recovering the IDENTICAL exact decimals the
     * old decimal(30,4) shape summed, so the double casts and the
     * DuckDB oracle (unchanged) agree bit-for-bit by construction.
-    * Interleaved A/B at sf0.1 (AbRegression): 1.45 s → 1.08 s min. */
+    * Interleaved A/B at sf0.1 (AbRegression): 1.45 s → 1.08 s min.
+    *
+    * CONTRACT: `l_quantity` / `l_extendedprice` must carry ≤ 2
+    * decimal places (TPC-H prices and quantities do). The ×100 long
+    * scaling is exact only under that bound — a 3-dp input would be
+    * silently ROUNDED to 2 dp instead of summed exactly, unlike the
+    * pre-r11 decimal(30,4) shape which was exact to 4 dp. Decimal
+    * inputs are guarded below (scale ≤ 2 enforced at plan time);
+    * floating-point inputs cannot be statically checked — the caller
+    * owns the 2-dp precondition there. */
   def regressionByFlag(lineitem: DataFrame): DataFrame = {
+    for (f <- lineitem.schema
+           if f.name == "l_quantity" || f.name == "l_extendedprice")
+      f.dataType match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          require(d.scale <= 2, s"regressionByFlag needs <=2 decimal " +
+            s"places in ${f.name}; got ${d} — the x100 long fast path " +
+            "would round, not sum exactly")
+        case _ => () // double/float: 2-dp precondition is the caller's
+      }
     def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
     val x2 = floor(col("l_quantity") * lit(100.0) + lit(0.5))
     val y2 = floor(col("l_extendedprice") * lit(100.0) + lit(0.5))

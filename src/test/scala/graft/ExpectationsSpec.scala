@@ -318,10 +318,10 @@ class ExpectationsSpec extends SparkSpec {
 
   test("classBalance rides decimal past the 2^53 envelope: a " +
        "simulated giant segment stays exact") {
-    // counts too big for double-exact squares: n = 2^27+1 per class;
-    // feed pre-aggregated counts through the same arithmetic by
-    // exploding... too big to materialize — instead verify the ppm
-    // identity on a 3-class segment whose squares exceed 2^31
+    // 3 classes of n = 50 000: total 150 000, whose square
+    // (2.25e10) exceeds 2^31 — past int32 and into the range where
+    // the decimal (not long-double) path must carry the ppm
+    // arithmetic; verify the exact ppm identity there
     val n = 50000L
     val df = spark.range(3 * n).selectExpr("'g' AS src",
       "CAST(id % 3 AS STRING) AS lbl")

@@ -299,6 +299,29 @@ class MultimodalSpec extends SparkSpec {
         s"exchange must never carry payload bytes: $l"))
   }
 
+  test("nearBlocksTruncated: quantifies recall exposure when a " +
+       "bucket exceeds maxBucket, and is silent when none does") {
+    import spark.implicits._
+    // three byte-identical payloads share every banded bucket, so a
+    // maxBucket of 2 truncates each of the 4 bands' buckets (size 3)
+    val media = Seq.tabulate(3)(i => (i.toLong, "image/png",
+        "one shared payload with enough shingle mass to vote"))
+      .toDF("doc_id", "media_type", "txt")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"))
+    val trunc = Multimodal.nearBlocksTruncated(media, maxBucket = 2)
+      .collect()
+    assert(trunc.nonEmpty && trunc.forall(_.getLong(3) == 3L),
+      s"each oversize bucket must surface with its true size: " +
+      trunc.mkString(","))
+    // at the default cap the same corpus reports zero truncation —
+    // the audit's green state matches the recall guarantee's domain
+    assert(Multimodal.nearBlocksTruncated(media).isEmpty)
+    assert(Multimodal
+      .nearBlocksTruncated(Multimodal.mediaTable(docs)).isEmpty,
+      "fixture corpus must be truncation-free at the default cap")
+  }
+
   test("dupContent shuffles fingerprints, not payloads") {
     // the exchange feeding the group-by must not carry the binary
     // column — the 100 TB contract is that only (type, md5, length)
