@@ -44,6 +44,40 @@ def main():
             print(f"    {q}: passes {['%.2f' % t for t in ok]} "
                   f"ratio {ratio:.1f}x{marker}")
 
+    # Soak outliers, same idea (round 12): the newest SOAK_r*.json
+    # carries per-(query, scale) rep arrays; flag any measurement
+    # whose reps disagree >=2x — its min is trustworthy but its
+    # single-number history is not, and a reader comparing ratios
+    # across rounds should know which rows were load-noisy.
+    soaks = sorted(glob.glob(os.path.join(HERE, "SOAK_r*.json")),
+                   key=lambda p: [int(x) for x in re.findall(r"\d+", os.path.basename(p))])
+    if soaks:
+        latest = soaks[-1]
+        d = json.load(open(latest))
+        qs = d.get("queries", {})
+        la = d.get("loadavg")
+        has_reps = any("base_reps" in v for v in qs.values())
+        print(f"{os.path.basename(latest)}: {len(qs)} gated queries, "
+              f"passes={d.get('passes', '?')}"
+              + (f", loadavg start={la.get('start')} end={la.get('end')}"
+                 if la else ""))
+        if has_reps:
+            spiky = []
+            for q, v in qs.items():
+                for scale in ("base", "sf1"):
+                    reps = v.get(f"{scale}_reps", [])
+                    if len(reps) >= 2 and min(reps) > 0 \
+                            and max(reps) / min(reps) >= 2.0:
+                        spiky.append((max(reps) / min(reps), q, scale, reps))
+            spiky.sort(reverse=True)
+            print(f"  soak rep-ratio outliers >=2x: {len(spiky)}")
+            for ratio, q, scale, reps in spiky[:8]:
+                print(f"    {q} [{scale}]: reps "
+                      f"{['%.2f' % t for t in reps]} ratio {ratio:.1f}x"
+                      " <-- noisy measurement")
+        else:
+            print("  (no rep arrays — pre-round-12 schema)")
+
     corr = sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if corr:

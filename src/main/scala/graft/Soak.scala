@@ -136,7 +136,15 @@ object Soak {
     // build + fold, envelope ≈2×), the shipped ANN-clustering scale
     // path (bucket-bounded), and the survivor-selection agg
     // (one max(struct) per cluster, agg-bounded)
-    "graph_components_delta", "emb_mutual_knn_lsh", "dedup_canonical")
+    "graph_components_delta", "emb_mutual_knn_lsh", "dedup_canonical",
+    // round-12 additions (VERDICT r11 item 1): the perceptual media
+    // near-dup — its sub-quadratic-candidate banding claim must be
+    // MEASURED, not argued; the signature build is scan-bound, so the
+    // expected envelope is admission_gate-like (~2×) and a
+    // superlinear ratio means bucket expansion (re-audit the 64-bit
+    // banding). ret_ndcg / ret_expand are expected scan-bound (one
+    // qrel/corpus pass + pool-sized tails).
+    "mm_near_blocks", "ret_ndcg", "ret_expand")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
@@ -255,8 +263,13 @@ object Soak {
     }, "embeddings", 8)
   }
 
+  /** All rep times, not just the min: SOAK_r11's single-number rows
+    * whipsawed up to 2.4× against r10 on an identical fixture and
+    * nothing in the artifact let a reader tell noise from drift
+    * (VERDICT r11 item 2). The JSON now records every rep, same as
+    * `bench_full.json`'s pass_times. */
   private def timeIn(spark: SparkSession, name: String, dir: String,
-                     passes: Int = 2): Double =
+                     passes: Int): Seq[Double] =
     (1 to passes).map { _ =>
       // localCheckpoint blocks from the PREVIOUS pass are freed by the
       // ContextCleaner only after a driver GC notices the dead RDD
@@ -269,7 +282,12 @@ object Soak {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -314,22 +332,36 @@ object Soak {
       SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
     }
+    // reps per (query, scale) measurement — min-of-reps is the
+    // reported number; >=3 is the house minimum for any adopted
+    // conclusion (min-of-2 failed twice on this machine, see
+    // ARCHITECTURE §7 round-9 notes)
+    val passes = sys.env.get("SPARK_GRAFT_SOAK_PASSES")
+      .map(_.toInt).getOrElse(2)
+    val loadStart = load1()
     println(s"| query | ${base.split('/').last} s | sf1 s | ratio (ideal ≤ ~$copies) |")
     println("|---|---|---|---|")
     val results = soakQueries.map { n =>
-      val tB = timeIn(spark, n, base)
-      val tS = timeIn(spark, n, out)
+      val rB = timeIn(spark, n, base, passes)
+      val rS = timeIn(spark, n, out, passes)
+      val (tB, tS) = (rB.min, rS.min)
       println(f"| $n | $tB%.2f | $tS%.2f | ${tS / tB}%.1f× |")
-      (n, tB, tS)
+      (n, rB, rS)
     }
+    val loadEnd = load1()
     jsonOut.foreach { path =>
-      val rows = results.map { case (n, tB, tS) =>
-        f"""    "$n": {"base_s": $tB%.3f, "sf1_s": $tS%.3f, "ratio": ${tS / tB}%.2f}"""
+      def arr(v: Seq[Double]) =
+        v.map(t => f"$t%.3f").mkString("[", ", ", "]")
+      val rows = results.map { case (n, rB, rS) =>
+        val (tB, tS) = (rB.min, rS.min)
+        f"""    "$n": {"base_s": $tB%.3f, "sf1_s": $tS%.3f, "ratio": ${tS / tB}%.2f, "base_reps": ${arr(rB)}, "sf1_reps": ${arr(rS)}}"""
       }.mkString(",\n")
       val json =
         s"""{
            |  "base": "$base",
            |  "copies": $copies,
+           |  "passes": $passes,
+           |  "loadavg": {"start": $loadStart, "end": $loadEnd},
            |  "queries": {
            |$rows
            |  }
