@@ -115,7 +115,10 @@ object Soak {
     // top-k IVM (group-limit windows), and the class-balance audit
     // (label-vocab-sized second agg)
     "mm_near_blocks", "ret_ndcg", "ret_expand", "ts_ema",
-    "cdc_topk_delta", "qc_class_balance")
+    "cdc_topk_delta", "qc_class_balance",
+    // round-12 additions: the delete-capable top-k fold (state-sized
+    // joins + group-limit windows; the facts scan dominates)
+    "cdc_topk_delete", "cdc_topk_refill")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

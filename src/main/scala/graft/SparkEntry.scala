@@ -54,6 +54,33 @@ object SparkEntry {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Shared fixture for the delete-capable top-k IVM queries
+    * (cdc_topk_delete / cdc_topk_refill): orders as a keyed fact
+    * table — 50 customer-hash groups, the UNIQUE o_orderkey as row
+    * id (lineitem has no unique key in this fixture: (orderkey,
+    * linenumber) collides), integer-cent prices (portable hashing;
+    * doubles never cross the compare). The delete batch mixes a
+    * light corpus-wide wash (id % 13 — exercises shadow-row
+    * promotion in many groups while staying inside the k′−k budget)
+    * with a heavy wash on groups 0-4 (~75% of ids — blows the
+    * budget, so the refill signal deterministically fires). The
+    * insert batch re-keys every 11th order above the id range. */
+  private def topkFacts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      pmod(col("o_custkey"), lit(50)).as("grp"),
+      col("o_orderkey").as("id"),
+      (col("o_totalprice").cast("decimal(9,2)") * 100)
+        .cast("long").as("price_cents"))
+
+  private def topkDeletes(f: DataFrame): DataFrame =
+    f.filter(pmod(col("id"), lit(13)) === 0 ||
+      (col("grp") < 5 && pmod(col("id"), lit(4)) < 3))
+
+  private def topkInserts(f: DataFrame): DataFrame =
+    f.filter(pmod(col("id"), lit(11)) === 0)
+      .select(col("grp"), (col("id") + 1000000000L).as("id"),
+        col("price_cents"))
+
   private def q(f: (SparkSession, String) => DataFrame): Q =
     (s, dir) => f(GraftSession.tune(s), dir)
 
@@ -653,6 +680,35 @@ object SparkEntry {
       operators.Cdc.topkDelta(state, ins,
           "o_orderpriority", "price_cents", "o_orderkey", k = 3)
         .sortWithinPartitions("o_orderpriority", "rnk")
+    }),
+    // delete-capable top-k IVM (VERDICT r11 item 4): k'=2k shadow
+    // rows absorb up to k'-k deletions per group exactly; the oracle
+    // is the FROM-SCRATCH top-k over the post-batch facts, restricted
+    // to the groups an INDEPENDENTLY derived refill rule keeps — on
+    // those groups the fold must match the recompute bit-for-bit,
+    // including every delete-promotes-hidden-row case the id % 13
+    // wash creates (a deleted top-5 row whose replacement was held
+    // only in the shadow region ranks 6..10)
+    "cdc_topk_delete" -> q((s, d) => {
+      val f = topkFacts(s, d)
+      val state = operators.Cdc.topkShadowState(
+        f, "grp", "price_cents", "id", k = 5, kPrime = 10)
+      operators.Cdc.topkFold(state, topkInserts(f), topkDeletes(f),
+          "grp", "price_cents", "id", k = 5, kPrime = 10)
+        .filter(!col("needs_refill") && col("rnk") <= 5)
+        .select(col("grp"), col("rnk"), col("id"), col("price_cents"))
+        .sortWithinPartitions("grp", "rnk")
+    }),
+    // the refill signal itself, oracle-checked: groups whose heavy
+    // delete wash exceeds the k'-k budget must be REPORTED (with the
+    // damage quantified), not silently under-filled — the oracle
+    // derives the same set from the base tables alone
+    "cdc_topk_refill" -> q((s, d) => {
+      val f = topkFacts(s, d)
+      val state = operators.Cdc.topkShadowState(
+        f, "grp", "price_cents", "id", k = 5, kPrime = 10)
+      operators.Cdc.topkRefill(state, topkDeletes(f), "grp", "id", k = 5)
+        .sortWithinPartitions("grp")
     }),
     "cms_term_counts" -> q((s, d) => {
       // one per-term aggregate feeds the sketch (weighted form), the
@@ -3416,6 +3472,69 @@ object SparkEntry {
         |SELECT o_orderpriority, rnk, o_orderkey, price_cents
         |FROM rk WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    // delete-capable top-k IVM: the oracle recomputes the top-5 from
+    // scratch over (facts \ deletes) ∪ inserts and independently
+    // derives the refill set from the base tables (a group with more
+    // than k'=10 rows that loses > k'-k=5 of its top-10) — on every
+    // kept group the fold must equal the recompute exactly
+    "cdc_topk_delete" ->
+      """WITH facts AS MATERIALIZED (
+        |  SELECT o_custkey % 50 AS grp, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM orders),
+        |dels AS MATERIALIZED (
+        |  SELECT id FROM facts
+        |  WHERE id % 13 = 0 OR (grp < 5 AND id % 4 < 3)),
+        |refill AS (
+        |  SELECT grp FROM (
+        |    SELECT f.grp, count(*) AS cnt_old,
+        |      count(*) FILTER (WHERE f.rnk <= 10 AND d.id IS NOT NULL)
+        |        AS del10
+        |    FROM (SELECT facts.*, row_number() OVER (PARTITION BY grp
+        |            ORDER BY price_cents DESC, id) AS rnk FROM facts) f
+        |    LEFT JOIN dels d ON f.id = d.id
+        |    GROUP BY f.grp) t
+        |  WHERE cnt_old > 10 AND 10 - del10 < 5),
+        |newf AS (
+        |  SELECT f.* FROM facts f LEFT JOIN dels d ON f.id = d.id
+        |  WHERE d.id IS NULL
+        |  UNION ALL
+        |  SELECT grp, id + 1000000000 AS id, price_cents
+        |  FROM facts WHERE id % 11 = 0),
+        |rk AS (SELECT grp, id, price_cents,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY price_cents DESC, id) AS rnk
+        |       FROM newf)
+        |SELECT grp, rnk, id, price_cents FROM rk
+        |WHERE rnk <= 5 AND grp NOT IN (SELECT grp FROM refill)
+        |ORDER BY grp, rnk""".stripMargin,
+
+    // the refill report: same independent derivation, with the
+    // damage quantified (held = the 10 shadow rows a truncated group
+    // held, deleted = how many of them this batch removed)
+    "cdc_topk_refill" ->
+      """WITH facts AS MATERIALIZED (
+        |  SELECT o_custkey % 50 AS grp, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM orders),
+        |dels AS MATERIALIZED (
+        |  SELECT id FROM facts
+        |  WHERE id % 13 = 0 OR (grp < 5 AND id % 4 < 3))
+        |SELECT grp, LEAST(cnt_old, CAST(10 AS BIGINT)) AS held,
+        |  del10 AS deleted
+        |FROM (
+        |  SELECT f.grp, count(*) AS cnt_old,
+        |    count(*) FILTER (WHERE f.rnk <= 10 AND d.id IS NOT NULL)
+        |      AS del10
+        |  FROM (SELECT facts.*, row_number() OVER (PARTITION BY grp
+        |          ORDER BY price_cents DESC, id) AS rnk FROM facts) f
+        |  LEFT JOIN dels d ON f.id = d.id
+        |  GROUP BY f.grp) t
+        |WHERE cnt_old > 10 AND 10 - del10 < 5
+        |ORDER BY grp""".stripMargin,
 
     "cdc_scd2" ->
       """WITH olds AS (

@@ -130,11 +130,13 @@ object Cdc {
     * well within `old` alone, so it is already IN the prior state —
     * `topk(state ∪ topk(Δ)) = topk(old ∪ Δ)`, bit-for-bit (the
     * from-scratch recompute IS the oracle's contract, as for
-    * aggDelta). Deletes are deliberately out of scope: a delete can
-    * promote a row the bounded state no longer holds, which is why
-    * delete-capable engines keep k′ > k shadow rows — documented
-    * here rather than silently mishandled (inserts-only is the
-    * append-only-log case the streaming front door actually has).
+    * aggDelta). Deletes are out of scope HERE because a delete can
+    * promote a row the bounded state no longer holds — the
+    * delete-capable variant is [[topkShadowState]]/[[topkFold]],
+    * which keeps k′ > k shadow rows and reports (never silently
+    * mishandles) the groups whose deletion budget is exceeded
+    * (inserts-only remains the append-only-log case the streaming
+    * front door actually has).
     *
     * Cost: |state| + |Δ| through one union and one group-limit
     * window — k rows per group in, k out, while the recompute scans
@@ -146,6 +148,128 @@ object Cdc {
         .unionByName(topkState(inserts, groupCol, valueCol, idCol, k)
           .select(col(groupCol), col(idCol), col(valueCol))),
       groupCol, valueCol, idCol, k)
+
+  /** Delete-capable TOP-K shadow state: `kPrime > k` rows per group
+    * by (`valueCol` desc, `idCol` asc), plus a per-group `truncated`
+    * flag — true iff the group had MORE than `kPrime` rows, i.e. the
+    * state does NOT hold the whole group and rows exist below the
+    * shadow horizon. The flag is what makes deletes decidable: a
+    * non-truncated group answers any delete exactly (the state IS
+    * the group), a truncated one has a per-cycle budget of
+    * `kPrime − k` deletions before the top-k can no longer be proven
+    * (see [[topkFold]] / [[topkRefill]]).
+    *
+    * Plan shape: the `kPrime + 1` rank filter rides the same
+    * group-limit window pushdown as [[topkState]] (never a full
+    * sort); the `truncated` derivation is a second window over the
+    * ALREADY-PRUNED ≤ kPrime+1 rows per group — same partitioning,
+    * no extra exchange. */
+  def topkShadowState(df: DataFrame, groupCol: String, valueCol: String,
+                      idCol: String, k: Int, kPrime: Int): DataFrame = {
+    require(k > 0 && kPrime > k, "cdc: need kPrime > k > 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol), col(idCol))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kPrime + 1)
+      .withColumn("truncated", max(col("rnk")).over(wg) === kPrime + 1)
+      .filter(col("rnk") <= kPrime)
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol),
+        col("truncated"))
+  }
+
+  /** Fold a batch of INSERTS and DELETES into a [[topkShadowState]]
+    * without touching the fact table — the delete-capable variant
+    * [[topkDelta]]'s Scaladoc promises. Deletes are an id set
+    * (`deletes.select(idCol)`); ids absent from the state are
+    * no-ops (a deleted fact row below the shadow horizon cannot
+    * affect the held rows).
+    *
+    * Exactness envelope, per group: if the group is NOT truncated the
+    * state is the whole group and any delete/insert mix folds
+    * exactly. If it IS truncated, the `kPrime` held rows outrank
+    * every unheld row, so as long as at least `k` of them survive
+    * the batch's deletes the true top-k of the post-batch facts is
+    * among survivors ∪ inserts — exact again. Only a truncated group
+    * whose survivors fall below `k` (i.e. more than `kPrime − k`
+    * state deletions) can hide a promotable unheld row; that group
+    * gets `needs_refill = true` — the REPORTED signal that the
+    * bounded state cannot serve the group and a rebuild from facts
+    * is owed — rather than a silently under-filled or wrong top-k.
+    *
+    * Output: (group, rnk 1..kPrime, id, value, truncated,
+    * needs_refill); serve the view as `rnk <= k` on the
+    * `!needs_refill` groups. `truncated` is maintained conservatively
+    * (old side ∨ insert side ∨ the union re-overflowing kPrime ∨
+    * needs_refill), so a later fold never trusts state a refill
+    * already invalidated. A group whose rows are ALL deleted
+    * vanishes from this frame — [[topkRefill]] still reports it,
+    * which is why the refill report is its own method over the
+    * PRE-fold state.
+    *
+    * Cost: |state| + |Δ| — the delete mark is one id-keyed join
+    * (ids only cross the wire, never fact rows), insert ranking is
+    * the same group-limit window as state building, and the final
+    * re-rank runs over ≤ 2·kPrime rows per group. */
+  def topkFold(state: DataFrame, inserts: DataFrame, deletes: DataFrame,
+               groupCol: String, valueCol: String, idCol: String,
+               k: Int, kPrime: Int): DataFrame = {
+    require(k > 0 && kPrime > k, "cdc: need kPrime > k > 0")
+    val delIds = deletes.select(col(idCol)).distinct()
+    val marked = state.join(delIds.withColumn("__del", lit(true)),
+      Seq(idCol), "left")
+    val refill = marked.groupBy(col(groupCol))
+      .agg((bool_or(col("truncated")) &&
+        (count(lit(1)) - count(col("__del"))) < k).as("needs_refill"))
+    val survivors = marked.filter(col("__del").isNull)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("truncated").as("side_trunc"))
+    val insTop = topkShadowState(
+        inserts.join(delIds, Seq(idCol), "left_anti"),
+        groupCol, valueCol, idCol, k, kPrime)
+      .select(col(groupCol), col(idCol), col(valueCol),
+        col("truncated").as("side_trunc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc, col(idCol).asc)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    survivors.unionByName(insTop)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= kPrime + 1)
+      .withColumn("truncated",
+        bool_or(col("side_trunc")).over(wg) ||
+          max(col("rnk")).over(wg) === kPrime + 1)
+      .filter(col("rnk") <= kPrime)
+      .join(refill, Seq(groupCol), "left")
+      .withColumn("needs_refill", coalesce(col("needs_refill"), lit(false)))
+      .withColumn("truncated", col("truncated") || col("needs_refill"))
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol),
+        col("truncated"), col("needs_refill"))
+  }
+
+  /** The refill report for a delete batch against a
+    * [[topkShadowState]]: one row per group whose post-delete
+    * survivors fall below `k` on a truncated group — the groups
+    * [[topkFold]] flags (including groups the deletes WIPE entirely,
+    * which have no surviving row to carry the flag). `held` /
+    * `deleted` quantify the damage: the group held `held` shadow
+    * rows and lost `deleted` of them this batch. */
+  def topkRefill(state: DataFrame, deletes: DataFrame,
+                 groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "cdc: need k > 0")
+    val delIds = deletes.select(col(idCol)).distinct()
+    state.join(delIds.withColumn("__del", lit(true)), Seq(idCol), "left")
+      .groupBy(col(groupCol))
+      .agg(bool_or(col("truncated")).as("was_truncated"),
+        count(lit(1)).as("held"),
+        count(col("__del")).as("deleted"))
+      .filter(col("was_truncated") && (col("held") - col("deleted")) < k)
+      .select(col(groupCol), col("held"), col("deleted"))
+  }
 
   def aggDelta(prior: DataFrame, changes: DataFrame,
                groupCol: String, measureCol: String): DataFrame = {

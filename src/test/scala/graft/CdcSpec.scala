@@ -343,4 +343,134 @@ class CdcSpec extends SparkSpec {
     // bounded state: never more than k rows per group in the fold
     assert(s2.groupBy("g").count().collect().forall(_.getLong(1) <= 3))
   }
+
+  // ---- delete-capable top-k (k' shadow state), VERDICT r11 item 4 ----
+
+  // ten rows 100..91 per group, ids 1..10 — k'=4 shadow holds
+  // {100,99,98,97}, rows 96..91 live below the shadow horizon
+  private def tenRows(g: String) =
+    (1L to 10L).map(i => (g, i, 101L - i))
+
+  private def serve(df: org.apache.spark.sql.DataFrame, k: Int) = rows(
+    df.filter(!col("needs_refill") && col("rnk") <= k)
+      .select("g", "rnk", "id", "v"))
+
+  test("topkShadowState: truncated flag marks exactly the groups " +
+       "with more than k' rows") {
+    val df = (tenRows("a") ++ Seq(("b", 1L, 5L), ("b", 2L, 4L)))
+      .toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(df, "g", "v", "id", k = 2, kPrime = 4)
+    val byG = st.collect().groupBy(_.getString(0))
+    assert(byG("a").length == 4 && byG("a").forall(_.getBoolean(4)))
+    assert(byG("b").length == 2 && byG("b").forall(!_.getBoolean(4)))
+    // exactly-k' group: state holds ALL rows, so NOT truncated
+    val st4 = Cdc.topkShadowState(
+      (1L to 4L).map(i => ("c", i, i)).toDF("g", "id", "v"),
+      "g", "v", "id", k = 2, kPrime = 4)
+    assert(st4.collect().forall(!_.getBoolean(4)))
+  }
+
+  test("topkFold: a delete inside the budget promotes a hidden " +
+       "shadow row and matches the from-scratch recompute") {
+    val base = tenRows("a").toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(base, "g", "v", "id", k = 2, kPrime = 4)
+    // delete the top-2 (d = 2 = k'-k, the exact budget): the true
+    // top-2 becomes {98, 97} — both held only in the SHADOW region
+    val dels = Seq(1L, 2L).toDF("id")
+    val folded = Cdc.topkFold(st, base.limit(0), dels,
+      "g", "v", "id", k = 2, kPrime = 4)
+    assert(folded.collect().forall(!_.getBoolean(5)), "within budget")
+    assert(serve(folded, 2) == Seq(("a", 1, 3L, 98L), ("a", 2, 4L, 97L)))
+  }
+
+  test("topkFold/topkRefill: past-budget deletes raise the refill " +
+       "signal instead of silently under-filling") {
+    val base = tenRows("a").toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(base, "g", "v", "id", k = 2, kPrime = 4)
+    // d = 3 > k'-k = 2: survivors {97} < k — the true top-2 includes
+    // 96, which the state never held; must be reported, not served
+    val dels = Seq(1L, 2L, 3L).toDF("id")
+    val folded = Cdc.topkFold(st, base.limit(0), dels,
+      "g", "v", "id", k = 2, kPrime = 4)
+    assert(folded.collect().forall(r =>
+      r.getBoolean(5) && r.getBoolean(4)), "flagged AND re-truncated")
+    assert(serve(folded, 2).isEmpty, "a refill group is never served")
+    val rep = Cdc.topkRefill(st, dels, "g", "id", k = 2).collect()
+    assert(rep.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq(("a", 4L, 3L)))
+  }
+
+  test("topkRefill: a group WIPED by deletes still reports (it has " +
+       "no surviving row to carry the flag); a non-truncated group " +
+       "wiped exactly is silent") {
+    val df = (tenRows("a") ++ Seq(("b", 21L, 5L), ("b", 22L, 4L)))
+      .toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(df, "g", "v", "id", k = 2, kPrime = 4)
+    val dels = Seq(1L, 2L, 3L, 4L, 21L, 22L).toDF("id")
+    val folded = Cdc.topkFold(st, df.limit(0), dels,
+      "g", "v", "id", k = 2, kPrime = 4)
+    assert(folded.filter(col("g") === "a").isEmpty,
+      "wiped group has no state rows left")
+    val rep = Cdc.topkRefill(st, dels, "g", "id", k = 2)
+      .select("g").as[String].collect().toSeq
+    assert(rep == Seq("a"),
+      s"truncated wipe reports, exact wipe (b held ALL its rows) does not: $rep")
+  }
+
+  test("topkFold: inserts and deletes in one batch — insert-only " +
+       "groups serve exactly with no refill") {
+    val base = tenRows("a").toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(base, "g", "v", "id", k = 2, kPrime = 4)
+    val ins = Seq(("a", 50L, 99L),         // lands between survivors
+        ("c", 51L, 7L), ("c", 52L, 6L))    // brand-new group
+      .toDF("g", "id", "v")
+    val dels = Seq(1L).toDF("id")
+    val folded = Cdc.topkFold(st, ins, dels, "g", "v", "id",
+      k = 2, kPrime = 4)
+    assert(serve(folded, 2) == Seq(
+      ("a", 1, 2L, 99L), ("a", 2, 50L, 99L),  // tie → smaller id first
+      ("c", 1, 51L, 7L), ("c", 2, 52L, 6L)))
+  }
+
+  test("topkFold on the oracle fixture: non-refill folded top-5 == " +
+       "from-scratch recompute, and the fixture really exercises " +
+       "delete-promotes-hidden-row") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    val f = o.select(pmod(col("o_custkey"), lit(50)).as("g"),
+      col("o_orderkey").as("id"),
+      (col("o_totalprice").cast("decimal(9,2)") * 100)
+        .cast("long").as("v"))
+    val dels = f.filter(pmod(col("id"), lit(13)) === 0 ||
+      (col("g") < 5 && pmod(col("id"), lit(4)) < 3))
+    val ins = f.filter(pmod(col("id"), lit(11)) === 0)
+      .select(col("g"), (col("id") + 1000000000L).as("id"), col("v"))
+    val st = Cdc.topkShadowState(f, "g", "v", "id", k = 5, kPrime = 10)
+    val folded = Cdc.topkFold(st, ins, dels, "g", "v", "id",
+      k = 5, kPrime = 10)
+    val servedDf = folded
+      .filter(!col("needs_refill") && col("rnk") <= 5)
+      .select("g", "rnk", "id", "v")
+    val served = servedDf.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val refillG = Cdc.topkRefill(st, dels, "g", "id", k = 5)
+      .select("g").as[Long].collect().toSet
+    val scratch = Cdc.topkState(
+        f.join(dels.select("id"), Seq("id"), "left_anti")
+          .unionByName(ins.select("id", "g", "v")),
+        "g", "v", "id", k = 5)
+      .filter(!col("g").isin(refillG.toSeq: _*))
+      .select("g", "rnk", "id", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(served == scratch, "IVM exactness on every non-refill group")
+    // the promotion evidence: some served row was only a SHADOW row
+    // (pre-batch rank 6..10) before the deletes promoted it
+    val shadowIds = st.filter(col("rnk") > 5)
+      .select("id").as[Long].collect().toSet
+    assert(served.exists(t => t._2 <= 5 && shadowIds(t._3)),
+      "fixture must contain a delete-promotes-hidden-row case")
+    // and the heavy-wash groups really fire the signal at this scale
+    assert(refillG.nonEmpty, "fixture must exercise the refill signal")
+  }
 }
