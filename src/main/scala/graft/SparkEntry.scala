@@ -538,6 +538,39 @@ object SparkEntry {
       graft.text.Retrieval.expandTerms(Tables.documents(s, d), qs)
         .sortWithinPartitions("qid", "rnk")
     }),
+    // the PRF loop CLOSED (VERDICT r11 item 7): the expansion terms
+    // are CONSUMED — bm25 re-runs with query ∪ top-5 expansion terms
+    // and nDCG@10 against the ORIGINAL query's graded qrels is
+    // reported before and after, per query; the measured lift (or
+    // its absence) is the deliverable, recorded in ARCHITECTURE
+    "ret_expand_eval" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val docs = Tables.documents(s, d)
+      val R = graft.text.Retrieval
+      val qrels = R.qrelsGraded(docs, qs)
+      val r1 = R.bm25(docs, qs)
+      val r2 = R.bm25(docs, R.expandedQueries(docs, qs))
+      val before = R.ndcg(r1, qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_before_ppm"))
+      val after = R.ndcg(r2, qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_after_ppm"))
+      // how much the ranking actually MOVED: docs in the expanded
+      // top-10 absent from the original top-10 (a saturated metric
+      // can hide a real reshuffle — report both)
+      val moved = r2.join(r1.select(col("qid"), col("doc_id")),
+          Seq("qid", "doc_id"), "left_anti")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_new_top10"))
+      before.join(after, Seq("qid"))
+        .join(moved, Seq("qid"), "left")
+        .select(col("qid"), col("ndcg_before_ppm"),
+          col("ndcg_after_ppm"),
+          (col("ndcg_after_ppm") - col("ndcg_before_ppm"))
+            .as("delta_ppm"),
+          coalesce(col("n_new_top10"), lit(0L)).as("n_new_top10"))
+        .sortWithinPartitions("qid")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -3122,6 +3155,107 @@ object SparkEntry {
          |  CAST(pool_df AS BIGINT) AS pool_df,
          |  CAST(weight_ppm AS BIGINT) AS weight_ppm
          |FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    // the PRF loop closed: re-run bm25 with query ∪ top-5 expansion
+    // terms (same CTE chain with the widened qt2 vocabulary) and
+    // report nDCG@10 before/after against the ORIGINAL query's
+    // graded qrels — the fold of ret_expand + ret_ndcg, composed
+    "ret_expand_eval" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |pool AS (SELECT qid, doc_id FROM bm25r WHERE rnk <= 10),
+         |ptok AS (SELECT p.qid, t.doc_id, unnest(t.t) AS term
+         |         FROM toks t JOIN pool p USING (doc_id)),
+         |plen AS (SELECT qid, count(*) AS pool_len FROM ptok GROUP BY 1),
+         |cand AS (SELECT qid, term, count(*) AS pool_tf,
+         |           count(DISTINCT doc_id) AS pool_df
+         |         FROM ptok GROUP BY 1, 2
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |fil AS (SELECT c.* FROM cand c
+         |        WHERE NOT EXISTS (SELECT 1 FROM qt
+         |          WHERE qt.qid = c.qid AND qt.term = c.term)),
+         |wt AS (SELECT f.qid, f.term,
+         |         f.pool_tf * 1000000 // p.pool_len AS weight_ppm
+         |       FROM fil f JOIN plen p USING (qid)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY weight_ppm DESC, term) AS rnk FROM wt),
+         |qt2 AS MATERIALIZED (SELECT qid, term FROM qt
+         |       UNION ALL SELECT qid, term FROM rk WHERE rnk <= 5),
+         |tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM dtok
+         |        WHERE term IN (SELECT term FROM qt2) GROUP BY 1, 2, 3),
+         |dfr2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+         |sc2 AS (SELECT qt2.qid, tf2.doc_id,
+         |         round(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+         |                (CAST(df AS DOUBLE) + 0.5)) *
+         |               ((CAST(tf AS DOUBLE) * 2.25) /
+         |                (CAST(tf AS DOUBLE) + 1.25 *
+         |                 (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+         |                   (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+         |           4) AS w
+         |       FROM tf2 JOIN qt2 USING (term) JOIN dfr2 USING (term), st),
+         |ag2 AS (SELECT qid, doc_id,
+         |         round(CAST(sum(CAST(w AS DECIMAL(18,4))) AS DOUBLE), 4)
+         |           AS score
+         |       FROM sc2 GROUP BY 1, 2),
+         |bm25r2 AS (SELECT qid, doc_id, row_number() OVER (
+         |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |       FROM ag2),
+         |dterm AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+         |qrel AS MATERIALIZED (SELECT qt.qid, dterm.doc_id,
+         |           CAST(count(DISTINCT term) AS BIGINT) AS grade
+         |         FROM dterm JOIN qt USING (term)
+         |         GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+         |disc(rnk, d) AS (VALUES (1, 1000000), (2, 630929),
+         |  (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+         |  (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+         |idcg AS (SELECT ir.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(ir.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS idcg_ppm
+         |         FROM (SELECT qid, grade, row_number() OVER (
+         |                 PARTITION BY qid ORDER BY grade DESC, doc_id)
+         |                 AS rnk FROM qrel) ir
+         |         JOIN disc d USING (rnk)
+         |         WHERE ir.rnk <= 10 GROUP BY 1),
+         |dcg1 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |dcg2 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r2
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |moved AS (SELECT r2.qid, count(*) AS n_new_top10
+         |          FROM (SELECT qid, doc_id FROM bm25r2 WHERE rnk <= 10) r2
+         |          LEFT JOIN (SELECT qid, doc_id FROM bm25r
+         |                     WHERE rnk <= 10) r1
+         |            ON r1.qid = r2.qid AND r1.doc_id = r2.doc_id
+         |          WHERE r1.doc_id IS NULL GROUP BY 1),
+         |qids AS (SELECT DISTINCT qid FROM bm25r WHERE rnk <= 10)
+         |SELECT qid, ndcg_before_ppm, ndcg_after_ppm,
+         |  CAST(ndcg_after_ppm - ndcg_before_ppm AS BIGINT) AS delta_ppm,
+         |  n_new_top10
+         |FROM (
+         |  SELECT CAST(q.qid AS BIGINT) AS qid,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d1.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_before_ppm,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d2.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_after_ppm,
+         |    CAST(coalesce(m.n_new_top10, 0) AS BIGINT) AS n_new_top10
+         |  FROM qids q LEFT JOIN dcg1 d1 USING (qid)
+         |    LEFT JOIN dcg2 d2 USING (qid)
+         |    LEFT JOIN idcg i USING (qid)
+         |    LEFT JOIN moved m USING (qid)) t
+         |ORDER BY qid""".stripMargin,
 
     "sample_mix_sources" ->
       """WITH tgt(source, target) AS (

@@ -262,6 +262,34 @@ object Retrieval {
         col("pool_tf"), col("pool_df"), col("weight_ppm"))
   }
 
+  /** The PRF loop CLOSED: rewrite each query as (original terms ∪
+    * its [[expandTerms]] top terms), returning the same (qid, query)
+    * shape [[bm25]] consumes — so "expansion worked" is measurable
+    * as a before/after ranking-metric delta instead of an unconsumed
+    * term list. The rebuilt string appends expansion terms in
+    * expansion-rank order (deterministic; bm25 scoring is
+    * order-insensitive — it sees the token multiset, and
+    * expandTerms' anti-join guarantees expansion terms are disjoint
+    * from the original terms, so no token is doubled). A query with
+    * no surviving expansion terms passes through unchanged (the
+    * `when` guard — naive concat would append a trailing separator
+    * and tokenize an empty term). Cost: [[expandTerms]]' two corpus
+    * passes; the rewrite itself is query-set-sized. */
+  def expandedQueries(docs: DataFrame, queries: DataFrame,
+                      topKDocs: Int = 10, minPoolDf: Int = 2,
+                      topTerms: Int = 5): DataFrame = {
+    val exp = expandTerms(docs, queries, topKDocs, minPoolDf, topTerms)
+    val ext = exp.groupBy(col("qid")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("rnk"), col("term")))),
+        x => x("term")), " ").as("ext"))
+    queries.join(broadcast(ext), Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("ext").isNull, col("query"))
+          .otherwise(concat_ws(" ", col("query"), col("ext")))
+          .as("query"))
+  }
+
   /** Frozen integer discounts for nDCG: floor(10⁶ / log₂(r+1)) for
     * ranks 1-10, precomputed as constants because log₂ is a libm call
     * whose low bits vary by engine (the `qc_benford` trick applied to

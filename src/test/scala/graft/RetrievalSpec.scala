@@ -251,4 +251,23 @@ class RetrievalSpec extends SparkSpec {
       .orderBy("rnk").collect().map(_.getString(2))
     assert(loose.toSeq == Seq("lime", "mango", "papaya"))
   }
+
+  test("expandedQueries: appends expansion terms in rank order, " +
+       "passes a no-expansion query through UNCHANGED") {
+    // 'apple' expands to banana, fig (rank order); 'kiwi' expands to
+    // nothing under the default pool_df >= 2 guard
+    val qs = Seq((1L, "apple"), (9L, "kiwi")).toDF("qid", "query")
+    val got = Retrieval.expandedQueries(docs, qs)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (1L, "apple banana fig"),
+      (9L, "kiwi")),
+      s"no trailing separator, no empty token: ${got.toSeq}")
+    // re-running bm25 on the rewrite must be well-formed: doc 2 has
+    // banana+fig but no apple — expansion makes it retrievable
+    val re = Retrieval.bm25(docs, Retrieval.expandedQueries(docs, qs))
+    assert(re.filter(col("qid") === 1 && col("doc_id") === 2).count() == 1,
+      "expansion must surface the no-query-term doc")
+  }
 }
