@@ -422,31 +422,53 @@ object Multimodal {
         size(col("items")).cast("long").as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
+  /** The frame-sampled byte shingles feeding [[simhash64Of]] — the
+    * `data`-column half of the [[nearBlocks]] signature, exposed so
+    * the STREAMING media admission
+    * (`graft.streaming.StreamingDedup.uniqueMediaBySignature`) runs
+    * the identical kernel as batch (the same contract
+    * `uniqueBySignature` keeps with `graft_minhash`). Project this
+    * into a named column first, then apply [[simhash64Of]] to that
+    * column — the two-select chaining builds the shingle array ONCE
+    * per row even though four salted blocks read it. */
+  def shingleTokens(dataCol: String, frameBytes: Int = 16,
+                    nFrames: Int = 4, gram: Int = 4)
+      : org.apache.spark.sql.Column = {
+    require(frameBytes >= gram && nFrames >= 1,
+      "need frameBytes >= gram and at least one frame")
+    expr(
+      s"""flatten(transform(
+         |  filter(transform(sequence(0, ${nFrames - 1}),
+         |    i -> cast(substring($dataCol, i * $frameBytes + 1, $frameBytes)
+         |              as string)),
+         |    f -> length(f) >= $gram),
+         |  f -> transform(sequence(1, length(f) - ${gram - 1}),
+         |    p -> substring(f, p, $gram))))""".stripMargin)
+  }
+
+  /** The 64-bit perceptual signature over a [[shingleTokens]] array:
+    * four independently-salted 16-bit `graft_simhash` blocks (salt
+    * `#k` on every shingle), concatenated — null when the array is
+    * empty (object too small to shingle). */
+  def simhash64Of(tk: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat((0 until 4).map(k => call_function("graft_simhash",
+      transform(tk, t => concat(t, lit(s"#$k"))))): _*)
+
   /** Shared signature + banded-bucket build for [[nearBlocks]] and
     * its [[nearBlocksTruncated]] audit. */
   private def nearBuckets(media: DataFrame, frameBytes: Int,
                           nFrames: Int, gram: Int,
                           maxHamming: Int): DataFrame = {
-    require(frameBytes >= gram && nFrames >= 1,
-      "need frameBytes >= gram and at least one frame")
     require(maxHamming >= 0 && maxHamming <= 7,
       "need 0 <= maxHamming <= 7 (bands of >= 8 bits)")
-    val toks = expr(
-      s"""flatten(transform(
-         |  filter(transform(sequence(0, ${nFrames - 1}),
-         |    i -> cast(substring(data, i * $frameBytes + 1, $frameBytes)
-         |              as string)),
-         |    f -> length(f) >= $gram),
-         |  f -> transform(sequence(1, length(f) - ${gram - 1}),
-         |    p -> substring(f, p, $gram))))""".stripMargin)
     // one shared shingle array; each 16-bit block hashes it under its
     // own salt (project chaining so the array is built once per row)
-    val blocks = (0 until 4).map(k => call_function("graft_simhash",
-      transform(col("tk"), t => concat(t, lit(s"#$k")))))
     val sig = media
-      .select(col("doc_id"), col("media_type"), toks.as("tk"))
       .select(col("doc_id"), col("media_type"),
-        concat(blocks: _*).as("simhash64"))
+        shingleTokens("data", frameBytes, nFrames, gram).as("tk"))
+      .select(col("doc_id"), col("media_type"),
+        simhash64Of(col("tk")).as("simhash64"))
       .filter(col("simhash64").isNotNull)
     // maxHamming+1 contiguous bands over the 64 bits (pigeonhole):
     // band k covers [start(k), start(k+1)) with near-equal widths

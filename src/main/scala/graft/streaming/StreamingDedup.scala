@@ -50,6 +50,50 @@ object StreamingDedup {
       .drop("dedup_key")
   }
 
+  /** Streaming MEDIA admission by exact 64-bit perceptual signature —
+    * the media twin of [[uniqueBySignature]], keyed on
+    * `graft.multimodal.Multimodal`'s nearBlocks signature (same
+    * kernel as batch: frame-sampled byte shingles → four salted
+    * 16-bit `graft_simhash` blocks). Emits only the FIRST object of
+    * each (media_type, simhash64) class inside the watermark.
+    *
+    * Exact-signature match is the right STREAMING grain: a
+    * byte-identical or lightly re-encoded copy keeps every shingle
+    * vote, so its signature is identical and it collapses here with
+    * one state row per class; band-level near-dup admission (the
+    * Hamming-budget match) stays a batch/verifier concern — a
+    * streaming band join would hold per-band cross-doc state and
+    * re-admit on every band, which is `candidatePairs`' job to feed
+    * a downstream verifier instead. Objects too small to shingle
+    * (null signature) pass through unsuppressed — no evidence, no
+    * suppression, mirroring [[uniqueBySignature]]'s short docs.
+    * Same media type required: identical bytes under different types
+    * never collapse (the `dupContent`/`nearBlocks` isolation rule).
+    *
+    * Input needs (doc_id, media_type, data binary, ts event-time);
+    * output keeps the signature as `simhash64` for downstream
+    * routing. State: one row per admitted signature class inside the
+    * watermark — bounded by `dropDuplicatesWithinWatermark`, exactly
+    * like the text path. */
+  def uniqueMediaBySignature(media: DataFrame,
+                             lateness: String = "10 seconds",
+                             frameBytes: Int = 16, nFrames: Int = 4,
+                             gram: Int = 4): DataFrame = {
+    val M = graft.multimodal.Multimodal
+    media
+      .withColumn("__tk", M.shingleTokens("data", frameBytes, nFrames, gram))
+      .withColumn("simhash64", M.simhash64Of(col("__tk")))
+      .drop("__tk")
+      .withColumn("media_key",
+        // concat is null if the signature is null (concat_ws would
+        // silently skip it and merge all small objects of a type)
+        coalesce(concat(col("media_type"), lit("|"), col("simhash64")),
+          concat(lit("small:"), col("doc_id"))))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("media_key")
+      .drop("media_key")
+  }
+
   // carries the watermarked TIMESTAMP column itself — projecting it
   // to millis before the stateful op would strip the watermark tag
   // EventTimeTimeout requires

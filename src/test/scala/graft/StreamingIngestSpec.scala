@@ -406,6 +406,153 @@ class StreamingIngestSpec extends SparkSpec {
       s"probe must see every admitted vector: $res")
   }
 
+  test("composed front door + maintenance: publishRebuild under a " +
+       "pinned probe while the admission query lives; post-rebuild " +
+       "index == from-scratch recompute") {
+    // VERDICT r11 item 5: the last seam between the streaming and
+    // maintenance halves of the ANN story. The front door appends
+    // into a SNAPSHOT-VERSIONED index root; mid-stream (after a
+    // restart) a rebuild publishes the next generation while a
+    // pinned probe keeps reading the old one; admission then
+    // continues into the NEW generation. Appends and the rebuild are
+    // serialized per the writer-writer contract (the rebuild runs
+    // between micro-batches of the LIVE query); the racing-append
+    // abort itself is covered in KmeansSpec.
+    import org.apache.spark.sql.functions._
+    import graft.similarity.IvfIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_frontdoor_vroot").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_frontdoor_vckpt").toString
+    def jit(id: Long, d: Int): Float = ((id * 31 + d * 7) % 10) / 10.0f
+    val blobs = (0L until 100L).map { id =>
+      val base = if (id < 50) 0.0f else 10.0f
+      (id, Array.tabulate(4)(d => base + jit(id, d)))
+    }.toDF("vec_id", "embedding")
+    IvfIndex.publishBuild(blobs, dir, k = 2, iters = 4)
+    val thirdDoc =
+      "vector indexes append admitted documents under checkpointed state"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    def embed(batch: org.apache.spark.sql.DataFrame) = batch.select(
+      (col("doc_id") + 1000L).as("vec_id"),
+      expr("""transform(sequence(0, 3), d -> cast(
+               cast((doc_id % 2) * 10 as double) +
+               cast((doc_id * 31 + d * 7) % 10 as double) / 10.0
+             as float))""").as("embedding"))
+    def start() = CorpusIngest.ingest(docs, lateness = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // resolve the pointer per micro-batch: post-rebuild batches
+        // land in the new generation automatically
+        IvfIndex.append(spark, IvfIndex.currentRoot(dir), embed(batch))
+      }.start()
+    val q1 = start()
+    input.addData((1L, t(1000), good), (2L, t(1100), "tiny doc"),
+      (3L, t(1200), distinctDoc))
+    q1.processAllAvailable()
+    q1.stop() // mid-stream kill, as in the r11 composed spec
+    val q2 = start()
+    try {
+      // an in-flight reader pins the PRE-rebuild generation
+      val pinned = IvfIndex.currentRoot(dir)
+      IvfIndex.publishRebuild(spark, dir, k = 2, iters = 4)
+      assert(IvfIndex.currentRoot(dir) != pinned, "pointer swapped")
+      // admission CONTINUES into the new generation
+      input.addData(
+        (4L, t(2000), good),      // dup of 1 across restart+rebuild
+        (5L, t(2100), thirdDoc))  // admitted post-rebuild
+      q2.processAllAvailable()
+      val hi = Seq((9000L, Array.fill(4)(10.5f))).toDF("qid", "qvec")
+      // 1) the pinned probe serves the OLD generation exactly: the
+      //    pre-rebuild appends, not the post-rebuild one
+      val pinnedIds = IvfIndex.probe(spark, pinned, hi,
+        k = 200, nprobe = 2).collect().map(_.getLong(2)).toSet
+      assert(Set(1001L, 1003L).subsetOf(pinnedIds) &&
+        !pinnedIds.contains(1005L),
+        s"snapshot isolation under rebuild: $pinnedIds")
+      // 2) the current index equals a FROM-SCRATCH recompute over
+      //    base + every admitted vector: with nprobe = all cells the
+      //    probe is exact, so identical stored sets must rank
+      //    identically whatever the two trainings' centroids did
+      val refDir = java.nio.file.Files
+        .createTempDirectory("graft_frontdoor_ref").toString
+      IvfIndex.publishBuild(
+        blobs.unionByName(embed(Seq(
+          (1L, t(1000), good), (3L, t(1200), distinctDoc),
+          (5L, t(2100), thirdDoc)).toDF("doc_id", "ts", "text"))),
+        refDir, k = 2, iters = 4)
+      def rowsOf(root: String) = IvfIndex.probe(spark, root, hi,
+          k = 200, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      assert(rowsOf(IvfIndex.currentRoot(dir)) ==
+        rowsOf(IvfIndex.currentRoot(refDir)),
+        "post-rebuild probe must equal the batch recompute's index")
+      // 3) nothing double-appended across restart + rebuild
+      val stored = spark.read
+        .parquet(s"${IvfIndex.currentRoot(dir)}/vectors.parquet")
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n")).collect()
+      assert(stored.map(_.getLong(0)).toSet ==
+        (0L until 100L).toSet ++ Set(1001L, 1003L, 1005L) &&
+        stored.forall(_.getLong(1) == 1L),
+        "rebuild + append must preserve exactly base + admitted")
+    } finally q2.stop()
+  }
+
+  test("media admission: exact-signature dedup per media type, state " +
+       "survives a restart, small objects pass through") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_media_ckpt").toString
+    val payloadA = "a long enough media payload with plenty of " +
+      "stable shingle mass for the perceptual signature to vote on"
+    val payloadB = "completely different bytes with no shared " +
+      "shingles anywhere in this other payload at all ok"
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val media = input.toDF().toDF("doc_id", "media_type", "txt", "ts")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"), col("ts"))
+    val deliveries = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+    val sumFn = new java.util.function.BiFunction[Integer, Integer, Integer] {
+      def apply(a: Integer, b: Integer): Integer = a + b
+    }
+    def start() = StreamingDedup
+      .uniqueMediaBySignature(media, lateness = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          deliveries.merge(r.getAs[Long]("doc_id"), 1, sumFn)
+        }
+      }.start()
+    val q1 = start()
+    input.addData(
+      (1L, "image/png", payloadA, t(1000)),
+      (2L, "audio/wav", payloadA, t(1100)),  // same bytes, other type
+      (3L, "image/png", payloadA, t(1200)),  // dup of 1 -> suppressed
+      (6L, "image/png", "ab", t(1300)),      // too small to shingle
+      (7L, "image/png", "ab", t(1400)))      // also passes (no evidence)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(deliveries.keySet().asInstanceOf[java.util.Set[Long]]
+      .containsAll(java.util.Arrays.asList(1L, 2L, 6L, 7L)) &&
+      !deliveries.containsKey(3L),
+      s"type isolation + suppression + small pass-through: $deliveries")
+    val q2 = start()
+    try {
+      input.addData(
+        (4L, "image/png", payloadA, t(2000)), // dup of 1, RECOVERED state
+        (5L, "image/png", payloadB, t(2100))) // genuinely new
+      q2.processAllAvailable()
+      assert(!deliveries.containsKey(4L),
+        s"recovered signature state must suppress the post-restart dup: $deliveries")
+      assert(deliveries.get(5L) == 1 && deliveries.get(1L) == 1,
+        s"new object admitted once, committed batches not replayed: $deliveries")
+    } finally q2.stop()
+  }
+
   test("observed gate metrics ride the stream: n_in/n_kept/n_pii per batch") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "ts", "text")
