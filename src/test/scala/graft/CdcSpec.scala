@@ -432,6 +432,61 @@ class CdcSpec extends SparkSpec {
       ("c", 1, 51L, 7L), ("c", 2, 52L, 6L)))
   }
 
+  test("streaming leaderboard IVM: topkFold folds insert/delete " +
+       "micro-batches into live shadow state; refill groups surface, " +
+       "exact groups track the recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // change feed: op I/D with the row payload (deletes carry the id)
+    val changes = MemoryStream[(String, String, Long, Long)](spark)
+    val base = (tenRows("a") ++ tenRows("b")).toDF("g", "id", "v")
+      .withColumn("id", when(col("g") === "b", col("id") + 100L)
+        .otherwise(col("id")))
+    var state = Cdc.topkShadowState(base, "g", "v", "id",
+      k = 2, kPrime = 4).localCheckpoint()
+    var live = Seq.empty[(String, Long, Long)] // mirror of the facts
+    base.collect().foreach(r =>
+      live :+= ((r.getString(0), r.getLong(1), r.getLong(2))))
+    val query = changes.toDF().toDF("op", "g", "id", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        val ins = b.filter(col("op") === "I").select("g", "id", "v")
+        val dels = b.filter(col("op") === "D").select("id")
+        state = Cdc.topkFold(state, ins, dels, "g", "v", "id",
+          k = 2, kPrime = 4).localCheckpoint()
+        b.unpersist(); ()
+      }.start()
+    try {
+      // batch 1: delete a's top row (budget d=1 <= k'-k=2: promotes
+      // the rank-2 shadow holding), insert a fresh b row above all
+      changes.addData(("D", "a", 1L, 0L), ("I", "b", 150L, 999L))
+      query.processAllAvailable()
+      live = live.filterNot(_._2 == 1L) :+ (("b", 150L, 999L))
+      // batch 2: blow a's budget (two more deletes -> survivors < k)
+      changes.addData(("D", "a", 2L, 0L), ("D", "a", 3L, 0L))
+      query.processAllAvailable()
+      live = live.filterNot(t => t._2 == 2L || t._2 == 3L)
+      val served = rows(state
+        .filter(!col("needs_refill") && col("rnk") <= 2)
+        .select("g", "rnk", "id", "v"))
+      val scratch = rows(Cdc.topkState(
+        live.toDF("g", "id", "v"), "g", "v", "id", k = 2))
+      // b never exceeded its budget: its served top-2 must equal the
+      // from-scratch recompute over the live facts
+      assert(served.filter(_._1 == "b") == scratch.filter(_._1 == "b"),
+        s"served $served vs scratch $scratch")
+      // a blew its budget ACROSS batches (1 + 2 deletes against the
+      // ORIGINAL build would be fine per-batch, but batch-2's state
+      // held only 3 rows after batch-1's fold): the flag must be up
+      // and the group unserved, not silently wrong
+      assert(served.forall(_._1 != "a"),
+        s"budget-blown group must not serve: $served")
+      assert(state.filter(col("g") === "a").collect()
+        .forall(_.getAs[Boolean]("needs_refill")),
+        "refill flag must survive on the live state")
+    } finally query.stop()
+  }
+
   test("topkFold on the oracle fixture: non-refill folded top-5 == " +
        "from-scratch recompute, and the fixture really exercises " +
        "delete-promotes-hidden-row") {
