@@ -117,9 +117,13 @@ object Soak {
     "mm_near_blocks", "ret_ndcg", "ret_expand", "ts_ema",
     "cdc_topk_delta", "qc_class_balance",
     // round-12 additions: the delete-capable top-k fold (state-sized
-    // joins + group-limit windows; the facts scan dominates) and the
-    // closed PRF loop (three corpus scans, expected scan-bound)
-    "cdc_topk_delete", "cdc_topk_refill", "ret_expand_eval")
+    // joins + group-limit windows; the facts scan dominates), the
+    // closed PRF loop (three corpus scans, expected scan-bound), the
+    // banded-bucket truncation audit (one signature pass + a
+    // vocabulary-sized group-by), and the chi-square association
+    // audit (one cells exchange + broadcast marginals)
+    "cdc_topk_delete", "cdc_topk_refill", "ret_expand_eval",
+    "mm_near_trunc", "qc_label_assoc")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -1083,6 +1083,16 @@ object SparkEntry {
     "mm_near_blocks" -> q((s, d) =>
       Multimodal.nearBlocks(Multimodal.mediaTable(Tables.documents(s, d)))
         .sortWithinPartitions("media_type", "id1", "id2")),
+    // the truncation AUDIT for the banded near-dup path (ADVICE r11):
+    // every banded bucket past the cap, with its true size — at the
+    // demo cap of 2 the fixture's duplicate payloads surface, proving
+    // the audit rule against an independently derived oracle (at the
+    // production default of 10 000 the fixture reports zero rows,
+    // spec-pinned in MultimodalSpec)
+    "mm_near_trunc" -> q((s, d) =>
+      Multimodal.nearBlocksTruncated(
+          Multimodal.mediaTable(Tables.documents(s, d)), maxBucket = 2)
+        .sortWithinPartitions("media_type", "band", "bits")),
 
     // ---- scale patterns: runtime filters + layout ----
     "join_bloom_prune" -> q((s, d) =>
@@ -1135,6 +1145,14 @@ object SparkEntry {
       operators.Expectations.classBalance(
           Tables.documents(s, d), "source", "lang")
         .sortWithinPartitions("segment")),
+    // chi-square feature↔label association in integer-exact ppm: the
+    // leakage/imbalance detector — each (source, lang) cell's
+    // (O−E)²/E contribution with the single floor division deferred
+    // to the end; χ²·10⁶ for the table = the SUM of contrib_ppm
+    "qc_label_assoc" -> q((s, d) =>
+      operators.Expectations.labelAssociation(
+          Tables.documents(s, d), "source", "lang")
+        .sortWithinPartitions("feature", "label")),
     "er_neighbors" -> q((s, d) =>
       dedup.Blocking.customerNeighbors(Tables.customer(s, d))
         .sortWithinPartitions("c_nationkey", "id1", "dist")),
@@ -5107,6 +5125,38 @@ object SparkEntry {
          |ORDER BY media_type, id1, id2""".stripMargin
     },
 
+    // the truncation audit: same signature + banding chain, one
+    // GROUP BY per (type, band, bits) bucket, kept past the demo cap
+    "mm_near_trunc" -> {
+      val hexSet = "('8','9','a','b','c','d','e','f')"
+      val sums = (for (k <- 0 to 3; i <- 1 to 16) yield
+        s"CAST(sum(CASE WHEN substr(md5(tok || '#$k'), $i, 1) IN $hexSet THEN 1 ELSE -1 END) AS BIGINT) AS b${k}_$i")
+        .mkString(", ")
+      val bits = (for (k <- 0 to 3; i <- 1 to 16) yield
+        s"CASE WHEN b${k}_$i > 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""WITH fr AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END
+         |      AS media_type,
+         |    substring(text, frame_id * 16 + 1, 16) AS frame
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS frame_id) f
+         |  WHERE length(substring(text, frame_id * 16 + 1, 16)) >= 4),
+         |gr AS (SELECT doc_id, media_type, substring(frame, p, 4) AS tok
+         |       FROM fr CROSS JOIN (SELECT unnest(range(1, 14)) AS p) pp
+         |       WHERE p <= length(frame) - 3),
+         |shagg AS (SELECT doc_id, media_type, $sums FROM gr GROUP BY 1, 2),
+         |sim AS (SELECT doc_id, media_type, $bits AS simhash64 FROM shagg),
+         |bd AS (SELECT doc_id, media_type, band,
+         |         substr(simhash64, band * 16 + 1, 16) AS bits
+         |       FROM sim
+         |       CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bb)
+         |SELECT media_type, CAST(band AS INT) AS band, bits,
+         |  CAST(count(*) AS BIGINT) AS bucket_size
+         |FROM bd GROUP BY 1, 2, 3 HAVING count(*) > 2
+         |ORDER BY media_type, band, bits""".stripMargin
+    },
+
     // Bloom pruning is result-transparent: the oracle is the plain
     // semi-join the pruned plan must reproduce exactly
     "join_bloom_prune" ->
@@ -5506,6 +5556,32 @@ object SparkEntry {
         |    AS gini_ppm
         |FROM ag a JOIN mj m USING (segment)
         |ORDER BY segment""".stripMargin,
+
+    // chi-square association: (O−E)²/E per cell with the division
+    // deferred — contrib = (O·N − n_f·n_l)²·10⁶ // (N·n_f·n_l), all
+    // int128 (HUGEINT) until the final BIGINT cast
+    "qc_label_assoc" ->
+      """WITH c AS (SELECT source AS feature, lang AS label,
+        |            CAST(count(*) AS BIGINT) AS n_obs
+        |          FROM documents GROUP BY 1, 2),
+        |f AS (SELECT feature, CAST(sum(n_obs) AS BIGINT) AS n_f
+        |      FROM c GROUP BY 1),
+        |l AS (SELECT label, CAST(sum(n_obs) AS BIGINT) AS n_l
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM c)
+        |SELECT f.feature, l.label,
+        |  CAST(coalesce(c.n_obs, 0) AS BIGINT) AS n_obs, f.n_f, l.n_l,
+        |  CAST(CAST(f.n_f AS HUGEINT) * l.n_l * 1000000 // t.n_tot
+        |    AS BIGINT) AS e_ppm,
+        |  CAST(CAST(coalesce(c.n_obs, 0) * t.n_tot - f.n_f * l.n_l
+        |         AS HUGEINT)
+        |       * (coalesce(c.n_obs, 0) * t.n_tot - f.n_f * l.n_l)
+        |       * 1000000
+        |       // (CAST(t.n_tot AS HUGEINT) * f.n_f * l.n_l)
+        |    AS BIGINT) AS contrib_ppm
+        |FROM f CROSS JOIN l
+        |  LEFT JOIN c ON c.feature = f.feature AND c.label = l.label, t
+        |ORDER BY f.feature, l.label""".stripMargin,
 
     "qc_drift" ->
       """WITH r AS (

@@ -454,4 +454,62 @@ object Expectations {
         // floor at the end, matching the oracle's `//` exactly
         expr("(nsq - sum_sq) * 1000000 div nsq").as("gini_ppm"))
   }
+
+  /** Feature↔label ASSOCIATION audit — the chi-square contingency
+    * table in integer-exact ppm, the leakage/imbalance detector a
+    * training-data pipeline points at (source, label) or (shard,
+    * label) before fitting anything: a feature value whose label
+    * distribution diverges from the marginal is either leakage or a
+    * sampling bug, and each cell's contribution says WHICH value.
+    *
+    * Per (feature, label) cell of the FULL marginal cross product —
+    * zero-observed cells included, because a label that NEVER
+    * appears under a feature value is exactly the leakage signal a
+    * present-cells-only table would hide (and the classic χ² counts
+    * them: O=0 contributes E): `n_obs`, the marginals `n_f`/`n_l`,
+    * the expected count under independence in ppm
+    * (`e_ppm = floor(10⁶·n_f·n_l / N)`), and the cell's chi-square
+    * contribution in ppm —
+    * `contrib_ppm = floor(10⁶·(n_obs·N − n_f·n_l)² / (N·n_f·n_l))`,
+    * which is the classic (O−E)²/E with every division deferred to
+    * ONE floor at the end (multiply (O−E)²/E through by N²/N²), so
+    * the result is pure integer arithmetic both here and in the
+    * DuckDB oracle. χ²·10⁶ for the table is the SUM of contrib_ppm
+    * over cells — a sum of floors, deterministic and
+    * engine-portable, never a float.
+    *
+    * Exactness envelope: the numerator is (n_obs·N − n_f·n_l)²·10⁶ ≤
+    * N⁴·10⁶, computed in decimal(38,0) (Spark) / int128 (DuckDB) —
+    * exact while N < 10⁸ rows. Past that, audit per segment (the
+    * usual deployment) or rescale the ppm.
+    *
+    * Scale shape: one fact-table exchange builds the cells; the
+    * marginals and total are VOCABULARY-sized re-aggregates of the
+    * cells (never a second fact scan) broadcast back onto them. */
+  def labelAssociation(df: DataFrame, featureCol: String,
+                       labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(featureCol).as("feature"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_obs"))
+    val nf = cells.groupBy(col("feature")).agg(sum("n_obs").as("n_f"))
+    val nl = cells.groupBy(col("label")).agg(sum("n_obs").as("n_l"))
+    val tot = cells.agg(sum("n_obs").as("n_tot"))
+    // full marginal cross product (vocabulary² — broadcast-sized):
+    // zero-observed cells surface with n_obs = 0
+    nf.crossJoin(broadcast(nl))
+      .join(broadcast(cells), Seq("feature", "label"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", // n_obs·N − n_f·n_l: fits a long to N ~ 3e9
+        col("n_obs") * col("n_tot") - col("n_f") * col("n_l"))
+      .select(col("feature"), col("label"), col("n_obs"),
+        col("n_f"), col("n_l"),
+        expr("CAST(n_f AS DECIMAL(38,0)) * n_l * 1000000 div n_tot")
+          .as("e_ppm"),
+        expr("""CAST(diff AS DECIMAL(19,0)) * CAST(diff AS DECIMAL(19,0))
+               | * 1000000
+               | div (CAST(n_tot AS DECIMAL(38,0)) * n_f * n_l)"""
+          .stripMargin.replace("\n", ""))
+          .as("contrib_ppm"))
+  }
 }

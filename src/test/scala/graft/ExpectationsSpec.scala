@@ -330,4 +330,57 @@ class ExpectationsSpec extends SparkSpec {
     // exactly 2/3 in ppm, floored
     assert(r.getLong(5) == 666666L && r.getLong(4) == 333333L)
   }
+
+  private def assocRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("feature", "label").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5), r.getLong(6))).toSeq
+
+  test("labelAssociation: hand-computed chi-square cells — perfect " +
+       "anti-association, every division one floor at the end") {
+    // a: 8×x + 2×y, b: 2×x + 8×y — N=20, n_x=n_y=10, n_a=n_b=10
+    // E(every cell) = 10·10/20 = 5 → e_ppm 5 000 000
+    // contrib(every cell) = (O·20 − 100)²·10⁶ // (20·10·10)
+    //   O=8: 60² ·10⁶ // 2000 = 1 800 000 (= (8−5)²/5 = 1.8 exactly)
+    //   O=2: (−60)² — same by symmetry
+    // χ²·10⁶ = 4 × 1.8e6 = 7 200 000 (true χ² = 7.2)
+    val df = (Seq.fill(8)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(8)(("b", "y")))
+      .toDF("f", "l")
+    val got = assocRows(Expectations.labelAssociation(df, "f", "l"))
+    assert(got == Seq(
+      ("a", "x", 8L, 5000000L, 1800000L),
+      ("a", "y", 2L, 5000000L, 1800000L),
+      ("b", "x", 2L, 5000000L, 1800000L),
+      ("b", "y", 8L, 5000000L, 1800000L)))
+  }
+
+  test("labelAssociation: independent features contribute zero; " +
+       "floors match the deferred-division form") {
+    // a: 4×x + 6×y, b: 2×x + 3×y — exact independence (same 2:3 mix)
+    val ind = (Seq.fill(4)(("a", "x")) ++ Seq.fill(6)(("a", "y")) ++
+      Seq.fill(2)(("b", "x")) ++ Seq.fill(3)(("b", "y"))).toDF("f", "l")
+    assert(assocRows(Expectations.labelAssociation(ind, "f", "l"))
+      .forall(_._5 == 0L), "independence ⇒ zero contribution")
+    // floor case: a:{x:1, y:2}, b:{x:1} — E(a,x) = 3·2/4 = 1.5,
+    // contrib(a,x) = (1·4 − 6)²·10⁶ // (4·3·2) = 4e6 // 24 = 166 666
+    val fl = Seq(("a", "x"), ("a", "y"), ("a", "y"), ("b", "x"))
+      .toDF("f", "l")
+    val got = assocRows(Expectations.labelAssociation(fl, "f", "l"))
+    assert(got.find(t => t._1 == "a" && t._2 == "x").get ==
+      ("a", "x", 1L, 1500000L, 166666L))
+  }
+
+  test("labelAssociation: a NEVER-observed cell surfaces with " +
+       "n_obs = 0 and contributes its expectation") {
+    // label y never appears under b — the leakage shape a
+    // present-cells-only table would hide. contrib(b,y) =
+    // (0·N − n_b·n_y)²·10⁶ // (N·n_b·n_y) = n_b·n_y·10⁶ // N = E·10⁶
+    val df = (Seq.fill(2)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(4)(("b", "x"))).toDF("f", "l")
+    // N=8, n_b=4, n_y=2: E(b,y) = 1 → e_ppm = contrib = 1 000 000
+    val by = assocRows(Expectations.labelAssociation(df, "f", "l"))
+      .find(t => t._1 == "b" && t._2 == "y").get
+    assert(by == ("b", "y", 0L, 1000000L, 1000000L))
+  }
 }
