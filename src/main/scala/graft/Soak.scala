@@ -123,7 +123,10 @@ object Soak {
     // vocabulary-sized group-by), and the chi-square association
     // audit (one cells exchange + broadcast marginals)
     "cdc_topk_delete", "cdc_topk_refill", "ret_expand_eval",
-    "mm_near_trunc", "qc_label_assoc")
+    "mm_near_trunc", "qc_label_assoc",
+    // exact trimmed mean: one fact exchange into a per-(group, cents)
+    // histogram; everything after is histogram-sized
+    "agg_trimmed_mean")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -387,6 +387,13 @@ object SparkEntry {
     "agg_skewness" -> q((s, d) =>
       Relational.skewnessByFlag(Tables.lineitem(s, d))
         .sortWithinPartitions("l_returnflag")),
+    // exact 5%-trimmed mean per group WITHOUT a fact-table sort:
+    // per-(group, cents) histogram + prefix-sum rank intersection
+    // (the budgetSelect trick) — order-statistic state at histogram
+    // cost, every division one floor at the end
+    "agg_trimmed_mean" -> q((s, d) =>
+      Relational.trimmedMeanByFlag(Tables.lineitem(s, d))
+        .sortWithinPartitions("l_returnflag")),
     "agg_outliers" -> q((s, d) =>
       Relational.outlierCounts(Tables.lineitem(s, d))
         .sortWithinPartitions("l_returnflag")),
@@ -2643,6 +2650,38 @@ object SparkEntry {
         |        ((s2 / n - (s1 / n) * (s1 / n)) *
         |         sqrt(s2 / n - (s1 / n) * (s1 / n))), 6) AS skew6
         |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    // exact trimmed mean via the histogram prefix-sum: kept copies of
+    // a value = |[cum−c+1, cum] ∩ [k+1, n−k]|, k = n·500 // 10⁴
+    "agg_trimmed_mean" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cm AS (SELECT *,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY cents
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |       FROM h),
+        |kp AS (SELECT l_returnflag, cents, c, cum, n,
+        |         n * 500 // 10000 AS k
+        |       FROM cm),
+        |kept AS (SELECT l_returnflag, cents, n, k,
+        |           greatest(least(cum, n - k)
+        |             - greatest(cum - c + 1, k + 1) + 1, 0) AS kc
+        |         FROM kp)
+        |SELECT l_returnflag,
+        |  CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(max(k) AS BIGINT) AS k_trim,
+        |  CAST(sum(kc) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(kc AS HUGEINT) * cents) AS BIGINT)
+        |    AS trimmed_sum_cents,
+        |  CAST(sum(CAST(kc AS HUGEINT) * cents) * 10000 // sum(kc)
+        |    AS BIGINT) AS mean_c4
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "agg_regression" ->
       """WITH m AS (

@@ -314,6 +314,55 @@ object Relational {
           (m2 * sqrt(m2)), 6).as("skew6"))
   }
 
+  /** Exact TRIMMED mean per group — the robust-location aggregate
+    * (drop the lowest and highest `trimBp` basis points of rows,
+    * mean the rest) WITHOUT sorting the fact table: prices quantize
+    * to integer cents, so the operator aggregates a per-(group,
+    * cents) HISTOGRAM (one fact exchange, the only corpus-sized
+    * stage), prefix-sums the histogram inside each group (histogram
+    * rows = distinct prices per group — vocabulary-sized, the
+    * `budgetSelect`/`ks_drift` two-pass trick), and intersects each
+    * value's rank interval [cum−c+1, cum] with the kept band
+    * [k+1, n−k] to get how many copies of that value survive the
+    * trim. Ties at the trim boundary need no tiebreak: equal values
+    * are interchangeable in the kept MULTISET, so the result is
+    * deterministic under any partitioning.
+    *
+    * All integer/decimal: k = ⌊n·trimBp/10⁴⌋ per tail,
+    * `trimmed_sum_cents` summed in decimal(38,0), and the mean
+    * reported as `mean_c4 = ⌊sum·10⁴ / n_kept⌋` (cents·10⁴ — one
+    * floor at the end, the classBalance convention) — engine-portable
+    * with no float ratio. At 100 TB the histogram is still tiny
+    * relative to facts (distinct cents ≤ ~10⁷), and the moments-style
+    * alternative doesn't exist: a trimmed mean is order-statistic
+    * state, this is its minimal exact plan. */
+  def trimmedMeanByFlag(lineitem: DataFrame, trimBp: Int = 500): DataFrame = {
+    require(trimBp >= 0 && trimBp < 5000, "each tail must trim < 50%")
+    val cents = (col("l_extendedprice").cast("decimal(9,2)") * 100)
+      .cast("long")
+    val hist = lineitem.select(col("l_returnflag"), cents.as("cents"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("l_returnflag"))
+    hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wg))
+      .withColumn("k", expr(s"n * $trimBp div 10000"))
+      .withColumn("kept", greatest(
+        least(col("cum"), col("n") - col("k")) -
+          greatest(col("cum") - col("c") + 1, col("k") + 1) + 1,
+        lit(0L)))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"), max(col("k")).as("k_trim"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept").cast("decimal(38,0)") * col("cents")).as("tsum"))
+      .select(col("l_returnflag"), col("n_rows"), col("k_trim"),
+        col("n_kept"), col("tsum").cast("long").as("trimmed_sum_cents"),
+        expr("tsum * 10000 div n_kept").as("mean_c4"))
+  }
+
   /** BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL):
     * multiplicity-aware membership — a customer with 3 orders in 1995
     * and 2 in 1996 contributes min(3,2)=2 to the intersection and

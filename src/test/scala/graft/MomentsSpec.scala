@@ -80,4 +80,41 @@ class MomentsSpec extends SparkSpec {
         .repartition(13)).head().getDouble(2)
     assert(one == many)
   }
+
+  private def trimOf(vs: Seq[Double], bp: Int) =
+    Relational.trimmedMeanByFlag(
+        vs.map(v => ("A", v)).toDF("l_returnflag", "l_extendedprice"),
+        trimBp = bp)
+      .head() match { case r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)) }
+
+  test("trimmedMeanByFlag: hand-computed 10% trim of 1..10 drops " +
+       "exactly the min and max") {
+    // cents 100..1000, k = 10·1000 // 10⁴ = 1 per tail → keep
+    // 200..900: sum 4400 cents over 8 rows → mean_c4 = 5 500 000
+    val got = trimOf((1 to 10).map(_.toDouble), bp = 1000)
+    assert(got == (10L, 1L, 8L, 4400L, 5500000L), got.toString)
+  }
+
+  test("trimmedMeanByFlag: boundary ties trim by COUNT, not value — " +
+       "the kept multiset is deterministic") {
+    // {1,1,1,10} cents {100,100,100,1000}, 25% trim → k = 1:
+    // keep ranks 2..3 = two copies of 100 (one of the three 1s is
+    // trimmed; WHICH one is meaningless — values are interchangeable)
+    val got = trimOf(Seq(1.0, 1.0, 1.0, 10.0), bp = 2500)
+    assert(got == (4L, 1L, 2L, 200L, 1000000L), got.toString)
+    // trimBp = 0 degenerates to the exact full mean
+    val full = trimOf(Seq(1.0, 2.0, 4.0), bp = 0)
+    assert(full == (3L, 0L, 3L, 700L, 2333333L), full.toString)
+  }
+
+  test("trimmedMeanByFlag: partitioning invariance") {
+    val vs = (1 to 997).map(i => ((i % 37) * 13.25 + (i % 11), ()))
+      .map(_._1)
+    def run(parts: Int) = Relational.trimmedMeanByFlag(
+      vs.map(v => ("A", v)).toDF("l_returnflag", "l_extendedprice")
+        .repartition(parts)).head().toSeq
+    assert(run(1) == run(13))
+  }
 }
