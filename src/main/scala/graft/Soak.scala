@@ -126,7 +126,10 @@ object Soak {
     "mm_near_trunc", "qc_label_assoc",
     // exact trimmed mean: one fact exchange into a per-(group, cents)
     // histogram; everything after is histogram-sized
-    "agg_trimmed_mean")
+    "agg_trimmed_mean",
+    // the refill repair: fold + a facts scan FILTERED to the refill
+    // groups — prices the signal's promised cost model
+    "cdc_topk_repair")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

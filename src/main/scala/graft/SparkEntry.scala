@@ -750,6 +750,27 @@ object SparkEntry {
       operators.Cdc.topkRefill(state, topkDeletes(f), "grp", "id", k = 5)
         .sortWithinPartitions("grp")
     }),
+    // the refill signal CONSUMED: rebuild the flagged groups from the
+    // post-batch facts (a scan FILTERED to those groups), merge with
+    // the healthy folded state — and now the served top-5 is exact
+    // for EVERY group, which is the oracle's unrestricted contract
+    "cdc_topk_repair" -> q((s, d) => {
+      val f = topkFacts(s, d)
+      val dels = topkDeletes(f)
+      val ins = topkInserts(f)
+      val state = operators.Cdc.topkShadowState(
+        f, "grp", "price_cents", "id", k = 5, kPrime = 10)
+      val folded = operators.Cdc.topkFold(state, ins, dels,
+        "grp", "price_cents", "id", k = 5, kPrime = 10)
+      val refill = operators.Cdc.topkRefill(state, dels, "grp", "id", k = 5)
+      val newFacts = f.join(dels.select("id"), Seq("id"), "left_anti")
+        .select("grp", "id", "price_cents").unionByName(ins)
+      operators.Cdc.topkRepair(folded, refill, newFacts,
+          "grp", "price_cents", "id", k = 5, kPrime = 10)
+        .filter(col("rnk") <= 5)
+        .select(col("grp"), col("rnk"), col("id"), col("price_cents"))
+        .sortWithinPartitions("grp", "rnk")
+    }),
     "cms_term_counts" -> q((s, d) => {
       // one per-term aggregate feeds the sketch (weighted form), the
       // top-k, and the exact column — three uses of an identical
@@ -3726,6 +3747,31 @@ object SparkEntry {
         |  GROUP BY f.grp) t
         |WHERE cnt_old > 10 AND 10 - del10 < 5
         |ORDER BY grp""".stripMargin,
+
+    // after the repair the served top-5 is exact for EVERY group —
+    // the oracle is the plain from-scratch top-5 over the post-batch
+    // facts with NO refill restriction
+    "cdc_topk_repair" ->
+      """WITH facts AS MATERIALIZED (
+        |  SELECT o_custkey % 50 AS grp, o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      AS price_cents
+        |  FROM orders),
+        |dels AS MATERIALIZED (
+        |  SELECT id FROM facts
+        |  WHERE id % 13 = 0 OR (grp < 5 AND id % 4 < 3)),
+        |newf AS (
+        |  SELECT f.* FROM facts f LEFT JOIN dels d ON f.id = d.id
+        |  WHERE d.id IS NULL
+        |  UNION ALL
+        |  SELECT grp, id + 1000000000 AS id, price_cents
+        |  FROM facts WHERE id % 11 = 0),
+        |rk AS (SELECT grp, id, price_cents,
+        |         row_number() OVER (PARTITION BY grp
+        |           ORDER BY price_cents DESC, id) AS rnk
+        |       FROM newf)
+        |SELECT grp, rnk, id, price_cents FROM rk WHERE rnk <= 5
+        |ORDER BY grp, rnk""".stripMargin,
 
     "cdc_scd2" ->
       """WITH olds AS (

@@ -271,6 +271,37 @@ object Cdc {
       .select(col(groupCol), col("held"), col("deleted"))
   }
 
+  /** The refill signal CONSUMED: rebuild the flagged groups from the
+    * (post-batch) fact table and merge with the healthy groups'
+    * folded state — the repair action [[topkFold]]'s report demands.
+    * `refill` is [[topkRefill]]'s output (computed on the PRE-fold
+    * state, so it includes groups the batch wiped entirely — the
+    * folded frame alone couldn't name those); `facts` is the fact
+    * table AFTER the batch (deletes applied, inserts present).
+    *
+    * Cost model — the whole point of the signal: the fact scan is
+    * FILTERED to the refill groups (a broadcast semi-join the scan's
+    * group predicate can prune on), so the repair touches
+    * |refill groups| worth of facts, not the table; healthy groups
+    * keep their folded k′-shadow untouched. After repair the served
+    * top-k is exact for EVERY group again (healthy by the fold's
+    * budget law, rebuilt by construction) — the contract the
+    * `cdc_topk_repair` oracle checks with no group restriction. */
+  def topkRepair(folded: DataFrame, refill: DataFrame, facts: DataFrame,
+                 groupCol: String, valueCol: String, idCol: String,
+                 k: Int, kPrime: Int): DataFrame = {
+    val bad = refill.select(col(groupCol)).distinct()
+    val healthy = folded.filter(!col("needs_refill"))
+      .join(broadcast(bad), Seq(groupCol), "left_anti")
+      .select(col(groupCol), col("rnk"), col(idCol), col(valueCol),
+        col("truncated"))
+    val rebuilt = topkShadowState(
+      facts.join(broadcast(bad), Seq(groupCol), "left_semi"),
+      groupCol, valueCol, idCol, k, kPrime)
+    healthy.unionByName(rebuilt)
+      .withColumn("needs_refill", lit(false))
+  }
+
   def aggDelta(prior: DataFrame, changes: DataFrame,
                groupCol: String, measureCol: String): DataFrame = {
     val retract = changes.filter(col("change_type").isin("D", "U"))

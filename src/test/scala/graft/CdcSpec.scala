@@ -417,6 +417,34 @@ class CdcSpec extends SparkSpec {
       s"truncated wipe reports, exact wipe (b held ALL its rows) does not: $rep")
   }
 
+  test("topkRepair consumes the refill signal: rebuilt groups " +
+       "(including a WIPED one) serve exactly, healthy state is " +
+       "untouched, and the repaired top-k is globally exact") {
+    val df = (tenRows("a") ++ Seq(("b", 21L, 5L), ("b", 22L, 4L),
+        ("b", 23L, 3L))).toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(df, "g", "v", "id", k = 2, kPrime = 4)
+    // wipe a's whole shadow (refill via the report only) and delete
+    // one b row (within budget — b is not even truncated)
+    val dels = Seq(1L, 2L, 3L, 4L, 21L).toDF("id")
+    val ins = Seq(("c", 51L, 7L)).toDF("g", "id", "v")
+    val folded = Cdc.topkFold(st, ins, dels, "g", "v", "id",
+      k = 2, kPrime = 4)
+    val refill = Cdc.topkRefill(st, dels, "g", "id", k = 2)
+    val newFacts = df.join(dels, Seq("id"), "left_anti")
+      .unionByName(ins.select("g", "id", "v"))
+    val repaired = Cdc.topkRepair(folded, refill, newFacts,
+      "g", "v", "id", k = 2, kPrime = 4)
+    assert(repaired.collect().forall(!_.getAs[Boolean]("needs_refill")))
+    val served = rows(repaired.filter(col("rnk") <= 2)
+      .select("g", "rnk", "id", "v"))
+    val scratch = rows(Cdc.topkState(newFacts, "g", "v", "id", k = 2))
+    assert(served == scratch,
+      s"globally exact after repair: $served vs $scratch")
+    // a's rebuilt rows come from the facts below its old shadow
+    // horizon — rows the folded state NEVER held
+    assert(served.filter(_._1 == "a").map(_._4) == Seq(96L, 95L))
+  }
+
   test("topkFold: inserts and deletes in one batch — insert-only " +
        "groups serve exactly with no refill") {
     val base = tenRows("a").toDF("g", "id", "v")
