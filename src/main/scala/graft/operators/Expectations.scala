@@ -487,10 +487,20 @@ object Expectations {
     * marginals and total are VOCABULARY-sized re-aggregates of the
     * cells (never a second fact scan) broadcast back onto them. */
   def labelAssociation(df: DataFrame, featureCol: String,
-                       labelCol: String): DataFrame = {
-    val cells = df.groupBy(col(featureCol).as("feature"),
-        col(labelCol).as("label"))
-      .agg(count(lit(1)).as("n_obs"))
+                       labelCol: String): DataFrame =
+    labelAssociationFromCells(
+      df.groupBy(col(featureCol).as("feature"),
+          col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_obs")))
+
+  /** The epilogue of [[labelAssociation]] over PRECOMPUTED cell
+    * counts (feature, label, n_obs) — split out because the cells
+    * are the audit's maintainable state: counts merge by ADDITION,
+    * so a streaming feed folds each micro-batch's cells into the
+    * store (the `aggDelta` law) and re-runs only this
+    * vocabulary-sized epilogue, never the fact table. A spec pins
+    * fold-then-epilogue == recompute, bit-exact. */
+  def labelAssociationFromCells(cells: DataFrame): DataFrame = {
     val nf = cells.groupBy(col("feature")).agg(sum("n_obs").as("n_f"))
     val nl = cells.groupBy(col("label")).agg(sum("n_obs").as("n_l"))
     val tot = cells.agg(sum("n_obs").as("n_tot"))

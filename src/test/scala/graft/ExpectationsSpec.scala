@@ -383,4 +383,37 @@ class ExpectationsSpec extends SparkSpec {
       .find(t => t._1 == "b" && t._2 == "y").get
     assert(by == ("b", "y", 0L, 1000000L, 1000000L))
   }
+
+  test("labelAssociation state is maintainable: cell counts folded " +
+       "over micro-batches + the epilogue == the recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, String)](spark)
+    var cells = Seq.empty[(String, String, Long)]
+      .toDF("feature", "label", "n_obs").localCheckpoint()
+    val q = input.toDF().toDF("f", "l")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // counts merge by addition — the aggDelta law applied to the
+        // contingency table; only the vocabulary-sized cells persist
+        cells = cells.unionByName(
+            batch.groupBy(col("f").as("feature"), col("l").as("label"))
+              .agg(count(lit(1)).as("n_obs")))
+          .groupBy("feature", "label")
+          .agg(sum("n_obs").as("n_obs"))
+          .localCheckpoint()
+        ()
+      }.start()
+    try {
+      input.addData(("a", "x"), ("a", "x"), ("b", "y"))
+      q.processAllAvailable()
+      input.addData(("a", "y"), ("b", "y"), ("b", "x"), ("a", "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("a", "y"),
+      ("b", "y"), ("b", "x"), ("a", "x")).toDF("f", "l")
+    assert(
+      assocRows(Expectations.labelAssociationFromCells(cells)) ==
+        assocRows(Expectations.labelAssociation(all, "f", "l")),
+      "fold-then-epilogue must equal the from-scratch audit")
+  }
 }
