@@ -51,8 +51,14 @@ def main():
     # across rounds should know which rows were load-noisy.
     soaks = sorted(glob.glob(os.path.join(HERE, "SOAK_r*.json")),
                    key=lambda p: [int(x) for x in re.findall(r"\d+", os.path.basename(p))])
+    # report every artifact of the newest round (the gated run plus
+    # any _30x / _new companions), not just the lexicographic last
     if soaks:
-        latest = soaks[-1]
+        top_round = max(int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+                        for p in soaks)
+        soaks = [p for p in soaks if f"r{top_round:02d}" in os.path.basename(p)
+                 or f"r{top_round}" in os.path.basename(p)]
+    for latest in soaks:
         d = json.load(open(latest))
         qs = d.get("queries", {})
         la = d.get("loadavg")
