@@ -129,7 +129,9 @@ object Soak {
     "agg_trimmed_mean",
     // the refill repair: fold + a facts scan FILTERED to the refill
     // groups — prices the signal's promised cost model
-    "cdc_topk_repair")
+    "cdc_topk_repair",
+    // the non-saturating PRF eval (tf-graded qrels; same chain)
+    "ret_expand_eval_freq")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -578,6 +578,29 @@ object SparkEntry {
           coalesce(col("n_new_top10"), lit(0L)).as("n_new_top10"))
         .sortWithinPartitions("qid")
     }),
+    // the same PRF eval under FREQUENCY-graded qrels (grade = total
+    // query-term occurrences capped at 9): the distinct-overlap grade
+    // saturates nDCG@10 on this corpus, this one doesn't — and it
+    // measures a real NEGATIVE delta (classic PRF topic drift),
+    // which is the honest finding ARCHITECTURE records
+    "ret_expand_eval_freq" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val docs = Tables.documents(s, d)
+      val R = graft.text.Retrieval
+      val qrels = R.qrelsGradedByTf(docs, qs)
+      val before = R.ndcg(R.bm25(docs, qs), qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_before_ppm"))
+      val after = R.ndcg(R.bm25(docs, R.expandedQueries(docs, qs)), qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_after_ppm"))
+      before.join(after, Seq("qid"))
+        .select(col("qid"), col("ndcg_before_ppm"),
+          col("ndcg_after_ppm"),
+          (col("ndcg_after_ppm") - col("ndcg_before_ppm"))
+            .as("delta_ppm"))
+        .sortWithinPartitions("qid")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -5241,6 +5264,98 @@ object SparkEntry {
          |FROM bd GROUP BY 1, 2, 3 HAVING count(*) > 2
          |ORDER BY media_type, band, bits""".stripMargin
     },
+
+    // the PRF eval under frequency-graded qrels (grade = total
+    // query-term occurrences, capped at the gain cap 9, >= 2 distinct
+    // terms) — the non-saturating judgment; same two-bm25 chain
+    "ret_expand_eval_freq" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |pool AS (SELECT qid, doc_id FROM bm25r WHERE rnk <= 10),
+         |ptok AS (SELECT p.qid, t.doc_id, unnest(t.t) AS term
+         |         FROM toks t JOIN pool p USING (doc_id)),
+         |plen AS (SELECT qid, count(*) AS pool_len FROM ptok GROUP BY 1),
+         |cand AS (SELECT qid, term, count(*) AS pool_tf,
+         |           count(DISTINCT doc_id) AS pool_df
+         |         FROM ptok GROUP BY 1, 2
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |fil AS (SELECT c.* FROM cand c
+         |        WHERE NOT EXISTS (SELECT 1 FROM qt
+         |          WHERE qt.qid = c.qid AND qt.term = c.term)),
+         |wt AS (SELECT f.qid, f.term,
+         |         f.pool_tf * 1000000 // p.pool_len AS weight_ppm
+         |       FROM fil f JOIN plen p USING (qid)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY weight_ppm DESC, term) AS rnk FROM wt),
+         |qt2 AS MATERIALIZED (SELECT qid, term FROM qt
+         |       UNION ALL SELECT qid, term FROM rk WHERE rnk <= 5),
+         |tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM dtok
+         |        WHERE term IN (SELECT term FROM qt2) GROUP BY 1, 2, 3),
+         |dfr2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+         |sc2 AS (SELECT qt2.qid, tf2.doc_id,
+         |         round(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+         |                (CAST(df AS DOUBLE) + 0.5)) *
+         |               ((CAST(tf AS DOUBLE) * 2.25) /
+         |                (CAST(tf AS DOUBLE) + 1.25 *
+         |                 (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+         |                   (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+         |           4) AS w
+         |       FROM tf2 JOIN qt2 USING (term) JOIN dfr2 USING (term), st),
+         |ag2 AS (SELECT qid, doc_id,
+         |         round(CAST(sum(CAST(w AS DECIMAL(18,4))) AS DOUBLE), 4)
+         |           AS score
+         |       FROM sc2 GROUP BY 1, 2),
+         |bm25r2 AS (SELECT qid, doc_id, row_number() OVER (
+         |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |       FROM ag2),
+         |dtall AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |qrel AS MATERIALIZED (
+         |  SELECT qt.qid, dtall.doc_id,
+         |    least(CAST(count(*) AS BIGINT), CAST(9 AS BIGINT)) AS grade
+         |  FROM dtall JOIN qt USING (term)
+         |  GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+         |disc(rnk, d) AS (VALUES (1, 1000000), (2, 630929),
+         |  (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+         |  (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+         |idcg AS (SELECT ir.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(ir.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS idcg_ppm
+         |         FROM (SELECT qid, grade, row_number() OVER (
+         |                 PARTITION BY qid ORDER BY grade DESC, doc_id)
+         |                 AS rnk FROM qrel) ir
+         |         JOIN disc d USING (rnk)
+         |         WHERE ir.rnk <= 10 GROUP BY 1),
+         |dcg1 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |dcg2 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r2
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |qids AS (SELECT DISTINCT qid FROM bm25r WHERE rnk <= 10)
+         |SELECT qid, ndcg_before_ppm, ndcg_after_ppm,
+         |  CAST(ndcg_after_ppm - ndcg_before_ppm AS BIGINT) AS delta_ppm
+         |FROM (
+         |  SELECT CAST(q.qid AS BIGINT) AS qid,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d1.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_before_ppm,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d2.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_after_ppm
+         |  FROM qids q LEFT JOIN dcg1 d1 USING (qid)
+         |    LEFT JOIN dcg2 d2 USING (qid)
+         |    LEFT JOIN idcg i USING (qid)) t
+         |ORDER BY qid""".stripMargin,
 
     // Bloom pruning is result-transparent: the oracle is the plain
     // semi-join the pruned plan must reproduce exactly

@@ -262,6 +262,33 @@ object Retrieval {
         col("pool_tf"), col("pool_df"), col("weight_ppm"))
   }
 
+  /** Frequency-graded variant of [[qrelsGraded]]: the grade is the
+    * TOTAL query-term occurrence count in the doc (capped at
+    * `gradeCap`, the [[ndcg]] gain cap), still gated on ≥ `minTerms`
+    * DISTINCT terms. The distinct-overlap grade of [[qrelsGraded]]
+    * saturates nDCG on corpora where max-overlap docs outnumber the
+    * ranking depth (every top-10 drawn from them is ideal — the
+    * measured `ret_expand_eval` result); occurrence counts spread
+    * the judged pool across 9 grade levels, so ranking CHANGES move
+    * the metric. Same single corpus pass. */
+  def qrelsGradedByTf(docs: DataFrame, queries: DataFrame,
+                      minTerms: Int = 2, gradeCap: Int = 9): DataFrame = {
+    require(minTerms >= 1 && gradeCap >= 1, "need minTerms, gradeCap >= 1")
+    val qterms = queries.select(col("qid"),
+      explode(tokens(col("query"))).as("term")).distinct()
+    val qvocab = qterms.select(col("term")).distinct()
+    spread(docs).select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qvocab), "term")
+      .join(broadcast(qterms), "term")
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nd"),
+        count(lit(1)).as("tf"))
+      .filter(col("nd") >= minTerms)
+      .select(col("qid"), col("doc_id"),
+        least(col("tf"), lit(gradeCap.toLong)).as("grade"))
+  }
+
   /** The PRF loop CLOSED: rewrite each query as (original terms ∪
     * its [[expandTerms]] top terms), returning the same (qid, query)
     * shape [[bm25]] consumes — so "expansion worked" is measurable

@@ -252,6 +252,24 @@ class RetrievalSpec extends SparkSpec {
     assert(loose.toSeq == Seq("lime", "mango", "papaya"))
   }
 
+  test("qrelsGradedByTf: grade is TOTAL occurrences capped at 9, " +
+       "gated on distinct-term overlap") {
+    // under 'apple banana': doc 0 = apple×2 + banana×1 ⇒ grade 3,
+    // doc 1 = 1+1 ⇒ 2; docs 2 (banana only) and 3 (apple only) fail
+    // the 2-distinct-term gate despite matching a term
+    val qs = Seq((1L, "apple banana")).toDF("qid", "query")
+    val got = Retrieval.qrelsGradedByTf(docs, qs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 3L), (1L, 2L)))
+    // the gain cap: 12 total occurrences grade as 9, not 12
+    val heavy = docs.unionByName(Seq(
+        (9L, ("apple " * 11) + "banana")).toDF("doc_id", "text"))
+    val g9 = Retrieval.qrelsGradedByTf(heavy, qs)
+      .filter(col("doc_id") === 9L).head().getLong(2)
+    assert(g9 == 9L, s"cap at the ndcg gain bound: $g9")
+  }
+
   test("expandedQueries: appends expansion terms in rank order, " +
        "passes a no-expansion query through UNCHANGED") {
     // 'apple' expands to banana, fig (rank order); 'kiwi' expands to
