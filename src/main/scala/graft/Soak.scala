@@ -160,7 +160,14 @@ object Soak {
     // superlinear ratio means bucket expansion (re-audit the 64-bit
     // banding). ret_ndcg / ret_expand are expected scan-bound (one
     // qrel/corpus pass + pool-sized tails).
-    "mm_near_blocks", "ret_ndcg", "ret_expand")
+    "mm_near_blocks", "ret_ndcg", "ret_expand",
+    // round-12 late additions: the two new rows with NOVEL cost
+    // models worth tracking round-over-round — the PRF eval (two
+    // bm25 chains + qrels; the most expensive new row, soaked 1.4×)
+    // and the refill repair (fold + a facts scan FILTERED to the
+    // refill groups — a regression here means the filter stopped
+    // pruning; soaked 1.3×)
+    "ret_expand_eval", "cdc_topk_repair")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
