@@ -54,10 +54,12 @@ def main():
     # report every artifact of the newest round (the gated run plus
     # any _30x / _new companions), not just the lexicographic last
     if soaks:
-        top_round = max(int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
-                        for p in soaks)
-        soaks = [p for p in soaks if f"r{top_round:02d}" in os.path.basename(p)
-                 or f"r{top_round}" in os.path.basename(p)]
+        def soak_round(p):
+            return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        top_round = max(soak_round(p) for p in soaks)
+        # match by the PARSED round, not substring containment — a
+        # name like SOAK_r2_vs_r12.json must not collide (r12 advice)
+        soaks = [p for p in soaks if soak_round(p) == top_round]
     for latest in soaks:
         d = json.load(open(latest))
         qs = d.get("queries", {})

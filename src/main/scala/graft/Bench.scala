@@ -16,11 +16,15 @@ package graft
   * cost in the timed pass, which is exactly the skew warm-up exists
   * to remove.
   *
-  * The timed measurement is min-of-2 passes per query: steady-state
-  * execution is what a long-running cluster experiences, and the min
-  * discards one-off interference (GC pause, page-cache miss, a
-  * co-tenant stealing cores) that a single pass bakes in. The pass
-  * count is reported in the JSON ("passes") for transparency.
+  * The timed measurement is min-of-3 passes per query (round 13 —
+  * "≥3 is the house minimum for any adopted conclusion" applied to
+  * the one artifact still at 2; BENCH_r12's session-long loadavg
+  * ~6.7 inflated BOTH of a 2-pass run's sweeps for several rows):
+  * steady-state execution is what a long-running cluster
+  * experiences, and the min discards one-off interference (GC
+  * pause, page-cache miss, a co-tenant stealing cores) that a
+  * single pass bakes in. The pass count is reported in the JSON
+  * ("passes") for transparency.
   *
   * De-correlated passes (round 12): the passes are FULL-SUITE SWEEPS
   * — pass 1 runs the whole alphabet, then pass 2 re-runs it — so a
@@ -49,7 +53,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(2)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val spark = GraftSession.get()
     // comma-separated allowlist for isolated reruns (mirrors
     // SPARK_GRAFT_VERIFY_ONLY); absent = the full suite. Warm-up is

@@ -291,21 +291,36 @@ object Soak {
     * nothing in the artifact let a reader tell noise from drift
     * (VERDICT r11 item 2). The JSON now records every rep, same as
     * `bench_full.json`'s pass_times. */
-  private def timeIn(spark: SparkSession, name: String, dir: String,
-                     passes: Int): Seq[Double] =
-    (1 to passes).map { _ =>
-      // localCheckpoint blocks from the PREVIOUS pass are freed by the
-      // ContextCleaner only after a driver GC notices the dead RDD
-      // references; on a big heap that can take minutes, and stale
-      // corpus-sized checkpoints squat in the storage pool while the
-      // next pass's sorts fight for execution memory. Nudge the
-      // cleaner so every pass starts with a drained block store.
-      System.gc()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+  private def timeOne(spark: SparkSession, name: String,
+                      dir: String): Double = {
+    // localCheckpoint blocks from the PREVIOUS pass are freed by the
+    // ContextCleaner only after a driver GC notices the dead RDD
+    // references; on a big heap that can take minutes, and stale
+    // corpus-sized checkpoints squat in the storage pool while the
+    // next pass's sorts fight for execution memory. Nudge the
+    // cleaner so every pass starts with a drained block store.
+    System.gc()
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** INTERLEAVED base/soaked reps — B,S,B,S…, the AbQueries pattern.
+    * The soak self-loads the machine (SOAK_r12's loadavg ramped
+    * 1.99 → 16.57 within the run), and the old all-base-then-all-
+    * soaked order meant the soaked side systematically sampled the
+    * LATER, heavier part of each query's load trajectory — an
+    * unquantified (if conservative) ratio bias the r12 verdict
+    * flagged (What's wrong #2). Alternating reps makes both sides
+    * draws from the same trajectory. */
+  private def timeAb(spark: SparkSession, name: String, base: String,
+                     soaked: String, passes: Int): (Seq[Double], Seq[Double]) = {
+    val pairs = (1 to passes).map { _ =>
+      (timeOne(spark, name, base), timeOne(spark, name, soaked))
     }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
 
   private def load1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -360,13 +375,12 @@ object Soak {
     // conclusion (min-of-2 failed twice on this machine, see
     // ARCHITECTURE §7 round-9 notes)
     val passes = sys.env.get("SPARK_GRAFT_SOAK_PASSES")
-      .map(_.toInt).getOrElse(2)
+      .map(_.toInt).getOrElse(3)
     val loadStart = load1()
     println(s"| query | ${base.split('/').last} s | sf1 s | ratio (ideal ≤ ~$copies) |")
     println("|---|---|---|---|")
     val results = soakQueries.map { n =>
-      val rB = timeIn(spark, n, base, passes)
-      val rS = timeIn(spark, n, out, passes)
+      val (rB, rS) = timeAb(spark, n, base, out, passes)
       val (tB, tS) = (rB.min, rS.min)
       println(f"| $n | $tB%.2f | $tS%.2f | ${tS / tB}%.1f× |")
       (n, rB, rS)

@@ -184,9 +184,15 @@ object Cdc {
   /** Fold a batch of INSERTS and DELETES into a [[topkShadowState]]
     * without touching the fact table — the delete-capable variant
     * [[topkDelta]]'s Scaladoc promises. Deletes are an id set
-    * (`deletes.select(idCol)`); ids absent from the state are
-    * no-ops (a deleted fact row below the shadow horizon cannot
-    * affect the held rows).
+    * (`deletes.select(idCol)`) over PRE-EXISTING facts; ids absent
+    * from the state are no-ops (a deleted fact row below the shadow
+    * horizon cannot affect the held rows). An id that appears in
+    * BOTH sides of one batch folds as inserted — deletes never
+    * target same-batch inserts, so insert+delete of the same id is
+    * an upsert, exactly how the post-batch fact table
+    * `(facts ∖ deletes) ∪ inserts` reads it (the [[topkRepair]]
+    * fixture, the `cdc_topk_delete` oracle, and the spec's
+    * recompute all apply deletes to prior facts only).
     *
     * Exactness envelope, per group: if the group is NOT truncated the
     * state is the whole group and any delete/insert mix folds
@@ -227,9 +233,8 @@ object Cdc {
     val survivors = marked.filter(col("__del").isNull)
       .select(col(groupCol), col(idCol), col(valueCol),
         col("truncated").as("side_trunc"))
-    val insTop = topkShadowState(
-        inserts.join(delIds, Seq(idCol), "left_anti"),
-        groupCol, valueCol, idCol, k, kPrime)
+    val insTop = topkShadowState(inserts, groupCol, valueCol, idCol,
+        k, kPrime)
       .select(col(groupCol), col(idCol), col(valueCol),
         col("truncated").as("side_trunc"))
     val w = org.apache.spark.sql.expressions.Window

@@ -479,9 +479,14 @@ object Expectations {
     * engine-portable, never a float.
     *
     * Exactness envelope: the numerator is (n_obs·N − n_f·n_l)²·10⁶ ≤
-    * N⁴·10⁶, computed in decimal(38,0) (Spark) / int128 (DuckDB) —
-    * exact while N < 10⁸ rows. Past that, audit per segment (the
-    * usual deployment) or rescale the ppm.
+    * N⁴·10⁶, computed in decimal(38,0) (Spark) / int128 (DuckDB).
+    * decimal(38,0) caps at ~9.99·10³⁷, so the bound is N ≤ 3·10⁷
+    * (N⁴·10⁶ = 8.1·10³⁵, comfortable margin) — NOT the 10⁸ a naive
+    * digit count suggests, where the worst case already overflows
+    * and ANSI-off Spark would return a silent NULL. The epilogue
+    * GUARDS the envelope: n_tot ≥ 3·10⁷ raises, never NULLs — past
+    * that, audit per segment (the usual deployment) or rescale the
+    * ppm.
     *
     * Scale shape: one fact-table exchange builds the cells; the
     * marginals and total are VOCABULARY-sized re-aggregates of the
@@ -503,7 +508,20 @@ object Expectations {
   def labelAssociationFromCells(cells: DataFrame): DataFrame = {
     val nf = cells.groupBy(col("feature")).agg(sum("n_obs").as("n_f"))
     val nl = cells.groupBy(col("label")).agg(sum("n_obs").as("n_l"))
+    // envelope guard on the 1-row total: contrib_ppm's worst-case
+    // numerator N⁴·10⁶ must fit decimal(38,0), i.e. N ≤ 3·10⁷ —
+    // past that ANSI-off decimal arithmetic NULLs silently, which
+    // an audit must never do. The when/otherwise keeps n_tot's type
+    // (raise_error is NullType, coerced), costs one comparison on
+    // one row, and turns an out-of-envelope run into a loud failure
+    // with the remediation in the message.
     val tot = cells.agg(sum("n_obs").as("n_tot"))
+      .select(when(col("n_tot") <= lit(30000000L), col("n_tot"))
+        .otherwise(raise_error(concat(
+          lit("labelAssociation: n_tot = "), col("n_tot"),
+          lit(" exceeds the integer-exact envelope (N <= 3e7); " +
+            "audit per segment or rescale the ppm"))))
+        .as("n_tot"))
     // full marginal cross product (vocabulary² — broadcast-sized):
     // zero-observed cells surface with n_obs = 0
     nf.crossJoin(broadcast(nl))

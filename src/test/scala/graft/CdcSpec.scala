@@ -460,6 +460,29 @@ class CdcSpec extends SparkSpec {
       ("c", 1, 51L, 7L), ("c", 2, 52L, 6L)))
   }
 
+  test("topkFold: an id inserted AND deleted in one batch folds as " +
+       "inserted (deletes target pre-existing facts only — the " +
+       "upsert reading of (facts \\ deletes) ∪ inserts)") {
+    val base = tenRows("a").toDF("g", "id", "v")
+    val st = Cdc.topkShadowState(base, "g", "v", "id", k = 2, kPrime = 4)
+    // delete id 1 (a pre-existing shadow row, old v=100) and
+    // RE-insert it with a NEW value in the same batch — the classic
+    // CDC upsert; v=99 ties id 2 and wins the tie on smaller id
+    val ins = Seq(("a", 1L, 99L)).toDF("g", "id", "v")
+    val dels = Seq(1L).toDF("id")
+    val folded = Cdc.topkFold(st, ins, dels, "g", "v", "id",
+      k = 2, kPrime = 4)
+    val newFacts = base.join(dels, Seq("id"), "left_anti")
+      .unionByName(ins.select("g", "id", "v"))
+    assert(serve(folded, 2) ==
+      rows(Cdc.topkState(newFacts, "g", "v", "id", k = 2)),
+      "fold matches the recompute over (facts \\ deletes) ∪ inserts")
+    assert(serve(folded, 2) ==
+      Seq(("a", 1, 1L, 99L), ("a", 2, 2L, 99L)),
+      "the re-inserted id serves with its NEW value (old 100 gone, " +
+        "an anti-joined insert would have dropped id 1 entirely)")
+  }
+
   test("streaming leaderboard IVM: topkFold folds insert/delete " +
        "micro-batches into live shadow state; refill groups surface, " +
        "exact groups track the recompute") {

@@ -416,4 +416,23 @@ class ExpectationsSpec extends SparkSpec {
         assocRows(Expectations.labelAssociation(all, "f", "l")),
       "fold-then-epilogue must equal the from-scratch audit")
   }
+
+  test("labelAssociation guards its exactness envelope: n_tot past " +
+       "3e7 RAISES (never a silent decimal-overflow NULL)") {
+    // synthetic cells, so the envelope trips without 3e7 fact rows
+    val cells = Seq(("a", "x", 25000000L), ("b", "y", 20000000L))
+      .toDF("feature", "label", "n_obs")
+    val e = intercept[Exception] {
+      Expectations.labelAssociationFromCells(cells).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("integer-exact envelope")),
+      s"expected the envelope message, got: ${msgs(e)}")
+    // and just inside the envelope it still answers
+    val ok = Seq(("a", "x", 15000000L), ("b", "y", 15000000L))
+      .toDF("feature", "label", "n_obs")
+    assert(Expectations.labelAssociationFromCells(ok).count() == 4L)
+  }
 }
