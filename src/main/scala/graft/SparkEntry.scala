@@ -601,6 +601,28 @@ object SparkEntry {
             .as("delta_ppm"))
         .sortWithinPartitions("qid")
     }),
+    // the r12 NEGATIVE finding ACTED ON (VERDICT r12 item 2): the
+    // un-anchored rewrite measured −141 478 ppm nDCG on q1 (topic
+    // drift), so the classic RM3 fix — original-query terms at
+    // λ = 0.6, expansion terms at (1−λ)·P(t|R) — re-runs the same
+    // tf-graded eval; the delta is the deliverable either way
+    "ret_expand_rm3_eval" -> q((s, d) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark window agg"),
+        (2L, "customer join filter")).toDF("qid", "query")
+      val docs = Tables.documents(s, d)
+      val R = graft.text.Retrieval
+      val qrels = R.qrelsGradedByTf(docs, qs)
+      val before = R.ndcg(R.bm25(docs, qs), qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_before_ppm"))
+      val after = R.ndcg(
+          R.bm25Weighted(docs, R.rm3Weights(docs, qs)), qrels)
+        .select(col("qid"), col("ndcg_ppm").as("ndcg_rm3_ppm"))
+      before.join(after, Seq("qid"))
+        .select(col("qid"), col("ndcg_before_ppm"), col("ndcg_rm3_ppm"),
+          (col("ndcg_rm3_ppm") - col("ndcg_before_ppm")).as("delta_ppm"))
+        .sortWithinPartitions("qid")
+    }),
     "dedup_delta" -> q((s, d) => {
       val docs = Tables.documents(s, d)
       graft.dedup.Dedup.dedupDelta(
@@ -5352,6 +5374,110 @@ object SparkEntry {
          |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
          |         ELSE coalesce(d2.dcg_ppm, 0) * 1000000 // i.idcg_ppm
          |         END AS BIGINT) AS ndcg_after_ppm
+         |  FROM qids q LEFT JOIN dcg1 d1 USING (qid)
+         |    LEFT JOIN dcg2 d2 USING (qid)
+         |    LEFT JOIN idcg i USING (qid)) t
+         |ORDER BY qid""".stripMargin,
+
+    // RM3 anchoring: same eval harness as ret_expand_eval_freq, but
+    // the after-side ranking is WEIGHTED bm25 — original terms at
+    // λ·P(t|q) ppm, expansion terms at (1−λ)·P(t|R) ppm, the score
+    // an exact decimal(18,4)×decimal(7,0) product summed then
+    // floated once (the Scala kernel's recipe, independently redone)
+    "ret_expand_rm3_eval" ->
+      s"""WITH $TOKS, $Bm25Sql,
+         |pool AS (SELECT qid, doc_id FROM bm25r WHERE rnk <= 10),
+         |ptok AS (SELECT p.qid, t.doc_id, unnest(t.t) AS term
+         |         FROM toks t JOIN pool p USING (doc_id)),
+         |plen AS (SELECT qid, count(*) AS pool_len FROM ptok GROUP BY 1),
+         |cand AS (SELECT qid, term, count(*) AS pool_tf,
+         |           count(DISTINCT doc_id) AS pool_df
+         |         FROM ptok GROUP BY 1, 2
+         |         HAVING count(DISTINCT doc_id) >= 2),
+         |fil AS (SELECT c.* FROM cand c
+         |        WHERE NOT EXISTS (SELECT 1 FROM qt
+         |          WHERE qt.qid = c.qid AND qt.term = c.term)),
+         |wt AS (SELECT f.qid, f.term,
+         |         f.pool_tf * 1000000 // p.pool_len AS weight_ppm
+         |       FROM fil f JOIN plen p USING (qid)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY weight_ppm DESC, term) AS rnk FROM wt),
+         |qlen AS (SELECT qid, count(*) AS q_len FROM qt GROUP BY 1),
+         |worig AS (SELECT qt.qid, qt.term,
+         |           600000 * (count(*) * 1000000 // l.q_len) // 1000000
+         |             AS weight_ppm
+         |         FROM qt JOIN qlen l USING (qid)
+         |         GROUP BY qt.qid, qt.term, l.q_len),
+         |qt2w AS MATERIALIZED (
+         |  SELECT qid, term, weight_ppm FROM worig
+         |  UNION ALL
+         |  SELECT qid, term, (400000 * weight_ppm) // 1000000
+         |  FROM rk WHERE rnk <= 5),
+         |tf2 AS (SELECT doc_id, dl, term, count(*) AS tf FROM dtok
+         |        WHERE term IN (SELECT term FROM qt2w) GROUP BY 1, 2, 3),
+         |dfr2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+         |sc2 AS (SELECT qt2w.qid, tf2.doc_id, qt2w.weight_ppm,
+         |         round(((CAST(n_docs - df AS DOUBLE) + 0.5) /
+         |                (CAST(df AS DOUBLE) + 0.5)) *
+         |               ((CAST(tf AS DOUBLE) * 2.25) /
+         |                (CAST(tf AS DOUBLE) + 1.25 *
+         |                 (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+         |                   (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))),
+         |           4) AS w
+         |       FROM tf2 JOIN qt2w USING (term) JOIN dfr2 USING (term), st),
+         |ag2 AS (SELECT qid, doc_id,
+         |         round(CAST(sum(CAST(w AS DECIMAL(18,4)) *
+         |             CAST(weight_ppm AS DECIMAL(7,0))) AS DOUBLE)
+         |           / 1000000.0, 4) AS score
+         |       FROM sc2 GROUP BY 1, 2),
+         |bm25r2 AS (SELECT qid, doc_id, row_number() OVER (
+         |         PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |       FROM ag2),
+         |dtall AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |qrel AS MATERIALIZED (
+         |  SELECT qt.qid, dtall.doc_id,
+         |    least(CAST(count(*) AS BIGINT), CAST(9 AS BIGINT)) AS grade
+         |  FROM dtall JOIN qt USING (term)
+         |  GROUP BY 1, 2 HAVING count(DISTINCT term) >= 2),
+         |disc(rnk, d) AS (VALUES (1, 1000000), (2, 630929),
+         |  (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+         |  (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+         |idcg AS (SELECT ir.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(ir.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS idcg_ppm
+         |         FROM (SELECT qid, grade, row_number() OVER (
+         |                 PARTITION BY qid ORDER BY grade DESC, doc_id)
+         |                 AS rnk FROM qrel) ir
+         |         JOIN disc d USING (rnk)
+         |         WHERE ir.rnk <= 10 GROUP BY 1),
+         |dcg1 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |dcg2 AS (SELECT r.qid,
+         |           CAST(sum(((CAST(1 AS BIGINT) <<
+         |             CAST(least(q.grade, 9) AS INTEGER)) - 1) * d.d)
+         |             AS BIGINT) AS dcg_ppm
+         |         FROM (SELECT qid, rnk, doc_id FROM bm25r2
+         |               WHERE rnk <= 10) r
+         |         JOIN qrel q USING (qid, doc_id)
+         |         JOIN disc d USING (rnk) GROUP BY 1),
+         |qids AS (SELECT DISTINCT qid FROM bm25r WHERE rnk <= 10)
+         |SELECT qid, ndcg_before_ppm, ndcg_rm3_ppm,
+         |  CAST(ndcg_rm3_ppm - ndcg_before_ppm AS BIGINT) AS delta_ppm
+         |FROM (
+         |  SELECT CAST(q.qid AS BIGINT) AS qid,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d1.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_before_ppm,
+         |    CAST(CASE WHEN coalesce(i.idcg_ppm, 0) = 0 THEN 0
+         |         ELSE coalesce(d2.dcg_ppm, 0) * 1000000 // i.idcg_ppm
+         |         END AS BIGINT) AS ndcg_rm3_ppm
          |  FROM qids q LEFT JOIN dcg1 d1 USING (qid)
          |    LEFT JOIN dcg2 d2 USING (qid)
          |    LEFT JOIN idcg i USING (qid)) t

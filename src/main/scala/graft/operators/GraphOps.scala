@@ -288,6 +288,151 @@ object GraphOps {
     materialize(pr)
   }
 
+  /** The iterate TRAJECTORY of [[pageRank]] as maintainable state:
+    * (node, iter, pr) for iter = 0..`iterations` of the exact
+    * integer recurrence, iterate `iterations` being the served rank.
+    * The trajectory — not just the final vector — is what makes an
+    * edge delta foldable ([[pageRankDelta]]): a fixed-iteration rank
+    * is NOT a fixpoint, so re-deriving iterate i of the modified
+    * graph needs iterate i−1 of the OLD graph on every node the
+    * delta hasn't reached yet. State is (iterations+1)·|V| rows —
+    * the bounded-state bargain [[graft.operators.Cdc.topkShadowState]]
+    * strikes with k′ shadow rows, struck here with the iterate axis.
+    *
+    * Each iterate materializes (it is output, so the per-round job
+    * [[pageRank]] avoids is the honest cost of state building);
+    * the rank recurrence, tie-free integer arithmetic, and plan
+    * shape per round are IDENTICAL to [[pageRank]] — iterate
+    * `iterations` of this relation equals pageRank's output row for
+    * row, which the spec pins. */
+  def pageRankTrajectory(pairs: DataFrame, iterations: Int = 10,
+                         dampNum: Long = 85, dampDen: Long = 100,
+                         scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRankTrajectory: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "pageRankTrajectory: need 0 < damp < 1")
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val edgesDeg = edgesWithDegree(pairsM)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    var pr = materialize(nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$scale div n_nodes").as("pr")))
+    var iterates = Vector(pr.withColumn("iter", lit(0)))
+    for (i <- 1 to iterations) {
+      pr = materialize(
+        edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+          .groupBy(col("e.dst"))
+          .agg(sum(expr("pr div deg")).as("in_sum"))
+          .crossJoin(nDf)
+          .select(col("dst").as("node"),
+            (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
+              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
+      iterates :+= pr.withColumn("iter", lit(i))
+    }
+    iterates.reduce(_ unionByName _).select("node", "iter", "pr")
+  }
+
+  /** Incremental [[pageRank]]: fold a node-preserving edge delta
+    * into a [[pageRankTrajectory]] WITHOUT re-running the per-round
+    * |E|-sized joins — the IVM family's ranking member, next to the
+    * additive `aggDelta`, the fixpoint [[componentsDelta]], and the
+    * bounded-state `topkFold`. Returns (node, pr) EQUAL row for row
+    * to `pageRank(prevPairs ∪ newPairs)` (the spec and the
+    * `graph_pagerank_delta` oracle both check against the
+    * from-scratch recompute on the union graph).
+    *
+    * Why it's exact — the ball argument: with additions only, the
+    * set of nodes whose iterate i can differ from the old trajectory
+    * is Aᵢ = the i-hop ball around T = endpoints(newPairs). A₀ = T
+    * (only degrees changed there), and Aᵢ = Aᵢ₋₁ ∪ N(Aᵢ₋₁): a node v
+    * outside Aᵢ has no neighbor in Aᵢ₋₁ ⊇ T, so every in-neighbor u
+    * keeps deg_old(u) = deg_new(u) AND its old iterate i−1 — v's
+    * iterate i is bit-identical by induction. The fold therefore
+    * recomputes iterates only INSIDE the growing ball (reading
+    * old-trajectory values at the ball's rim) and merges iterate
+    * `iterations` back over the untouched rows.
+    *
+    * Contract: the delta must not add nodes — a new node changes
+    * n_nodes, which moves EVERY node's teleport term and the ball is
+    * the whole graph; the fold REFUSES loudly (rerun from scratch or
+    * segment). Delta edges already present in the prior graph are
+    * absorbed exactly (the union re-derives degrees), they only
+    * waste ball. Deletions are out of scope, as in
+    * [[componentsDelta]].
+    *
+    * Scale shape (100 TB): setup is the same one-exchange
+    * symmetrize + degree build as from-scratch (the fact pass is
+    * unavoidable — degrees of touched nodes changed), plus a
+    * BFS ball computation seeded at T (frontier-sized rounds,
+    * [[bfsRoundsAgg]]). What the fold SKIPS is the per-iteration
+    * |E|-row join + |E|→|V| aggregate exchange — the term that
+    * dominates from-scratch pageRank's scale ratio — replaced by
+    * joins against ball-restricted edges: for a daily delta touching
+    * a few components, ball-sized ≪ |E|. */
+  def pageRankDelta(prevTraj: DataFrame, prevPairs: DataFrame,
+                    newPairs: DataFrame, iterations: Int = 10,
+                    dampNum: Long = 85, dampDen: Long = 100,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRankDelta: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "pageRankDelta: need 0 < damp < 1")
+    val traj = materialize(prevTraj.select("node", "iter", "pr"))
+    val pairsM = materialize(
+      prevPairs.select(col("id1"), col("id2"))
+        .unionByName(newPairs.select(col("id1"), col("id2"))))
+    val edgesDeg = edgesWithDegree(pairsM)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    // node-preserving check, one small action: every union-graph
+    // node must already carry a trajectory row
+    val added = nodes.join(traj.filter(col("iter") === 0),
+      Seq("node"), "left_anti").count()
+    if (added > 0L)
+      throw new IllegalArgumentException(
+        s"pageRankDelta: delta adds $added new node(s) — n_nodes " +
+          "changes, which moves every node's teleport term; rerun " +
+          "pageRankTrajectory from scratch or segment the graph")
+    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    // the growing ball: min-hop distance from the delta endpoints,
+    // capped at `iterations` — reuses the BFS agg-fold rounds
+    val seeds = newPairs.select(col("id1").as("node"))
+      .unionByName(newPairs.select(col("id2").as("node"))).distinct()
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    val hop0 = materialize(
+      nodes.join(seeds, Seq("node"), "left_semi")
+        .select(col("node").as("doc_id"), lit(0).as("hops")))
+    val ball = bfsRoundsAgg(edges, hop0, iterations)
+    var newVals = traj.filter(col("iter") === 0)
+      .join(ball.filter(col("hops") <= 0).select(col("doc_id").as("node")),
+        Seq("node"), "left_semi")
+      .select(col("node"), col("pr"))
+    for (i <- 1 to iterations) {
+      val ballI = ball.filter(col("hops") <= i)
+        .select(col("doc_id").as("node"))
+      // iterate i−1 over the FULL node set = old trajectory
+      // overridden inside ball i−1 (newVals covers exactly that ball)
+      val prPrev = traj.filter(col("iter") === i - 1).as("o")
+        .join(newVals.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n.pr"), col("o.pr")).as("pr"))
+      newVals =
+        edgesDeg.as("e")
+          .join(ballI, col("e.dst") === ballI("node"), "left_semi")
+          .join(prPrev.as("p"), col("e.src") === col("p.node"))
+          .groupBy(col("e.dst"))
+          .agg(sum(expr("pr div deg")).as("in_sum"))
+          .crossJoin(nDf)
+          .select(col("dst").as("node"),
+            (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
+              expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
+    }
+    // merge: untouched rows keep iterate `iterations` verbatim
+    materialize(
+      traj.filter(col("iter") === iterations).as("o")
+        .join(newVals.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+  }
+
   /** Incremental [[connectedComponents]]: fold a NEW edge delta into
     * an existing labeling without re-clustering the old graph.
     * `prevLabels` is a (doc_id, cluster_id) relation from a prior

@@ -84,6 +84,111 @@ object Retrieval {
       .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
   }
 
+  /** [[bm25]] with PER-TERM WEIGHTS: `termWeights` is (qid, term,
+    * weight_ppm) and a document's score is
+    * `round(Σ_t weight_ppm(t)·w_term(t,d) / 10⁶, 4)` — the weighted
+    * query-likelihood shape RM3 interpolation needs, where plain
+    * bm25 is the all-weights-equal special case (up to the 10⁶
+    * scaling). The per-term kernel `w_term` (idf × saturation,
+    * rounded to 4 dp) is IDENTICAL to [[bm25]]'s; the weighting
+    * enters only the final aggregate, as an exact decimal×long
+    * product summed in decimal and floated once for the final
+    * 4-dp round — the same portable-determinism recipe as the
+    * unweighted score, replicated by the DuckDB oracle.
+    *
+    * Plan shape is [[bm25]]'s, unchanged: the weight rides the
+    * already-broadcast (qid, term) relation into the final
+    * vocabulary-sized join — one corpus pass, no new exchange. */
+  def bm25Weighted(docs: DataFrame, termWeights: DataFrame,
+                   k1: Double = 1.25, b: Double = 0.75,
+                   topK: Int = 10): DataFrame = {
+    require(topK > 0, "need topK > 0")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val qterms = termWeights.select(col("qid"), col("term"),
+      col("weight_ppm"))
+    val qvocab = qterms.select(col("term")).distinct()
+    val toks = spread(docs).select(col("doc_id"),
+        size(tokens(col("text"))).as("dl"),
+        explode(tokens(col("text"))).as("term"))
+      .join(broadcast(qvocab), "term")
+    val tf = toks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val norm = lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)
+    val wTerm = round(
+      idf * ((tfd * lit(k1 + 1.0)) / (tfd + lit(k1) * norm)), 4)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("w_term", wTerm.cast("decimal(18,4)"))
+      .groupBy(col("qid"), col("doc_id"))
+      // weight as decimal(7,0) (≤ 10⁶ by construction): the product
+      // decimal(25,4) stays exact — and WIDTH-PORTABLE — in both
+      // Spark and the DuckDB oracle; one float + one round at the end
+      .agg(round((sum(col("w_term") *
+          col("weight_ppm").cast("decimal(7,0)")).cast("double") /
+        lit(1000000.0)), 4).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** RM3-style anchored expansion weights (Abdul-Jaleel et al.,
+    * "UMass at TREC 2004"): the fix for the topic drift
+    * `ret_expand_eval_freq` MEASURED in round 12 (un-anchored
+    * expansion cost −141 478 ppm nDCG on q1) — interpolate the
+    * ORIGINAL query model with weight λ over the expansion model at
+    * 1−λ instead of appending expansion terms at equal footing.
+    * Returns (qid, term, weight_ppm) for [[bm25Weighted]]:
+    *
+    *  - original terms: `λ_ppm · (tf_q·10⁶ div |q|) div 10⁶`
+    *    (P(t|q) = query term frequency over query length),
+    *  - expansion terms: `(10⁶−λ_ppm) · weight_ppm div 10⁶` over
+    *    [[expandTerms]]' top terms (whose weight_ppm is already the
+    *    pool relevance-model estimate P(t|R) = pool_tf/pool_len).
+    *
+    * The two sets are disjoint by expandTerms' anti-join, so each
+    * (qid, term) carries exactly one weight; an original term's
+    * (usually tiny) P(t|R) mass is dropped rather than summed —
+    * the standard simplification when the expansion list is
+    * truncated to top-k terms anyway. All integer ppm arithmetic,
+    * floor divisions in a fixed order, oracle-replicable.
+    *
+    * The result is query-set-sized but its lineage embeds
+    * expandTerms' corpus passes, and [[bm25Weighted]] evaluates its
+    * query side through non-identical subtrees (qvocab, qterms) that
+    * exchange reuse cannot dedupe — localCheckpoint for the same
+    * measured reason as [[expandedQueries]]. */
+  def rm3Weights(docs: DataFrame, queries: DataFrame,
+                 lambdaPpm: Long = 600000L, topKDocs: Int = 10,
+                 minPoolDf: Int = 2, topTerms: Int = 5): DataFrame = {
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      "rm3Weights: lambdaPpm must be in [0, 1e6]")
+    val qtoks = queries.select(col("qid"),
+      explode(tokens(col("query"))).as("term"))
+    val qlen = qtoks.groupBy(col("qid")).agg(count(lit(1)).as("q_len"))
+    val orig = qtoks.groupBy(col("qid"), col("term"))
+      .agg(count(lit(1)).as("tf_q"))
+      .join(broadcast(qlen), Seq("qid"))
+      .select(col("qid"), col("term"),
+        expr(s"$lambdaPpm * (tf_q * 1000000 div q_len) div 1000000")
+          .as("weight_ppm"))
+    val exp = expandTerms(docs, queries, topKDocs, minPoolDf, topTerms)
+      .select(col("qid"), col("term"),
+        expr(s"(${1000000L - lambdaPpm} * weight_ppm) div 1000000")
+          .as("weight_ppm"))
+    orig.unionByName(exp).localCheckpoint()
+  }
+
   /** Cosine top-k per query over an id-keyed vector table, with an
     * explicit (qid → vector id) mapping — the semantic side of hybrid
     * retrieval, shaped like Knn.bruteForce but addressable by query

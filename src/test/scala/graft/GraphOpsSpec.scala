@@ -411,6 +411,83 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- incremental PageRank (trajectory state + ball-limited fold) ----
+
+  private def prRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("node", "pr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("pageRankTrajectory: iterate `iterations` equals pageRank's " +
+       "output row for row; iterate 0 is uniform") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L)).toDF("id1", "id2")
+    val traj = GraphOps.pageRankTrajectory(pairs, iterations = 4)
+    val last = prRows(traj.filter(col("iter") === 4))
+    val direct = prRows(GraphOps.pageRank(pairs, iterations = 4))
+    assert(last == direct, "trajectory tip == pageRank")
+    val it0 = traj.filter(col("iter") === 0).select("pr")
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(it0 == Seq(Scale / 6), "iterate 0 is scale div n, uniform")
+    assert(traj.count() == 5L * 6L, "(iterations+1) x |V| state rows")
+  }
+
+  test("pageRankDelta == from-scratch pageRank on the union graph: " +
+       "merge edge, within-component edge, and a duplicate edge") {
+    // two components: a 4-cycle with a chord and a 3-chain
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 12L)).toDF("id1", "id2")
+    val deltas = Seq(
+      Seq((4L, 10L)),             // merges the two components
+      Seq((2L, 4L)),              // rewires inside one component
+      Seq((1L, 2L), (3L, 10L)))   // duplicate of a prior edge + merge
+    for ((d, i) <- deltas.zipWithIndex) {
+      val traj = GraphOps.pageRankTrajectory(prior, iterations = 5)
+      val inc = prRows(GraphOps.pageRankDelta(traj, prior,
+        d.toDF("id1", "id2"), iterations = 5))
+      val scratch = prRows(GraphOps.pageRank(
+        prior.unionByName(d.toDF("id1", "id2")), iterations = 5))
+      assert(inc == scratch, s"delta case $i folds bit-exactly")
+    }
+  }
+
+  test("pageRankDelta == from-scratch on random graphs and splits") {
+    for (seed <- Seq(3, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // node-preserving split: delta edges drawn from pairs whose
+      // endpoints both appear in the kept prior part
+      val (cand, rest) = edges.partition(_ => rnd.nextInt(10) == 0)
+      val nodes = rest.flatMap(e => Seq(e._1, e._2)).toSet
+      val delta = cand.filter(e => nodes(e._1) && nodes(e._2))
+      val prior = rest ++ cand.filterNot(delta.contains)
+      val traj = GraphOps.pageRankTrajectory(
+        prior.toDF("id1", "id2"), iterations = 5)
+      val inc = prRows(GraphOps.pageRankDelta(traj,
+        prior.toDF("id1", "id2"), delta.toDF("id1", "id2"),
+        iterations = 5))
+      val scratch = prRows(GraphOps.pageRank(
+        (prior ++ delta).toDF("id1", "id2"), iterations = 5))
+      assert(inc == scratch, s"seed $seed (|delta| = ${delta.size})")
+    }
+  }
+
+  test("pageRankDelta: an empty delta returns the prior tip; a " +
+       "node-adding delta refuses loudly") {
+    val prior = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val traj = GraphOps.pageRankTrajectory(prior, iterations = 3)
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(prRows(GraphOps.pageRankDelta(traj, prior, empty,
+        iterations = 3)) ==
+      prRows(GraphOps.pageRank(prior, iterations = 3)))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRankDelta(traj, prior,
+        Seq((3L, 99L)).toDF("id1", "id2"), iterations = 3)
+    }
+    assert(e.getMessage.contains("new node"))
+  }
+
   test("streaming label maintenance: componentsDelta folds micro-batch deltas") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, Long)](spark)

@@ -288,4 +288,64 @@ class RetrievalSpec extends SparkSpec {
     assert(re.filter(col("qid") === 1 && col("doc_id") === 2).count() == 1,
       "expansion must surface the no-query-term doc")
   }
+
+  test("bm25Weighted: uniform 10⁶ weights reproduce plain bm25 " +
+       "exactly; halved weight halves the score") {
+    val qs = Seq((7L, "apple cherry")).toDF("qid", "query")
+    val uni = Seq((7L, "apple", 1000000L), (7L, "cherry", 1000000L))
+      .toDF("qid", "term", "weight_ppm")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rnk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(rows(Retrieval.bm25Weighted(docs, uni)) ==
+      rows(Retrieval.bm25(docs, qs)),
+      "weight 10⁶ ppm is the identity")
+    // a single-term query at half weight: every score halves (one
+    // term, so the per-doc sum is one product — exact at 4 dp when
+    // w_term's 4 dp end in an even last digit or halve cleanly;
+    // assert via the recomputed expectation, not a hand constant)
+    val half = Seq((1L, "apple", 500000L)).toDF("qid", "term", "weight_ppm")
+    val full = Retrieval.bm25(docs, queries).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    val got = Retrieval.bm25Weighted(docs, half).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toMap
+    for ((d, s) <- got)
+      assert(math.abs(s - full(d) / 2.0) < 6e-5,
+        s"doc $d: $s vs ${full(d) / 2.0}")
+  }
+
+  test("rm3Weights: hand-computed interpolation — original terms at " +
+       "λ·P(t|q), expansion terms at (1−λ)·P(t|R), disjoint") {
+    // λ = 600000; query 'apple': P(apple|q) = 1/1 → 1e6 ppm,
+    // weight = 600000. Expansion banana/fig carry P(t|R) = 222222
+    // (the expandTerms fixture) → (1e6−6e5)·222222 div 1e6 = 88888.
+    val got = Retrieval.rm3Weights(docs, queries)
+      .orderBy("term").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("apple", 600000L), ("banana", 88888L),
+      ("fig", 88888L)), s"got ${got.toSeq}")
+    // multi-token query with a repeated term: P(t|q) = tf/|q|
+    val qs = Seq((2L, "apple apple cherry")).toDF("qid", "query")
+    val w = Retrieval.rm3Weights(docs, qs, lambdaPpm = 500000L)
+      .filter(col("term").isin("apple", "cherry"))
+      .orderBy("term").collect().map(r => (r.getString(1), r.getLong(2)))
+    // apple: 5e5·(2·1e6 div 3) div 1e6 = 5e5·666666 div 1e6 = 333333
+    // cherry: 5e5·(1e6 div 3) div 1e6 = 166666
+    assert(w.toSeq == Seq(("apple", 333333L), ("cherry", 166666L)))
+  }
+
+  test("rm3 composition: anchored rewrite scores every doc the " +
+       "original query reached (anchor mass can't vanish)") {
+    val qs = Seq((1L, "apple")).toDF("qid", "query")
+    val anchored = Retrieval.bm25Weighted(docs,
+      Retrieval.rm3Weights(docs, qs))
+    val origDocs = Retrieval.bm25(docs, qs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rm3Docs = anchored.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(origDocs.subsetOf(rm3Docs ++ origDocs) && origDocs.nonEmpty)
+    assert(origDocs.forall(rm3Docs.contains),
+      s"anchor terms keep original matches retrievable: $origDocs vs $rm3Docs")
+  }
 }
