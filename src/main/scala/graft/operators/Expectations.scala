@@ -540,4 +540,75 @@ object Expectations {
           .stripMargin.replace("\n", ""))
           .as("contrib_ppm"))
   }
+
+  /** [[labelAssociation]]'s χ²·10⁶ total as a SINGLE AGGREGATE
+    * COLUMN, so the audit can ride `Dataset.observe` on a live
+    * stream (`graft.streaming.CorpusIngest.withLeakageMetrics`) —
+    * drift becomes visible at ADMISSION time, per micro-batch, not
+    * at the next batch audit. The aggregation state is the
+    * contingency-cell map (vocabulary², never row-sized); `finish`
+    * replays [[labelAssociationFromCells]]'s integer arithmetic —
+    * full marginal cross product, zero-observed cells included, one
+    * floor per cell, BigInt internally — so the observed number
+    * equals `sum(contrib_ppm)` of the batch audit EXACTLY
+    * (spec-pinned), under the same N ≤ 3·10⁷ envelope (loud, never
+    * a silent wrap). Cell keys join feature and label with \\u0001;
+    * a value containing that control byte is refused rather than
+    * silently mis-bucketed. */
+  private case class Chi2Row(feature: String, label: String)
+  private object Chi2Aggregator
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Chi2Row, Map[String, Long], Long] {
+    private val Sep = '\u0001'
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], r: Chi2Row): Map[String, Long] = {
+      require(r.feature.indexOf(Sep.toInt) < 0 &&
+        r.label.indexOf(Sep.toInt) < 0,
+        "chi2Ppm: feature/label must not contain \\u0001")
+      val k = r.feature + Sep + r.label
+      m.updated(k, m.getOrElse(k, 0L) + 1L)
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0L) + v)
+      }
+    def finish(cells: Map[String, Long]): Long =
+      if (cells.isEmpty) 0L
+      else {
+        val split = cells.toSeq.map { case (k, v) =>
+          val i = k.indexOf(Sep.toInt)
+          (k.substring(0, i), k.substring(i + 1), v)
+        }
+        val nf = split.groupMapReduce(_._1)(_._3)(_ + _)
+        val nl = split.groupMapReduce(_._2)(_._3)(_ + _)
+        val obs = split.map(t => ((t._1, t._2), t._3)).toMap
+        val nL = split.map(_._3).sum
+        require(nL <= 30000000L,
+          s"chi2Ppm: n_tot = $nL exceeds the integer-exact envelope " +
+            "(N <= 3e7); audit per segment or rescale the ppm")
+        val n = BigInt(nL)
+        var acc = BigInt(0)
+        // the same FULL cross product as the relational epilogue —
+        // zero-observed cells contribute through obs.getOrElse(0)
+        for ((f, nfv) <- nf; (l, nlv) <- nl) {
+          val o = BigInt(obs.getOrElse((f, l), 0L))
+          val diff = o * n - BigInt(nfv) * BigInt(nlv)
+          acc += diff * diff * 1000000 / (n * BigInt(nfv) * BigInt(nlv))
+        }
+        require(acc.isValidLong, s"chi2Ppm: total $acc overflows long")
+        acc.toLong
+      }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** χ²·ppm of the (feature, label) association as an aggregate
+    * Column — see [[Chi2Aggregator]]. */
+  def chi2Ppm(feature: Column, label: Column): Column = {
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Chi2Row] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    udaf(Chi2Aggregator).apply(feature, label)
+  }
 }

@@ -67,6 +67,27 @@ object CorpusIngest {
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
       sum(col("n_pii").cast("long")).as("n_pii"))
 
+  /** The LIVE leakage monitor (r12 verdict item 8): per-micro-batch
+    * χ²·ppm of a (feature, label) association — e.g. (source, label)
+    * or (shard, label) — riding the stream as an OBSERVED metric
+    * next to [[withGateMetrics]]'s counters, so distribution drift
+    * is visible at admission time instead of the next batch audit.
+    * The aggregate is `Expectations.chi2Ppm`, whose state is the
+    * contingency-cell map (vocabulary²-sized, never row-sized) and
+    * whose result equals the batch audit's `sum(contrib_ppm)`
+    * bit for bit — same full marginal cross product, zero-observed
+    * cells included, same floors (spec-pinned both against the
+    * relational epilogue and through a running stream). `n_assoc`
+    * rides along so a spiky χ² on a tiny batch reads as what it is.
+    * Composable with other observes: Spark allows any number of
+    * distinctly-named observe nodes on one stream. */
+  def withLeakageMetrics(df: DataFrame, feature: Column,
+                         label: Column): DataFrame =
+    df.observe("leakage_gate",
+      graft.operators.Expectations.chi2Ppm(feature, label)
+        .as("chi2_ppm"),
+      count(lit(1)).as("n_assoc"))
+
   /** The admitted stream: annotated, gate-passing, near-dup-suppressed
     * (first arrival of each signature class wins within the
     * watermark). Append mode; attach the corpus-store sink here. */

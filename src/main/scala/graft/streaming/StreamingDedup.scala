@@ -156,4 +156,111 @@ object StreamingDedup {
       }
       .toDF()
   }
+
+  case class MediaBanded(media_type: String, band: Int, bits: String,
+                         doc_id: Long, simhash64: String,
+                         ts: java.sql.Timestamp)
+  case class MediaSpineState(spineId: Long, spineSig: String, lastMs: Long)
+  case class MediaCandidate(media_type: String, band: Int,
+                            id1: Long, id2: Long,
+                            sig1: String, sig2: String)
+
+  /** The MEDIA twin of [[candidatePairs]] — streaming band-level
+    * near-dup candidate EMISSION, closing the seam
+    * [[uniqueMediaBySignature]] deliberately leaves: exact-signature
+    * admission collapses byte-identical/re-encoded copies, but a
+    * Hamming-budget near-dup (a few flipped signature bits) only
+    * surfaces through BANDING, which was batch-only
+    * (`Multimodal.nearBlocks`) until now.
+    *
+    * Banding is nearBlocks' pigeonhole, verbatim: `maxHamming + 1`
+    * contiguous blocks of the 64-bit perceptual signature (same
+    * [[graft.multimodal.Multimodal.shingleTokens]] +
+    * `simhash64Of` kernel as batch, so stream and batch agree
+    * bucket for bucket); two signatures within the budget share at
+    * least one exact block. Per (media_type, band, bits) bucket the
+    * first arrival becomes the spine; every later arrival emits one
+    * (spine, doc) candidate carrying BOTH signatures and their
+    * `hamming` distance, so the downstream batch verifier needs no
+    * refetch — its job is only the `hamming <= budget` filter plus
+    * cross-band pair dedup (a pair close on two bands emits twice;
+    * per-band state cannot dedupe across keys, and must not — the
+    * emission is candidates, [[graft.dedup]]'s routed-verify
+    * convention). Objects too small to shingle never reach the
+    * banding (no evidence, no candidates), matching the admission
+    * path.
+    *
+    * State bound: ONE (spine id, signature, last-activity) row per
+    * ACTIVE bucket — expired by event-time timeout once the
+    * watermark passes last activity + `stateTtlMs`, the same bound
+    * as the text path. Checkpoint recovery restores the spines, so
+    * a restart never re-elects a different spine or re-emits a
+    * delivered pair (spec-pinned). */
+  def mediaCandidatePairs(media: DataFrame,
+                          lateness: String = "10 seconds",
+                          stateTtlMs: Long = 60000L,
+                          frameBytes: Int = 16, nFrames: Int = 4,
+                          gram: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "need 0 <= maxHamming <= 7 (bands of >= 8 bits)")
+    implicit val bandedEnc: ExpressionEncoder[MediaBanded] =
+      ExpressionEncoder()
+    implicit val stateEnc: ExpressionEncoder[MediaSpineState] =
+      ExpressionEncoder()
+    implicit val pairEnc: ExpressionEncoder[MediaCandidate] =
+      ExpressionEncoder()
+    implicit val keyEnc: ExpressionEncoder[(String, Int, String)] =
+      ExpressionEncoder()
+    val M = graft.multimodal.Multimodal
+    val sig = media.withWatermark("ts", lateness)
+      .withColumn("__tk", M.shingleTokens("data", frameBytes, nFrames, gram))
+      .withColumn("simhash64", M.simhash64Of(col("__tk")))
+      .drop("__tk")
+      .filter(col("simhash64").isNotNull)
+    val nBands = maxHamming + 1
+    val starts = (0 to nBands).map(k => k * 64 / nBands)
+    val bands = (0 until nBands).map { k =>
+      struct(lit(k).as("band"),
+        substring(col("simhash64"), starts(k) + 1,
+          starts(k + 1) - starts(k)).as("bits"))
+    }
+    val banded: Dataset[MediaBanded] = sig
+      .select(col("media_type"), col("doc_id"), col("simhash64"),
+        col("ts"), explode(array(bands: _*)).as("bk"))
+      .select(col("media_type"), col("bk.band").as("band"),
+        col("bk.bits").as("bits"), col("doc_id"), col("simhash64"),
+        col("ts"))
+      .as[MediaBanded]
+    banded
+      .groupByKey(d => (d.media_type, d.band, d.bits))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bk: (String, Int, String), rows: Iterator[MediaBanded],
+         state: GroupState[MediaSpineState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val docs = rows.toSeq.sortBy(d => (d.doc_id, d.ts.getTime))
+            if (docs.isEmpty) Iterator.empty
+            else {
+              val cur = state.getOption
+              val spineId = cur.map(_.spineId).getOrElse(docs.head.doc_id)
+              val spineSig = cur.map(_.spineSig)
+                .getOrElse(docs.head.simhash64)
+              val lastMs = math.max(cur.map(_.lastMs).getOrElse(0L),
+                docs.map(_.ts.getTime).max)
+              state.update(MediaSpineState(spineId, spineSig, lastMs))
+              state.setTimeoutTimestamp(lastMs + stateTtlMs)
+              docs.iterator.filter(_.doc_id != spineId)
+                .map(d => MediaCandidate(bk._1, bk._2, spineId, d.doc_id,
+                  spineSig, d.simhash64))
+            }
+          }
+      }
+      .toDF()
+      // distance attached at emission — the verifier filters, it
+      // never refetches payloads
+      .withColumn("hamming", expr("graft_hamming(sig1, sig2)"))
+  }
 }

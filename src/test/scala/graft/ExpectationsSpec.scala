@@ -417,6 +417,38 @@ class ExpectationsSpec extends SparkSpec {
       "fold-then-epilogue must equal the from-scratch audit")
   }
 
+  test("chi2Ppm aggregate == sum(contrib_ppm) of the relational " +
+       "epilogue, bit for bit — skewed, independent, and single-cell") {
+    val fixtures = Seq(
+      // perfectly anti-associated (the leakage shape)
+      (1 to 40).map(i => (s"f${i % 2}", s"l${i % 2}")),
+      // independent-ish mix
+      (1 to 60).map(i => (s"f${i % 3}", s"l${i % 2}")),
+      // one cell only (χ² = 0 by construction)
+      (1 to 7).map(_ => ("f", "l")))
+    for ((rows, i) <- fixtures.zipWithIndex) {
+      val df = rows.toDF("f", "l")
+      val viaAgg = df.agg(
+        Expectations.chi2Ppm(col("f"), col("l")).as("chi2"))
+        .head().getLong(0)
+      val viaRel = Expectations.labelAssociation(df, "f", "l")
+        .agg(sum("contrib_ppm").cast("long")).head().getLong(0)
+      assert(viaAgg == viaRel, s"fixture $i: $viaAgg vs $viaRel")
+    }
+    // grouped use: one χ² per segment, same equality per group
+    val seg = (1 to 30).map(i =>
+      (s"s${i % 2}", s"f${i % 3}", s"l${(i / 2) % 2}")).toDF("s", "f", "l")
+    val byAgg = seg.groupBy("s")
+      .agg(Expectations.chi2Ppm(col("f"), col("l")).as("chi2"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    for (s <- Seq("s0", "s1")) {
+      val rel = Expectations.labelAssociation(
+          seg.filter(col("s") === s), "f", "l")
+        .agg(sum("contrib_ppm").cast("long")).head().getLong(0)
+      assert(byAgg(s) == rel, s"segment $s")
+    }
+  }
+
   test("labelAssociation guards its exactness envelope: n_tot past " +
        "3e7 RAISES (never a silent decimal-overflow NULL)") {
     // synthetic cells, so the envelope trips without 3e7 fact rows

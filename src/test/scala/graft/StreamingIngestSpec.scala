@@ -553,6 +553,76 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("media band-level candidate stream: near-dups emit (spine, doc) " +
+       "pairs with both signatures + hamming, type-isolated, spine " +
+       "state survives a restart, committed pairs not re-emitted") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_media_cand_ckpt").toString
+    // the perceptual signature samples the FIRST nFrames×frameBytes
+    // = 64 bytes; same prefix + different tails ⇒ identical 64-bit
+    // signature (hamming 0, every band matches) — the deterministic
+    // near-dup fixture
+    val win = ("stable shingle mass for the perceptual signature " +
+      "to vote on, padded").padTo(64, '#').take(64).mkString
+    def payload(tail: String) = win + tail
+    val other = "completely different bytes with no shared shingles " +
+      "anywhere in this other payload at all ok"
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val media = input.toDF().toDF("doc_id", "media_type", "txt", "ts")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"), col("ts"))
+    val pairs = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(String, Int, Long, Long, Long), java.lang.Boolean]())
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = StreamingDedup
+      .mediaCandidatePairs(media, lateness = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          seen.incrementAndGet()
+          pairs.add((r.getAs[String]("media_type"), r.getAs[Int]("band"),
+            r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+            r.getAs[Long]("hamming")))
+        }
+      }.start()
+    val q1 = start()
+    input.addData(
+      (1L, "image/png", payload("tail one"), t(1000)),   // spine
+      (2L, "audio/wav", payload("tail one"), t(1100)),   // other type
+      (6L, "image/png", "ab", t(1300)))                  // too small
+    q1.processAllAvailable()
+    input.addData(
+      (3L, "image/png", payload("other tail"), t(1200))) // near-dup of 1
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    val afterB1 = pairs.asScala.toSet
+    assert(afterB1 == (0 until 4).map(b =>
+        ("image/png", b, 1L, 3L, 0L)).toSet,
+      s"identical signature collides on all 4 bands, hamming 0, " +
+        s"spine = first arrival; type-isolated; small object silent: $afterB1")
+    val preRestartCount = seen.get()
+    val q2 = start()
+    try {
+      input.addData(
+        (4L, "image/png", payload("third tail"), t(2000)), // near-dup, recovered spine
+        (5L, "image/png", other, t(2100)))                 // unrelated
+      q2.processAllAvailable()
+      val now = pairs.asScala.toSet
+      assert((0 until 4).forall(b => now(("image/png", b, 1L, 4L, 0L))),
+        s"recovered spine state pairs the post-restart near-dup with " +
+          s"the ORIGINAL spine (1), never a re-elected one: $now")
+      assert(!now.exists(p => p._3 == 3L || p._4 == 5L),
+        s"no doc-3-spine pairs (spine is sticky), no unrelated pairs: $now")
+      assert(seen.get() == preRestartCount + 4,
+        s"committed pairs must not replay across the restart: " +
+          s"${seen.get()} vs $preRestartCount + 4")
+    } finally q2.stop()
+  }
+
   test("observed gate metrics ride the stream: n_in/n_kept/n_pii per batch") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "ts", "text")
@@ -570,6 +640,46 @@ class StreamingIngestSpec extends SparkSpec {
       assert(m.getAs[Long]("n_in") == 3L, s"$m")
       assert(m.getAs[Long]("n_kept") == 2L, s"$m")
       assert(m.getAs[Long]("n_pii") == 1L, s"$m")
+    } finally q.stop()
+  }
+
+  test("live leakage monitor: per-batch chi2_ppm rides the stream " +
+       "and equals the batch audit on each micro-batch") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.Expectations
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "ts", "source", "label")
+    val q = CorpusIngest.withLeakageMetrics(docs,
+        col("source"), col("label"))
+      .writeStream.format("noop").outputMode("append").start()
+    def lastMetric() = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("leakage_gate")))
+      .lastOption.getOrElse(fail("no leakage metrics surfaced"))
+    try {
+      // batch 1: perfectly anti-associated — the leakage alarm
+      val b1 = (1 to 20).map(i =>
+        (i.toLong, t(1000 + i), s"src${i % 2}", s"pos${i % 2}"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val m1 = lastMetric()
+      val expect1 = Expectations.labelAssociation(
+          b1.toDF("doc_id", "ts", "source", "label"), "source", "label")
+        .agg(sum("contrib_ppm").cast("long")).head().getLong(0)
+      assert(m1.getAs[Long]("chi2_ppm") == expect1 &&
+        m1.getAs[Long]("n_assoc") == 20L,
+        s"anti-associated batch must alarm exactly: $m1 vs $expect1")
+      assert(expect1 > 0L, "fixture sanity: association present")
+      // batch 2: label independent of source — reads ~zero
+      val b2 = (1 to 24).map(i =>
+        (100L + i, t(2000 + i), s"src${i % 2}", s"pos${(i / 2) % 2}"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val m2 = lastMetric()
+      val expect2 = Expectations.labelAssociation(
+          b2.toDF("doc_id", "ts", "source", "label"), "source", "label")
+        .agg(sum("contrib_ppm").cast("long")).head().getLong(0)
+      assert(m2.getAs[Long]("chi2_ppm") == expect2,
+        s"per-batch metric tracks the batch audit: $m2 vs $expect2")
     } finally q.stop()
   }
 
