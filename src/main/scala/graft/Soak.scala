@@ -131,7 +131,7 @@ object Soak {
     // groups — prices the signal's promised cost model
     "cdc_topk_repair",
     // the non-saturating PRF eval (tf-graded qrels; same chain)
-    "ret_expand_eval_freq")
+    "ret_expand_ab_eval")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks

@@ -515,8 +515,13 @@ object Expectations {
     // (raise_error is NullType, coerced), costs one comparison on
     // one row, and turns an out-of-envelope run into a loud failure
     // with the remediation in the message.
+    // isNull arm first: on EMPTY input sum() is NULL and a bare
+    // `<=` would be NULL too, falling through to raise_error with a
+    // nonsense "exceeds the envelope (null)" message — an empty
+    // audit must stay an empty DataFrame (ADVICE r13)
     val tot = cells.agg(sum("n_obs").as("n_tot"))
-      .select(when(col("n_tot") <= lit(30000000L), col("n_tot"))
+      .select(when(col("n_tot").isNull ||
+          col("n_tot") <= lit(30000000L), col("n_tot"))
         .otherwise(raise_error(concat(
           lit("labelAssociation: n_tot = "), col("n_tot"),
           lit(" exceeds the integer-exact envelope (N <= 3e7); " +
@@ -562,6 +567,16 @@ object Expectations {
     private val Sep = '\u0001'
     def zero: Map[String, Long] = Map.empty
     def reduce(m: Map[String, Long], r: Chi2Row): Map[String, Long] = {
+      // refuse nulls in the same loud style as the \\u0001 guard: a
+      // bare NPE would kill the streaming query with no hint, and
+      // silently dropping the row would break the spec-pinned
+      // bit-equality with the batch audit (ADVICE r13) — the caller
+      // must filter or sentinel-map nulls BEFORE the observe
+      require(r.feature != null && r.label != null,
+        "chi2Ppm: feature/label must be non-null — filter nulls or " +
+          "map them to a sentinel before observing (the relational " +
+          "labelAssociation path groups nulls as keys; this " +
+          "aggregate refuses them rather than diverge silently)")
       require(r.feature.indexOf(Sep.toInt) < 0 &&
         r.label.indexOf(Sep.toInt) < 0,
         "chi2Ppm: feature/label must not contain \\u0001")

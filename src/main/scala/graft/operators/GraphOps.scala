@@ -99,8 +99,14 @@ object GraphOps {
 
   private def pageRankLoop(pairsM: DataFrame, iterations: Int,
                            dampNum: Long, dampDen: Long, scale: Long,
-                           checkpointEvery: Int): DataFrame = {
-    val edgesDeg = edgesWithDegree(pairsM)
+                           checkpointEvery: Int): DataFrame =
+    pageRankLoopFromEdges(edgesWithDegree(pairsM), iterations,
+      dampNum, dampDen, scale, checkpointEvery)
+
+  private def pageRankLoopFromEdges(edgesDeg: DataFrame, iterations: Int,
+                                    dampNum: Long, dampDen: Long,
+                                    scale: Long,
+                                    checkpointEvery: Int): DataFrame = {
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     // 1-row side, explicitly broadcast: the plan must never depend on
     // AQE noticing the single-row side of a cross join
@@ -250,30 +256,35 @@ object GraphOps {
     val pairsM = materialize(pairs.select(col("id1"), col("id2")))
     val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    val seedCol = seeds.columns.head
-    val seedNodes = nodes.join(
-      seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
-    val nSeeds = seedNodes.count()
-    if (nSeeds == 0L)
-      throw new IllegalArgumentException(
-        "personalizedPageRank: no seed appears in the graph — " +
-          "teleport mass would be undefined")
-    val tele = materialize(
-      nodes.join(seedNodes.withColumn("is_seed", lit(1L)), Seq("node"), "left")
-        .select(col("node"),
-          when(col("is_seed").isNotNull, lit(scale / nSeeds))
-            .otherwise(lit(0L)).as("tele")))
+    val tele = teleportVector(nodes, seeds, scale, "personalizedPageRank")
     // one-time fusion: tele(dst) onto the edge layout, re-partitioned
     // back on src (the per-round join key). Costs one edge-sized join
     // + checkpoint at setup; saves one |V|-row tele join PER ROUND —
     // the round-9 soak's 5.6× row. groupBy(dst) covers every node
     // (the graph is symmetrized, so all nodes have in-edges), and
     // tele_dst is constant per dst group, read back with max().
-    val edgesTele = materialize(
+    val edgesTele = teleFusedEdges(edgesDeg, tele)
+    pprLoopFromEdges(edgesTele, tele, iterations, dampNum, dampDen,
+      checkpointEvery)
+  }
+
+  /** (src, dst, deg, tele_dst) — the teleport mass fused onto the
+    * degree-carrying edge layout, re-partitioned back on the
+    * per-round join key and materialized (the round-10 fusion: one
+    * edge-sized join at setup saves one |V|-row tele join PER
+    * ROUND). */
+  private def teleFusedEdges(edgesDeg: DataFrame,
+                             tele: DataFrame): DataFrame =
+    materialize(
       edgesDeg.join(
           tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
           Seq("dst"))
         .repartition(col("src")))
+
+  private def pprLoopFromEdges(edgesTele: DataFrame, tele: DataFrame,
+                               iterations: Int, dampNum: Long,
+                               dampDen: Long,
+                               checkpointEvery: Int): DataFrame = {
     var pr = tele.select(col("node"), col("tele").as("pr"))
     for (i <- 1 to iterations) {
       pr = edgesTele.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
@@ -360,15 +371,36 @@ object GraphOps {
     * waste ball. Deletions are out of scope, as in
     * [[componentsDelta]].
     *
-    * Scale shape (100 TB): setup is the same one-exchange
-    * symmetrize + degree build as from-scratch (the fact pass is
-    * unavoidable — degrees of touched nodes changed), plus a
-    * BFS ball computation seeded at T (frontier-sized rounds,
-    * [[bfsRoundsAgg]]). What the fold SKIPS is the per-iteration
-    * |E|-row join + |E|→|V| aggregate exchange — the term that
-    * dominates from-scratch pageRank's scale ratio — replaced by
-    * joins against ball-restricted edges: for a daily delta touching
-    * a few components, ball-sized ≪ |E|. */
+    * Scale shape (100 TB), measured, not argued: setup is the same
+    * one-exchange symmetrize + degree build as from-scratch (the
+    * fact pass is unavoidable — degrees of touched nodes changed),
+    * plus a BFS ball computation seeded at T (frontier-sized rounds,
+    * [[bfsRoundsAgg]]). The fold then restricts ONCE: the edge
+    * relation semi-joins to the max ball and MATERIALIZES
+    * (`edgesBall`), and the trajectory restricts to that relation's
+    * source set (`trajBall` — the only old iterates any round
+    * reads), so every round is a ball-sized join + ball-sized
+    * aggregate, each round's output materialized (rounds are
+    * output-sized, the same honest policy as
+    * [[pageRankTrajectory]]'s per-iterate cut; the round-13 version
+    * chained all rounds into one job over the FULL |E| relation with
+    * only the aggregate semi-restricted, and benched 3.2× the
+    * recompute). The win is proportional to delta locality, so the
+    * fold PRICES IT: the ball probe bails the moment the ball
+    * reaches a majority of the node set (the BFS counts each round
+    * anyway, so the cap is free and skips the |V|-sized late rounds
+    * a scattered delta would pay), and the fold machinery is
+    * abandoned for the from-scratch loop on the already-built degree
+    * relation (exact by the operator's own contract: the fold's
+    * defining property IS equality with from-scratch on the union,
+    * so the branch is a plan choice, never a semantics choice).
+    * A CONCENTRATED delta
+    * (a few components touched — the operator's deployment shape)
+    * takes the ball-restricted fold, priced by SOAK_r14; a delta
+    * whose endpoints scatter across components (the bench fixture's
+    * %101 split, deliberately adversarial) takes the recompute
+    * branch and pays from-scratch plus the ball probe, never fold
+    * overhead on a graph-sized ball. */
   def pageRankDelta(prevTraj: DataFrame, prevPairs: DataFrame,
                     newPairs: DataFrame, iterations: Int = 10,
                     dampNum: Long = 85, dampDen: Long = 100,
@@ -376,31 +408,69 @@ object GraphOps {
     require(iterations >= 1, "pageRankDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pageRankDelta: need 0 < damp < 1")
-    val traj = materialize(prevTraj.select("node", "iter", "pr"))
+    // NOT materialized yet: the recompute branch below reads the
+    // trajectory exactly once (the contract check) — only the fold
+    // path, which reads it per round, pays the checkpoint
+    val traj0 = prevTraj.select("node", "iter", "pr")
     val pairsM = materialize(
       prevPairs.select(col("id1"), col("id2"))
         .unionByName(newPairs.select(col("id1"), col("id2"))))
     val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    // node-preserving check, one small action: every union-graph
+    // node-preserving check + node count, ONE job (every extra
+    // action here re-runs the |E|-row distinct): every union-graph
     // node must already carry a trajectory row
-    val added = nodes.join(traj.filter(col("iter") === 0),
-      Seq("node"), "left_anti").count()
+    val chk = nodes.join(traj0.filter(col("iter") === 0),
+        Seq("node"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pr").isNull, 1L).otherwise(0L)).as("added"))
+      .head()
+    val (nNodes, added) = (chk.getLong(0), chk.getLong(1))
     if (added > 0L)
       throw new IllegalArgumentException(
         s"pageRankDelta: delta adds $added new node(s) — n_nodes " +
           "changes, which moves every node's teleport term; rerun " +
           "pageRankTrajectory from scratch or segment the graph")
-    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     // the growing ball: min-hop distance from the delta endpoints,
-    // capped at `iterations` — reuses the BFS agg-fold rounds
+    // capped at `iterations` — reuses the BFS agg-fold rounds, and
+    // BAILS the moment the ball reaches a majority of the node set:
+    // the locality verdict is decided, the remaining |V|-sized
+    // rounds (most of the probe's cost on a scattered delta) are
+    // never run, and recompute on the degree relation already in
+    // hand is the cheaper exact plan (the contract IS equality with
+    // from-scratch on the union). No semi-join to `nodes`: delta
+    // endpoints are union-graph nodes by construction (pairsM
+    // includes newPairs), and the node check above already passed.
     val seeds = newPairs.select(col("id1").as("node"))
       .unionByName(newPairs.select(col("id2").as("node"))).distinct()
     val edges = edgesDeg.select(col("src"), col("dst"))
     val hop0 = materialize(
-      nodes.join(seeds, Seq("node"), "left_semi")
-        .select(col("node").as("doc_id"), lit(0).as("hops")))
-    val ball = bfsRoundsAgg(edges, hop0, iterations)
+      seeds.select(col("node").as("doc_id"), lit(0).as("hops")))
+    val (ball0, majority) =
+      bfsRoundsAggCapped(edges, hop0, iterations, (nNodes + 1L) / 2L)
+    if (majority)
+      return pageRankLoopFromEdges(edgesDeg, iterations,
+        dampNum, dampDen, scale, checkpointEvery = 5)
+    // minority ball: commit to the fold — materialize the complete
+    // ball (it gates every round's scan and aggregate) and the
+    // trajectory (read per round from here on)
+    val ball = materialize(ball0)
+    val traj = materialize(traj0)
+    // the ONE |E|-row pass the fold pays: edges whose dst can ever
+    // change, materialized hash-partitioned on the per-round join
+    // key — every round scans THIS, never edgesDeg (the round-13
+    // left_semi restricted the aggregate but re-scanned |E| rows
+    // per round)
+    val ballMax = ball.select(col("doc_id").as("node"))
+    val edgesBall = materialize(
+      edgesDeg.as("e")
+        .join(ballMax, col("e.dst") === ballMax("node"), "left_semi")
+        .repartition(col("src")))
+    // the only nodes whose OLD iterates any round reads are
+    // edgesBall's sources (in-neighbors of ball nodes); restrict the
+    // (iterations+1)·|V| trajectory to that set once
+    val srcBall = edgesBall.select(col("src").as("node")).distinct()
+    val trajBall = materialize(traj.join(srcBall, Seq("node"), "left_semi"))
     var newVals = traj.filter(col("iter") === 0)
       .join(ball.filter(col("hops") <= 0).select(col("doc_id").as("node")),
         Seq("node"), "left_semi")
@@ -408,24 +478,221 @@ object GraphOps {
     for (i <- 1 to iterations) {
       val ballI = ball.filter(col("hops") <= i)
         .select(col("doc_id").as("node"))
-      // iterate i−1 over the FULL node set = old trajectory
-      // overridden inside ball i−1 (newVals covers exactly that ball)
-      val prPrev = traj.filter(col("iter") === i - 1).as("o")
+      // iterate i−1 over edgesBall's source set = old trajectory
+      // overridden inside ball i−1 (newVals covers exactly that
+      // ball; newVals rows outside the source set feed no round-i
+      // edge and are re-merged from the FINAL newVals at the end)
+      val prPrev = trajBall.filter(col("iter") === i - 1).as("o")
         .join(newVals.as("n"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("n.pr"), col("o.pr")).as("pr"))
-      newVals =
-        edgesDeg.as("e")
+      // n_nodes enters as the LITERAL the one-job check computed —
+      // no per-round 1-row crossJoin needed in the fold
+      newVals = materialize(
+        edgesBall.as("e")
           .join(ballI, col("e.dst") === ballI("node"), "left_semi")
           .join(prPrev.as("p"), col("e.src") === col("p.node"))
           .groupBy(col("e.dst"))
           .agg(sum(expr("pr div deg")).as("in_sum"))
-          .crossJoin(nDf)
           .select(col("dst").as("node"),
-            (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
-              expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
+            (lit((scale * (dampDen - dampNum)) / dampDen / nNodes) +
+              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
     }
     // merge: untouched rows keep iterate `iterations` verbatim
+    materialize(
+      traj.filter(col("iter") === iterations).as("o")
+        .join(newVals.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+  }
+
+  /** The iterate TRAJECTORY of [[personalizedPageRank]] as
+    * maintainable state: (node, iter, pr) for iter = 0..`iterations`
+    * of the exact integer PPR recurrence, iterate `iterations` being
+    * the served rank — the PPR twin of [[pageRankTrajectory]], and
+    * the state [[pprDelta]] folds an edge delta into. Iterate 0 IS
+    * the teleport vector (scale/|S| on in-graph seeds, 0 elsewhere),
+    * which is what lets the fold VERIFY the caller's seed set
+    * against the state instead of trusting it. Same tele-fused edge
+    * layout, same refusal on a seedless graph, and iterate
+    * `iterations` equals personalizedPageRank's output row for row
+    * (spec-pinned). */
+  def pprTrajectory(pairs: DataFrame, seeds: DataFrame,
+                    iterations: Int = 10,
+                    dampNum: Long = 85, dampDen: Long = 100,
+                    scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pprTrajectory: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "pprTrajectory: need 0 < damp < 1")
+    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val edgesDeg = edgesWithDegree(pairsM)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    val tele = teleportVector(nodes, seeds, scale, "pprTrajectory")
+    val edgesTele = teleFusedEdges(edgesDeg, tele)
+    var pr = tele.select(col("node"), col("tele").as("pr"))
+    var iterates = Vector(pr.withColumn("iter", lit(0)))
+    for (i <- 1 to iterations) {
+      pr = materialize(
+        edgesTele.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+          .groupBy(col("e.dst"))
+          .agg(sum(expr("pr div deg")).as("in_sum"),
+            max(col("e.tele_dst")).as("tele"))
+          .select(col("dst").as("node"),
+            (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
+      iterates :+= pr.withColumn("iter", lit(i))
+    }
+    iterates.reduce(_ unionByName _).select("node", "iter", "pr")
+  }
+
+  /** (node, tele) teleport vector over `nodes` for `seeds`:
+    * scale/|S∩V| on in-graph seeds, 0 elsewhere; refuses loudly on a
+    * seedless graph. One small count action (|S∩V| enters the
+    * integer division as a literal). Shared by the PPR family. */
+  private def teleportVector(nodes: DataFrame, seeds: DataFrame,
+                             scale: Long, who: String): DataFrame = {
+    val seedCol = seeds.columns.head
+    val seedNodes = nodes.join(
+      seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
+    val nSeeds = seedNodes.count()
+    if (nSeeds == 0L)
+      throw new IllegalArgumentException(
+        s"$who: no seed appears in the graph — teleport mass would " +
+          "be undefined")
+    materialize(
+      nodes.join(seedNodes.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed").isNotNull, lit(scale / nSeeds))
+            .otherwise(lit(0L)).as("tele")))
+  }
+
+  /** Incremental [[personalizedPageRank]]: fold a node-preserving
+    * edge delta into a [[pprTrajectory]] — the seed-relative twin of
+    * [[pageRankDelta]], closing the one graph row that had no IVM
+    * answer (PPR soaked the steepest of the from-scratch family).
+    * Returns (node, pr) EQUAL row for row to
+    * `personalizedPageRank(prevPairs ∪ newPairs, seeds)` (the spec
+    * and the `graph_ppr_delta` oracle both check against the
+    * from-scratch recompute on the union graph).
+    *
+    * The ball argument CARRIES OVER UNCHANGED: the PPR recurrence
+    * differs from pageRank's only in the teleport term, and tele(v)
+    * is a per-node constant depending on the seed set alone — never
+    * on n_nodes, degrees, or other nodes' iterates — so with
+    * additions only and the node set preserved, a node outside the
+    * i-hop ball of the delta endpoints keeps every in-neighbor's
+    * degree, every in-neighbor's iterate i−1, AND its own teleport
+    * term: iterate i is bit-identical by the same induction.
+    *
+    * Two contracts, both VERIFIED (not trusted), both loud:
+    *  - node-preserving, as in [[pageRankDelta]] (a new NON-seed
+    *    node would actually leave tele untouched, but the trajectory
+    *    carries no iterate rows for it — one uniform family law
+    *    beats a subtler one);
+    *  - seed-consistent: the recurrence's teleport vector is encoded
+    *    in the state as iterate 0, so the fold recomputes tele from
+    *    `seeds` on the union graph and REFUSES if any row differs
+    *    from the stored iterate 0 — a caller passing a different
+    *    seed set (the silent-wrong-answer hazard of stateful folds)
+    *    is caught by construction.
+    *
+    * Scale shape: identical to [[pageRankDelta]] — one |E|-row
+    * semi-join materializes the ball-restricted TELE-FUSED edge
+    * relation, the trajectory restricts to its source set, and every
+    * round is a ball-sized join + aggregate, materialized per round.
+    * Same locality economics AND the same priced branch: a majority
+    * ball abandons the fold and reruns the from-scratch loop on the
+    * already-built tele-fused relation (exact by the fold's own
+    * equality contract). */
+  def pprDelta(prevTraj: DataFrame, prevPairs: DataFrame,
+               newPairs: DataFrame, seeds: DataFrame,
+               iterations: Int = 10,
+               dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pprDelta: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "pprDelta: need 0 < damp < 1")
+    // unmaterialized until the fold path commits (see pageRankDelta)
+    val traj0 = prevTraj.select("node", "iter", "pr")
+    val pairsM = materialize(
+      prevPairs.select(col("id1"), col("id2"))
+        .unionByName(newPairs.select(col("id1"), col("id2"))))
+    val edgesDeg = edgesWithDegree(pairsM)
+    val nodes = edgesDeg.select(col("src").as("node")).distinct()
+    // node-preserving check + node count, one job (see pageRankDelta)
+    val chk = nodes.join(traj0.filter(col("iter") === 0),
+        Seq("node"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pr").isNull, 1L).otherwise(0L)).as("added"))
+      .head()
+    val (nNodes, added) = (chk.getLong(0), chk.getLong(1))
+    if (added > 0L)
+      throw new IllegalArgumentException(
+        s"pprDelta: delta adds $added new node(s) — the trajectory " +
+          "carries no iterates for them; rerun pprTrajectory from " +
+          "scratch or segment the graph")
+    val tele = teleportVector(nodes, seeds, scale, "pprDelta")
+    // seed-consistency: iterate 0 of the state IS the teleport
+    // vector, so recompute-and-compare catches a caller whose seed
+    // set differs from the one the trajectory was built with
+    val badSeeds = traj0.filter(col("iter") === 0).as("t")
+      .join(tele.as("v"), Seq("node"))
+      .filter(col("t.pr") =!= col("v.tele")).count()
+    if (badSeeds > 0L)
+      throw new IllegalArgumentException(
+        s"pprDelta: teleport vector from `seeds` differs from the " +
+          s"trajectory's iterate 0 on $badSeeds node(s) — the state " +
+          "was built with a different seed set; rerun pprTrajectory")
+    val seedsT = newPairs.select(col("id1").as("node"))
+      .unionByName(newPairs.select(col("id2").as("node"))).distinct()
+    val edges = edgesDeg.select(col("src"), col("dst"))
+    // no semi-join to nodes: delta endpoints are union-graph nodes
+    // by construction and the node check above already passed
+    val hop0 = materialize(
+      seedsT.select(col("node").as("doc_id"), lit(0).as("hops")))
+    // price the locality (see pageRankDelta): the capped probe bails
+    // at a majority ball — recompute on the relations already in
+    // hand beats the fold there, and the late BFS rounds never run
+    val (ball0, majority) =
+      bfsRoundsAggCapped(edges, hop0, iterations, (nNodes + 1L) / 2L)
+    if (majority)
+      return pprLoopFromEdges(teleFusedEdges(edgesDeg, tele), tele,
+        iterations, dampNum, dampDen, checkpointEvery = 5)
+    val ball = materialize(ball0)
+    val traj = materialize(traj0)
+    val ballMax = ball.select(col("doc_id").as("node"))
+    // the one |E|-row pass: ball-restricted, tele-fused, partitioned
+    // on the per-round join key
+    val edgesTeleBall = materialize(
+      edgesDeg.as("e")
+        .join(ballMax, col("e.dst") === ballMax("node"), "left_semi")
+        .join(tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
+          Seq("dst"))
+        .repartition(col("src")))
+    val srcBall = edgesTeleBall.select(col("src").as("node")).distinct()
+    val trajBall = materialize(traj.join(srcBall, Seq("node"), "left_semi"))
+    var newVals = traj.filter(col("iter") === 0)
+      .join(ball.filter(col("hops") <= 0).select(col("doc_id").as("node")),
+        Seq("node"), "left_semi")
+      .select(col("node"), col("pr"))
+    for (i <- 1 to iterations) {
+      val ballI = ball.filter(col("hops") <= i)
+        .select(col("doc_id").as("node"))
+      val prPrev = trajBall.filter(col("iter") === i - 1).as("o")
+        .join(newVals.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n.pr"), col("o.pr")).as("pr"))
+      newVals = materialize(
+        edgesTeleBall.as("e")
+          .join(ballI, col("e.dst") === ballI("node"), "left_semi")
+          .join(prPrev.as("p"), col("e.src") === col("p.node"))
+          .groupBy(col("e.dst"))
+          .agg(sum(expr("pr div deg")).as("in_sum"),
+            max(col("e.tele_dst")).as("tele"))
+          .select(col("dst").as("node"),
+            (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
+    }
     materialize(
       traj.filter(col("iter") === iterations).as("o")
         .join(newVals.as("n"), Seq("node"), "left")
@@ -461,6 +728,66 @@ object GraphOps {
       prevLabels.select(col("doc_id").as("id1"), col("cluster_id").as("id2"))
         .unionByName(newPairs.select(col("id1"), col("id2"))),
       maxIters)
+
+  /** EDGE DELETIONS for the components IVM — the maintenance law
+    * [[componentsDelta]] declares out of scope, closed by SCOPED
+    * RE-EVALUATION (the standard treatment for decremental
+    * connectivity in batch-ish systems: deletions can SPLIT a
+    * component, which no label fold can repair, so re-cluster — but
+    * only where a deletion actually landed). Returns the labeling of
+    * `prevPairs − deletedPairs` over the PRIOR node set (an edge
+    * deletion never deletes a document: a node stranded by the
+    * deletion survives as its own singleton cluster), row-for-row
+    * equal to `connectedComponents` from scratch on the surviving
+    * edges (the `graph_components_delete` oracle's closure).
+    *
+    * Why scoped is exact: components partition the node set, so an
+    * edge deletion inside component C changes NOTHING outside C —
+    * untouched components keep their exact member sets and therefore
+    * their exact min-id labels; re-clustering the TOUCHED components
+    * from scratch on their induced surviving edges reproduces the
+    * from-scratch result on those nodes by definition.
+    *
+    * Cost model (the 100 TB point): one canonicalize + anti-join
+    * pass over the prior edge set (the deleted set broadcasts — a
+    * daily deletion batch is small), one labels pass to split
+    * touched from untouched, then star contraction over ONLY the
+    * touched components' edges. Locality economics as in
+    * [[pageRankDelta]]: deletions concentrated in a few components
+    * re-cluster a sliver; deletions sprayed across every component
+    * degrade to a full re-cluster (and the untouched pass-through
+    * costs one anti-join on top — same honest degradation). Deleted
+    * edges that never existed are tolerated: the anti-join ignores
+    * them, at worst their endpoints' components re-cluster to the
+    * labels they already had. */
+  def componentsDelete(prevLabels: DataFrame, prevPairs: DataFrame,
+                       deletedPairs: DataFrame,
+                       maxIters: Int = 50): DataFrame = {
+    val e = materialize(canonicalEdges(prevPairs))
+    val d = canonicalEdges(deletedPairs)
+    val survivors = e.join(d, Seq("a", "b"), "left_anti")
+    // clusters holding any deleted-edge endpoint re-cluster; all
+    // others pass through verbatim (their member sets are untouched)
+    val labels = materialize(prevLabels.select("doc_id", "cluster_id"))
+    val delNodes = d.select(col("a").as("doc_id"))
+      .unionByName(d.select(col("b").as("doc_id"))).distinct()
+    val touched = labels.join(delNodes, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val untouched = labels.join(touched, Seq("cluster_id"), "left_anti")
+    val touchedNodes = labels.join(touched, Seq("cluster_id"), "left_semi")
+      .select(col("doc_id"))
+    // both endpoints of a surviving edge share a prior component, so
+    // one-sided membership decides the whole edge; self-pairs keep
+    // stranded nodes labeled (the componentsDelta singleton trick)
+    val subEdges = survivors
+      .join(touchedNodes.withColumnRenamed("doc_id", "a"), Seq("a"),
+        "left_semi")
+      .select(col("a").as("id1"), col("b").as("id2"))
+      .unionByName(touchedNodes
+        .select(col("doc_id").as("id1"), col("doc_id").as("id2")))
+    connectedComponents(subEdges, maxIters)
+      .unionByName(untouched.select("doc_id", "cluster_id"))
+  }
 
   /** Multi-source BFS over an UNDIRECTED edge list `pairs` (columns
     * id1, id2): minimum hop distance from any node of `seeds` (a
@@ -546,9 +873,23 @@ object GraphOps {
   /** One job and one shuffle per round:
     * dist ∪ (edges ⋈ frontier) → min(hops), count as the probe. */
   private def bfsRoundsAgg(edges: DataFrame, hop0: DataFrame,
-                           maxHops: Int): DataFrame = {
+                           maxHops: Int): DataFrame =
+    bfsRoundsAggCapped(edges, hop0, maxHops, Long.MaxValue)._1
+
+  /** [[bfsRoundsAgg]] with a SIZE bail-out for the delta folds'
+    * locality pricing: the ball only grows, so the moment `dist`
+    * reaches `stopAtSize` the majority verdict is already decided —
+    * stop, return (partial dist, true), and let the caller take the
+    * recompute branch without paying the remaining |V|-sized rounds
+    * (on a scattered delta those are most of the probe's cost). The
+    * convergence probe's count doubles as the size check, so the
+    * cap costs nothing. */
+  private def bfsRoundsAggCapped(edges: DataFrame, hop0: DataFrame,
+                                 maxHops: Int,
+                                 stopAtSize: Long): (DataFrame, Boolean) = {
     var dist = hop0
     var size = dist.count()
+    if (size >= stopAtSize) return (dist, true)
     var hop = 0
     var done = size == 0L
     while (!done && hop < maxHops) {
@@ -560,10 +901,11 @@ object GraphOps {
         .agg(min(col("hops")).as("hops"))
         .localCheckpoint(eager = false)
       val n = dist.count()
+      if (n >= stopAtSize) return (dist, true)
       done = n == size
       size = n
     }
-    dist
+    (dist, false)
   }
 
   /** First-cut round shape: distinct + anti-join vs all prior

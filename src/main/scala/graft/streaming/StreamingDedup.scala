@@ -105,7 +105,23 @@ object StreamingDedup {
   /** LSH candidate-pair stream: for each (band, key) bucket the first
     * doc becomes the spine; every later arrival emits one (spine,
     * doc) pair. Append mode; pairs surface in the micro-batch the
-    * collision happens, they never wait for the watermark. */
+    * collision happens, they never wait for the watermark.
+    *
+    * RECALL CONTRACT (weaker than batch, stated honestly): emission
+    * is SPINE-ANCHORED — only (spine, doc) pairs, never
+    * (doc, doc) pairs between two non-spine bucket members. Bucket
+    * CO-RESIDENCE is still pigeonhole-complete (the banding is the
+    * batch construction verbatim), but a true near-dup pair d2–d3
+    * whose every shared bucket is spined by some FAR d1 surfaces
+    * only as (d1, d2) and (d1, d3) — candidates a verifier rightly
+    * rejects — so the d2–d3 pair is not emitted on the stream. The
+    * bound is one state row per bucket, which is the point; keeping
+    * member lists per bucket would re-grow state with bucket size.
+    * Batch re-banding over the ADMITTED corpus
+    * ([[graft.dedup.Dedup]]'s band miners, all-pairs within bucket)
+    * remains the recall backstop; the stream's job is early surfacing,
+    * not completeness. Same contract as [[mediaCandidatePairs]]
+    * (spec-pinned there on the missed-pair shape). */
   def candidatePairs(docs: DataFrame, lateness: String = "10 seconds",
                      stateTtlMs: Long = 60000L): DataFrame = {
     implicit val bandedEnc: ExpressionEncoder[BandedDoc] = ExpressionEncoder()
@@ -173,7 +189,7 @@ object StreamingDedup {
     * surfaces through BANDING, which was batch-only
     * (`Multimodal.nearBlocks`) until now.
     *
-    * Banding is nearBlocks' pigeonhole, verbatim: `maxHamming + 1`
+    * BUCKETING is nearBlocks' pigeonhole, verbatim: `maxHamming + 1`
     * contiguous blocks of the 64-bit perceptual signature (same
     * [[graft.multimodal.Multimodal.shingleTokens]] +
     * `simhash64Of` kernel as batch, so stream and batch agree
@@ -189,6 +205,19 @@ object StreamingDedup {
     * convention). Objects too small to shingle never reach the
     * banding (no evidence, no candidates), matching the admission
     * path.
+    *
+    * EMISSION is strictly weaker than batch — the RECALL CONTRACT,
+    * stated honestly: batch [[graft.multimodal.Multimodal
+    * .nearBlocks]] expands ALL pairs within a bucket, so pigeonhole
+    * co-residence implies every true near-dup pair SURFACES; this
+    * stream emits spine-anchored pairs only. A true pair d2–d3
+    * whose every shared bucket is spined by a d1 outside BOTH docs'
+    * Hamming budget reaches the verifier only as the rejectable
+    * (d1, d2)/(d1, d3) — the d2–d3 pair itself is never emitted
+    * (spec-pinned, the far-spine shape). That is the price of the
+    * one-row-per-bucket state bound; batch re-banding over the
+    * admitted corpus stays the recall backstop, and the stream's
+    * deliverable is EARLY candidates, not complete ones.
     *
     * State bound: ONE (spine id, signature, last-activity) row per
     * ACTIVE bucket — expired by event-time timeout once the

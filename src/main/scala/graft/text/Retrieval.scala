@@ -144,7 +144,7 @@ object Retrieval {
 
   /** RM3-style anchored expansion weights (Abdul-Jaleel et al.,
     * "UMass at TREC 2004"): the fix for the topic drift
-    * `ret_expand_eval_freq` MEASURED in round 12 (un-anchored
+    * the tf-graded PRF eval MEASURED in round 12 (un-anchored
     * expansion cost −141 478 ppm nDCG on q1) — interpolate the
     * ORIGINAL query model with weight λ over the expansion model at
     * 1−λ instead of appending expansion terms at equal footing.
@@ -170,7 +170,20 @@ object Retrieval {
     * measured reason as [[expandedQueries]]. */
   def rm3Weights(docs: DataFrame, queries: DataFrame,
                  lambdaPpm: Long = 600000L, topKDocs: Int = 10,
-                 minPoolDf: Int = 2, topTerms: Int = 5): DataFrame = {
+                 minPoolDf: Int = 2, topTerms: Int = 5): DataFrame =
+    rm3WeightsFrom(queries,
+      expandTerms(docs, queries, topKDocs, minPoolDf, topTerms),
+      lambdaPpm)
+
+  /** [[rm3Weights]] over a PRECOMPUTED [[expandTerms]] relation —
+    * the sharing seam for evals that consume the same feedback pool
+    * through several treatments (`ret_expand_ab_eval` derives the
+    * un-anchored rewrite AND the RM3 weights from ONE expandTerms
+    * run instead of re-running its two corpus passes per
+    * treatment). Callers should localCheckpoint `exp` — its lineage
+    * embeds those passes. */
+  def rm3WeightsFrom(queries: DataFrame, exp: DataFrame,
+                     lambdaPpm: Long = 600000L): DataFrame = {
     require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
       "rm3Weights: lambdaPpm must be in [0, 1e6]")
     val qtoks = queries.select(col("qid"),
@@ -182,11 +195,11 @@ object Retrieval {
       .select(col("qid"), col("term"),
         expr(s"$lambdaPpm * (tf_q * 1000000 div q_len) div 1000000")
           .as("weight_ppm"))
-    val exp = expandTerms(docs, queries, topKDocs, minPoolDf, topTerms)
+    val e = exp
       .select(col("qid"), col("term"),
         expr(s"(${1000000L - lambdaPpm} * weight_ppm) div 1000000")
           .as("weight_ppm"))
-    orig.unionByName(exp).localCheckpoint()
+    orig.unionByName(e).localCheckpoint()
   }
 
   /** Cosine top-k per query over an id-keyed vector table, with an
@@ -409,8 +422,13 @@ object Retrieval {
     * passes; the rewrite itself is query-set-sized. */
   def expandedQueries(docs: DataFrame, queries: DataFrame,
                       topKDocs: Int = 10, minPoolDf: Int = 2,
-                      topTerms: Int = 5): DataFrame = {
-    val exp = expandTerms(docs, queries, topKDocs, minPoolDf, topTerms)
+                      topTerms: Int = 5): DataFrame =
+    expandedQueriesFrom(queries,
+      expandTerms(docs, queries, topKDocs, minPoolDf, topTerms))
+
+  /** [[expandedQueries]] over a PRECOMPUTED [[expandTerms]] relation
+    * — the same sharing seam as [[rm3WeightsFrom]]. */
+  def expandedQueriesFrom(queries: DataFrame, exp: DataFrame): DataFrame = {
     val ext = exp.groupBy(col("qid")).agg(
       array_join(transform(
         array_sort(collect_list(struct(col("rnk"), col("term")))),

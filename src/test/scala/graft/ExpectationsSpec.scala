@@ -467,4 +467,11 @@ class ExpectationsSpec extends SparkSpec {
       .toDF("feature", "label", "n_obs")
     assert(Expectations.labelAssociationFromCells(ok).count() == 4L)
   }
+
+  test("labelAssociation: an EMPTY audit is an empty DataFrame, not " +
+       "a misfiring envelope error (sum over no rows is NULL)") {
+    val empty = Seq.empty[(String, String, Long)]
+      .toDF("feature", "label", "n_obs")
+    assert(Expectations.labelAssociationFromCells(empty).count() == 0L)
+  }
 }

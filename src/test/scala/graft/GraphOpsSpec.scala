@@ -488,6 +488,172 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("new node"))
   }
 
+  test("componentsDelete: a bridge deletion SPLITS the component; " +
+       "stranded nodes stay labeled as singletons") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val prev = GraphOps.connectedComponents(prior)
+    val out = GraphOps.componentsDelete(prev, prior,
+        Seq((2L, 3L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L), s"split into {1,2} and {3,4}: $out")
+    // deleting BOTH of a node's edges strands it as its own cluster
+    val out2 = GraphOps.componentsDelete(prev, prior,
+        Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L), s"node 2 stranded as a singleton: $out2")
+  }
+
+  test("componentsDelete == from-scratch over the survivors on random " +
+       "graphs; empty and never-existed deletions are safe") {
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val del = edges.filter(_ => rnd.nextInt(5) == 0)
+      val prior = edges.toDF("id1", "id2")
+      val prev = GraphOps.connectedComponents(prior)
+      val inc = GraphOps.componentsDelete(prev, prior,
+          del.toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      // from-scratch over survivors, with prior nodes kept as
+      // self-pair singletons — the operator's stated node contract
+      val surv = edges.filterNot(e =>
+        del.contains(e) || del.contains((e._2, e._1)))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val scratch = GraphOps.connectedComponents(
+          (surv ++ nodes.map(n => (n, n))).toDF("id1", "id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(inc == scratch, s"seed $seed (|del| = ${del.size})")
+    }
+    // empty deletion returns the prior labeling; a deletion naming
+    // an edge that never existed is ignored (labels unchanged)
+    val prior = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val prev = GraphOps.connectedComponents(prior)
+    val prevSet = prev.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(GraphOps.componentsDelete(prev, prior, none)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == prevSet)
+    assert(GraphOps.componentsDelete(prev, prior,
+        Seq((1L, 4L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet == prevSet)
+  }
+
+  test("pageRankDelta: a LOCAL delta (minority ball) takes the " +
+       "ball-restricted fold and still equals from-scratch") {
+    // 60-node path; delta chords one end. With 4 iterations the ball
+    // is the 4-hop neighborhood of {2, 4} — 8 of 60 nodes — so this
+    // exercises the restricted-fold branch, not the recompute branch
+    val prior = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val delta = Seq((2L, 4L)).toDF("id1", "id2")
+    val traj = GraphOps.pageRankTrajectory(prior, iterations = 4)
+    val inc = prRows(GraphOps.pageRankDelta(traj, prior, delta,
+      iterations = 4))
+    val scratch = prRows(GraphOps.pageRank(prior.unionByName(delta),
+      iterations = 4))
+    assert(inc == scratch, "local fold == from-scratch on the union")
+  }
+
+  test("pprDelta: a LOCAL delta (minority ball) takes the " +
+       "ball-restricted fold and still equals from-scratch") {
+    val prior = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val delta = Seq((2L, 4L)).toDF("id1", "id2")
+    val seeds = (1L to 60L).filter(_ % 6 == 0).toDF("node")
+    val traj = GraphOps.pprTrajectory(prior, seeds, iterations = 4)
+    val inc = prRows(GraphOps.pprDelta(traj, prior, delta, seeds,
+      iterations = 4))
+    val scratch = prRows(GraphOps.personalizedPageRank(
+      prior.unionByName(delta), seeds, iterations = 4))
+    assert(inc == scratch, "local fold == from-scratch on the union")
+  }
+
+  test("pprTrajectory: iterate `iterations` equals personalizedPageRank " +
+       "row for row; iterate 0 is the teleport vector") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L)).toDF("id1", "id2")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val traj = GraphOps.pprTrajectory(pairs, seeds, iterations = 4)
+    val last = prRows(traj.filter(col("iter") === 4))
+    val direct = prRows(
+      GraphOps.personalizedPageRank(pairs, seeds, iterations = 4))
+    assert(last == direct, "trajectory tip == personalizedPageRank")
+    val it0 = traj.filter(col("iter") === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(it0(1L) == Scale / 2 && it0(10L) == Scale / 2,
+      "iterate 0 carries scale div |S| on each in-graph seed")
+    assert(Seq(2L, 3L, 4L, 11L).forall(it0(_) == 0L),
+      "iterate 0 is zero off the seed set")
+    assert(traj.count() == 5L * 6L, "(iterations+1) x |V| state rows")
+  }
+
+  test("pprDelta == from-scratch personalizedPageRank on the union: " +
+       "merge edge, within-component edge, duplicate edge") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 12L)).toDF("id1", "id2")
+    val seeds = Seq(1L, 11L).toDF("node")
+    val deltas = Seq(
+      Seq((4L, 10L)),             // merges the two components
+      Seq((2L, 4L)),              // rewires inside one component
+      Seq((1L, 2L), (3L, 10L)))   // duplicate of a prior edge + merge
+    for ((d, i) <- deltas.zipWithIndex) {
+      val traj = GraphOps.pprTrajectory(prior, seeds, iterations = 5)
+      val inc = prRows(GraphOps.pprDelta(traj, prior,
+        d.toDF("id1", "id2"), seeds, iterations = 5))
+      val scratch = prRows(GraphOps.personalizedPageRank(
+        prior.unionByName(d.toDF("id1", "id2")), seeds, iterations = 5))
+      assert(inc == scratch, s"delta case $i folds bit-exactly")
+    }
+  }
+
+  test("pprDelta == from-scratch on random graphs and splits") {
+    for (seed <- Seq(5, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 150).map(_ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (cand, rest) = edges.partition(_ => rnd.nextInt(10) == 0)
+      val nodes = rest.flatMap(e => Seq(e._1, e._2)).toSet
+      val delta = cand.filter(e => nodes(e._1) && nodes(e._2))
+      val prior = rest ++ cand.filterNot(delta.contains)
+      val seeds = nodes.filter(_ % 5 == 0).toSeq.toDF("node")
+      val traj = GraphOps.pprTrajectory(
+        prior.toDF("id1", "id2"), seeds, iterations = 5)
+      val inc = prRows(GraphOps.pprDelta(traj,
+        prior.toDF("id1", "id2"), delta.toDF("id1", "id2"), seeds,
+        iterations = 5))
+      val scratch = prRows(GraphOps.personalizedPageRank(
+        (prior ++ delta).toDF("id1", "id2"), seeds, iterations = 5))
+      assert(inc == scratch, s"seed $seed (|delta| = ${delta.size})")
+    }
+  }
+
+  test("pprDelta: empty delta returns the prior tip; node-adding and " +
+       "SEED-CHANGING deltas both refuse loudly") {
+    val prior = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val seeds = Seq(1L).toDF("node")
+    val traj = GraphOps.pprTrajectory(prior, seeds, iterations = 3)
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(prRows(GraphOps.pprDelta(traj, prior, empty, seeds,
+        iterations = 3)) ==
+      prRows(GraphOps.personalizedPageRank(prior, seeds, iterations = 3)))
+    val eNode = intercept[IllegalArgumentException] {
+      GraphOps.pprDelta(traj, prior, Seq((3L, 99L)).toDF("id1", "id2"),
+        seeds, iterations = 3)
+    }
+    assert(eNode.getMessage.contains("new node"))
+    // the stateful-fold hazard the check exists for: same state,
+    // DIFFERENT seed set — iterate 0 no longer matches the teleport
+    // vector and the fold must refuse, not silently mix recurrences
+    val eSeed = intercept[IllegalArgumentException] {
+      GraphOps.pprDelta(traj, prior, Seq((1L, 3L)).toDF("id1", "id2"),
+        Seq(2L).toDF("node"), iterations = 3)
+    }
+    assert(eSeed.getMessage.contains("different seed set"))
+  }
+
   test("streaming label maintenance: componentsDelta folds micro-batch deltas") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val input = MemoryStream[(Long, Long)](spark)

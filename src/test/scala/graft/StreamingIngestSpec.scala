@@ -623,6 +623,97 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("media candidate RECALL CONTRACT: a far spine eats its band — " +
+       "the true pair is not emitted there (documented miss); batch " +
+       "re-banding is the backstop that still finds it") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDedup
+    val M = graft.multimodal.Multimodal
+    def sigExpr(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("data", encode(col("txt"), "UTF-8"))
+      .withColumn("sig", M.simhash64Of(M.shingleTokens("data", 16, 4, 4)))
+    // the true near-dup pair: identical 64-byte signature window,
+    // different tails — hamming 0, shares ALL four band buckets
+    val w2 = ("true pair window the far spine must collide with on " +
+      "exactly one band").padTo(64, '=').take(64).mkString
+    val s2 = sigExpr(Seq(w2).toDF("txt")).select("sig").head().getString(0)
+    // deterministic search for the far spine: a window whose
+    // signature matches w2's on EXACTLY one 16-bit band (so it
+    // spines exactly one shared bucket) while the full-signature
+    // hamming exceeds the budget (so the verifier rejects every
+    // spine-anchored pair from that bucket). Signatures are
+    // deterministic, so the hit is stable across runs.
+    val bandEq = (0 until 4).map(k =>
+      (substring(col("sig"), k * 16 + 1, 16) ===
+        lit(s2.substring(k * 16, k * 16 + 16))).cast("int"))
+    // the WHOLE window must vary per candidate: a constant prefix +
+    // padding would out-vote the few varying shingles and every
+    // candidate would hash identically (measured: 120k identical
+    // signatures) — so tile an id-derived string across all 64 bytes
+    val hit = sigExpr(spark.range(120000)
+        .select(substring(repeat(
+          format_string("%010d#", col("id") * 7919L), 7), 1, 64).as("txt")))
+      .withColumn("n_eq", bandEq.reduce(_ + _))
+      .withColumn("h", expr(s"graft_hamming(sig, '$s2')"))
+      .filter(col("n_eq") === 1 && col("h") > 3)
+      .select(col("txt"), col("h"),
+        array((0 until 4).map(k => bandEq(k)): _*).as("eq"))
+      .head()
+    val w1 = hit.getString(0)
+    val farH = hit.getAs[Number](1).longValue
+    val bandK = hit.getSeq[Int](2).indexOf(1)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_media_miss_ckpt").toString
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)](spark)
+    val media = input.toDF().toDF("doc_id", "media_type", "txt", "ts")
+      .select(col("doc_id"), col("media_type"),
+        encode(col("txt"), "UTF-8").as("data"), col("ts"))
+    val pairs = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[(Int, Long, Long, Long), java.lang.Boolean]())
+    val q = StreamingDedup.mediaCandidatePairs(media, lateness = "1 hour")
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach { r =>
+          pairs.add((r.getAs[Int]("band"), r.getAs[Long]("id1"),
+            r.getAs[Long]("id2"), r.getAs[Number]("hamming").longValue))
+        }
+      }.start()
+    try {
+      // separate micro-batches pin spine election deterministically
+      input.addData((1L, "image/png", w1, t(1000))); q.processAllAvailable()
+      input.addData((2L, "image/png", w2 + " t2", t(1100))); q.processAllAvailable()
+      input.addData((3L, "image/png", w2 + " t3", t(1200))); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = pairs.asScala.toSet
+    val onBandK = got.filter(_._1 == bandK)
+    // the documented miss: on the far-spined band the bucket holds
+    // {1, 2, 3} and 2–3 are hamming 0 of each other, yet the only
+    // emissions are the spine-anchored rejectable ones — the
+    // verifier's budget filter leaves NOTHING from this band
+    assert(onBandK == Set((bandK, 1L, 2L, farH), (bandK, 1L, 3L, farH)),
+      s"band $bandK must emit exactly the far-spine pairs: $onBandK")
+    assert(onBandK.forall(_._4 > 3L) && !got.exists(p =>
+        p._2 == 2L && p._3 == 3L && p._1 == bandK),
+      s"the true pair must NOT surface on the far-spined band: $got")
+    // this fixture loses only ONE band — the pair still surfaces on
+    // the three bands 2 spines itself; a d1 far-spining EVERY shared
+    // band is the total-loss shape the Scaladoc contract warns about
+    assert((0 until 4).filter(_ != bandK).forall(b =>
+        got((b, 2L, 3L, 0L))), s"non-spined bands still emit 2-3: $got")
+    // the stated backstop: batch re-banding over the admitted corpus
+    // expands ALL pairs per bucket and finds 2-3 at hamming 0
+    val batchPairs = M.nearBlocks(
+        Seq((1L, "image/png", w1), (2L, "image/png", w2 + " t2"),
+          (3L, "image/png", w2 + " t3")).toDF("doc_id", "media_type", "txt")
+          .select(col("doc_id"), col("media_type"),
+            encode(col("txt"), "UTF-8").as("data")))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(batchPairs.contains((2L, 3L)),
+      s"batch nearBlocks must recall the missed pair: ${batchPairs.toSeq}")
+  }
+
   test("observed gate metrics ride the stream: n_in/n_kept/n_pii per batch") {
     val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
     val docs = input.toDF().toDF("doc_id", "ts", "text")
