@@ -14,12 +14,14 @@ import graft.operators.GraphOps
   * amortized state", and nothing measured that. This harness does,
   * on the same honest soak fixtures as `graft.Soak`:
   *
-  *  - the TRAJECTORY is built once per (fixture, shape) and pinned
-  *    with localCheckpoint — amortized state, exactly how
-  *    `graph_components_delta`'s prior labeling is priced;
-  *  - the FOLD (`pageRankDelta`, including its own union + degree
-  *    fact pass and ball BFS — the setup a production fold pays per
-  *    batch) is timed INTERLEAVED with the from-scratch recompute
+  *  - the STATE PAIR (trajectory + `pageRankEdgeState`) is built
+  *    once per (fixture, shape) and pinned — amortized state,
+  *    exactly how `graph_components_delta`'s prior labeling is
+  *    priced;
+  *  - the FOLD (`pageRankDeltaFromState`: delta-sized checks,
+  *    capped ball probe, touched-sized degree maintenance,
+  *    ball-restricted rounds — the per-batch production cost) is
+  *    timed INTERLEAVED with the from-scratch recompute
   *    (`pageRank` on the union), F,S,F,S, min-of-reps;
   *  - two delta shapes per fixture: CONCENTRATED (a ~third of the
   *    edges inside a deterministic ~2% slice of components — the
@@ -47,21 +49,35 @@ object SoakFold {
       .select("id1", "id2").localCheckpoint(eager = true)
 
     def shapes: Seq[(String, DataFrame)] = {
-      // CONCENTRATED: edges inside a deterministic ~2% slice of
-      // components (cluster ids are component-minimum doc ids); an
-      // edge's endpoints share a component, so one-sided membership
-      // decides the edge and the 5-hop ball can never leave the slice
+      // component-sliced deltas: cluster ids are component-minimum
+      // doc ids; an edge's endpoints share a component, so one-sided
+      // membership decides the edge and the 5-hop ball can never
+      // leave the slice
       val labels = GraphOps.connectedComponents(pairs)
         .localCheckpoint(eager = true)
-      val picked = labels.filter(col("cluster_id") % 59 === 0)
-        .select("doc_id")
-      val cand = pairs
-        .join(picked.withColumnRenamed("doc_id", "id1"), Seq("id1"),
-          "left_semi")
-      val conc = cand.filter((col("id1") + col("id2")) % 3 === 0)
-      // SCATTERED: the bench fixture's %101 slice
+      def compSlice(mod: Int): DataFrame = {
+        val picked = labels.filter(col("cluster_id") % mod === 0)
+          .select("doc_id")
+        pairs.join(picked.withColumnRenamed("doc_id", "id1"), Seq("id1"),
+            "left_semi")
+          .filter((col("id1") + col("id2")) % 3 === 0)
+      }
+      // TIGHT: the deployment shape — a daily delta touching a FEW
+      // components (~0.1% of cluster ids; coarser moduli are the
+      // deterministic fallback for fixtures with few clusters)
+      val (tm, tight) = Seq(997, 199, 59).iterator
+        .map(m => (m, compSlice(m)))
+        .find(_._2.limit(1).count() > 0)
+        .getOrElse(throw new IllegalStateException(
+          "no component slice yields a delta — fixture bug"))
+      // BROAD: a ~2% cluster slice (ball = a large minority of nodes
+      // — the fold's break-even territory)
+      val broad = compSlice(59)
+      // SCATTERED: the bench fixture's %101 slice (majority ball —
+      // prices the incremental recompute branch)
       val scat = pairs.filter((col("id1") + col("id2")) % 101 === 0)
-      Seq("concentrated" -> conc, "scattered" -> scat)
+      Seq(s"tight_mod$tm" -> tight, "broad" -> broad,
+        "scattered" -> scat)
     }
 
     shapes.map { case (shape, delta0) =>
@@ -76,11 +92,13 @@ object SoakFold {
         .localCheckpoint(eager = true)
       val nDelta = delta.count()
       require(nDelta > 0, s"$shape delta is empty on $dir — fixture bug")
-      // amortized state: built ONCE, outside every timed rep
-      val traj = GraphOps.pageRankTrajectory(prior, iterations = 5)
+      // amortized state PAIR: trajectory + edge-degree state, built
+      // ONCE, outside every timed rep — the production shape
+      val st = GraphOps.pageRankEdgeState(prior)
+      val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
         .localCheckpoint(eager = true)
       val reps = (1 to passes).map { _ =>
-        val f = timeOne(GraphOps.pageRankDelta(traj, prior, delta,
+        val f = timeOne(GraphOps.pageRankDeltaFromState(traj, st, delta,
           iterations = 5))
         val s = timeOne(GraphOps.pageRank(prior.unionByName(delta),
           iterations = 5))
@@ -135,7 +153,7 @@ object SoakFold {
            |  "soaked": "$soaked",
            |  "passes": $passes,
            |  "trajectory": "amortized (built once per shape, localCheckpointed, outside all timed reps)",
-           |  "fold_includes": "union + degree fact pass + ball BFS + fold rounds (the per-batch production cost)",
+           |  "fold_includes": "delta checks + capped ball BFS + touched-sized degree maintenance + ball-restricted rounds over maintained (traj, edgesDeg) state",
            |  "loadavg": {"start": $loadStart, "end": $loadEnd},
            |  "rows": {
            |$rows

@@ -318,12 +318,34 @@ object GraphOps {
     * row, which the spec pins. */
   def pageRankTrajectory(pairs: DataFrame, iterations: Int = 10,
                          dampNum: Long = 85, dampDen: Long = 100,
-                         scale: Long = 1000000000000L): DataFrame = {
+                         scale: Long = 1000000000000L): DataFrame =
+    pageRankTrajectoryFromEdges(
+      pageRankEdgeState(pairs), iterations, dampNum, dampDen, scale)
+
+  /** The symmetrized (src, dst, deg) relation as PUBLIC maintainable
+    * state — the second half of the incremental-PageRank state pair
+    * next to [[pageRankTrajectory]]. A pipeline that keeps BOTH can
+    * fold a delta through [[pageRankDeltaFromState]] paying only
+    * SCANS of this relation plus touched-sized degree fixes, never
+    * the union symmetrize + distinct + degree self-join +
+    * repartition exchange chain this builder runs (SOAK_r14_fold
+    * measured that setup chain as the fold's whole floor: with it
+    * re-run per batch, fold ≈ recompute even on a concentrated
+    * delta). Build once per graph, feed every consumer. */
+  def pageRankEdgeState(pairs: DataFrame): DataFrame =
+    edgesWithDegree(materialize(pairs.select(col("id1"), col("id2"))))
+
+  /** [[pageRankTrajectory]] over a PREBUILT [[pageRankEdgeState]] —
+    * the sharing seam: a demo (or production state build) that
+    * needs the edge state anyway must not pay the degree build
+    * twice. */
+  def pageRankTrajectoryFromEdges(edgesDeg: DataFrame,
+                                  iterations: Int = 10,
+                                  dampNum: Long = 85, dampDen: Long = 100,
+                                  scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pageRankTrajectory: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pageRankTrajectory: need 0 < damp < 1")
-    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
-    val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
     var pr = materialize(nodes.crossJoin(nDf)
@@ -404,67 +426,129 @@ object GraphOps {
   def pageRankDelta(prevTraj: DataFrame, prevPairs: DataFrame,
                     newPairs: DataFrame, iterations: Int = 10,
                     dampNum: Long = 85, dampDen: Long = 100,
-                    scale: Long = 1000000000000L): DataFrame = {
+                    scale: Long = 1000000000000L): DataFrame =
+    // self-contained form: rebuild the prior edge state in-line and
+    // fold through the state-based path — a caller that MAINTAINS
+    // the state (the production shape) calls
+    // [[pageRankDeltaFromState]] directly and skips this build
+    pageRankDeltaFromState(prevTraj, pageRankEdgeState(prevPairs),
+      newPairs, iterations, dampNum, dampDen, scale)
+
+  /** [[pageRankDelta]] against MAINTAINED state — the production
+    * fold. `prevEdgesDeg` is the prior graph's
+    * [[pageRankEdgeState]]; with it in hand the fold's setup is
+    * SCAN-ONLY: degrees move only at delta endpoints, so the
+    * degree maintenance is a delta-sized aggregate plus one
+    * broadcast-filtered scan for the touched nodes' old degrees —
+    * never the union symmetrize + distinct + degree self-join +
+    * repartition + checkpoint chain the self-contained form pays
+    * (SOAK_r14_fold measured that chain as the whole fold floor:
+    * self-contained fold ≈ recompute at 10× even concentrated).
+    * Everything else is as [[pageRankDelta]]: the capped ball probe,
+    * the majority-ball recompute branch (which also builds its full
+    * degree relation incrementally — one scan + broadcast fix), the
+    * ball-restricted per-round-materialized fold, and the final
+    * merge. Delta edges already present in the state are absorbed
+    * exactly: the anti-join drops them from the new-edge set, so
+    * degrees never double-count. */
+  def pageRankDeltaFromState(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                             newPairs: DataFrame, iterations: Int = 10,
+                             dampNum: Long = 85, dampDen: Long = 100,
+                             scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pageRankDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pageRankDelta: need 0 < damp < 1")
-    // NOT materialized yet: the recompute branch below reads the
-    // trajectory exactly once (the contract check) — only the fold
-    // path, which reads it per round, pays the checkpoint
+    // NOT materialized yet: the recompute branch reads the
+    // trajectory only for the checks — the fold path, which reads
+    // it per round, pays the checkpoint
     val traj0 = prevTraj.select("node", "iter", "pr")
-    val pairsM = materialize(
-      prevPairs.select(col("id1"), col("id2"))
-        .unionByName(newPairs.select(col("id1"), col("id2"))))
-    val edgesDeg = edgesWithDegree(pairsM)
-    val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    // node-preserving check + node count, ONE job (every extra
-    // action here re-runs the |E|-row distinct): every union-graph
-    // node must already carry a trajectory row
-    val chk = nodes.join(traj0.filter(col("iter") === 0),
-        Seq("node"), "left")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("pr").isNull, 1L).otherwise(0L)).as("added"))
-      .head()
-    val (nNodes, added) = (chk.getLong(0), chk.getLong(1))
+    // symmetrized delta, reduced to the GENUINELY new directed rows
+    // (a delta edge already in the state must not bump degrees)
+    val dSym = materialize(
+      newPairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(
+          newPairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
+    // two-step anti-join: a direct `dSym ANTI prevEdgesDeg` cannot
+    // broadcast (only the RIGHT side of a left-anti broadcasts, and
+    // the state is |E|-sized), so Spark would sort-merge-shuffle the
+    // whole state — measured as the fold's dominant cost. Restrict
+    // the state to the delta's keys first (broadcast semi, scan-only)
+    // and anti against that delta-sized remnant.
+    val existing = prevEdgesDeg.select("src", "dst")
+      .join(broadcast(dSym), Seq("src", "dst"), "left_semi")
+    val dNew = materialize(
+      dSym.join(broadcast(existing), Seq("src", "dst"), "left_anti"))
+    // node-preserving check is DELTA-sized against the state (no
+    // union-graph distinct needed: prior nodes carry iterate rows by
+    // construction, so only delta endpoints can be new)
+    val ends = dSym.select(col("src").as("node")).distinct()
+    val added = ends.join(traj0.filter(col("iter") === 0),
+      Seq("node"), "left_anti").count()
     if (added > 0L)
       throw new IllegalArgumentException(
         s"pageRankDelta: delta adds $added new node(s) — n_nodes " +
           "changes, which moves every node's teleport term; rerun " +
           "pageRankTrajectory from scratch or segment the graph")
-    // the growing ball: min-hop distance from the delta endpoints,
-    // capped at `iterations` — reuses the BFS agg-fold rounds, and
-    // BAILS the moment the ball reaches a majority of the node set:
-    // the locality verdict is decided, the remaining |V|-sized
-    // rounds (most of the probe's cost on a scattered delta) are
-    // never run, and recompute on the degree relation already in
-    // hand is the cheaper exact plan (the contract IS equality with
-    // from-scratch on the union). No semi-join to `nodes`: delta
-    // endpoints are union-graph nodes by construction (pairsM
-    // includes newPairs), and the node check above already passed.
-    val seeds = newPairs.select(col("id1").as("node"))
-      .unionByName(newPairs.select(col("id2").as("node"))).distinct()
-    val edges = edgesDeg.select(col("src"), col("dst"))
+    // |V| from the state itself (iterate 0 has one row per node)
+    val nNodes = traj0.filter(col("iter") === 0).count()
+    // capped ball probe over prior ∪ new edges (see pageRankDelta)
+    val edgesAll = prevEdgesDeg.select("src", "dst")
+      .unionByName(dNew.select("src", "dst"))
     val hop0 = materialize(
-      seeds.select(col("node").as("doc_id"), lit(0).as("hops")))
+      ends.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
-      bfsRoundsAggCapped(edges, hop0, iterations, (nNodes + 1L) / 2L)
-    if (majority)
-      return pageRankLoopFromEdges(edgesDeg, iterations,
+      bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
+    // touched-sized degree maintenance: new degree = old degree +
+    // new-edge count, for delta endpoints only. The old-degree read
+    // is one broadcast-filtered SCAN of the state (no exchange).
+    val degInc = dNew.groupBy(col("src")).agg(count(lit(1)).as("inc"))
+    val touchedDeg = materialize(
+      degInc.join(
+          prevEdgesDeg
+            .join(broadcast(degInc.select(col("src"))), Seq("src"),
+              "left_semi")
+            .groupBy(col("src")).agg(max(col("deg")).as("deg_old")),
+          Seq("src"), "left")
+        .select(col("src"),
+          (coalesce(col("deg_old"), lit(0L)) + col("inc")).as("deg")))
+    def withNewDeg(edges: DataFrame): DataFrame =
+      edges.as("e")
+        .join(broadcast(
+            touchedDeg.select(col("src"), col("deg").as("deg_new"))),
+          Seq("src"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("deg_new"), col("deg")).as("deg"))
+    if (majority) {
+      // recompute branch — but even here the union degree relation
+      // is built INCREMENTALLY: one scan of the state with the
+      // touched degrees broadcast-patched, plus the new rows
+      val fixed = materialize(
+        withNewDeg(prevEdgesDeg)
+          .unionByName(dNew.join(broadcast(touchedDeg), Seq("src"))
+            .select(col("src"), col("dst"), col("deg")))
+          .repartition(col("src")))
+      return pageRankLoopFromEdges(fixed, iterations,
         dampNum, dampDen, scale, checkpointEvery = 5)
+    }
     // minority ball: commit to the fold — materialize the complete
     // ball (it gates every round's scan and aggregate) and the
     // trajectory (read per round from here on)
     val ball = materialize(ball0)
     val traj = materialize(traj0)
-    // the ONE |E|-row pass the fold pays: edges whose dst can ever
-    // change, materialized hash-partitioned on the per-round join
-    // key — every round scans THIS, never edgesDeg (the round-13
-    // left_semi restricted the aggregate but re-scanned |E| rows
-    // per round)
+    // the fold's edge relation: ball-restricted, degree-patched,
+    // partitioned on the per-round join key — built from one scan
+    // of the state plus the (ball-restricted) new rows
     val ballMax = ball.select(col("doc_id").as("node"))
     val edgesBall = materialize(
-      edgesDeg.as("e")
-        .join(ballMax, col("e.dst") === ballMax("node"), "left_semi")
+      withNewDeg(
+          prevEdgesDeg.as("pe")
+            .join(ballMax, col("pe.dst") === ballMax("node"), "left_semi"))
+        .unionByName(
+          dNew.as("d")
+            .join(ballMax, col("d.dst") === ballMax("node"), "left_semi")
+            .join(broadcast(touchedDeg), Seq("src"))
+            .select(col("src"), col("dst"), col("deg")))
         .repartition(col("src")))
     // the only nodes whose OLD iterates any round reads are
     // edgesBall's sources (in-neighbors of ball nodes); restrict the
@@ -486,7 +570,7 @@ object GraphOps {
         .join(newVals.as("n"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("n.pr"), col("o.pr")).as("pr"))
-      // n_nodes enters as the LITERAL the one-job check computed —
+      // n_nodes enters as the LITERAL the state check computed —
       // no per-round 1-row crossJoin needed in the fold
       newVals = materialize(
         edgesBall.as("e")

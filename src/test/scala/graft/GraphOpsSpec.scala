@@ -570,6 +570,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(inc == scratch, "local fold == from-scratch on the union")
   }
 
+  test("pageRankDeltaFromState: the maintained state pair folds " +
+       "bit-equal, duplicate delta edges never double-count degrees") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 12L)).toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
+    val deltas = Seq(
+      Seq((4L, 10L)),                 // merge, minority-ball fold path
+      Seq((1L, 2L), (3L, 10L)),       // DUPLICATE prior edge + merge
+      Seq((2L, 1L)))                  // duplicate in REVERSED orientation
+    for ((d, i) <- deltas.zipWithIndex) {
+      val inc = prRows(GraphOps.pageRankDeltaFromState(traj, st,
+        d.toDF("id1", "id2"), iterations = 5))
+      val scratch = prRows(GraphOps.pageRank(
+        prior.unionByName(d.toDF("id1", "id2")), iterations = 5))
+      assert(inc == scratch, s"state-fold case $i == from-scratch")
+    }
+    // the long-path local shape drives the restricted-fold branch
+    // against the state pair too
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val st2 = GraphOps.pageRankEdgeState(chain)
+    val traj2 = GraphOps.pageRankTrajectoryFromEdges(st2, iterations = 4)
+    assert(prRows(GraphOps.pageRankDeltaFromState(traj2, st2,
+        Seq((2L, 4L)).toDF("id1", "id2"), iterations = 4)) ==
+      prRows(GraphOps.pageRank(
+        chain.unionByName(Seq((2L, 4L)).toDF("id1", "id2")),
+        iterations = 4)),
+      "local state-fold == from-scratch")
+  }
+
   test("pprTrajectory: iterate `iterations` equals personalizedPageRank " +
        "row for row; iterate 0 is the teleport vector") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
