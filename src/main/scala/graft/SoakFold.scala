@@ -93,7 +93,8 @@ object SoakFold {
       val nDelta = delta.count()
       require(nDelta > 0, s"$shape delta is empty on $dir — fixture bug")
       // amortized state PAIR: trajectory + edge-degree state, built
-      // ONCE, outside every timed rep — the production shape
+      // ONCE, outside every timed rep — the production shape. The
+      // edge state is recurrence-agnostic, so the PPR rows reuse it.
       val st = GraphOps.pageRankEdgeState(prior)
       val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
         .localCheckpoint(eager = true)
@@ -104,8 +105,27 @@ object SoakFold {
           iterations = 5))
         (f, s)
       }
-      (shape, reps.map(_._1), reps.map(_._2), nDelta)
-    }
+      // PPR twin on the SAME fixture/shape (tight + scattered only —
+      // broad is pagerank's break-even probe): seeds = every 7th
+      // graph node, as the graph_ppr family queries
+      val pprRows =
+        if (shape == "broad") Seq.empty
+        else {
+          val seeds = nodes0.filter(col("n") % 7 === 0)
+            .select(col("n").as("node")).localCheckpoint(eager = true)
+          val ptraj = GraphOps.pprTrajectoryFromEdges(st, seeds,
+            iterations = 5).localCheckpoint(eager = true)
+          val r = (1 to passes).map { _ =>
+            val f = timeOne(GraphOps.pprDeltaFromState(ptraj, st, delta,
+              seeds, iterations = 5))
+            val s = timeOne(GraphOps.personalizedPageRank(
+              prior.unionByName(delta), seeds, iterations = 5))
+            (f, s)
+          }
+          Seq((s"ppr_$shape", r.map(_._1), r.map(_._2), nDelta))
+        }
+      Seq((shape, reps.map(_._1), reps.map(_._2), nDelta)) ++ pprRows
+    }.flatten
   }
 
   private def load1(): Double =

@@ -1028,8 +1028,13 @@ object SparkEntry {
         .join(nodes0.withColumnRenamed("node", "id1"), Seq("id1"), "left_semi")
         .join(nodes0.withColumnRenamed("node", "id2"), Seq("id2"), "left_semi")
       val seeds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
-      val traj = operators.GraphOps.pprTrajectory(p0, seeds, iterations = 5)
-      operators.GraphOps.pprDelta(traj, p0, delta, seeds, iterations = 5)
+      // state pair shared through the FromState seams, as in
+      // graph_pagerank_delta (the edge state is recurrence-agnostic)
+      val st = operators.GraphOps.pageRankEdgeState(p0)
+      val traj = operators.GraphOps
+        .pprTrajectoryFromEdges(st, seeds, iterations = 5)
+      operators.GraphOps
+        .pprDeltaFromState(traj, st, delta, seeds, iterations = 5)
         .orderBy(desc("pr"), col("node")).limit(50)
     }),
     // shape-independent components: the O(log n)-round star

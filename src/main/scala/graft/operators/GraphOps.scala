@@ -604,12 +604,21 @@ object GraphOps {
   def pprTrajectory(pairs: DataFrame, seeds: DataFrame,
                     iterations: Int = 10,
                     dampNum: Long = 85, dampDen: Long = 100,
-                    scale: Long = 1000000000000L): DataFrame = {
+                    scale: Long = 1000000000000L): DataFrame =
+    pprTrajectoryFromEdges(pageRankEdgeState(pairs), seeds,
+      iterations, dampNum, dampDen, scale)
+
+  /** [[pprTrajectory]] over a PREBUILT [[pageRankEdgeState]] — the
+    * same sharing seam as [[pageRankTrajectoryFromEdges]] (the edge
+    * relation is graph state, agnostic of which ranking recurrence
+    * reads it, so PPR and plain PageRank share ONE build). */
+  def pprTrajectoryFromEdges(edgesDeg: DataFrame, seeds: DataFrame,
+                             iterations: Int = 10,
+                             dampNum: Long = 85, dampDen: Long = 100,
+                             scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pprTrajectory: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pprTrajectory: need 0 < damp < 1")
-    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
-    val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val tele = teleportVector(nodes, seeds, scale, "pprTrajectory")
     val edgesTele = teleFusedEdges(edgesDeg, tele)
@@ -692,64 +701,124 @@ object GraphOps {
                newPairs: DataFrame, seeds: DataFrame,
                iterations: Int = 10,
                dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L): DataFrame =
+    // self-contained form — production callers that maintain the
+    // edge state fold through [[pprDeltaFromState]] directly
+    pprDeltaFromState(prevTraj, pageRankEdgeState(prevPairs),
+      newPairs, seeds, iterations, dampNum, dampDen, scale)
+
+  /** [[pprDelta]] against MAINTAINED state — the PPR twin of
+    * [[pageRankDeltaFromState]], same scan-only setup economics
+    * (two-step broadcast anti for the new-edge set, touched-sized
+    * degree maintenance, capped ball probe, incremental degree
+    * build even on the majority-ball recompute branch). The
+    * teleport vector is READ FROM THE STATE: iterate 0 IS tele, so
+    * once the seed-consistency check passes (recompute the expected
+    * tele values from `seeds` against iterate 0 — one |V|-row scan
+    * with the seed set broadcast, refusing loudly on any mismatch)
+    * the fold reuses the verified iterate-0 rows as its teleport
+    * relation instead of paying the |E|-distinct a fresh
+    * teleportVector build would need. */
+  def pprDeltaFromState(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                        newPairs: DataFrame, seeds: DataFrame,
+                        iterations: Int = 10,
+                        dampNum: Long = 85, dampDen: Long = 100,
+                        scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pprDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pprDelta: need 0 < damp < 1")
-    // unmaterialized until the fold path commits (see pageRankDelta)
     val traj0 = prevTraj.select("node", "iter", "pr")
-    val pairsM = materialize(
-      prevPairs.select(col("id1"), col("id2"))
-        .unionByName(newPairs.select(col("id1"), col("id2"))))
-    val edgesDeg = edgesWithDegree(pairsM)
-    val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    // node-preserving check + node count, one job (see pageRankDelta)
-    val chk = nodes.join(traj0.filter(col("iter") === 0),
-        Seq("node"), "left")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("pr").isNull, 1L).otherwise(0L)).as("added"))
-      .head()
-    val (nNodes, added) = (chk.getLong(0), chk.getLong(1))
+    val dSym = materialize(
+      newPairs.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(
+          newPairs.select(col("id2").as("src"), col("id1").as("dst")))
+        .distinct())
+    val existing = prevEdgesDeg.select("src", "dst")
+      .join(broadcast(dSym), Seq("src", "dst"), "left_semi")
+    val dNew = materialize(
+      dSym.join(broadcast(existing), Seq("src", "dst"), "left_anti"))
+    val ends = dSym.select(col("src").as("node")).distinct()
+    val added = ends.join(traj0.filter(col("iter") === 0),
+      Seq("node"), "left_anti").count()
     if (added > 0L)
       throw new IllegalArgumentException(
         s"pprDelta: delta adds $added new node(s) — the trajectory " +
           "carries no iterates for them; rerun pprTrajectory from " +
           "scratch or segment the graph")
-    val tele = teleportVector(nodes, seeds, scale, "pprDelta")
-    // seed-consistency: iterate 0 of the state IS the teleport
-    // vector, so recompute-and-compare catches a caller whose seed
-    // set differs from the one the trajectory was built with
-    val badSeeds = traj0.filter(col("iter") === 0).as("t")
-      .join(tele.as("v"), Seq("node"))
-      .filter(col("t.pr") =!= col("v.tele")).count()
+    // seed-consistency against the state, one |V|-row pass with the
+    // seed set broadcast: |S∩V| from the same pass's seed-flag, then
+    // every iterate-0 row must equal the recomputed teleport value.
+    // (The node set is delta-preserved, so V_state = V_union.)
+    val seedCol = seeds.columns.head
+    val it0 = traj0.filter(col("iter") === 0)
+      .join(broadcast(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("is_seed", lit(1L))), Seq("node"), "left")
+    val sChk = it0.agg(
+      sum(coalesce(col("is_seed"), lit(0L))).as("n_seeds"),
+      count(lit(1)).as("n")).head()
+    val (nSeeds, nNodes) = (sChk.getLong(0), sChk.getLong(1))
+    if (nSeeds == 0L)
+      throw new IllegalArgumentException(
+        "pprDelta: no seed appears in the graph — teleport mass " +
+          "would be undefined")
+    val badSeeds = it0.filter(
+      col("pr") =!= when(col("is_seed").isNotNull, lit(scale / nSeeds))
+        .otherwise(lit(0L))).count()
     if (badSeeds > 0L)
       throw new IllegalArgumentException(
         s"pprDelta: teleport vector from `seeds` differs from the " +
           s"trajectory's iterate 0 on $badSeeds node(s) — the state " +
           "was built with a different seed set; rerun pprTrajectory")
-    val seedsT = newPairs.select(col("id1").as("node"))
-      .unionByName(newPairs.select(col("id2").as("node"))).distinct()
-    val edges = edgesDeg.select(col("src"), col("dst"))
-    // no semi-join to nodes: delta endpoints are union-graph nodes
-    // by construction and the node check above already passed
+    // iterate 0, now VERIFIED, is the teleport relation
+    val tele = materialize(traj0.filter(col("iter") === 0)
+      .select(col("node"), col("pr").as("tele")))
+    val edgesAll = prevEdgesDeg.select("src", "dst")
+      .unionByName(dNew.select("src", "dst"))
     val hop0 = materialize(
-      seedsT.select(col("node").as("doc_id"), lit(0).as("hops")))
-    // price the locality (see pageRankDelta): the capped probe bails
-    // at a majority ball — recompute on the relations already in
-    // hand beats the fold there, and the late BFS rounds never run
+      ends.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
-      bfsRoundsAggCapped(edges, hop0, iterations, (nNodes + 1L) / 2L)
-    if (majority)
-      return pprLoopFromEdges(teleFusedEdges(edgesDeg, tele), tele,
+      bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
+    val degInc = dNew.groupBy(col("src")).agg(count(lit(1)).as("inc"))
+    val touchedDeg = materialize(
+      degInc.join(
+          prevEdgesDeg
+            .join(broadcast(degInc.select(col("src"))), Seq("src"),
+              "left_semi")
+            .groupBy(col("src")).agg(max(col("deg")).as("deg_old")),
+          Seq("src"), "left")
+        .select(col("src"),
+          (coalesce(col("deg_old"), lit(0L)) + col("inc")).as("deg")))
+    def withNewDeg(edges: DataFrame): DataFrame =
+      edges.as("e")
+        .join(broadcast(
+            touchedDeg.select(col("src"), col("deg").as("deg_new"))),
+          Seq("src"), "left")
+        .select(col("src"), col("dst"),
+          coalesce(col("deg_new"), col("deg")).as("deg"))
+    if (majority) {
+      val fixed = materialize(
+        withNewDeg(prevEdgesDeg)
+          .unionByName(dNew.join(broadcast(touchedDeg), Seq("src"))
+            .select(col("src"), col("dst"), col("deg")))
+          .repartition(col("src")))
+      return pprLoopFromEdges(teleFusedEdges(fixed, tele), tele,
         iterations, dampNum, dampDen, checkpointEvery = 5)
+    }
     val ball = materialize(ball0)
     val traj = materialize(traj0)
     val ballMax = ball.select(col("doc_id").as("node"))
-    // the one |E|-row pass: ball-restricted, tele-fused, partitioned
-    // on the per-round join key
+    // ball-restricted, degree-patched, TELE-FUSED (tele_dst rides
+    // each edge row as in personalizedPageRank), partitioned on the
+    // per-round join key
     val edgesTeleBall = materialize(
-      edgesDeg.as("e")
-        .join(ballMax, col("e.dst") === ballMax("node"), "left_semi")
+      withNewDeg(
+          prevEdgesDeg.as("pe")
+            .join(ballMax, col("pe.dst") === ballMax("node"), "left_semi"))
+        .unionByName(
+          dNew.as("d")
+            .join(ballMax, col("d.dst") === ballMax("node"), "left_semi")
+            .join(broadcast(touchedDeg), Seq("src"))
+            .select(col("src"), col("dst"), col("deg")))
         .join(tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
           Seq("dst"))
         .repartition(col("src")))

@@ -660,6 +660,33 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("pprDeltaFromState: maintained state folds bit-equal; tele is " +
+       "read from verified iterate 0; duplicate delta edges absorbed") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (10L, 11L), (11L, 12L)).toDF("id1", "id2")
+    val seeds = Seq(1L, 11L).toDF("node")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pprTrajectoryFromEdges(st, seeds, iterations = 5)
+    val deltas = Seq(
+      Seq((4L, 10L)),             // merge
+      Seq((1L, 2L), (3L, 10L)),   // duplicate prior edge + merge
+      Seq((2L, 1L)))              // duplicate, reversed orientation
+    for ((d, i) <- deltas.zipWithIndex) {
+      val inc = prRows(GraphOps.pprDeltaFromState(traj, st,
+        d.toDF("id1", "id2"), seeds, iterations = 5))
+      val scratch = prRows(GraphOps.personalizedPageRank(
+        prior.unionByName(d.toDF("id1", "id2")), seeds, iterations = 5))
+      assert(inc == scratch, s"state-fold case $i == from-scratch")
+    }
+    // wrong seed set still refuses through the state path
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pprDeltaFromState(traj, st,
+        Seq((1L, 3L)).toDF("id1", "id2"), Seq(2L).toDF("node"),
+        iterations = 5)
+    }
+    assert(e.getMessage.contains("different seed set"))
+  }
+
   test("pprDelta: empty delta returns the prior tip; node-adding and " +
        "SEED-CHANGING deltas both refuse loudly") {
     val prior = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
