@@ -130,8 +130,11 @@ object Soak {
     // the refill repair: fold + a facts scan FILTERED to the refill
     // groups — prices the signal's promised cost model
     "cdc_topk_repair",
-    // the non-saturating PRF eval (tf-graded qrels; same chain)
-    "ret_expand_ab_eval")
+    // the PRF A/B (tf-graded qrels; one before-side + two after-sides)
+    "ret_expand_ab_eval",
+    // round-14 additions: the graph IVM demos and the deletion law
+    "graph_pagerank_delta", "graph_ppr_delta",
+    "graph_components_delete")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
@@ -167,7 +170,14 @@ object Soak {
     // and the refill repair (fold + a facts scan FILTERED to the
     // refill groups — a regression here means the filter stopped
     // pruning; soaked 1.3×)
-    "ret_expand_eval", "cdc_topk_repair")
+    "ret_expand_eval", "cdc_topk_repair",
+    // round-14 additions: the graph IVM demos (state build + fold —
+    // the fold alone is priced separately by graft.SoakFold, these
+    // track the demo composition round over round), the deletion
+    // law (touched-component re-cluster + pass-through anti-join),
+    // and the combined PRF A/B (one before-side + two after-sides)
+    "graph_pagerank_delta", "graph_ppr_delta",
+    "graph_components_delete", "ret_expand_ab_eval")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
