@@ -62,9 +62,12 @@ def main():
         soaks = [p for p in soaks if soak_round(p) == top_round]
     for latest in soaks:
         d = json.load(open(latest))
-        qs = d.get("queries", {})
+        # SoakFold artifacts (round 14+) key their table as "rows"
+        # with fold_reps/scratch_reps per row
+        qs = d.get("queries", {}) or d.get("rows", {})
         la = d.get("loadavg")
         has_reps = any("base_reps" in v for v in qs.values())
+        fold_reps = any("fold_reps" in v for v in qs.values())
         print(f"{os.path.basename(latest)}: {len(qs)} gated queries, "
               f"passes={d.get('passes', '?')}"
               + (f", loadavg start={la.get('start')} end={la.get('end')}"
@@ -81,6 +84,20 @@ def main():
             print(f"  soak rep-ratio outliers >=2x: {len(spiky)}")
             for ratio, q, scale, reps in spiky[:8]:
                 print(f"    {q} [{scale}]: reps "
+                      f"{['%.2f' % t for t in reps]} ratio {ratio:.1f}x"
+                      " <-- noisy measurement")
+        elif fold_reps:
+            spiky = []
+            for q, v in qs.items():
+                for side in ("fold", "scratch"):
+                    reps = v.get(f"{side}_reps", [])
+                    if len(reps) >= 2 and min(reps) > 0 \
+                            and max(reps) / min(reps) >= 2.0:
+                        spiky.append((max(reps) / min(reps), q, side, reps))
+            spiky.sort(reverse=True)
+            print(f"  fold rep-ratio outliers >=2x: {len(spiky)}")
+            for ratio, q, side, reps in spiky[:8]:
+                print(f"    {q} [{side}]: reps "
                       f"{['%.2f' % t for t in reps]} ratio {ratio:.1f}x"
                       " <-- noisy measurement")
         else:
