@@ -86,6 +86,28 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").head.toDouble
       catch { case _: Throwable => -1.0 }
+    // LOAD GATE (VERDICT r14 item 2): two consecutive official runs
+    // drifted ~9% uniformly with nothing to arbitrate environment vs
+    // code. Before the timed sweeps, wait (bounded) for the 1-minute
+    // load to drop under the gate; the artifact records the gate, the
+    // wait, and whether the run STARTED gated — a still-gated run is
+    // loudly annotated, never silently averaged into history.
+    val maxLoad = sys.env.get("SPARK_GRAFT_BENCH_MAX_LOAD")
+      .map(_.toDouble).getOrElse(8.0)
+    val maxWaitS = sys.env.get("SPARK_GRAFT_BENCH_MAX_WAIT_S")
+      .map(_.toInt).getOrElse(600)
+    var waitedS = 0
+    while (load1() > maxLoad && waitedS < maxWaitS) {
+      System.err.println(
+        f"[bench] load gate: loadavg ${load1()}%.1f > $maxLoad%.1f — " +
+          s"waiting (${waitedS}s/${maxWaitS}s)")
+      Thread.sleep(15000); waitedS += 15
+    }
+    val gatedStart = load1() > maxLoad
+    if (gatedStart)
+      System.err.println(
+        f"[bench] WARNING: starting GATED at loadavg ${load1()}%.1f > " +
+          f"$maxLoad%.1f after ${waitedS}s — artifact will be annotated")
     val loadStart = load1()
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -112,7 +134,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_times":$pts,"loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"errors":$errs}"""
+    val gate = s"""{"max_load":${fmt(maxLoad)},"waited_s":$waitedS,"gated_start":$gatedStart}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"pass_times":$pts,"loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"load_gate":$gate,"errors":$errs}"""
     println(line)
     // the driver's artifact keeps only a truncated stdout tail, which
     // loses the first ~half of the per-query timings — persist the

@@ -23,15 +23,21 @@ import graft.operators.GraphOps
   *    ball-restricted rounds — the per-batch production cost) is
   *    timed INTERLEAVED with the from-scratch recompute
   *    (`pageRank` on the union), F,S,F,S, min-of-reps;
-  *  - two delta shapes per fixture: CONCENTRATED (a ~third of the
-  *    edges inside a deterministic ~2% slice of components — the
-  *    deployment shape, ball ≪ graph, takes the restricted-fold
-  *    branch) and SCATTERED (the bench fixture's %101 split — ball
-  *    covers the graph, takes the priced recompute branch, expected
-  *    ratio ≈ 1 plus the ball probe).
+  *  - delta shapes per fixture: CONCENTRATED (edges inside a
+  *    deterministic slice of components — the deployment shape,
+  *    ball ≪ graph, takes the restricted-fold branch), BROAD (a
+  *    coarser slice — break-even territory), and SCATTERED (the
+  *    bench fixture's %101 split — ball covers the graph, takes the
+  *    priced recompute branch, expected ratio ≈ 1 plus the probe);
+  *  - round 15: DELETION rows (`del_*`, `ppr_del_*`) price the
+  *    signed fold — the full-graph pair is the amortized state, the
+  *    slice is retracted, the anchor is from-scratch over the
+  *    survivors.
   *
   * Usage: runMain graft.SoakFold [baseDir] [soakedDir] [jsonOut]
-  * (soakedDir must already exist — generate it with graft.Soak.) */
+  * (soakedDir must already exist — generate it with graft.Soak;
+  * pass the 30× directory for the decade point the r14 verdict
+  * ordered.) */
 object SoakFold {
 
   private def timeOne(df: => DataFrame): Double = {
@@ -48,39 +54,96 @@ object SoakFold {
     val pairs = Dedup.simhashPairs(Tables.documents(spark, dir))
       .select("id1", "id2").localCheckpoint(eager = true)
 
-    def shapes: Seq[(String, DataFrame)] = {
-      // component-sliced deltas: cluster ids are component-minimum
-      // doc ids; an edge's endpoints share a component, so one-sided
-      // membership decides the edge and the 5-hop ball can never
-      // leave the slice
-      val labels = GraphOps.connectedComponents(pairs)
-        .localCheckpoint(eager = true)
-      def compSlice(mod: Int): DataFrame = {
-        val picked = labels.filter(col("cluster_id") % mod === 0)
-          .select("doc_id")
-        pairs.join(picked.withColumnRenamed("doc_id", "id1"), Seq("id1"),
-            "left_semi")
-          .filter((col("id1") + col("id2")) % 3 === 0)
-      }
-      // TIGHT: the deployment shape — a daily delta touching a FEW
-      // components (~0.1% of cluster ids; coarser moduli are the
-      // deterministic fallback for fixtures with few clusters)
-      val (tm, tight) = Seq(997, 199, 59).iterator
-        .map(m => (m, compSlice(m)))
+    // component-sliced deltas: cluster ids are component-minimum
+    // doc ids; an edge's endpoints share a component, so one-sided
+    // membership decides the edge and the 5-hop ball can never
+    // leave the slice
+    val labels = GraphOps.connectedComponents(pairs)
+      .localCheckpoint(eager = true)
+    def compSlice(mod: Int): DataFrame = {
+      val picked = labels.filter(col("cluster_id") % mod === 0)
+        .select("doc_id")
+      pairs.join(picked.withColumnRenamed("doc_id", "id1"), Seq("id1"),
+          "left_semi")
+        .filter((col("id1") + col("id2")) % 3 === 0)
+    }
+    // first modulus in the chain yielding a non-empty slice — the
+    // deterministic fallback for fixtures with few clusters (ADVICE
+    // r14: the broad shape reuses this instead of a hardcoded 59
+    // that a valid fixture could miss)
+    def firstNonEmpty(mods: Seq[Int]): Option[(Int, DataFrame)] =
+      mods.iterator.map(m => (m, compSlice(m)))
         .find(_._2.limit(1).count() > 0)
+
+    def shapes: Seq[(String, DataFrame)] = {
+      // TIGHT: the deployment shape — a daily delta touching a FEW
+      // components (~0.1% of cluster ids; coarser moduli fall back)
+      val (tm, tight) = firstNonEmpty(Seq(997, 199, 59))
         .getOrElse(throw new IllegalStateException(
           "no component slice yields a delta — fixture bug"))
       // BROAD: a ~2% cluster slice (ball = a large minority of nodes
-      // — the fold's break-even territory)
-      val broad = compSlice(59)
+      // — the fold's break-even territory); skipped with a log line
+      // when no coarse modulus hits (never aborts the harness)
+      val broad = firstNonEmpty(Seq(59, 19, 7)).map {
+        case (m, df) => s"broad_mod$m" -> df }
+      if (broad.isEmpty)
+        System.err.println(s"[soakfold] $dir: no broad slice — row skipped")
       // SCATTERED: the bench fixture's %101 slice (majority ball —
       // prices the incremental recompute branch)
       val scat = pairs.filter((col("id1") + col("id2")) % 101 === 0)
-      Seq(s"tight_mod$tm" -> tight, "broad" -> broad,
-        "scattered" -> scat)
+      Seq(s"tight_mod$tm" -> tight) ++ broad.toSeq ++
+        Seq("scattered" -> scat)
     }
 
-    shapes.map { case (shape, delta0) =>
+    // DELETION rows (VERDICT r14 item 3): the signed fold priced on
+    // its own deployment shape — the full-graph state pair is the
+    // amortized input, the tight slice is RETRACTED, and the price
+    // anchor is a from-scratch pageRank over the survivors (same |E|
+    // to within the slice; the fold additionally keeps stranded
+    // nodes, which the anchor's edge-derived node set drops — a
+    // timing non-event). Full-graph pair built ONCE per fixture.
+    val addShapes = shapes
+    val stFull = GraphOps.pageRankEdgeState(pairs)
+    val trajFull = GraphOps.pageRankTrajectoryFromEdges(stFull,
+      iterations = 5).localCheckpoint(eager = true)
+    val nodesFull = pairs.select(col("id1").as("n"))
+      .unionByName(pairs.select(col("id2").as("n"))).distinct()
+      .localCheckpoint(eager = true)
+    val delRows = addShapes.filterNot(_._1.startsWith("broad"))
+      .flatMap { case (shape, delta0) =>
+        val delta = delta0.localCheckpoint(eager = true)
+        val nDelta = delta.count()
+        val survivors = pairs.join(delta, Seq("id1", "id2"), "left_anti")
+          .localCheckpoint(eager = true)
+        val prRow = {
+          val r = (1 to passes).map { _ =>
+            val f = timeOne(GraphOps.pageRankDelete(trajFull, stFull,
+              delta, iterations = 5))
+            val s = timeOne(GraphOps.pageRank(survivors, iterations = 5))
+            (f, s)
+          }
+          (s"del_$shape", r.map(_._1), r.map(_._2), nDelta)
+        }
+        val pprRow =
+          if (shape == "scattered") Seq.empty
+          else {
+            val seeds = nodesFull.filter(col("n") % 7 === 0)
+              .select(col("n").as("node")).localCheckpoint(eager = true)
+            val ptraj = GraphOps.pprTrajectoryFromEdges(stFull, seeds,
+              iterations = 5).localCheckpoint(eager = true)
+            val r = (1 to passes).map { _ =>
+              val f = timeOne(GraphOps.pprDelete(ptraj, stFull, delta,
+                seeds, iterations = 5))
+              val s = timeOne(GraphOps.personalizedPageRank(survivors,
+                seeds, iterations = 5))
+              (f, s)
+            }
+            Seq((s"ppr_del_$shape", r.map(_._1), r.map(_._2), nDelta))
+          }
+        Seq(prRow) ++ pprRow
+      }
+
+    addShapes.map { case (shape, delta0) =>
       val prior = pairs.join(delta0, Seq("id1", "id2"), "left_anti")
         .localCheckpoint(eager = true)
       val nodes0 = prior.select(col("id1").as("n"))
@@ -109,7 +172,7 @@ object SoakFold {
       // broad is pagerank's break-even probe): seeds = every 7th
       // graph node, as the graph_ppr family queries
       val pprRows =
-        if (shape == "broad") Seq.empty
+        if (shape.startsWith("broad")) Seq.empty
         else {
           val seeds = nodes0.filter(col("n") % 7 === 0)
             .select(col("n").as("node")).localCheckpoint(eager = true)
@@ -125,7 +188,7 @@ object SoakFold {
           Seq((s"ppr_$shape", r.map(_._1), r.map(_._2), nDelta))
         }
       Seq((shape, reps.map(_._1), reps.map(_._2), nDelta)) ++ pprRows
-    }.flatten
+    }.flatten ++ delRows
   }
 
   private def load1(): Double =

@@ -1037,6 +1037,41 @@ object SparkEntry {
         .pprDeltaFromState(traj, st, delta, seeds, iterations = 5)
         .orderBy(desc("pr"), col("node")).limit(50)
     }),
+    // the ranking DELETION law (VERDICT r14 item 3): trajectory state
+    // on the full pair graph, then a %13 slice of its edges is
+    // RETRACTED and folds signed — the node universe stays the
+    // trajectory's (edges never delete documents; a stranded node
+    // keeps its teleport-only rank), so the oracle recomputes the
+    // recurrence from scratch over the SURVIVING edges with the node
+    // set and n_nodes of the PRIOR graph, blind to the ball/branch
+    // machinery
+    "graph_pagerank_delete" -> q((s, d) => {
+      val pairs = Dedup.simhashPairs(Tables.documents(s, d))
+        .select("id1", "id2").localCheckpoint(true)
+      val del = pairs.filter((col("id1") + col("id2")) % 13 === 0)
+      val st = operators.GraphOps.pageRankEdgeState(pairs)
+      val traj = operators.GraphOps
+        .pageRankTrajectoryFromEdges(st, iterations = 5)
+      operators.GraphOps.pageRankDelete(traj, st, del, iterations = 5)
+        .orderBy(desc("pr"), col("node")).limit(50)
+    }),
+    // the PPR deletion law: same %13 retraction, seed-relative
+    // recurrence (seeds = every-7th doc, verified against the
+    // trajectory's iterate 0); tele(v) depends on the seed set alone
+    // so it never moves on a deletion — a stranded non-seed decays to
+    // zero, a stranded seed keeps its damped teleport share
+    "graph_ppr_delete" -> q((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs)
+        .select("id1", "id2").localCheckpoint(true)
+      val del = pairs.filter((col("id1") + col("id2")) % 13 === 0)
+      val seeds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      val st = operators.GraphOps.pageRankEdgeState(pairs)
+      val traj = operators.GraphOps
+        .pprTrajectoryFromEdges(st, seeds, iterations = 5)
+      operators.GraphOps.pprDelete(traj, st, del, seeds, iterations = 5)
+        .orderBy(desc("pr"), col("node")).limit(50)
+    }),
     // shape-independent components: the O(log n)-round star
     // contraction over the same simhash pair graph (min-label's
     // diameter-bound alternative lives at dedup_clusters)
@@ -4614,6 +4649,109 @@ object SparkEntry {
          |             THEN 1000000000000 // (SELECT n_seeds FROM ns)
          |             ELSE CAST(0 AS BIGINT) END AS tele
          |         FROM nodesv n LEFT JOIN seedsv s ON s.node = n.node),
+         |pr0 AS (SELECT node, tele AS pr FROM tele),
+         |$iterCtes
+         |SELECT node, pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    },
+
+    // the deletion fold's contract: the recurrence over the SURVIVING
+    // edges (%13 slice retracted) on the PRIOR graph's node set and
+    // n_nodes — stranded nodes fall out of the edge/deg relations and
+    // the left join hands them the bare teleport term, exactly the
+    // operator's node-universe law. Blind to the trajectory, ball,
+    // and branch machinery.
+    "graph_pagerank_delete" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node,
+           |    (1000000000000 * 15) // 100 // (SELECT n_nodes FROM nn) +
+           |    (85 * coalesce(c.s, CAST(0 AS BIGINT))) // 100 AS pr
+           |  FROM nodesv n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+           |    FROM edges e
+           |      JOIN pr${i - 1} p ON p.node = e.src
+           |      JOIN deg dg ON dg.src = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |surv AS (SELECT id1, id2 FROM ed0 WHERE (id1 + id2) % 13 <> 0),
+         |prioredges AS (SELECT id1 AS src, id2 AS dst FROM ed0
+         |               UNION SELECT id2, id1 FROM ed0),
+         |nodesv AS (SELECT DISTINCT src AS node FROM prioredges),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodesv),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM surv
+         |          UNION SELECT id2, id1 FROM surv),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (SELECT node, 1000000000000 // (SELECT n_nodes FROM nn) AS pr
+         |        FROM nodesv),
+         |$iterCtes
+         |SELECT node, pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    },
+
+    // the PPR deletion law: survivors-%13 recurrence with the PRIOR
+    // node set and its %7 seed teleport — a stranded non-seed's rows
+    // vanish from edges/deg, so the left join decays it to zero, a
+    // stranded seed to its damped teleport share
+    "graph_ppr_delete" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT t.node,
+           |    (15 * t.tele) // 100 +
+           |    (85 * coalesce(c.s, CAST(0 AS BIGINT))) // 100 AS pr
+           |  FROM tele t LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+           |    FROM edges e
+           |      JOIN pr${i - 1} p ON p.node = e.src
+           |      JOIN deg dg ON dg.src = e.src
+           |    GROUP BY e.dst) c ON c.node = t.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |surv AS (SELECT id1, id2 FROM ed0 WHERE (id1 + id2) % 13 <> 0),
+         |prioredges AS (SELECT id1 AS src, id2 AS dst FROM ed0
+         |               UNION SELECT id2, id1 FROM ed0),
+         |nodesv AS (SELECT DISTINCT src AS node FROM prioredges),
+         |seedsv AS (SELECT node FROM nodesv WHERE node % 7 = 0),
+         |ns AS (SELECT count(*) AS n_seeds FROM seedsv),
+         |tele AS (SELECT n.node,
+         |           CASE WHEN s.node IS NOT NULL
+         |             THEN 1000000000000 // (SELECT n_seeds FROM ns)
+         |             ELSE CAST(0 AS BIGINT) END AS tele
+         |         FROM nodesv n LEFT JOIN seedsv s ON s.node = n.node),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM surv
+         |          UNION SELECT id2, id1 FROM surv),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
          |pr0 AS (SELECT node, tele AS pr FROM tele),
          |$iterCtes
          |SELECT node, pr FROM pr5

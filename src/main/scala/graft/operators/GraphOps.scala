@@ -390,8 +390,9 @@ object GraphOps {
     * the whole graph; the fold REFUSES loudly (rerun from scratch or
     * segment). Delta edges already present in the prior graph are
     * absorbed exactly (the union re-derives degrees), they only
-    * waste ball. Deletions are out of scope, as in
-    * [[componentsDelta]].
+    * waste ball. Deletions fold through [[pageRankDelete]] /
+    * [[pageRankDeltaSigned]] (round 15 — the node universe stays the
+    * trajectory's, so n_nodes never moves).
     *
     * Scale shape (100 TB), measured, not argued: setup is the same
     * one-exchange symmetrize + degree build as from-scratch (the
@@ -450,11 +451,108 @@ object GraphOps {
     * ball-restricted per-round-materialized fold, and the final
     * merge. Delta edges already present in the state are absorbed
     * exactly: the anti-join drops them from the new-edge set, so
-    * degrees never double-count. */
+    * degrees never double-count. Additions only; deletions fold
+    * through [[pageRankDelete]] / [[pageRankDeltaSigned]]. */
   def pageRankDeltaFromState(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
                              newPairs: DataFrame, iterations: Int = 10,
                              dampNum: Long = 85, dampDen: Long = 100,
-                             scale: Long = 1000000000000L): DataFrame = {
+                             scale: Long = 1000000000000L): DataFrame =
+    pageRankSignedCore(prevTraj, prevEdgesDeg, newPairs,
+      newPairs.limit(0), iterations, dampNum, dampDen, scale,
+      wantTrajectory = false, maybeDeletes = false)._1
+
+  /** EDGE DELETIONS for the ranking fold — the maintenance law the
+    * additions-only forms declare out of scope, closed the way
+    * [[componentsDelete]] closed it for components, with one crucial
+    * difference of LAW: an edge deletion never deletes a document,
+    * so the NODE UNIVERSE IS THE TRAJECTORY'S, forever. A node whose
+    * last edge is deleted stays in the output at its teleport-only
+    * rank ((scale·(1−d)) div dampDen div n from iterate 1 on), keeps
+    * its trajectory rows, and can be re-connected by a later
+    * addition — which is exactly what makes delete-then-re-add an
+    * identity (spec-pinned). n_nodes therefore NEVER moves on a
+    * deletion, and the ball induction of [[pageRankDelta]] carries
+    * over signed: a deleted edge perturbs exactly its endpoints (a
+    * degree decrement + a lost in-mass term), so the set of nodes
+    * whose iterate i can change is still the i-hop ball around the
+    * changed endpoints — under the UNION of old and new edges, since
+    * a lost in-neighbor is still a neighbor of the ball in the OLD
+    * graph. Equality contract: row-for-row equal to the recurrence
+    * over (prevPairs − deletedPairs) on the PRIOR node set — the
+    * `graph_pagerank_delete` oracle's from-scratch derivation.
+    * Deleted edges that never existed are tolerated (ignored, as in
+    * [[componentsDelete]]). */
+  def pageRankDelete(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                     deletedPairs: DataFrame, iterations: Int = 10,
+                     dampNum: Long = 85, dampDen: Long = 100,
+                     scale: Long = 1000000000000L): DataFrame =
+    pageRankSignedCore(prevTraj, prevEdgesDeg, deletedPairs.limit(0),
+      deletedPairs, iterations, dampNum, dampDen, scale,
+      wantTrajectory = false, maybeDeletes = true)._1
+
+  /** The SIGNED fold: additions and deletions in one pass, under the
+    * survivor law `(prior − deleted) ∪ added` (an edge both deleted
+    * and re-added in the same batch nets to "present, degree
+    * unchanged"). Returns the final (node, pr) over the trajectory's
+    * node universe. See [[pageRankDelete]] for the deletion law and
+    * [[pageRankDeltaFromState]] for the additions economics — this
+    * is both at once, one ball, one branch decision. */
+  def pageRankDeltaSigned(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                          addedPairs: DataFrame, deletedPairs: DataFrame,
+                          iterations: Int = 10,
+                          dampNum: Long = 85, dampDen: Long = 100,
+                          scale: Long = 1000000000000L): DataFrame =
+    pageRankSignedCore(prevTraj, prevEdgesDeg, addedPairs, deletedPairs,
+      iterations, dampNum, dampDen, scale,
+      wantTrajectory = false, maybeDeletes = true)._1
+
+  /** Maintain the full state PAIR through a signed delta: returns
+    * (trajectory′, edgeState′) — the inputs for the NEXT fold, which
+    * is what a streaming consumer
+    * ([[graft.streaming.GraphRankStream]]) persists per micro-batch.
+    * The trajectory updates per iterate (ball-sized overrides merged
+    * over the old iterates on the fold branch; a from-scratch
+    * trajectory loop over the incrementally-built survivor state on
+    * the majority branch), and the edge state is rebuilt as ONE scan
+    * of the prior state (gone rows anti-joined away, touched degrees
+    * broadcast-patched) plus the genuinely-new rows — the honest
+    * floor of persisting state: the new |E| relation must be written
+    * anyway, so the fold's output-sized-rounds economics apply to the
+    * trajectory, not the state scan. */
+  def pageRankStateFold(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                        addedPairs: DataFrame, deletedPairs: DataFrame,
+                        iterations: Int = 10,
+                        dampNum: Long = 85, dampDen: Long = 100,
+                        scale: Long = 1000000000000L)
+      : (DataFrame, DataFrame) = {
+    val (traj, st) = pageRankSignedCore(prevTraj, prevEdgesDeg,
+      addedPairs, deletedPairs, iterations, dampNum, dampDen, scale,
+      wantTrajectory = true, maybeDeletes = true)
+    (traj, st.get)
+  }
+
+  /** Shared engine of the plain-PageRank folds. Verifies the state
+    * pair (it refuses rather than trusts — the stateful-fold
+    * posture), prices locality with the capped ball probe, then
+    * either folds ball-restricted or recomputes on the
+    * incrementally-built survivor state. Driver actions before the
+    * rounds: the fused it0 probe (|V| + uniformity — iterate 0 of a
+    * plain trajectory is scale div n EVERYWHERE, so a stored min or
+    * max off that value means the pair isn't this graph's), two
+    * delta-sized counts on checkpointed relations (the broadcast
+    * envelope gate), and [[prepSigned]]'s fused added-nodes /
+    * state-extra-nodes probe. Returns (result, updated edge state) —
+    * the state only when the branch built it ([[pageRankStateFold]]
+    * always does; the tip fold only on the majority branch). */
+  private def pageRankSignedCore(prevTraj: DataFrame,
+                                 prevEdgesDeg: DataFrame,
+                                 addedPairs: DataFrame,
+                                 deletedPairs: DataFrame,
+                                 iterations: Int, dampNum: Long,
+                                 dampDen: Long, scale: Long,
+                                 wantTrajectory: Boolean,
+                                 maybeDeletes: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     require(iterations >= 1, "pageRankDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pageRankDelta: need 0 < damp < 1")
@@ -462,132 +560,142 @@ object GraphOps {
     // trajectory only for the checks — the fold path, which reads
     // it per round, pays the checkpoint
     val traj0 = prevTraj.select("node", "iter", "pr")
-    // symmetrized delta, reduced to the GENUINELY new directed rows
-    // (a delta edge already in the state must not bump degrees)
-    val dSym = materialize(
-      newPairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(
-          newPairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .distinct())
-    // two-step anti-join: a direct `dSym ANTI prevEdgesDeg` cannot
-    // broadcast (only the RIGHT side of a left-anti broadcasts, and
-    // the state is |E|-sized), so Spark would sort-merge-shuffle the
-    // whole state — measured as the fold's dominant cost. Restrict
-    // the state to the delta's keys first (broadcast semi, scan-only)
-    // and anti against that delta-sized remnant.
-    val existing = prevEdgesDeg.select("src", "dst")
-      .join(broadcast(dSym), Seq("src", "dst"), "left_semi")
-    val dNew = materialize(
-      dSym.join(broadcast(existing), Seq("src", "dst"), "left_anti"))
-    // node-preserving check is DELTA-sized against the state (no
-    // union-graph distinct needed: prior nodes carry iterate rows by
-    // construction, so only delta endpoints can be new)
-    val ends = dSym.select(col("src").as("node")).distinct()
-    val added = ends.join(traj0.filter(col("iter") === 0),
-      Seq("node"), "left_anti").count()
-    if (added > 0L)
+    val it0 = traj0.filter(col("iter") === 0)
+    val h = it0.agg(count(lit(1)).as("n"), min(col("pr")).as("mn"),
+      max(col("pr")).as("mx")).head()
+    val nNodes = h.getLong(0)
+    if (nNodes == 0L)
       throw new IllegalArgumentException(
-        s"pageRankDelta: delta adds $added new node(s) — n_nodes " +
-          "changes, which moves every node's teleport term; rerun " +
-          "pageRankTrajectory from scratch or segment the graph")
-    // |V| from the state itself (iterate 0 has one row per node)
-    val nNodes = traj0.filter(col("iter") === 0).count()
-    // capped ball probe over prior ∪ new edges (see pageRankDelta)
+        "pageRankDelta: prevTraj has no iterate-0 rows — not a " +
+          "pageRankTrajectory")
+    if (h.getLong(1) != scale / nNodes || h.getLong(2) != scale / nNodes)
+      throw new IllegalArgumentException(
+        s"pageRankDelta: trajectory iterate 0 is not uniformly " +
+          s"scale div n (min=${h.getLong(1)}, max=${h.getLong(2)}, " +
+          s"expected ${scale / nNodes}) — the trajectory belongs to " +
+          "a different graph or scale; rerun pageRankTrajectory")
+    val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
+      nNodes, maybeDeletes, "pageRankDelta")
+    // capped ball probe over prior ∪ new edges: deleted edges are
+    // still prior edges, so the union reaches the old in-neighbors a
+    // deletion perturbs (see pageRankDelete's signed induction)
     val edgesAll = prevEdgesDeg.select("src", "dst")
-      .unionByName(dNew.select("src", "dst"))
+      .unionByName(p.dNew.select("src", "dst"))
     val hop0 = materialize(
-      ends.select(col("node").as("doc_id"), lit(0).as("hops")))
+      p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
-    // touched-sized degree maintenance: new degree = old degree +
-    // new-edge count, for delta endpoints only. The old-degree read
-    // is one broadcast-filtered SCAN of the state (no exchange).
-    val degInc = dNew.groupBy(col("src")).agg(count(lit(1)).as("inc"))
-    val touchedDeg = materialize(
-      degInc.join(
-          prevEdgesDeg
-            .join(broadcast(degInc.select(col("src"))), Seq("src"),
-              "left_semi")
-            .groupBy(col("src")).agg(max(col("deg")).as("deg_old")),
-          Seq("src"), "left")
-        .select(col("src"),
-          (coalesce(col("deg_old"), lit(0L)) + col("inc")).as("deg")))
-    def withNewDeg(edges: DataFrame): DataFrame =
-      edges.as("e")
-        .join(broadcast(
-            touchedDeg.select(col("src"), col("deg").as("deg_new"))),
-          Seq("src"), "left")
-        .select(col("src"), col("dst"),
-          coalesce(col("deg_new"), col("deg")).as("deg"))
+    // the per-node teleport term, a literal (n_nodes is pinned to
+    // the trajectory's universe — deletions never shrink it)
+    val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
     if (majority) {
-      // recompute branch — but even here the union degree relation
-      // is built INCREMENTALLY: one scan of the state with the
-      // touched degrees broadcast-patched, plus the new rows
-      val fixed = materialize(
-        withNewDeg(prevEdgesDeg)
-          .unionByName(dNew.join(broadcast(touchedDeg), Seq("src"))
-            .select(col("src"), col("dst"), col("deg")))
-          .repartition(col("src")))
-      return pageRankLoopFromEdges(fixed, iterations,
-        dampNum, dampDen, scale, checkpointEvery = 5)
+      val st = survivorEdgeState(prevEdgesDeg, p)
+      if (wantTrajectory)
+        (pageRankTrajLoopN(st, it0.select("node"), nNodes, iterations,
+          dampNum, dampDen, scale), Some(st))
+      else {
+        val ranks = pageRankLoopN(st, nNodes, iterations,
+          dampNum, dampDen, scale)
+        // node-universe merge: nodes stranded by deletions keep
+        // their teleport-only rank
+        (materialize(it0.select(col("node"))
+          .join(ranks, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("pr"), lit(tp)).as("pr"))), Some(st))
+      }
+    } else {
+      // minority ball: commit to the fold — materialize the complete
+      // ball (it gates every round's scan and aggregate) and the
+      // trajectory (read per round from here on)
+      val ball = materialize(ball0)
+      val traj = materialize(traj0)
+      val ballMax = ball.select(col("doc_id").as("node"))
+      val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
+      // the only nodes whose OLD iterates any round reads are
+      // edgesBall's sources (in-neighbors of ball nodes); restrict
+      // the (iterations+1)·|V| trajectory to that set once, then
+      // VERIFY the restriction covers it — a trajectory from a
+      // different graph silently dropping in-neighbor contributions
+      // is the one mismatch the global probes can't see (ADVICE r14)
+      val srcBall = edgesBall.select(col("src").as("node")).distinct()
+      val trajBall = materialize(
+        traj.join(srcBall, Seq("node"), "left_semi"))
+      ballCoverageCheck(srcBall, trajBall, "pageRankDelta")
+      val rounds = ballRounds(traj, trajBall, ball, edgesBall,
+        iterations, dampNum, dampDen,
+        (ballI, inSums) => ballI.join(inSums, Seq("node"), "left")
+          .select(col("node"),
+            (lit(tp) + expr(s"($dampNum * coalesce(in_sum, " +
+              s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+      if (wantTrajectory) {
+        val merged = materialize((0 to iterations).map { i =>
+          val base = traj.filter(col("iter") === i)
+          if (i == 0) base // iterate 0 is delta-invariant
+          else base.as("o")
+            .join(rounds(i - 1).as("n"), Seq("node"), "left")
+            .select(col("node"), col("iter"),
+              coalesce(col("n.pr"), col("o.pr")).as("pr"))
+        }.reduce(_ unionByName _))
+        (merged, Some(survivorEdgeState(prevEdgesDeg, p)))
+      } else
+        // merge: untouched rows keep iterate `iterations` verbatim
+        (materialize(
+          traj.filter(col("iter") === iterations).as("o")
+            .join(rounds.last.as("n"), Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("n.pr"), col("o.pr")).as("pr"))), None)
     }
-    // minority ball: commit to the fold — materialize the complete
-    // ball (it gates every round's scan and aggregate) and the
-    // trajectory (read per round from here on)
-    val ball = materialize(ball0)
-    val traj = materialize(traj0)
-    // the fold's edge relation: ball-restricted, degree-patched,
-    // partitioned on the per-round join key — built from one scan
-    // of the state plus the (ball-restricted) new rows
-    val ballMax = ball.select(col("doc_id").as("node"))
-    val edgesBall = materialize(
-      withNewDeg(
-          prevEdgesDeg.as("pe")
-            .join(ballMax, col("pe.dst") === ballMax("node"), "left_semi"))
-        .unionByName(
-          dNew.as("d")
-            .join(ballMax, col("d.dst") === ballMax("node"), "left_semi")
-            .join(broadcast(touchedDeg), Seq("src"))
-            .select(col("src"), col("dst"), col("deg")))
-        .repartition(col("src")))
-    // the only nodes whose OLD iterates any round reads are
-    // edgesBall's sources (in-neighbors of ball nodes); restrict the
-    // (iterations+1)·|V| trajectory to that set once
-    val srcBall = edgesBall.select(col("src").as("node")).distinct()
-    val trajBall = materialize(traj.join(srcBall, Seq("node"), "left_semi"))
-    var newVals = traj.filter(col("iter") === 0)
-      .join(ball.filter(col("hops") <= 0).select(col("doc_id").as("node")),
-        Seq("node"), "left_semi")
-      .select(col("node"), col("pr"))
+  }
+
+  /** [[pageRankLoopFromEdges]] with n_nodes as a LITERAL instead of
+    * an edge-derived aggregate — the recompute branch of the signed
+    * folds must keep the TRAJECTORY's node count when deletions have
+    * stranded nodes out of the edge relation (the caller merges the
+    * stranded teleport-only rows back). */
+  private def pageRankLoopN(edgesDeg: DataFrame, nNodes: Long,
+                            iterations: Int, dampNum: Long,
+                            dampDen: Long, scale: Long,
+                            checkpointEvery: Int = 5): DataFrame = {
+    val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
+    var pr = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(scale / nNodes).as("pr"))
     for (i <- 1 to iterations) {
-      val ballI = ball.filter(col("hops") <= i)
-        .select(col("doc_id").as("node"))
-      // iterate i−1 over edgesBall's source set = old trajectory
-      // overridden inside ball i−1 (newVals covers exactly that
-      // ball; newVals rows outside the source set feed no round-i
-      // edge and are re-merged from the FINAL newVals at the end)
-      val prPrev = trajBall.filter(col("iter") === i - 1).as("o")
-        .join(newVals.as("n"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("n.pr"), col("o.pr")).as("pr"))
-      // n_nodes enters as the LITERAL the state check computed —
-      // no per-round 1-row crossJoin needed in the fold
-      newVals = materialize(
-        edgesBall.as("e")
-          .join(ballI, col("e.dst") === ballI("node"), "left_semi")
-          .join(prPrev.as("p"), col("e.src") === col("p.node"))
-          .groupBy(col("e.dst"))
-          .agg(sum(expr("pr div deg")).as("in_sum"))
-          .select(col("dst").as("node"),
-            (lit((scale * (dampDen - dampNum)) / dampDen / nNodes) +
-              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
+      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
+        .select(col("dst").as("node"),
+          (lit(tp) + expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
+      if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
-    // merge: untouched rows keep iterate `iterations` verbatim
-    materialize(
-      traj.filter(col("iter") === iterations).as("o")
-        .join(newVals.as("n"), Seq("node"), "left")
+    materialize(pr)
+  }
+
+  /** Trajectory loop over the node UNIVERSE with a literal n —
+    * [[pageRankStateFold]]'s majority branch. Every iterate keeps one
+    * row per universe node (stranded nodes at the teleport constant),
+    * so the produced state obeys the same invariants the fold
+    * verifies on input. */
+  private def pageRankTrajLoopN(edgesDeg: DataFrame, nodesAll: DataFrame,
+                                nNodes: Long, iterations: Int,
+                                dampNum: Long, dampDen: Long,
+                                scale: Long): DataFrame = {
+    val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
+    var pr = materialize(
+      nodesAll.select(col("node"), lit(scale / nNodes).as("pr")))
+    var iterates = Vector(pr.withColumn("iter", lit(0)))
+    for (i <- 1 to iterations) {
+      val inSums = edgesDeg.as("e")
+        .join(pr.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
+        .select(col("dst").as("node"), col("in_sum"))
+      pr = materialize(nodesAll.join(inSums, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+          (lit(tp) + expr(s"($dampNum * coalesce(in_sum, " +
+            s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+      iterates :+= pr.withColumn("iter", lit(i))
+    }
+    iterates.reduce(_ unionByName _).select("node", "iter", "pr")
   }
 
   /** The iterate TRAJECTORY of [[personalizedPageRank]] as
@@ -714,143 +822,394 @@ object GraphOps {
     * build even on the majority-ball recompute branch). The
     * teleport vector is READ FROM THE STATE: iterate 0 IS tele, so
     * once the seed-consistency check passes (recompute the expected
-    * tele values from `seeds` against iterate 0 — one |V|-row scan
-    * with the seed set broadcast, refusing loudly on any mismatch)
-    * the fold reuses the verified iterate-0 rows as its teleport
-    * relation instead of paying the |E|-distinct a fresh
-    * teleportVector build would need. */
+    * tele values from `seeds` against iterate 0, FUSED with the
+    * |S∩V| and |V| counts into ONE driver action — the fold's pitch
+    * is per-batch latency, and actions are its floor) the fold
+    * reuses the verified iterate-0 rows as its teleport relation
+    * instead of paying the |E|-distinct a fresh teleportVector build
+    * would need. Additions only; deletions fold through
+    * [[pprDelete]] / [[pprDeltaSigned]]. */
   def pprDeltaFromState(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
                         newPairs: DataFrame, seeds: DataFrame,
                         iterations: Int = 10,
                         dampNum: Long = 85, dampDen: Long = 100,
-                        scale: Long = 1000000000000L): DataFrame = {
+                        scale: Long = 1000000000000L): DataFrame =
+    pprSignedCore(prevTraj, prevEdgesDeg, newPairs, newPairs.limit(0),
+      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = false)
+
+  /** EDGE DELETIONS for the PPR fold — [[pageRankDelete]]'s law with
+    * the seed-relative recurrence: the node universe is the
+    * trajectory's (a stranded node keeps its teleport-only rank
+    * ((dampDen−dampNum)·tele(v)) div dampDen from iterate 1 on —
+    * zero off the seed set, so a stranded non-seed simply decays to
+    * 0), tele(v) depends on the seed set alone and so NEVER moves on
+    * a deletion, and the signed ball induction carries over
+    * unchanged. Equality contract: the recurrence over
+    * (prevPairs − deletedPairs) on the prior node set — the
+    * `graph_ppr_delete` oracle's from-scratch derivation. */
+  def pprDelete(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                deletedPairs: DataFrame, seeds: DataFrame,
+                iterations: Int = 10,
+                dampNum: Long = 85, dampDen: Long = 100,
+                scale: Long = 1000000000000L): DataFrame =
+    pprSignedCore(prevTraj, prevEdgesDeg, deletedPairs.limit(0),
+      deletedPairs, seeds, iterations, dampNum, dampDen, scale,
+      maybeDeletes = true)
+
+  /** The SIGNED PPR fold: additions and deletions in one pass under
+    * the survivor law `(prior − deleted) ∪ added` — see
+    * [[pageRankDeltaSigned]]. */
+  def pprDeltaSigned(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                     addedPairs: DataFrame, deletedPairs: DataFrame,
+                     seeds: DataFrame, iterations: Int = 10,
+                     dampNum: Long = 85, dampDen: Long = 100,
+                     scale: Long = 1000000000000L): DataFrame =
+    pprSignedCore(prevTraj, prevEdgesDeg, addedPairs, deletedPairs,
+      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = true)
+
+  /** Shared engine of the PPR folds — [[pageRankSignedCore]] with the
+    * seed-teleport recurrence. Contract checks (all VERIFIED, all
+    * loud, fused to a minimal driver-action inventory): the it0 probe
+    * recomputes the expected teleport value per node from `seeds` and
+    * counts mismatches IN THE SAME aggregate that derives |V| and
+    * |S∩V|; [[prepSigned]] then runs the fused added-nodes /
+    * state-extra probe; the fold branch re-verifies trajectory
+    * coverage of the ball's in-neighbors ([[ballCoverageCheck]]). */
+  private def pprSignedCore(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                            addedPairs: DataFrame, deletedPairs: DataFrame,
+                            seeds: DataFrame, iterations: Int,
+                            dampNum: Long, dampDen: Long, scale: Long,
+                            maybeDeletes: Boolean): DataFrame = {
     require(iterations >= 1, "pprDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pprDelta: need 0 < damp < 1")
     val traj0 = prevTraj.select("node", "iter", "pr")
-    val dSym = materialize(
-      newPairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(
-          newPairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .distinct())
-    val existing = prevEdgesDeg.select("src", "dst")
-      .join(broadcast(dSym), Seq("src", "dst"), "left_semi")
-    val dNew = materialize(
-      dSym.join(broadcast(existing), Seq("src", "dst"), "left_anti"))
-    val ends = dSym.select(col("src").as("node")).distinct()
-    val added = ends.join(traj0.filter(col("iter") === 0),
-      Seq("node"), "left_anti").count()
-    if (added > 0L)
-      throw new IllegalArgumentException(
-        s"pprDelta: delta adds $added new node(s) — the trajectory " +
-          "carries no iterates for them; rerun pprTrajectory from " +
-          "scratch or segment the graph")
-    // seed-consistency against the state, one |V|-row pass with the
-    // seed set broadcast: |S∩V| from the same pass's seed-flag, then
-    // every iterate-0 row must equal the recomputed teleport value.
-    // (The node set is delta-preserved, so V_state = V_union.)
-    val seedCol = seeds.columns.head
     val it0 = traj0.filter(col("iter") === 0)
-      .join(broadcast(seeds.select(col(seedCol).as("node")).distinct()
+    // ONE action: |V|, |S∩V|, and the per-row teleport mismatch count
+    // (iterate 0 IS tele, so a caller passing a different seed set —
+    // the silent-wrong-answer hazard of stateful folds — is caught by
+    // construction). The crossJoin side is a broadcast 1-row
+    // aggregate; the plan scans it0 twice inside one job.
+    val seedCol = seeds.columns.head
+    val it0s = it0.join(
+      broadcast(seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("is_seed", lit(1L))), Seq("node"), "left")
-    val sChk = it0.agg(
+    val sAgg = broadcast(it0s.agg(
       sum(coalesce(col("is_seed"), lit(0L))).as("n_seeds"),
-      count(lit(1)).as("n")).head()
-    val (nSeeds, nNodes) = (sChk.getLong(0), sChk.getLong(1))
+      count(lit(1)).as("n")))
+    val chk = it0s.crossJoin(sAgg)
+      .select(col("n_seeds"), col("n"),
+        when(col("pr") =!= when(col("is_seed").isNotNull,
+            expr(s"$scale div n_seeds")).otherwise(lit(0L)), 1L)
+          .otherwise(0L).as("bad"))
+      .agg(max(col("n_seeds")).as("n_seeds"), max(col("n")).as("n"),
+        sum(col("bad")).as("bad")).head()
+    if (chk.isNullAt(1) || chk.getLong(1) == 0L)
+      throw new IllegalArgumentException(
+        "pprDelta: prevTraj has no iterate-0 rows — not a pprTrajectory")
+    val (nSeeds, nNodes, badSeeds) =
+      (chk.getLong(0), chk.getLong(1), chk.getLong(2))
     if (nSeeds == 0L)
       throw new IllegalArgumentException(
         "pprDelta: no seed appears in the graph — teleport mass " +
           "would be undefined")
-    val badSeeds = it0.filter(
-      col("pr") =!= when(col("is_seed").isNotNull, lit(scale / nSeeds))
-        .otherwise(lit(0L))).count()
     if (badSeeds > 0L)
       throw new IllegalArgumentException(
         s"pprDelta: teleport vector from `seeds` differs from the " +
           s"trajectory's iterate 0 on $badSeeds node(s) — the state " +
           "was built with a different seed set; rerun pprTrajectory")
+    val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
+      nNodes, maybeDeletes, "pprDelta")
     // iterate 0, now VERIFIED, is the teleport relation
-    val tele = materialize(traj0.filter(col("iter") === 0)
-      .select(col("node"), col("pr").as("tele")))
+    val tele = materialize(it0.select(col("node"), col("pr").as("tele")))
     val edgesAll = prevEdgesDeg.select("src", "dst")
-      .unionByName(dNew.select("src", "dst"))
+      .unionByName(p.dNew.select("src", "dst"))
     val hop0 = materialize(
-      ends.select(col("node").as("doc_id"), lit(0).as("hops")))
+      p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
-    val degInc = dNew.groupBy(col("src")).agg(count(lit(1)).as("inc"))
-    val touchedDeg = materialize(
-      degInc.join(
-          prevEdgesDeg
-            .join(broadcast(degInc.select(col("src"))), Seq("src"),
-              "left_semi")
-            .groupBy(col("src")).agg(max(col("deg")).as("deg_old")),
-          Seq("src"), "left")
-        .select(col("src"),
-          (coalesce(col("deg_old"), lit(0L)) + col("inc")).as("deg")))
-    def withNewDeg(edges: DataFrame): DataFrame =
-      edges.as("e")
-        .join(broadcast(
-            touchedDeg.select(col("src"), col("deg").as("deg_new"))),
-          Seq("src"), "left")
-        .select(col("src"), col("dst"),
-          coalesce(col("deg_new"), col("deg")).as("deg"))
     if (majority) {
-      val fixed = materialize(
-        withNewDeg(prevEdgesDeg)
-          .unionByName(dNew.join(broadcast(touchedDeg), Seq("src"))
-            .select(col("src"), col("dst"), col("deg")))
-          .repartition(col("src")))
-      return pprLoopFromEdges(teleFusedEdges(fixed, tele), tele,
+      val st = survivorEdgeState(prevEdgesDeg, p)
+      val ranks = pprLoopFromEdges(teleFusedEdges(st, tele), tele,
         iterations, dampNum, dampDen, checkpointEvery = 5)
+      // node-universe merge: stranded nodes decay to their
+      // teleport-only rank (zero off the seed set)
+      return materialize(tele.join(ranks, Seq("node"), "left")
+        .select(col("node"), coalesce(col("pr"),
+          expr(s"((${dampDen - dampNum}) * tele) div $dampDen"))
+          .as("pr")))
     }
     val ball = materialize(ball0)
     val traj = materialize(traj0)
     val ballMax = ball.select(col("doc_id").as("node"))
-    // ball-restricted, degree-patched, TELE-FUSED (tele_dst rides
-    // each edge row as in personalizedPageRank), partitioned on the
-    // per-round join key
-    val edgesTeleBall = materialize(
-      withNewDeg(
-          prevEdgesDeg.as("pe")
-            .join(ballMax, col("pe.dst") === ballMax("node"), "left_semi"))
-        .unionByName(
-          dNew.as("d")
-            .join(ballMax, col("d.dst") === ballMax("node"), "left_semi")
-            .join(broadcast(touchedDeg), Seq("src"))
-            .select(col("src"), col("dst"), col("deg")))
-        .join(tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
-          Seq("dst"))
-        .repartition(col("src")))
-    val srcBall = edgesTeleBall.select(col("src").as("node")).distinct()
+    // plain (not tele-fused) ball edges: the ball rounds read tele
+    // per BALL NODE from the verified |V|-row relation instead — a
+    // ball-sized semi-join per round, which also hands stranded ball
+    // nodes their teleport term (the fused layout only ever surfaced
+    // tele on nodes with surviving in-edges)
+    val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
+    val srcBall = edgesBall.select(col("src").as("node")).distinct()
     val trajBall = materialize(traj.join(srcBall, Seq("node"), "left_semi"))
+    ballCoverageCheck(srcBall, trajBall, "pprDelta")
+    val rounds = ballRounds(traj, trajBall, ball, edgesBall,
+      iterations, dampNum, dampDen,
+      (ballI, inSums) => tele.join(ballI, Seq("node"), "left_semi")
+        .join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+            expr(s"($dampNum * coalesce(in_sum, " +
+              s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+    materialize(
+      traj.filter(col("iter") === iterations).as("o")
+        .join(rounds.last.as("n"), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+  }
+
+  /** Delta-size envelope for the folds' broadcast-hinted setup joins
+    * (ADVICE r14): the symmetrized delta, its state remnants, and the
+    * touched-degree patch are all delta-endpoint-sized and ride
+    * explicit broadcasts — right for the daily-batch deployment
+    * shape, but a pathological delta (half the graph re-sent) would
+    * OOM the driver before the locality pricing ever ran. Past this
+    * many symmetrized delta rows the folds keep the SAME joins
+    * without the hints (Spark shuffles them — slower, never fatal).
+    * Env-overridable for clusters with bigger drivers. */
+  private val MaxBroadcastDeltaRows: Long =
+    sys.env.get("GRAFT_MAX_BROADCAST_DELTA_ROWS").map(_.toLong)
+      .getOrElse(4000000L)
+
+  private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
+    if (small) broadcast(df) else df
+
+  /** Shared setup of the signed ranking folds: the delta reduced to
+    * its GENUINELY new / genuinely gone directed rows, the
+    * touched-degree patch, the changed-endpoint ball seeds, and the
+    * fused contract probe. All relations delta-endpoint-sized and
+    * materialized; `small` says they fit [[MaxBroadcastDeltaRows]]. */
+  private case class SignedPrep(dNew: DataFrame, dGone: DataFrame,
+                                touchedDeg: DataFrame,
+                                endsChanged: DataFrame,
+                                hasDeletes: Boolean, small: Boolean)
+
+  private def symPairs(pairs: DataFrame): DataFrame =
+    pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+
+  /** Delta prep + the fused structural probe (ONE driver action, a
+    * union-tagged count over two small relations): delta endpoints
+    * must all carry trajectory rows (a new node moves every teleport
+    * term — rerun from scratch or segment), and the STATE must not
+    * carry nodes the trajectory lacks (a mismatched (traj, state)
+    * pair — ADVICE r14's silent-wrong-answer hazard; the state's
+    * distinct-src reuses its src hash partitioning, so the probe is
+    * one scan, no exchange. The state MAY carry fewer nodes: a
+    * deletion strands nodes out of the edge relation while the
+    * trajectory keeps them — that direction is verified ball-locally
+    * by [[ballCoverageCheck]]). Deletion rows naming edges absent
+    * from the state are tolerated (they vanish in the semi-join),
+    * matching [[componentsDelete]]. */
+  private def prepSigned(it0: DataFrame, prevEdgesDeg: DataFrame,
+                         addedPairs: DataFrame, deletedPairs: DataFrame,
+                         nNodes: Long, maybeDeletes: Boolean,
+                         who: String): SignedPrep = {
+    val dSym = materialize(symPairs(addedPairs))
+    // delta-sized counts on just-checkpointed relations: the
+    // broadcast envelope gate (ADVICE r14)
+    val nAdd = dSym.count()
+    val delSym =
+      if (maybeDeletes) materialize(symPairs(deletedPairs))
+      else dSym.limit(0)
+    val nDel = if (maybeDeletes) delSym.count() else 0L
+    val small = nAdd + nDel <= MaxBroadcastDeltaRows
+    // two-step anti-join: a direct `dSym ANTI prevEdgesDeg` cannot
+    // broadcast (only the RIGHT side of a left-anti broadcasts, and
+    // the state is |E|-sized), so Spark would sort-merge-shuffle the
+    // whole state — measured as the fold's dominant cost. Restrict
+    // the state to the delta's keys first (semi, scan-only) and anti
+    // against that delta-sized remnant.
+    val existing = prevEdgesDeg.select("src", "dst")
+      .join(hintIf(small)(dSym), Seq("src", "dst"), "left_semi")
+    val dNew = materialize(
+      dSym.join(hintIf(small)(existing), Seq("src", "dst"), "left_anti"))
+    // genuinely gone = (deleted ∩ prior) − added: an edge deleted and
+    // re-added in the same batch nets to "present, degree unchanged"
+    // under the survivor law (prior − deleted) ∪ added
+    val dGone =
+      if (maybeDeletes) materialize(
+        prevEdgesDeg.select("src", "dst")
+          .join(hintIf(small)(delSym), Seq("src", "dst"), "left_semi")
+          .join(hintIf(small)(dSym), Seq("src", "dst"), "left_anti"))
+      else delSym
+    val it0N = it0.select(col("node"))
+    // node check on ADDITION endpoints only: deletion endpoints are
+    // either prior-state nodes (⊆ trajectory by the state_extra
+    // probe) or phantom rows the semi-join already dropped
+    val ends = dSym.select(col("src").as("node")).distinct()
+    val probe = ends.join(it0N, Seq("node"), "left_anti")
+        .select(lit("added_nodes").as("k"))
+      .unionByName(prevEdgesDeg.select(col("src").as("node")).distinct()
+        .join(it0N, Seq("node"), "left_anti")
+        .select(lit("state_extra").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val addedN = probe.getOrElse("added_nodes", 0L)
+    if (addedN > 0L)
+      throw new IllegalArgumentException(
+        s"$who: delta adds $addedN new node(s) — the trajectory " +
+          "carries no iterates for them and n_nodes would move every " +
+          "teleport term; rerun the trajectory from scratch or " +
+          "segment the graph")
+    val extraN = probe.getOrElse("state_extra", 0L)
+    if (extraN > 0L)
+      throw new IllegalArgumentException(
+        s"$who: the edge state carries $extraN node(s) the " +
+          "trajectory lacks — a mismatched (trajectory, state) pair; " +
+          "rebuild the pair from the same graph")
+    // touched-sized degree maintenance: new degree = old + additions
+    // − deletions, for changed endpoints only; the old-degree read is
+    // one filtered SCAN of the state
+    val degInc = dNew.groupBy(col("src")).agg(count(lit(1)).as("inc"))
+    val degDec = dGone.groupBy(col("src")).agg(count(lit(1)).as("dec"))
+    val touched = degInc.join(degDec, Seq("src"), "full_outer")
+      .select(col("src"), coalesce(col("inc"), lit(0L)).as("inc"),
+        coalesce(col("dec"), lit(0L)).as("dec"))
+    val touchedDeg = materialize(
+      touched.join(
+          prevEdgesDeg
+            .join(hintIf(small)(touched.select(col("src"))), Seq("src"),
+              "left_semi")
+            .groupBy(col("src")).agg(max(col("deg")).as("deg_old")),
+          Seq("src"), "left")
+        .select(col("src"),
+          (coalesce(col("deg_old"), lit(0L)) + col("inc") - col("dec"))
+            .as("deg")))
+    // ball seeds: endpoints of GENUINE changes only (absorbed
+    // duplicate additions and phantom deletions perturb nothing)
+    val endsChanged = dNew.select(col("src").as("node"))
+      .unionByName(dGone.select(col("src").as("node"))).distinct()
+    SignedPrep(dNew, dGone, touchedDeg, endsChanged, maybeDeletes, small)
+  }
+
+  /** One scan of `edges` with the changed endpoints' degrees patched
+    * from the touched relation (broadcast inside the envelope). */
+  private def patchDegrees(edges: DataFrame, p: SignedPrep): DataFrame =
+    edges.as("e")
+      .join(hintIf(p.small)(
+          p.touchedDeg.select(col("src"), col("deg").as("deg_new"))),
+        Seq("src"), "left")
+      .select(col("src"), col("dst"),
+        coalesce(col("deg_new"), col("deg")).as("deg"))
+
+  /** The UPDATED [[pageRankEdgeState]] after a signed delta — one
+    * scan of the prior state (gone rows anti-joined away, touched
+    * degrees patched) plus the genuinely-new rows, repartitioned on
+    * the per-round join key and materialized. Nodes whose last edge
+    * was deleted simply have no rows; the TRAJECTORY still carries
+    * them (the node universe is the trajectory's — see
+    * [[pageRankDelete]]). */
+  private def survivorEdgeState(prevEdgesDeg: DataFrame,
+                                p: SignedPrep): DataFrame = {
+    val kept =
+      if (p.hasDeletes)
+        prevEdgesDeg.select("src", "dst", "deg")
+          .join(hintIf(p.small)(p.dGone), Seq("src", "dst"), "left_anti")
+      else prevEdgesDeg.select("src", "dst", "deg")
+    materialize(
+      patchDegrees(kept, p)
+        .unionByName(p.dNew.join(hintIf(p.small)(p.touchedDeg), Seq("src"))
+          .select(col("src"), col("dst"), col("deg")))
+        .repartition(col("src")))
+  }
+
+  /** The fold's edge relation: ball-restricted survivors,
+    * degree-patched, partitioned on the per-round join key — built
+    * from one scan of the state plus the (ball-restricted) new
+    * rows. */
+  private def ballEdges(prevEdgesDeg: DataFrame, p: SignedPrep,
+                        ballMax: DataFrame): DataFrame = {
+    val priorBall = prevEdgesDeg.as("pe")
+      .join(ballMax, col("pe.dst") === ballMax("node"), "left_semi")
+    val kept =
+      if (p.hasDeletes)
+        priorBall.join(hintIf(p.small)(p.dGone), Seq("src", "dst"),
+          "left_anti")
+      else priorBall
+    materialize(
+      patchDegrees(kept.select("src", "dst", "deg"), p)
+        .unionByName(
+          p.dNew.as("d")
+            .join(ballMax, col("d.dst") === ballMax("node"), "left_semi")
+            .join(hintIf(p.small)(p.touchedDeg), Seq("src"))
+            .select(col("src"), col("dst"), col("deg")))
+        .repartition(col("src")))
+  }
+
+  /** Verify the restricted trajectory covers every in-neighbor the
+    * ball rounds will read — the DIRECT, ball-sized guard against a
+    * mismatched (trajectory, state) pair silently dropping
+    * in-neighbor contributions (ADVICE r14). One fused action (the
+    * two counts union-tag into one aggregate); refuses loudly. */
+  private def ballCoverageCheck(srcBall: DataFrame, trajBall: DataFrame,
+                                who: String): Unit = {
+    val cov = srcBall.select(lit("src").as("k"))
+      .unionByName(trajBall.filter(col("iter") === 0)
+        .select(lit("cov").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (s, c) = (cov.getOrElse("src", 0L), cov.getOrElse("cov", 0L))
+    if (s != c)
+      throw new IllegalArgumentException(
+        s"$who: ${s - c} in-neighbor node(s) of the delta ball have " +
+          "no trajectory rows — a mismatched (trajectory, state) " +
+          "pair would silently drop their contributions; rebuild the " +
+          "pair from the same graph")
+  }
+
+  /** The ball-restricted rounds shared by both recurrences: for
+    * i = 1..iterations, join the ball-i-restricted survivor edges
+    * against iterate i−1 (old trajectory at the rim, the growing
+    * newVals inside), aggregate in-mass per dst, then hand
+    * (ballI, inSums) to the recurrence-specific assembler (the
+    * teleport term is where the recurrences differ). The assembler
+    * receives inSums that OMIT ball nodes with no surviving in-edges
+    * — deletions strand such nodes — so it must left-join and
+    * coalesce the in-mass to zero (every node of ballI gets a row:
+    * that is what makes the override relation cover the ball
+    * exactly). Returns the per-iterate overrides (index i−1 =
+    * iterate i), each materialized. */
+  private def ballRounds(traj: DataFrame, trajBall: DataFrame,
+                         ball: DataFrame, edgesBall: DataFrame,
+                         iterations: Int, dampNum: Long, dampDen: Long,
+                         assemble: (DataFrame, DataFrame) => DataFrame)
+      : Vector[DataFrame] = {
     var newVals = traj.filter(col("iter") === 0)
       .join(ball.filter(col("hops") <= 0).select(col("doc_id").as("node")),
         Seq("node"), "left_semi")
       .select(col("node"), col("pr"))
+    var out = Vector.empty[DataFrame]
     for (i <- 1 to iterations) {
       val ballI = ball.filter(col("hops") <= i)
         .select(col("doc_id").as("node"))
+      // iterate i−1 over edgesBall's source set = old trajectory
+      // overridden inside ball i−1 (newVals covers exactly that
+      // ball; newVals rows outside the source set feed no round-i
+      // edge and are re-merged from the FINAL overrides at the end)
       val prPrev = trajBall.filter(col("iter") === i - 1).as("o")
         .join(newVals.as("n"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("n.pr"), col("o.pr")).as("pr"))
-      newVals = materialize(
-        edgesTeleBall.as("e")
-          .join(ballI, col("e.dst") === ballI("node"), "left_semi")
-          .join(prPrev.as("p"), col("e.src") === col("p.node"))
-          .groupBy(col("e.dst"))
-          .agg(sum(expr("pr div deg")).as("in_sum"),
-            max(col("e.tele_dst")).as("tele"))
-          .select(col("dst").as("node"),
-            (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
-              expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
+      val inSums = edgesBall.as("e")
+        .join(ballI.as("b"), col("e.dst") === col("b.node"), "left_semi")
+        .join(prPrev.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
+        .select(col("dst").as("node"), col("in_sum"))
+      newVals = materialize(assemble(ballI, inSums))
+      out :+= newVals
     }
-    materialize(
-      traj.filter(col("iter") === iterations).as("o")
-        .join(newVals.as("n"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+    out
   }
 
   /** Incremental [[connectedComponents]]: fold a NEW edge delta into
@@ -918,7 +1277,7 @@ object GraphOps {
                        maxIters: Int = 50): DataFrame = {
     val e = materialize(canonicalEdges(prevPairs))
     val d = canonicalEdges(deletedPairs)
-    val survivors = e.join(d, Seq("a", "b"), "left_anti")
+    val survivors = survivingEdges(e, d)
     // clusters holding any deleted-edge endpoint re-cluster; all
     // others pass through verbatim (their member sets are untouched)
     val labels = materialize(prevLabels.select("doc_id", "cluster_id"))
@@ -1151,6 +1510,16 @@ object GraphOps {
       .agg(sum(col("s")).as("s"), sum(col("t")).as("t"))
       .filter((col("s") > 0 && col("t") > 0) || col("t") > 1)
       .isEmpty
+
+  /** Prior canonical edges minus the deleted set. The deleted side is
+    * PINNED broadcast (VERDICT r14 item 5): the doc's cost model says
+    * "a daily deletion batch is small", and on a mis-estimate Spark
+    * would otherwise sort-merge the full |E| prior relation against
+    * it — exactly the scale-killer the model promises away. Plan
+    * shape asserted by PlanSpec (package-private for that). */
+  private[graft] def survivingEdges(canonPrior: DataFrame,
+                                    canonDeleted: DataFrame): DataFrame =
+    canonPrior.join(broadcast(canonDeleted), Seq("a", "b"), "left_anti")
 
   /** Canonical (a < b, distinct, loop-free) edge relation. */
   private def canonicalEdges(pairs: DataFrame): DataFrame =

@@ -901,4 +901,247 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.commonNeighbors(pairs, maxMiddleDegree = -1)
     }
   }
+
+  // ---- signed folds: deletions for the ranking family (round 15) ----
+
+  /** Independent reference for the signed folds: the integer
+    * recurrence over an EXPLICIT node universe, plain Scala maps —
+    * blind to the ball, branch, and state machinery. `seeds = None`
+    * is plain PageRank (uniform teleport over the universe),
+    * `Some(s)` the seed-teleport recurrence. Floor division on
+    * non-negative longs matches Spark's `div` exactly. */
+  private def refRanks(universe: Seq[Long], edges: Seq[(Long, Long)],
+                       seeds: Option[Set[Long]], iters: Int,
+                       dampNum: Long = 85, dampDen: Long = 100)
+      : Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a, b), (b, a)) }.distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = universe.size.toLong
+    val tele: Long => Long = seeds match {
+      case None => _ => Scale / n
+      case Some(s) =>
+        val inS = s.intersect(universe.toSet)
+        val ns = inS.size.toLong
+        v => if (inS(v)) Scale / ns else 0L
+    }
+    val tpTerm: Long => Long = seeds match {
+      case None => _ => Scale * (dampDen - dampNum) / dampDen / n
+      case Some(_) => v => (dampDen - dampNum) * tele(v) / dampDen
+    }
+    var pr: Map[Long, Long] = universe.map(v => v -> tele(v)).toMap
+    for (_ <- 1 to iters) {
+      val inSum = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => pr(src) / deg(src) }.sum }
+      pr = universe.map(v =>
+        v -> (tpTerm(v) + dampNum * inSum.getOrElse(v, 0L) / dampDen)).toMap
+    }
+    pr
+  }
+
+  private def universeOf(edges: Seq[(Long, Long)]): Seq[Long] =
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+
+  test("pageRankDelete: a bridge deletion equals the recurrence over " +
+       "the survivors on the PRIOR node universe; when nothing " +
+       "strands it also equals plain pageRank on the survivors") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 5L), (5L, 6L), (6L, 7L)).toDF("id1", "id2")
+    val priorSeq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (3L, 5L), (5L, 6L), (6L, 7L))
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
+    // delete the 3-5 bridge: the component splits, nobody strands
+    val out = prRows(GraphOps.pageRankDelete(traj, st,
+      Seq((3L, 5L)).toDF("id1", "id2"), iterations = 5))
+    val surv = priorSeq.filterNot(_ == ((3L, 5L)))
+    assert(out == refRanks(universeOf(priorSeq), surv, None, 5),
+      "delete == reference recurrence on the prior universe")
+    assert(out == prRows(GraphOps.pageRank(surv.toDF("id1", "id2"),
+        iterations = 5)),
+      "no stranding, so the edge-derived node set coincides")
+  }
+
+  test("pageRankDelete: stranded nodes stay in the output at the " +
+       "teleport-only rank — the node universe is the trajectory's") {
+    val priorSeq = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val prior = priorSeq.toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 4)
+    // delete BOTH of node 2's edges: 1, 2, 3 all strand
+    val out = prRows(GraphOps.pageRankDelete(traj, st,
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), iterations = 4))
+    val ref = refRanks(universeOf(priorSeq), Seq((10L, 11L)), None, 4)
+    assert(out == ref, "stranded trio at teleport-only rank")
+    val tp = Scale * 15 / 100 / 5
+    assert(Seq(1L, 2L, 3L).forall(v => ref(v) == tp),
+      "reference itself confirms the teleport constant")
+  }
+
+  test("pageRankDeltaSigned: delete-then-re-add in one batch is an " +
+       "identity; phantom deletions are ignored") {
+    val prior = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 4)
+    val tip = prRows(traj.filter(col("iter") === 4))
+    // same edge added AND deleted in one batch: survivor law keeps it
+    assert(prRows(GraphOps.pageRankDeltaSigned(traj, st,
+        Seq((2L, 3L)).toDF("id1", "id2"),
+        Seq((2L, 3L)).toDF("id1", "id2"), iterations = 4)) == tip,
+      "(prior − del) ∪ add = prior when add = del ⊆ prior")
+    // deleting an edge that never existed changes nothing
+    assert(prRows(GraphOps.pageRankDelete(traj, st,
+        Seq((1L, 4L)).toDF("id1", "id2"), iterations = 4)) == tip,
+      "phantom deletion is a no-op")
+  }
+
+  test("pageRankDelete then re-add across TWO folds is an identity " +
+       "(the maintained pair carries stranded nodes through)") {
+    val prior = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val (traj0, st0) = (GraphOps.pageRankTrajectoryFromEdges(
+      GraphOps.pageRankEdgeState(prior), iterations = 4),
+      GraphOps.pageRankEdgeState(prior))
+    val tip0 = prRows(traj0.filter(col("iter") === 4))
+    // fold 1: delete both of node 2's edges (strands 1, 2, 3)
+    val del = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val (traj1, st1) = GraphOps.pageRankStateFold(traj0, st0,
+      del.limit(0), del, iterations = 4)
+    // fold 2: re-add them — the final graph is the original, and the
+    // universe never moved, so the tip must match bit for bit
+    val (traj2, _) = GraphOps.pageRankStateFold(traj1, st1,
+      del, del.limit(0), iterations = 4)
+    assert(prRows(traj2.filter(col("iter") === 4)) == tip0,
+      "delete + re-add across maintained folds == original tip")
+  }
+
+  test("pageRankDeltaSigned == reference on random graphs with mixed " +
+       "additions and deletions (stranding allowed)") {
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 140).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val del = edges.filter(_ => rnd.nextInt(5) == 0)
+      val prior = edges.toDF("id1", "id2")
+      val nodes = universeOf(edges)
+      // additions drawn WITHIN the universe, absent from the prior
+      val adds = (1 to 10).map(_ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2)
+        .filterNot(e => edges.contains(e) || edges.contains(e.swap))
+        .distinct
+      val st = GraphOps.pageRankEdgeState(prior)
+      val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
+      val out = prRows(GraphOps.pageRankDeltaSigned(traj, st,
+        adds.toDF("id1", "id2"), del.toDF("id1", "id2"), iterations = 5))
+      val surv = edges.filterNot(e =>
+        del.contains(e) || del.contains(e.swap)) ++ adds
+      assert(out == refRanks(nodes, surv, None, 5),
+        s"seed $seed (|add| = ${adds.size}, |del| = ${del.size})")
+    }
+  }
+
+  test("pprDelete == reference; a stranded non-seed decays to zero, " +
+       "a stranded seed keeps its teleport share") {
+    val priorSeq = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val prior = priorSeq.toDF("id1", "id2")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pprTrajectoryFromEdges(st, seeds, iterations = 4)
+    val out = prRows(GraphOps.pprDelete(traj, st,
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), seeds, iterations = 4))
+    val ref = refRanks(universeOf(priorSeq), Seq((10L, 11L)),
+      Some(Set(1L, 10L)), 4)
+    assert(out == ref, "ppr delete == reference")
+    assert(ref(2L) == 0L && ref(3L) == 0L,
+      "stranded non-seeds decay to zero")
+    assert(ref(1L) == (100L - 85L) * (Scale / 2) / 100L,
+      "a stranded seed keeps the damped teleport share")
+  }
+
+  test("pprDeltaSigned == reference on random graphs with mixed " +
+       "additions and deletions") {
+    for (seed <- Seq(13, 59)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 140).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val del = edges.filter(_ => rnd.nextInt(5) == 0)
+      val nodes = universeOf(edges)
+      val adds = (1 to 10).map(_ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2)
+        .filterNot(e => edges.contains(e) || edges.contains(e.swap))
+        .distinct
+      val seedSet = nodes.filter(_ % 5 == 0).toSet
+      val prior = edges.toDF("id1", "id2")
+      val st = GraphOps.pageRankEdgeState(prior)
+      val traj = GraphOps.pprTrajectoryFromEdges(st,
+        seedSet.toSeq.toDF("node"), iterations = 5)
+      val out = prRows(GraphOps.pprDeltaSigned(traj, st,
+        adds.toDF("id1", "id2"), del.toDF("id1", "id2"),
+        seedSet.toSeq.toDF("node"), iterations = 5))
+      val surv = edges.filterNot(e =>
+        del.contains(e) || del.contains(e.swap)) ++ adds
+      assert(out == refRanks(nodes, surv, Some(seedSet), 5),
+        s"seed $seed (|add| = ${adds.size}, |del| = ${del.size})")
+    }
+  }
+
+  test("pageRankStateFold: the folded pair equals the from-scratch " +
+       "pair on the survivor graph and keeps folding (chained)") {
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L))
+    val st0 = GraphOps.pageRankEdgeState(edges0.toDF("id1", "id2"))
+    val traj0 = GraphOps.pageRankTrajectoryFromEdges(st0, iterations = 4)
+    // batch 1: add a chord + delete a cycle edge (no stranding)
+    val (traj1, st1) = GraphOps.pageRankStateFold(traj0, st0,
+      Seq((1L, 3L)).toDF("id1", "id2"),
+      Seq((4L, 1L)).toDF("id1", "id2"), iterations = 4)
+    val g1 = edges0.filterNot(_ == ((4L, 1L))) :+ ((1L, 3L))
+    val stG1 = GraphOps.pageRankEdgeState(g1.toDF("id1", "id2"))
+    assert(trajRows(traj1) == trajRows(
+        GraphOps.pageRankTrajectoryFromEdges(stG1, iterations = 4)),
+      "folded trajectory == from-scratch trajectory on batch-1 graph")
+    assert(st1.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      stG1.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "folded edge state == from-scratch edge state")
+    // batch 2 folds FROM THE FOLDED PAIR: merge the two components
+    val (traj2, _) = GraphOps.pageRankStateFold(traj1, st1,
+      Seq((4L, 5L)).toDF("id1", "id2"),
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), iterations = 4)
+    val g2 = g1 :+ ((4L, 5L))
+    assert(prRows(traj2.filter(col("iter") === 4)) ==
+      prRows(GraphOps.pageRank(g2.toDF("id1", "id2"), iterations = 4)),
+      "chained fold tip == from-scratch on the final graph")
+  }
+
+  test("signed folds VERIFY the state pair: a state with nodes the " +
+       "trajectory lacks refuses; a non-uniform iterate 0 refuses") {
+    val prior = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 3)
+    // state from a BIGGER graph than the trajectory's
+    val stBig = GraphOps.pageRankEdgeState(
+      Seq((1L, 2L), (2L, 3L), (3L, 9L)).toDF("id1", "id2"))
+    val e1 = intercept[IllegalArgumentException] {
+      GraphOps.pageRankDeltaFromState(traj, stBig,
+        Seq((1L, 3L)).toDF("id1", "id2"), iterations = 3)
+    }
+    assert(e1.getMessage.contains("mismatched"))
+    // trajectory whose iterate 0 is not scale div n (wrong scale)
+    val trajBad = GraphOps.pageRankTrajectoryFromEdges(st,
+      iterations = 3, scale = 1000000L)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.pageRankDeltaFromState(trajBad, st,
+        Seq((1L, 3L)).toDF("id1", "id2"), iterations = 3)
+    }
+    assert(e2.getMessage.contains("different graph or scale"))
+  }
+
+  private def trajRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("node", "iter", "pr").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
 }
