@@ -134,7 +134,11 @@ object Soak {
     "ret_expand_ab_eval",
     // round-14 additions: the graph IVM demos and the deletion law
     "graph_pagerank_delta", "graph_ppr_delta",
-    "graph_components_delete")
+    "graph_components_delete",
+    // round-15 additions: the ranking deletion laws (signed folds
+    // against the full-graph state pair; the fold alone is priced by
+    // graft.SoakFold's del_* rows)
+    "graph_pagerank_delete", "graph_ppr_delete")
 
   /** The regression-gated slice: the steepest documented ratios plus
     * the queries past verdicts flagged — what `SOAK_r{N}.json` tracks
@@ -177,7 +181,9 @@ object Soak {
     // law (touched-component re-cluster + pass-through anti-join),
     // and the combined PRF A/B (one before-side + two after-sides)
     "graph_pagerank_delta", "graph_ppr_delta",
-    "graph_components_delete", "ret_expand_ab_eval")
+    "graph_components_delete", "ret_expand_ab_eval",
+    // round-15 additions: the ranking deletion demos
+    "graph_pagerank_delete", "graph_ppr_delete")
 
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
