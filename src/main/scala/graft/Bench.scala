@@ -146,6 +146,14 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // LAST LINE: a compact summary that FITS the driver's ~2000-char
+    // stdout tail (VERDICT r15 item 4: the full per-query line is
+    // ~40 KB, so the tail truncates its head and the driver's
+    // `parsed` field came out null four rounds running). Headline
+    // numbers + error list here; the complete per-query record is
+    // the line above and the persisted file.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"loadavg":{"start":${fmt(loadStart)},"end":${fmt(loadEnd)}},"load_gate":$gate,"errors":$errs,"full_record":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

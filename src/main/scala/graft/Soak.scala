@@ -133,7 +133,7 @@ object Soak {
     // the PRF A/B (tf-graded qrels; one before-side + two after-sides)
     "ret_expand_ab_eval",
     // round-14 additions: the graph IVM demos and the deletion law
-    "graph_pagerank_delta", "graph_ppr_delta",
+    "graph_pagerank_delta", "graph_pagerank_delta_rand", "graph_ppr_delta",
     "graph_components_delete",
     // round-15 additions: the ranking deletion laws (signed folds
     // against the full-graph state pair; the fold alone is priced by
@@ -180,7 +180,7 @@ object Soak {
     // track the demo composition round over round), the deletion
     // law (touched-component re-cluster + pass-through anti-join),
     // and the combined PRF A/B (one before-side + two after-sides)
-    "graph_pagerank_delta", "graph_ppr_delta",
+    "graph_pagerank_delta", "graph_pagerank_delta_rand", "graph_ppr_delta",
     "graph_components_delete", "ret_expand_ab_eval",
     // round-15 additions: the ranking deletion demos
     "graph_pagerank_delete", "graph_ppr_delete")

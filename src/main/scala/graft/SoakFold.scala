@@ -34,18 +34,63 @@ import graft.operators.GraphOps
   *    slice is retracted, the anchor is from-scratch over the
   *    survivors.
   *
+  * Round 16 (VERDICT r15 item 1): the harness load-gates BETWEEN
+  * TIMED REPS the way the bench gates its start — the r15 soak runs
+  * started clean but ended at loadavg 17-23, leaving the PPR
+  * deletion fold's 30× point noise-bound (rep arrays 2.8-3.5× wide).
+  * Before each timed measurement the harness waits (bounded) for the
+  * 1-minute load to drop under SPARK_GRAFT_SOAK_MAX_LOAD (default 8);
+  * total gate waits are annotated in the artifact, and a rep that
+  * STARTS gated is loud on stderr. SPARK_GRAFT_SOAKFOLD_ONLY
+  * (comma-separated shape-name substrings) restricts the measured
+  * rows for targeted re-runs.
+  *
   * Usage: runMain graft.SoakFold [baseDir] [soakedDir] [jsonOut]
   * (soakedDir must already exist — generate it with graft.Soak;
   * pass the 30× directory for the decade point the r14 verdict
   * ordered.) */
 object SoakFold {
 
+  private val maxLoad = sys.env.get("SPARK_GRAFT_SOAK_MAX_LOAD")
+    .map(_.toDouble).getOrElse(8.0)
+  private val maxWaitS = sys.env.get("SPARK_GRAFT_SOAK_MAX_WAIT_S")
+    .map(_.toInt).getOrElse(300)
+  private var gateWaitedS = 0
+  private var gatedReps = 0
+
+  /** Wait (bounded) for the 1-minute load to clear the gate before a
+    * timed rep — the bench's start gate applied per-measurement. */
+  private def loadGate(): Unit = {
+    var waited = 0
+    while (load1() > maxLoad && waited < maxWaitS) {
+      Thread.sleep(5000); waited += 5
+    }
+    gateWaitedS += waited
+    if (load1() > maxLoad) {
+      gatedReps += 1
+      System.err.println(
+        f"[soakfold] WARNING: rep starts GATED at loadavg ${load1()}%.1f" +
+          f" > $maxLoad%.1f after ${waited}s wait")
+    }
+  }
+
   private def timeOne(df: => DataFrame): Double = {
+    loadGate()
     System.gc()
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Comma-separated substrings restricting which rows run — the
+    * targeted-re-run lever (e.g. "del_tight,ppr_del" re-measures just
+    * the deletion folds). Absent = every row. */
+  private val only: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_SOAKFOLD_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
+  private def rowOn(name: String): Boolean =
+    only.forall(_.exists(name.contains))
 
   /** (shape, foldReps, scratchReps, |delta|, |ball-side prior|) for
     * both delta shapes on one fixture directory. */
@@ -103,47 +148,60 @@ object SoakFold {
     // nodes, which the anchor's edge-derived node set drops — a
     // timing non-event). Full-graph pair built ONCE per fixture.
     val addShapes = shapes
-    val stFull = GraphOps.pageRankEdgeState(pairs)
-    val trajFull = GraphOps.pageRankTrajectoryFromEdges(stFull,
+    // lazy: a SPARK_GRAFT_SOAKFOLD_ONLY run that selects no deletion
+    // row never builds the full-graph pair
+    lazy val stFull = GraphOps.pageRankEdgeState(pairs)
+    lazy val trajFull = GraphOps.pageRankTrajectoryFromEdges(stFull,
       iterations = 5).localCheckpoint(eager = true)
-    val nodesFull = pairs.select(col("id1").as("n"))
+    lazy val nodesFull = pairs.select(col("id1").as("n"))
       .unionByName(pairs.select(col("id2").as("n"))).distinct()
       .localCheckpoint(eager = true)
     val delRows = addShapes.filterNot(_._1.startsWith("broad"))
       .flatMap { case (shape, delta0) =>
-        val delta = delta0.localCheckpoint(eager = true)
-        val nDelta = delta.count()
-        val survivors = pairs.join(delta, Seq("id1", "id2"), "left_anti")
-          .localCheckpoint(eager = true)
-        val prRow = {
-          val r = (1 to passes).map { _ =>
-            val f = timeOne(GraphOps.pageRankDelete(trajFull, stFull,
-              delta, iterations = 5))
-            val s = timeOne(GraphOps.pageRank(survivors, iterations = 5))
-            (f, s)
-          }
-          (s"del_$shape", r.map(_._1), r.map(_._2), nDelta)
-        }
-        val pprRow =
-          if (shape == "scattered") Seq.empty
-          else {
-            val seeds = nodesFull.filter(col("n") % 7 === 0)
-              .select(col("n").as("node")).localCheckpoint(eager = true)
-            val ptraj = GraphOps.pprTrajectoryFromEdges(stFull, seeds,
-              iterations = 5).localCheckpoint(eager = true)
-            val r = (1 to passes).map { _ =>
-              val f = timeOne(GraphOps.pprDelete(ptraj, stFull, delta,
-                seeds, iterations = 5))
-              val s = timeOne(GraphOps.personalizedPageRank(survivors,
-                seeds, iterations = 5))
-              (f, s)
+        val wantPr = rowOn(s"del_$shape")
+        val wantPpr = shape != "scattered" && rowOn(s"ppr_del_$shape")
+        if (!wantPr && !wantPpr) Seq.empty
+        else {
+          val delta = delta0.localCheckpoint(eager = true)
+          val nDelta = delta.count()
+          val survivors = pairs.join(delta, Seq("id1", "id2"), "left_anti")
+            .localCheckpoint(eager = true)
+          val prRow =
+            if (!wantPr) Seq.empty
+            else {
+              val r = (1 to passes).map { _ =>
+                val f = timeOne(GraphOps.pageRankDelete(trajFull, stFull,
+                  delta, iterations = 5))
+                val s = timeOne(GraphOps.pageRank(survivors, iterations = 5))
+                (f, s)
+              }
+              Seq((s"del_$shape", r.map(_._1), r.map(_._2), nDelta))
             }
-            Seq((s"ppr_del_$shape", r.map(_._1), r.map(_._2), nDelta))
-          }
-        Seq(prRow) ++ pprRow
+          val pprRow =
+            if (!wantPpr) Seq.empty
+            else {
+              val seeds = nodesFull.filter(col("n") % 7 === 0)
+                .select(col("n").as("node")).localCheckpoint(eager = true)
+              val ptraj = GraphOps.pprTrajectoryFromEdges(stFull, seeds,
+                iterations = 5).localCheckpoint(eager = true)
+              val r = (1 to passes).map { _ =>
+                val f = timeOne(GraphOps.pprDelete(ptraj, stFull, delta,
+                  seeds, iterations = 5))
+                val s = timeOne(GraphOps.personalizedPageRank(survivors,
+                  seeds, iterations = 5))
+                (f, s)
+              }
+              Seq((s"ppr_del_$shape", r.map(_._1), r.map(_._2), nDelta))
+            }
+          prRow ++ pprRow
+        }
       }
 
     addShapes.map { case (shape, delta0) =>
+      val wantAdd = rowOn(shape)
+      val wantPpr = !shape.startsWith("broad") && rowOn(s"ppr_$shape")
+      if (!wantAdd && !wantPpr) Seq.empty
+      else {
       val prior = pairs.join(delta0, Seq("id1", "id2"), "left_anti")
         .localCheckpoint(eager = true)
       val nodes0 = prior.select(col("id1").as("n"))
@@ -159,20 +217,25 @@ object SoakFold {
       // ONCE, outside every timed rep — the production shape. The
       // edge state is recurrence-agnostic, so the PPR rows reuse it.
       val st = GraphOps.pageRankEdgeState(prior)
-      val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
-        .localCheckpoint(eager = true)
-      val reps = (1 to passes).map { _ =>
-        val f = timeOne(GraphOps.pageRankDeltaFromState(traj, st, delta,
-          iterations = 5))
-        val s = timeOne(GraphOps.pageRank(prior.unionByName(delta),
-          iterations = 5))
-        (f, s)
-      }
+      val addRows =
+        if (!wantAdd) Seq.empty
+        else {
+          val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
+            .localCheckpoint(eager = true)
+          val reps = (1 to passes).map { _ =>
+            val f = timeOne(GraphOps.pageRankDeltaFromState(traj, st, delta,
+              iterations = 5))
+            val s = timeOne(GraphOps.pageRank(prior.unionByName(delta),
+              iterations = 5))
+            (f, s)
+          }
+          Seq((shape, reps.map(_._1), reps.map(_._2), nDelta))
+        }
       // PPR twin on the SAME fixture/shape (tight + scattered only —
       // broad is pagerank's break-even probe): seeds = every 7th
       // graph node, as the graph_ppr family queries
       val pprRows =
-        if (shape.startsWith("broad")) Seq.empty
+        if (!wantPpr) Seq.empty
         else {
           val seeds = nodes0.filter(col("n") % 7 === 0)
             .select(col("n").as("node")).localCheckpoint(eager = true)
@@ -187,7 +250,8 @@ object SoakFold {
           }
           Seq((s"ppr_$shape", r.map(_._1), r.map(_._2), nDelta))
         }
-      Seq((shape, reps.map(_._1), reps.map(_._2), nDelta)) ++ pprRows
+      addRows ++ pprRows
+      }
     }.flatten ++ delRows
   }
 
@@ -230,14 +294,17 @@ object SoakFold {
           f"""    "${tag}_$shape": {"n_delta": $n, "fold_s": ${f.min}%.3f, "scratch_s": ${s.min}%.3f, "fold_over_scratch": ${f.min / s.min}%.3f, "fold_reps": ${arr(f)}, "scratch_reps": ${arr(s)}}"""
         }
       }.mkString(",\n")
+      val onlyJson = only.map(_.mkString("\"", ",", "\"")).getOrElse("null")
       val json =
         s"""{
            |  "base": "$base",
            |  "soaked": "$soaked",
            |  "passes": $passes,
+           |  "only": $onlyJson,
            |  "trajectory": "amortized (built once per shape, localCheckpointed, outside all timed reps)",
            |  "fold_includes": "delta checks + capped ball BFS + touched-sized degree maintenance + ball-restricted rounds over maintained (traj, edgesDeg) state",
            |  "loadavg": {"start": $loadStart, "end": $loadEnd},
+           |  "load_gate": {"max_load": $maxLoad, "per_rep": true, "gate_waited_s": $gateWaitedS, "reps_started_gated": $gatedReps},
            |  "rows": {
            |$rows
            |  }

@@ -1009,6 +1009,34 @@ object SparkEntry {
         .pageRankDeltaFromState(traj, st, delta, iterations = 5)
         .orderBy(desc("pr"), col("node")).limit(50)
     }),
+    // SEEDED-RANDOM delta fixture (VERDICT r15 item 8): every other
+    // graph IVM query derives its delta as a fixed modulus of id
+    // SUMS, so the concentrated deltas all share one locality shape;
+    // this twin slices by a multiplicative hash of the endpoint pair
+    // — deterministic (oracle replays it exactly) but uniform over
+    // edges, showing the ball pricing isn't tuned to the modulus
+    // shapes. The fold's branch decision is logged per run
+    // ([graphops] … locality probe) — a hash-uniform slice is
+    // expected to price as a majority ball and take the incremental
+    // recompute branch, like the %101 scattered fixture
+    "graph_pagerank_delta_rand" -> q((s, d) => {
+      val pairs = Dedup.simhashPairs(Tables.documents(s, d))
+        .select("id1", "id2").localCheckpoint(true)
+      val h = (col("id1") * 48271L + col("id2") * 16807L) % 101
+      val d0 = pairs.filter(h === 0)
+      val p0 = pairs.filter(h =!= 0)
+      val nodes0 = p0.select(col("id1").as("node"))
+        .unionByName(p0.select(col("id2").as("node"))).distinct()
+      val delta = d0
+        .join(nodes0.withColumnRenamed("node", "id1"), Seq("id1"), "left_semi")
+        .join(nodes0.withColumnRenamed("node", "id2"), Seq("id2"), "left_semi")
+      val st = operators.GraphOps.pageRankEdgeState(p0)
+      val traj = operators.GraphOps
+        .pageRankTrajectoryFromEdges(st, iterations = 5)
+      operators.GraphOps
+        .pageRankDeltaFromState(traj, st, delta, iterations = 5)
+        .orderBy(desc("pr"), col("node")).limit(50)
+    }),
     // incremental PPR (VERDICT r13 item 3): same %101 fixture split
     // as graph_pagerank_delta, seeds = every-7th doc — trajectory
     // state on the prior graph, fold the node-preserving delta
@@ -4577,6 +4605,60 @@ object SparkEntry {
          |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
          |d0 AS (SELECT id1, id2 FROM ed0 WHERE (id1 + id2) % 101 = 0),
          |p0 AS (SELECT id1, id2 FROM ed0 WHERE (id1 + id2) % 101 <> 0),
+         |n0 AS (SELECT id1 AS n FROM p0 UNION SELECT id2 FROM p0),
+         |dd AS (SELECT id1, id2 FROM d0
+         |       WHERE id1 IN (SELECT n FROM n0)
+         |         AND id2 IN (SELECT n FROM n0)),
+         |un AS (SELECT id1, id2 FROM p0
+         |       UNION ALL SELECT id1, id2 FROM dd),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM un
+         |          UNION SELECT id2, id1 FROM un),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nodesv AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT count(*) AS n_nodes FROM nodesv),
+         |pr0 AS (SELECT node, 1000000000000 // (SELECT n_nodes FROM nn) AS pr
+         |        FROM nodesv),
+         |$iterCtes
+         |SELECT node, pr FROM pr5
+         |ORDER BY pr DESC, node LIMIT 50""".stripMargin
+    },
+
+    // the seeded-random twin: identical recurrence, but the delta
+    // slice is the multiplicative hash (id1*48271 + id2*16807) % 101
+    // — DuckDB replays the exact integer hash split from scratch
+    "graph_pagerank_delta_rand" -> {
+      val hammingTerms = (1 to 16).map(i =>
+        s"CASE WHEN substr(sh1, $i, 1) = substr(sh2, $i, 1) THEN 0 ELSE 1 END")
+        .mkString(" + ")
+      val iterCtes = (1 to 5).map { i =>
+        s"""pr$i AS (
+           |  SELECT n.node,
+           |    (1000000000000 * 15) // 100 // (SELECT n_nodes FROM nn) +
+           |    (85 * coalesce(c.s, CAST(0 AS BIGINT))) // 100 AS pr
+           |  FROM nodesv n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+           |    FROM edges e
+           |      JOIN pr${i - 1} p ON p.node = e.src
+           |      JOIN deg dg ON dg.src = e.src
+           |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SimhashSql,
+         |plv AS (SELECT CASE WHEN count(*) >= 320000 THEN 10
+         |                    WHEN count(*) >= 20000 THEN 9
+         |                    ELSE 8 END AS plen FROM documents),
+         |pre AS (SELECT doc_id, simhash16,
+         |          substr(simhash16, 1, (SELECT plen FROM plv)) AS prefix
+         |        FROM sim),
+         |prs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.simhash16 AS sh1, b.simhash16 AS sh2
+         |  FROM pre a JOIN pre b
+         |    ON a.prefix = b.prefix AND a.doc_id < b.doc_id),
+         |ed0 AS (SELECT id1, id2 FROM prs WHERE $hammingTerms <= 3),
+         |d0 AS (SELECT id1, id2 FROM ed0
+         |       WHERE (id1 * 48271 + id2 * 16807) % 101 = 0),
+         |p0 AS (SELECT id1, id2 FROM ed0
+         |       WHERE (id1 * 48271 + id2 * 16807) % 101 <> 0),
          |n0 AS (SELECT id1 AS n FROM p0 UNION SELECT id2 FROM p0),
          |dd AS (SELECT id1, id2 FROM d0
          |       WHERE id1 IN (SELECT n FROM n0)

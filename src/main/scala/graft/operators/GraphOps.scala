@@ -538,10 +538,9 @@ object GraphOps {
     * incrementally-built survivor state. Driver actions before the
     * rounds: the fused it0 probe (|V| + uniformity — iterate 0 of a
     * plain trajectory is scale div n EVERYWHERE, so a stored min or
-    * max off that value means the pair isn't this graph's), two
-    * delta-sized counts on checkpointed relations (the broadcast
-    * envelope gate), and [[prepSigned]]'s fused added-nodes /
-    * state-extra-nodes probe. Returns (result, updated edge state) —
+    * max off that value means the pair isn't this graph's) and
+    * [[prepSigned]]'s fused probe (added-nodes / state-extra-nodes /
+    * broadcast-envelope sizes, one aggregate — VERDICT r15 item 5). Returns (result, updated edge state) —
     * the state only when the branch built it ([[pageRankStateFold]]
     * always does; the tip fold only on the majority branch). */
   private def pageRankSignedCore(prevTraj: DataFrame,
@@ -585,6 +584,7 @@ object GraphOps {
       p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
+    logBranch("pageRankDelta", majority)
     // the per-node teleport term, a literal (n_nodes is pinned to
     // the trajectory's universe — deletions never shrink it)
     val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
@@ -835,7 +835,8 @@ object GraphOps {
                         dampNum: Long = 85, dampDen: Long = 100,
                         scale: Long = 1000000000000L): DataFrame =
     pprSignedCore(prevTraj, prevEdgesDeg, newPairs, newPairs.limit(0),
-      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = false)
+      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = false,
+      wantTrajectory = false)._1
 
   /** EDGE DELETIONS for the PPR fold — [[pageRankDelete]]'s law with
     * the seed-relative recurrence: the node universe is the
@@ -854,7 +855,7 @@ object GraphOps {
                 scale: Long = 1000000000000L): DataFrame =
     pprSignedCore(prevTraj, prevEdgesDeg, deletedPairs.limit(0),
       deletedPairs, seeds, iterations, dampNum, dampDen, scale,
-      maybeDeletes = true)
+      maybeDeletes = true, wantTrajectory = false)._1
 
   /** The SIGNED PPR fold: additions and deletions in one pass under
     * the survivor law `(prior − deleted) ∪ added` — see
@@ -865,7 +866,204 @@ object GraphOps {
                      dampNum: Long = 85, dampDen: Long = 100,
                      scale: Long = 1000000000000L): DataFrame =
     pprSignedCore(prevTraj, prevEdgesDeg, addedPairs, deletedPairs,
-      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = true)
+      seeds, iterations, dampNum, dampDen, scale, maybeDeletes = true,
+      wantTrajectory = false)._1
+
+  /** Maintain the full PPR state PAIR through a signed delta —
+    * [[pageRankStateFold]]'s seed-relative twin (VERDICT r15 item 2:
+    * the streaming seam hard-coded the plain recurrence because this
+    * seam didn't exist). Returns (trajectory′, edgeState′): the
+    * trajectory keeps ONE row per universe node per iterate
+    * (stranded nodes at their teleport-only decay — zero off the
+    * seed set), so the produced pair satisfies the same invariants
+    * the fold verifies on input and keeps folding. The edge state is
+    * the recurrence-agnostic [[pageRankEdgeState]] — callers
+    * maintaining BOTH recurrences off one graph share one state
+    * ([[graft.streaming.GraphRankStream]] folds both via
+    * [[graphStatesFold]], which pays the shared setup once). */
+  def pprStateFold(prevTraj: DataFrame, prevEdgesDeg: DataFrame,
+                   addedPairs: DataFrame, deletedPairs: DataFrame,
+                   seeds: DataFrame, iterations: Int = 10,
+                   dampNum: Long = 85, dampDen: Long = 100,
+                   scale: Long = 1000000000000L)
+      : (DataFrame, DataFrame) = {
+    val (traj, st) = pprSignedCore(prevTraj, prevEdgesDeg, addedPairs,
+      deletedPairs, seeds, iterations, dampNum, dampDen, scale,
+      maybeDeletes = true, wantTrajectory = true)
+    (traj, st.get)
+  }
+
+  /** Fold ONE signed edge delta through EVERY maintained graph-state
+    * family off one shared setup — the streaming seam's per-batch
+    * engine (VERDICT r15 item 2: the edge state is shared by design,
+    * so one `maintain` loop can fold both ranking trajectories plus
+    * the components labels off one state scan). Returns
+    * (plainTrajectory′, pprTrajectory′, labels′, edgeState′), each
+    * family present iff its prior state was passed.
+    *
+    * What is PAID ONCE, regardless of how many families fold:
+    * [[prepSigned]] (the delta reduced to genuinely-new/-gone rows,
+    * touched degrees, fused structural probe), the capped ball
+    * probe, the survivor edge-state scan, and — on the fold branch —
+    * the ball-restricted edge relation. Per extra family the
+    * incremental cost is its own ball rounds (ball-sized joins) or
+    * its own trajectory loop on the majority branch; the components
+    * fold adds one scoped re-cluster (deletions) and/or one
+    * label-star contraction (additions), each skipped when that side
+    * of the delta is empty.
+    *
+    * Seed handling: the PPR teleport vector IS the PPR trajectory's
+    * iterate 0 (verified non-degenerate and universe-consistent with
+    * the plain trajectory in one fused action) — no caller-supplied
+    * seed set, because the maintained pack is the source of truth
+    * ([[pprStateFold]] is the standalone form that verifies a
+    * caller's seeds).
+    *
+    * Labels law: the returned labeling equals
+    * [[connectedComponents]] over the survivor graph, with nodes
+    * stranded by deletions surviving as their own singletons — the
+    * [[componentsDelete]] + [[componentsDelta]] composition under
+    * the same survivor law `(prior − deleted) ∪ added` (an edge
+    * deleted and re-added in one batch nets to present: the genuine
+    * sets exclude it from both phases). */
+  def graphStatesFold(prevPrTraj: DataFrame,
+                      prevPprTraj: Option[DataFrame],
+                      prevLabels: Option[DataFrame],
+                      prevEdgesDeg: DataFrame,
+                      addedPairs: DataFrame, deletedPairs: DataFrame,
+                      iterations: Int = 10,
+                      dampNum: Long = 85, dampDen: Long = 100,
+                      scale: Long = 1000000000000L)
+      : (DataFrame, Option[DataFrame], Option[DataFrame], DataFrame) = {
+    require(iterations >= 1, "graphStatesFold: need >= 1 iteration")
+    require(dampNum > 0 && dampNum < dampDen,
+      "graphStatesFold: need 0 < damp < 1")
+    val traj0 = prevPrTraj.select("node", "iter", "pr")
+    val it0 = traj0.filter(col("iter") === 0)
+    val h = it0.agg(count(lit(1)).as("n"), min(col("pr")).as("mn"),
+      max(col("pr")).as("mx")).head()
+    val nNodes = h.getLong(0)
+    if (nNodes == 0L)
+      throw new IllegalArgumentException(
+        "graphStatesFold: prevPrTraj has no iterate-0 rows — not a " +
+          "pageRankTrajectory")
+    if (h.getLong(1) != scale / nNodes || h.getLong(2) != scale / nNodes)
+      throw new IllegalArgumentException(
+        s"graphStatesFold: trajectory iterate 0 is not uniformly " +
+          s"scale div n (min=${h.getLong(1)}, max=${h.getLong(2)}, " +
+          s"expected ${scale / nNodes}) — the trajectory belongs to " +
+          "a different graph or scale; re-bootstrap the pack")
+    // PPR pack checks, ONE fused action: the stored iterate 0 IS the
+    // teleport vector — verify it lives on the plain trajectory's
+    // universe (same cardinality, no extra nodes) and carries mass
+    val pprChecked = prevPprTraj.map { pt =>
+      val ptraj0 = pt.select("node", "iter", "pr")
+      val pit0 = ptraj0.filter(col("iter") === 0)
+      val pc = pit0.select(lit("rows").as("k"))
+        .unionByName(pit0.filter(col("pr") > 0)
+          .select(lit("seeds").as("k")))
+        .unionByName(pit0.join(it0.select("node"), Seq("node"), "left_anti")
+          .select(lit("extra").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (pc.getOrElse("rows", 0L) != nNodes ||
+          pc.getOrElse("extra", 0L) > 0L)
+        throw new IllegalArgumentException(
+          "graphStatesFold: the PPR trajectory's node universe " +
+            "differs from the plain trajectory's — a mismatched " +
+            "family pack; re-bootstrap")
+      if (pc.getOrElse("seeds", 0L) == 0L)
+        throw new IllegalArgumentException(
+          "graphStatesFold: the PPR trajectory's iterate 0 carries " +
+            "no teleport mass — not a pprTrajectory")
+      ptraj0
+    }
+    val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
+      nNodes, maybeDeletes = true, "graphStatesFold")
+    val edgesAll = prevEdgesDeg.select("src", "dst")
+      .unionByName(p.dNew.select("src", "dst"))
+    val hop0 = materialize(
+      p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
+    val (ball0, majority) =
+      bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
+    logBranch("graphStatesFold", majority)
+    // the survivor state: built ONCE, read by every family and
+    // returned as the pack's next edge state
+    val st = survivorEdgeState(prevEdgesDeg, p)
+    val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
+    val (prTraj2, pprTraj2) =
+      if (majority)
+        (pageRankTrajLoopN(st, it0.select("node"), nNodes, iterations,
+          dampNum, dampDen, scale),
+         pprChecked.map { pt =>
+           val tele = materialize(pt.filter(col("iter") === 0)
+             .select(col("node"), col("pr").as("tele")))
+           pprTrajLoopN(st, tele, iterations, dampNum, dampDen)
+         })
+      else {
+        val ball = materialize(ball0)
+        val ballMax = ball.select(col("doc_id").as("node"))
+        // ball-restricted survivors: shared by both recurrences (the
+        // edge relation is recurrence-agnostic)
+        val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
+        val srcBall = edgesBall.select(col("src").as("node")).distinct()
+        def foldOne(t0: DataFrame, who: String,
+                    assemble: (DataFrame, DataFrame) => DataFrame)
+            : DataFrame = {
+          val traj = materialize(t0)
+          val trajBall = materialize(
+            traj.join(srcBall, Seq("node"), "left_semi"))
+          ballCoverageCheck(srcBall, trajBall, who)
+          val rounds = ballRounds(traj, trajBall, ball, edgesBall,
+            iterations, dampNum, dampDen, assemble)
+          materialize((0 to iterations).map { i =>
+            val base = traj.filter(col("iter") === i)
+            if (i == 0) base // iterate 0 is delta-invariant
+            else base.as("o")
+              .join(rounds(i - 1).as("n"), Seq("node"), "left")
+              .select(col("node"), col("iter"),
+                coalesce(col("n.pr"), col("o.pr")).as("pr"))
+          }.reduce(_ unionByName _))
+        }
+        val pr2 = foldOne(traj0, "graphStatesFold[pagerank]",
+          (ballI, inSums) => ballI.join(inSums, Seq("node"), "left")
+            .select(col("node"),
+              (lit(tp) + expr(s"($dampNum * coalesce(in_sum, " +
+                s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+        val ppr2 = pprChecked.map { pt =>
+          val tele = materialize(pt.filter(col("iter") === 0)
+            .select(col("node"), col("pr").as("tele")))
+          foldOne(pt, "graphStatesFold[ppr]",
+            (ballI, inSums) => tele.join(ballI, Seq("node"), "left_semi")
+              .join(inSums, Seq("node"), "left")
+              .select(col("node"),
+                (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+                  expr(s"($dampNum * coalesce(in_sum, " +
+                    s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+        }
+        (pr2, ppr2)
+      }
+    // components off the same genuine delta: scoped re-eval for the
+    // gone side, label-star fold for the new side — each phase
+    // skipped when its RAW delta side is empty (the genuine sets are
+    // subsets, so an empty raw side proves an empty genuine side)
+    val labels2 = prevLabels.map { lbl =>
+      val afterDel =
+        if (p.nDelRaw > 0L)
+          componentsDelete(lbl,
+            prevEdgesDeg.filter(col("src") < col("dst"))
+              .select(col("src").as("id1"), col("dst").as("id2")),
+            p.dGone.filter(col("src") < col("dst"))
+              .select(col("src").as("id1"), col("dst").as("id2")))
+        else lbl.select("doc_id", "cluster_id")
+      if (p.nAddRaw > 0L)
+        materialize(componentsDelta(afterDel,
+          p.dNew.filter(col("src") < col("dst"))
+            .select(col("src").as("id1"), col("dst").as("id2"))))
+      else materialize(afterDel)
+    }
+    (prTraj2, pprTraj2, labels2, st)
+  }
 
   /** Shared engine of the PPR folds — [[pageRankSignedCore]] with the
     * seed-teleport recurrence. Contract checks (all VERIFIED, all
@@ -879,7 +1077,9 @@ object GraphOps {
                             addedPairs: DataFrame, deletedPairs: DataFrame,
                             seeds: DataFrame, iterations: Int,
                             dampNum: Long, dampDen: Long, scale: Long,
-                            maybeDeletes: Boolean): DataFrame = {
+                            maybeDeletes: Boolean,
+                            wantTrajectory: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     require(iterations >= 1, "pprDelta: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pprDelta: need 0 < damp < 1")
@@ -928,16 +1128,20 @@ object GraphOps {
       p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
+    logBranch("pprDelta", majority)
     if (majority) {
       val st = survivorEdgeState(prevEdgesDeg, p)
+      if (wantTrajectory)
+        return (pprTrajLoopN(st, tele, iterations, dampNum, dampDen),
+          Some(st))
       val ranks = pprLoopFromEdges(teleFusedEdges(st, tele), tele,
         iterations, dampNum, dampDen, checkpointEvery = 5)
       // node-universe merge: stranded nodes decay to their
       // teleport-only rank (zero off the seed set)
-      return materialize(tele.join(ranks, Seq("node"), "left")
+      return (materialize(tele.join(ranks, Seq("node"), "left")
         .select(col("node"), coalesce(col("pr"),
           expr(s"((${dampDen - dampNum}) * tele) div $dampDen"))
-          .as("pr")))
+          .as("pr"))), Some(st))
     }
     val ball = materialize(ball0)
     val traj = materialize(traj0)
@@ -959,11 +1163,54 @@ object GraphOps {
           (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
             expr(s"($dampNum * coalesce(in_sum, " +
               s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
-    materialize(
-      traj.filter(col("iter") === iterations).as("o")
-        .join(rounds.last.as("n"), Seq("node"), "left")
+    if (wantTrajectory) {
+      // ball-sized overrides merged over the old iterates — the same
+      // merge as pageRankSignedCore's fold-branch trajectory
+      val merged = materialize((0 to iterations).map { i =>
+        val base = traj.filter(col("iter") === i)
+        if (i == 0) base // iterate 0 IS tele — delta-invariant
+        else base.as("o")
+          .join(rounds(i - 1).as("n"), Seq("node"), "left")
+          .select(col("node"), col("iter"),
+            coalesce(col("n.pr"), col("o.pr")).as("pr"))
+      }.reduce(_ unionByName _))
+      (merged, Some(survivorEdgeState(prevEdgesDeg, p)))
+    } else
+      (materialize(
+        traj.filter(col("iter") === iterations).as("o")
+          .join(rounds.last.as("n"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("n.pr"), col("o.pr")).as("pr"))), None)
+  }
+
+  /** PPR trajectory loop over the node UNIVERSE — the tele relation's
+    * node set, which the fold just VERIFIED is the trajectory's.
+    * [[pprStateFold]]'s majority branch: every iterate keeps one row
+    * per universe node (a node with no surviving in-edges decays to
+    * its damped teleport term — zero off the seed set), so the
+    * produced state obeys the invariants the fold verifies on input.
+    * The teleport term joins from the |V|-row tele relation per
+    * round instead of riding the fused edge layout, which only ever
+    * surfaces tele on nodes with surviving in-edges. */
+  private def pprTrajLoopN(edgesDeg: DataFrame, tele: DataFrame,
+                           iterations: Int, dampNum: Long,
+                           dampDen: Long): DataFrame = {
+    var pr = materialize(tele.select(col("node"), col("tele").as("pr")))
+    var iterates = Vector(pr.withColumn("iter", lit(0)))
+    for (i <- 1 to iterations) {
+      val inSums = edgesDeg.as("e")
+        .join(pr.as("p"), col("e.src") === col("p.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(expr("pr div deg")).as("in_sum"))
+        .select(col("dst").as("node"), col("in_sum"))
+      pr = materialize(tele.join(inSums, Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("n.pr"), col("o.pr")).as("pr")))
+          (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
+            expr(s"($dampNum * coalesce(in_sum, " +
+              s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
+      iterates :+= pr.withColumn("iter", lit(i))
+    }
+    iterates.reduce(_ unionByName _).select("node", "iter", "pr")
   }
 
   /** Delta-size envelope for the folds' broadcast-hinted setup joins
@@ -982,6 +1229,15 @@ object GraphOps {
   private def hintIf(small: Boolean)(df: DataFrame): DataFrame =
     if (small) broadcast(df) else df
 
+  /** One stderr line per fold naming the priced branch decision —
+    * VERDICT r15 item 8 asks the decision be VISIBLE, so a fixture
+    * (e.g. the hash-sliced `graph_pagerank_delta_rand`) documents
+    * which branch its delta shape exercised. */
+  private def logBranch(who: String, majority: Boolean): Unit =
+    System.err.println(s"[graphops] $who: locality probe -> " +
+      (if (majority) "MAJORITY ball (incremental-recompute branch)"
+       else "minority ball (restricted-fold branch)"))
+
   /** Shared setup of the signed ranking folds: the delta reduced to
     * its GENUINELY new / genuinely gone directed rows, the
     * touched-degree patch, the changed-endpoint ball seeds, and the
@@ -990,7 +1246,8 @@ object GraphOps {
   private case class SignedPrep(dNew: DataFrame, dGone: DataFrame,
                                 touchedDeg: DataFrame,
                                 endsChanged: DataFrame,
-                                hasDeletes: Boolean, small: Boolean)
+                                hasDeletes: Boolean, small: Boolean,
+                                nAddRaw: Long, nDelRaw: Long)
 
   private def symPairs(pairs: DataFrame): DataFrame =
     pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -998,7 +1255,7 @@ object GraphOps {
       .distinct()
 
   /** Delta prep + the fused structural probe (ONE driver action, a
-    * union-tagged count over two small relations): delta endpoints
+    * union-tagged count over small relations): delta endpoints
     * must all carry trajectory rows (a new node moves every teleport
     * term — rerun from scratch or segment), and the STATE must not
     * carry nodes the trajectory lacks (a mismatched (traj, state)
@@ -1007,22 +1264,38 @@ object GraphOps {
     * one scan, no exchange. The state MAY carry fewer nodes: a
     * deletion strands nodes out of the edge relation while the
     * trajectory keeps them — that direction is verified ball-locally
-    * by [[ballCoverageCheck]]). Deletion rows naming edges absent
-    * from the state are tolerated (they vanish in the semi-join),
-    * matching [[componentsDelete]]. */
+    * by [[ballCoverageCheck]]). The broadcast-envelope sizes (|add| +
+    * |del| symmetrized rows vs [[MaxBroadcastDeltaRows]]) ride the
+    * SAME aggregate (VERDICT r15 item 5 — they were two separate
+    * count() actions; the fold's pitch is per-batch latency and
+    * actions are its floor), so the whole prep pays ONE driver
+    * round-trip. Deletion rows naming edges absent from the state
+    * are tolerated (they vanish in the semi-join), matching
+    * [[componentsDelete]]. */
   private def prepSigned(it0: DataFrame, prevEdgesDeg: DataFrame,
                          addedPairs: DataFrame, deletedPairs: DataFrame,
                          nNodes: Long, maybeDeletes: Boolean,
                          who: String): SignedPrep = {
     val dSym = materialize(symPairs(addedPairs))
-    // delta-sized counts on just-checkpointed relations: the
-    // broadcast envelope gate (ADVICE r14)
-    val nAdd = dSym.count()
     val delSym =
       if (maybeDeletes) materialize(symPairs(deletedPairs))
       else dSym.limit(0)
-    val nDel = if (maybeDeletes) delSym.count() else 0L
-    val small = nAdd + nDel <= MaxBroadcastDeltaRows
+    val it0N = it0.select(col("node"))
+    // node check on ADDITION endpoints only: deletion endpoints are
+    // either prior-state nodes (⊆ trajectory by the state_extra
+    // probe) or phantom rows the semi-join already dropped
+    val ends = dSym.select(col("src").as("node")).distinct()
+    val probe = ends.join(it0N, Seq("node"), "left_anti")
+        .select(lit("added_nodes").as("k"))
+      .unionByName(prevEdgesDeg.select(col("src").as("node")).distinct()
+        .join(it0N, Seq("node"), "left_anti")
+        .select(lit("state_extra").as("k")))
+      .unionByName(dSym.select(lit("n_add").as("k")))
+      .unionByName(delSym.select(lit("n_del").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val small = probe.getOrElse("n_add", 0L) +
+      probe.getOrElse("n_del", 0L) <= MaxBroadcastDeltaRows
     // two-step anti-join: a direct `dSym ANTI prevEdgesDeg` cannot
     // broadcast (only the RIGHT side of a left-anti broadcasts, and
     // the state is |E|-sized), so Spark would sort-merge-shuffle the
@@ -1042,18 +1315,6 @@ object GraphOps {
           .join(hintIf(small)(delSym), Seq("src", "dst"), "left_semi")
           .join(hintIf(small)(dSym), Seq("src", "dst"), "left_anti"))
       else delSym
-    val it0N = it0.select(col("node"))
-    // node check on ADDITION endpoints only: deletion endpoints are
-    // either prior-state nodes (⊆ trajectory by the state_extra
-    // probe) or phantom rows the semi-join already dropped
-    val ends = dSym.select(col("src").as("node")).distinct()
-    val probe = ends.join(it0N, Seq("node"), "left_anti")
-        .select(lit("added_nodes").as("k"))
-      .unionByName(prevEdgesDeg.select(col("src").as("node")).distinct()
-        .join(it0N, Seq("node"), "left_anti")
-        .select(lit("state_extra").as("k")))
-      .groupBy(col("k")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val addedN = probe.getOrElse("added_nodes", 0L)
     if (addedN > 0L)
       throw new IllegalArgumentException(
@@ -1089,7 +1350,8 @@ object GraphOps {
     // duplicate additions and phantom deletions perturb nothing)
     val endsChanged = dNew.select(col("src").as("node"))
       .unionByName(dGone.select(col("src").as("node"))).distinct()
-    SignedPrep(dNew, dGone, touchedDeg, endsChanged, maybeDeletes, small)
+    SignedPrep(dNew, dGone, touchedDeg, endsChanged, maybeDeletes, small,
+      probe.getOrElse("n_add", 0L), probe.getOrElse("n_del", 0L))
   }
 
   /** One scan of `edges` with the changed endpoints' degrees patched
@@ -1276,8 +1538,13 @@ object GraphOps {
                        deletedPairs: DataFrame,
                        maxIters: Int = 50): DataFrame = {
     val e = materialize(canonicalEdges(prevPairs))
-    val d = canonicalEdges(deletedPairs)
-    val survivors = survivingEdges(e, d)
+    val d = materialize(canonicalEdges(deletedPairs))
+    // the broadcast-envelope gate the ranking folds carry (ADVICE
+    // r15): size the canonical deleted set BEFORE pinning its
+    // broadcast, so a pathological batch (half the graph retracted)
+    // degrades to a shuffled anti-join instead of a driver OOM
+    val small = d.count() <= MaxBroadcastDeltaRows
+    val survivors = survivingEdges(e, d, small)
     // clusters holding any deleted-edge endpoint re-cluster; all
     // others pass through verbatim (their member sets are untouched)
     val labels = materialize(prevLabels.select("doc_id", "cluster_id"))
@@ -1516,10 +1783,15 @@ object GraphOps {
     * "a daily deletion batch is small", and on a mis-estimate Spark
     * would otherwise sort-merge the full |E| prior relation against
     * it — exactly the scale-killer the model promises away. Plan
-    * shape asserted by PlanSpec (package-private for that). */
+    * shape asserted by PlanSpec (package-private for that). `small`
+    * is the caller's [[MaxBroadcastDeltaRows]] envelope verdict
+    * (ADVICE r15): a pathological deletion batch past the envelope
+    * keeps the SAME anti-join unhinted — Spark shuffles it, slower
+    * but never a driver OOM — instead of an unconditional hint. */
   private[graft] def survivingEdges(canonPrior: DataFrame,
-                                    canonDeleted: DataFrame): DataFrame =
-    canonPrior.join(broadcast(canonDeleted), Seq("a", "b"), "left_anti")
+                                    canonDeleted: DataFrame,
+                                    small: Boolean = true): DataFrame =
+    canonPrior.join(hintIf(small)(canonDeleted), Seq("a", "b"), "left_anti")
 
   /** Canonical (a < b, distinct, loop-free) edge relation. */
   private def canonicalEdges(pairs: DataFrame): DataFrame =

@@ -1144,4 +1144,178 @@ class GraphOpsSpec extends SparkSpec {
   private def trajRows(df: org.apache.spark.sql.DataFrame) =
     df.select("node", "iter", "pr").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+
+  // ---- pprStateFold + graphStatesFold (round 16) ----
+
+  test("pprStateFold: the folded pair's tip equals the reference over " +
+       "the survivors on the PRIOR universe; delete then re-add " +
+       "across TWO folds is an identity (trajectory row for row)") {
+    val priorSeq = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val prior = priorSeq.toDF("id1", "id2")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val st0 = GraphOps.pageRankEdgeState(prior)
+    val traj0 = GraphOps.pprTrajectoryFromEdges(st0, seeds, iterations = 4)
+    val del = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    // fold 1: strand nodes 1, 2, 3 (1 is a seed — keeps its damped
+    // teleport share; 2, 3 decay to zero)
+    val (traj1, st1) = GraphOps.pprStateFold(traj0, st0,
+      del.limit(0), del, seeds, iterations = 4)
+    assert(prRows(traj1.filter(col("iter") === 4)) ==
+      refRanks(universeOf(priorSeq), Seq((10L, 11L)),
+        Some(Set(1L, 10L)), 4),
+      "folded tip == reference over the survivors on the prior universe")
+    assert(traj1.groupBy("iter").count().collect()
+        .forall(_.getLong(1) == 5L),
+      "every iterate keeps one row per universe node (stranded included)")
+    // fold 2 FROM THE FOLDED PAIR: re-add — bit-for-bit identity
+    val (traj2, _) = GraphOps.pprStateFold(traj1, st1,
+      del, del.limit(0), seeds, iterations = 4)
+    assert(trajRows(traj2) == trajRows(traj0),
+      "delete + re-add across maintained PPR folds == original trajectory")
+  }
+
+  test("pprStateFold == from-scratch pprTrajectory on a no-strand " +
+       "mixed batch (the majority/minority branches agree with the " +
+       "from-scratch pair)") {
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (5L, 6L),
+      (6L, 7L), (7L, 5L))
+    val seeds = Seq(1L, 5L).toDF("node")
+    val st0 = GraphOps.pageRankEdgeState(edges0.toDF("id1", "id2"))
+    val traj0 = GraphOps.pprTrajectoryFromEdges(st0, seeds, iterations = 4)
+    val (traj1, st1) = GraphOps.pprStateFold(traj0, st0,
+      Seq((1L, 3L)).toDF("id1", "id2"),
+      Seq((4L, 1L)).toDF("id1", "id2"), seeds, iterations = 4)
+    val g1 = (edges0.filterNot(_ == ((4L, 1L))) :+ ((1L, 3L)))
+      .toDF("id1", "id2")
+    val stG1 = GraphOps.pageRankEdgeState(g1)
+    assert(trajRows(traj1) == trajRows(
+        GraphOps.pprTrajectoryFromEdges(stG1, seeds, iterations = 4)),
+      "folded PPR trajectory == from-scratch on the batch-1 graph")
+    assert(st1.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+      stG1.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq,
+      "folded edge state == from-scratch edge state")
+  }
+
+  test("graphStatesFold == the single-family folds AND from-scratch " +
+       "components on random graphs with mixed additions and " +
+       "deletions (stranding allowed)") {
+    for (seed <- Seq(17, 71)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 140).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val del = edges.filter(_ => rnd.nextInt(5) == 0)
+      val nodes = universeOf(edges)
+      val adds = (1 to 10).map(_ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2)
+        .filterNot(e => edges.contains(e) || edges.contains(e.swap))
+        .distinct
+      val seedSet = nodes.filter(_ % 5 == 0).toSet
+      val prior = edges.toDF("id1", "id2")
+      val st = GraphOps.pageRankEdgeState(prior)
+      val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
+      val ptraj = GraphOps.pprTrajectoryFromEdges(st,
+        seedSet.toSeq.toDF("node"), iterations = 5)
+      val labels = GraphOps.connectedComponents(prior)
+      val (t2, p2, l2, st2) = GraphOps.graphStatesFold(traj, Some(ptraj),
+        Some(labels), st, adds.toDF("id1", "id2"), del.toDF("id1", "id2"),
+        iterations = 5)
+      val surv = edges.filterNot(e =>
+        del.contains(e) || del.contains(e.swap)) ++ adds
+      assert(prRows(t2.filter(col("iter") === 5)) ==
+        refRanks(nodes, surv, None, 5), s"plain tip (seed $seed)")
+      assert(prRows(p2.get.filter(col("iter") === 5)) ==
+        refRanks(nodes, surv, Some(seedSet), 5), s"ppr tip (seed $seed)")
+      // labels law: components over the survivors with the PRIOR node
+      // set (stranded nodes as their own singletons — the self-pair
+      // trick keeps them in the reference's node set)
+      val refLabels = GraphOps.connectedComponents(
+        (surv ++ nodes.map(v => (v, v))).toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(l2.get.collect().map(r =>
+          (r.getLong(0), r.getLong(1))).toSet == refLabels,
+        s"labels == from-scratch components over survivors (seed $seed)")
+      // the returned edge state is the survivor state
+      assert(st2.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ==
+        GraphOps.pageRankEdgeState(surv.toDF("id1", "id2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sorted.toSeq,
+        s"edge state == from-scratch on survivors (seed $seed)")
+    }
+  }
+
+  test("a LOCAL delta on a long path takes the restricted-fold branch " +
+       "(ball ≪ graph) and both state folds still match the reference") {
+    // 120-node path: a 4-iteration ball around a delta at one end is
+    // ~5 hops of ~240 symmetrized endpoints — a small minority
+    val edges = (1L until 120L).map(i => (i, i + 1L))
+    val nodes = universeOf(edges)
+    val seedSet = nodes.filter(_ % 5 == 0).toSet
+    val prior = edges.toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 4)
+    val ptraj = GraphOps.pprTrajectoryFromEdges(st,
+      seedSet.toSeq.toDF("node"), iterations = 4)
+    val labels = GraphOps.connectedComponents(prior)
+    val adds = Seq((1L, 3L))
+    val dels = Seq((4L, 5L)) // splits the path near the delta end
+    val (t2, p2, l2, _) = GraphOps.graphStatesFold(traj, Some(ptraj),
+      Some(labels), st, adds.toDF("id1", "id2"), dels.toDF("id1", "id2"),
+      iterations = 4)
+    val surv = edges.filterNot(_ == ((4L, 5L))) ++ adds
+    assert(prRows(t2.filter(col("iter") === 4)) ==
+      refRanks(nodes, surv, None, 4), "plain tip via the fold branch")
+    assert(prRows(p2.get.filter(col("iter") === 4)) ==
+      refRanks(nodes, surv, Some(seedSet), 4), "ppr tip via the fold branch")
+    assert(l2.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      GraphOps.connectedComponents(
+          (surv ++ nodes.map(v => (v, v))).toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "labels reflect the split via the scoped re-eval")
+    // standalone pprStateFold takes the same branch and its merged
+    // trajectory keeps folding: re-add the deleted edge, drop the
+    // chord — back to the original pair bit for bit
+    val (pt1, pst1) = GraphOps.pprStateFold(ptraj, st,
+      adds.toDF("id1", "id2"), dels.toDF("id1", "id2"),
+      seedSet.toSeq.toDF("node"), iterations = 4)
+    val (pt2, _) = GraphOps.pprStateFold(pt1, pst1,
+      dels.toDF("id1", "id2"), adds.toDF("id1", "id2"),
+      seedSet.toSeq.toDF("node"), iterations = 4)
+    assert(trajRows(pt2) == trajRows(ptraj),
+      "swap-back across two fold-branch PPR folds is an identity")
+  }
+
+  test("graphStatesFold: an empty batch is an identity; a mismatched " +
+       "PPR pack (different universe) refuses loudly") {
+    val prior = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 3)
+    val ptraj = GraphOps.pprTrajectoryFromEdges(st,
+      Seq(1L).toDF("node"), iterations = 3)
+    val labels = GraphOps.connectedComponents(prior)
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val (t2, p2, l2, _) = GraphOps.graphStatesFold(traj, Some(ptraj),
+      Some(labels), st, empty, empty, iterations = 3)
+    assert(trajRows(t2) == trajRows(traj) &&
+      trajRows(p2.get) == trajRows(ptraj),
+      "empty batch leaves both trajectories bit-identical")
+    assert(l2.get.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "empty batch leaves the labels identical")
+    // PPR trajectory from a BIGGER graph: universe mismatch refuses
+    val stBig = GraphOps.pageRankEdgeState(
+      Seq((1L, 2L), (2L, 3L), (3L, 9L)).toDF("id1", "id2"))
+    val ptrajBig = GraphOps.pprTrajectoryFromEdges(stBig,
+      Seq(1L).toDF("node"), iterations = 3)
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.graphStatesFold(traj, Some(ptrajBig), None, st,
+        Seq((1L, 3L)).toDF("id1", "id2"), empty, iterations = 3)
+    }
+    assert(e.getMessage.contains("universe"),
+      s"mismatched family pack refuses: ${e.getMessage}")
+  }
 }

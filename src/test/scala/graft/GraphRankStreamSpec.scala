@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.GraphOps
 import graft.streaming.GraphRankStream
 
-/** Streaming maintenance of the PageRank state pair: signed
-  * micro-batches fold into the snapshot table, the served ranks
-  * equal from-scratch on the cumulative graph after every batch —
-  * including across a mid-stream kill/restart — and contract
-  * violations fail the query loudly. */
+/** Streaming maintenance of the graph-IVM state pack: signed
+  * micro-batches fold into the snapshot table, and the served ranks
+  * (plain + PPR) AND component labels equal their from-scratch
+  * operators on the cumulative survivor graph after every batch —
+  * including across a mid-stream kill/restart and deletion batches.
+  * Contract violations fail the query loudly; the writer lease
+  * refuses a second maintainer; snapshots auto-vacuum; a grown
+  * universe migrates via re-bootstrap. */
 class GraphRankStreamSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,20 +23,37 @@ class GraphRankStreamSpec extends SparkSpec {
   private def ranksOf(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("signed micro-batches through maintain() equal from-scratch on " +
-       "the final graph, across a mid-stream kill/restart; stranded " +
-       "nodes survive to re-connect") {
+  private def labelsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  import scala.jdk.CollectionConverters._
+
+  private def snapDirs(table: String): Int = {
+    val l = java.nio.file.Files.list(java.nio.file.Paths.get(table))
+    try l.iterator().asScala
+      .count(_.getFileName.toString.startsWith("snap-"))
+    finally l.close()
+  }
+
+  test("signed micro-batches maintain ALL THREE families (plain, PPR, " +
+       "labels) equal to from-scratch on the final graph, across a " +
+       "mid-stream kill/restart; stranded nodes survive to re-connect") {
     val table = tmp("graft_rankstream_tbl")
     val ckpt = tmp("graft_rankstream_ckpt")
     // universe: a 4-cycle and a 3-cycle
     val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
       (5L, 6L), (6L, 7L), (7L, 5L))
+    val seeds = Seq(1L, 5L).toDF("node")
     GraphRankStream.bootstrap(edges0.toDF("id1", "id2"), table,
-      iterations = 4)
+      iterations = 4, seeds = Some(seeds), withComponents = true)
     assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
       ranksOf(GraphOps.pageRank(edges0.toDF("id1", "id2"),
         iterations = 4)),
-      "bootstrap serves the from-scratch ranks")
+      "bootstrap serves the from-scratch plain ranks")
+    assert(ranksOf(GraphRankStream.currentPprRanks(spark, table)) ==
+      ranksOf(GraphOps.personalizedPageRank(edges0.toDF("id1", "id2"),
+        seeds, iterations = 4)),
+      "bootstrap serves the from-scratch PPR ranks")
     val input = MemoryStream[(Long, Long, String)](spark)
     val stream = input.toDF().toDF("id1", "id2", "op")
     def start() = GraphRankStream.maintain(stream, table, Some(ckpt))
@@ -49,14 +69,22 @@ class GraphRankStreamSpec extends SparkSpec {
     assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
       ranksOf(GraphOps.pageRank(g2, iterations = 4)),
       "pre-kill state serves from-scratch ranks on the batch-2 graph")
+    assert(labelsOf(GraphRankStream.currentLabels(spark, table)) ==
+      labelsOf(GraphOps.connectedComponents(g2)),
+      "pre-kill labels reflect the 4-5 merge")
     val q2 = start()
     try {
       // batch 3 strands node 6 (both its edges retracted) — it must
-      // hold a teleport-only rank in the maintained state, not vanish
+      // hold a teleport-only rank / singleton label, not vanish
       input.addData((5L, 6L, "del"), (6L, 7L, "del"))
       q2.processAllAvailable()
       assert(GraphRankStream.currentRanks(spark, table).count() == 7L,
         "the universe never shrinks: stranded node 6 still served")
+      assert(GraphRankStream.currentPprRanks(spark, table).count() == 7L,
+        "the PPR trajectory keeps the stranded node too")
+      assert(labelsOf(GraphRankStream.currentLabels(spark, table))
+          .get(6L).contains(6L),
+        "a stranded node survives as its own singleton cluster")
       // batch 4 re-connects it
       input.addData((6L, 1L, "add"))
       q2.processAllAvailable()
@@ -64,21 +92,29 @@ class GraphRankStreamSpec extends SparkSpec {
     val finalEdges = (edges0
       .filterNot(e => Seq((4L, 1L), (5L, 6L), (6L, 7L)).contains(e)) ++
       Seq((1L, 3L), (4L, 5L), (6L, 1L)))
-    // nobody is stranded in the final graph, so from-scratch pageRank
-    // (edge-derived node set) is directly comparable
+    val gF = finalEdges.toDF("id1", "id2")
+    // nobody is stranded in the final graph, so the from-scratch
+    // operators (edge-derived node sets) are directly comparable
     assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
-      ranksOf(GraphOps.pageRank(finalEdges.toDF("id1", "id2"),
-        iterations = 4)),
-      "four signed batches across a restart == from-scratch")
-    // the FULL maintained trajectory matches from-scratch too — the
-    // state stays foldable, not just servable
+      ranksOf(GraphOps.pageRank(gF, iterations = 4)),
+      "four signed batches across a restart == from-scratch (plain)")
+    assert(ranksOf(GraphRankStream.currentPprRanks(spark, table)) ==
+      ranksOf(GraphOps.personalizedPageRank(gF, seeds, iterations = 4)),
+      "four signed batches across a restart == from-scratch (PPR)")
+    assert(labelsOf(GraphRankStream.currentLabels(spark, table)) ==
+      labelsOf(GraphOps.connectedComponents(gF)),
+      "four signed batches across a restart == from-scratch (labels)")
+    // the FULL maintained trajectories match from-scratch too — the
+    // pack stays foldable, not just servable
     val st = GraphRankStream.readState(spark, table)
-    val scratch = GraphOps.pageRankTrajectory(
-      finalEdges.toDF("id1", "id2"), iterations = 4)
     def trajSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    assert(trajSet(st.traj) == trajSet(scratch),
-      "maintained trajectory == from-scratch trajectory")
+    assert(trajSet(st.traj) == trajSet(
+        GraphOps.pageRankTrajectory(gF, iterations = 4)),
+      "maintained plain trajectory == from-scratch trajectory")
+    assert(trajSet(st.pprTraj.get) == trajSet(
+        GraphOps.pprTrajectory(gF, seeds, iterations = 4)),
+      "maintained PPR trajectory == from-scratch trajectory")
     assert(st.appliedBatch >= 3L, "the applied-batch marker advanced")
   }
 
@@ -113,35 +149,180 @@ class GraphRankStreamSpec extends SparkSpec {
   }
 
   test("contract violations fail the query loudly: a node-adding " +
-       "batch and an unknown op both refuse") {
+       "batch, an unknown op, and a NULL op all refuse") {
     val table = tmp("graft_rankstream_refuse")
     GraphRankStream.bootstrap(
       Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), table, iterations = 3)
-    val input = MemoryStream[(Long, Long, String)](spark)
-    val q = GraphRankStream.maintain(
-      input.toDF().toDF("id1", "id2", "op"), table, None)
-    try {
-      input.addData((3L, 99L, "add")) // 99 is outside the universe
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q.processAllAvailable()
-      }
-      assert(e.getMessage.contains("new node"),
-        s"universe violation surfaces the fold's refusal: ${e.getMessage}")
-    } finally q.stop()
-    val input2 = MemoryStream[(Long, Long, String)](spark)
-    val q2 = GraphRankStream.maintain(
-      input2.toDF().toDF("id1", "id2", "op"), table, None)
-    try {
-      input2.addData((1L, 3L, "upsert"))
-      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-        q2.processAllAvailable()
-      }
-      assert(e.getMessage.contains("op outside"),
-        s"unknown op refuses: ${e.getMessage}")
-    } finally q2.stop()
+    def refusing(rows: (Long, Long, String)*): String = {
+      val input = MemoryStream[(Long, Long, String)](spark)
+      val q = GraphRankStream.maintain(
+        input.toDF().toDF("id1", "id2", "op"), table, None)
+      try {
+        input.addData(rows: _*)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }.getMessage
+      } finally q.stop()
+    }
+    assert(refusing((3L, 99L, "add")).contains("new node"),
+      "universe violation surfaces the fold's refusal")
+    assert(refusing((1L, 3L, "upsert")).contains("op outside"),
+      "unknown op refuses")
+    // a NULL op must refuse, not silently vanish through the isin
+    // three-valued logic (ADVICE r15)
+    assert(refusing((1L, 3L, null)).contains("op outside"),
+      "NULL op refuses")
     // the refused batches never mutated the state
     assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
       ranksOf(GraphOps.pageRank(
         Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), 3)))
+  }
+
+  test("a restart WITHOUT the original checkpoint refuses loudly " +
+       "instead of silently dropping batches (epoch < marker)") {
+    val table = tmp("graft_rankstream_epoch")
+    GraphRankStream.bootstrap(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2"), table,
+      iterations = 3)
+    val ckptA = tmp("graft_rankstream_epoch_ckA")
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q1 = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table, Some(ckptA))
+    input.addData((1L, 3L, "add"))
+    q1.processAllAvailable()
+    input.addData((2L, 4L, "add"))
+    q1.processAllAvailable()
+    q1.stop() // marker is now 1
+    val before = ranksOf(GraphRankStream.currentRanks(spark, table))
+    // restart with a FRESH checkpoint: epochs restart at 0 < 1 — the
+    // old guard silently skipped such batches (ADVICE r15); now loud
+    val input2 = MemoryStream[(Long, Long, String)](spark)
+    val q2 = GraphRankStream.maintain(
+      input2.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_epoch_ckB")))
+    try {
+      input2.addData((1L, 4L, "add"))
+      val e = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("without its original checkpoint"),
+        s"mismatch is loud: ${e.getMessage}")
+    } finally q2.stop()
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) == before,
+      "the refused batch never mutated the state")
+  }
+
+  test("single-writer lease: a second concurrent maintain on the same " +
+       "table refuses; after the first stops, a new one proceeds") {
+    val table = tmp("graft_rankstream_lease")
+    val ckpt = tmp("graft_rankstream_lease_ck")
+    GraphRankStream.bootstrap(
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), table, iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    def start() = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table, Some(ckpt))
+    val q1 = start()
+    try {
+      val input2 = MemoryStream[(Long, Long, String)](spark)
+      val e = intercept[IllegalStateException] {
+        GraphRankStream.maintain(
+          input2.toDF().toDF("id1", "id2", "op"), table, None)
+      }
+      assert(e.getMessage.contains("writer lease"),
+        s"second maintainer refuses: ${e.getMessage}")
+      // the refused attempt must not have broken the live maintainer
+      input.addData((1L, 3L, "add"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // after a stop, the lease is free (even before the async
+    // termination listener fires) — the restart resumes the same
+    // checkpoint, so its next batch continues the epoch sequence
+    val q3 = start()
+    try {
+      input.addData((2L, 1L, "del"))
+      q3.processAllAvailable()
+    } finally q3.stop()
+    // final graph: {(1,2),(2,3)} + (1,3) − (2,1) = {(2,3),(1,3)} — no
+    // stranding, so the edge-derived from-scratch compare is direct
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(
+        Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2"), 3)),
+      "both maintainers' folds landed exactly once")
+  }
+
+  test("auto-vacuum bounds the snapshot count at keepSnapshots while " +
+       "a reader pinned before the batch stays consistent") {
+    val table = tmp("graft_rankstream_vac")
+    GraphRankStream.bootstrap(
+      (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+        .toDF("id1", "id2"), table, iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table, None,
+      keepSnapshots = 2)
+    try {
+      for (i <- 1L to 5L) {
+        // pin a reader BEFORE the batch publishes over it
+        val pinned = GraphRankStream.readState(spark, table)
+        val pinnedTip = ranksOf(pinned.traj
+          .filter(col("iter") === pinned.iterations).select("node", "pr"))
+        input.addData((1L, 2L + i, "add"))
+        q.processAllAvailable()
+        assert(snapDirs(table) <= 2,
+          s"after batch $i: ${snapDirs(table)} snapshot dirs > keep=2")
+        assert(ranksOf(pinned.traj
+            .filter(col("iter") === pinned.iterations)
+            .select("node", "pr")) == pinnedTip,
+          "the pinned pre-batch reader still serves its snapshot")
+      }
+    } finally q.stop()
+    val gF = ((1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      (1L to 5L).map(i => (1L, 2L + i))).toDF("id1", "id2")
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(gF, iterations = 3)),
+      "vacuuming never touched the served state")
+  }
+
+  test("universe growth migrates via re-bootstrap: refusal, then " +
+       "bootstrap(v2) on the SAME table, then folding resumes from a " +
+       "fresh checkpoint (epoch marker reset to -1)") {
+    val table = tmp("graft_rankstream_reboot")
+    val edges0 = Seq((1L, 2L), (2L, 3L))
+    GraphRankStream.bootstrap(edges0.toDF("id1", "id2"), table,
+      iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q1 = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_reboot_ck1")))
+    input.addData((1L, 3L, "add"))
+    q1.processAllAvailable() // epoch 0 folds fine
+    // node 9 is outside the universe: the fold refuses, the query dies
+    input.addData((3L, 9L, "add"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // EPOCH MIGRATION: re-bootstrap the grown graph into the same
+    // table — the marker resets to -1 and the node universe now
+    // includes 9; resume with a FRESH checkpoint (the old one's
+    // epochs belong to the dead universe)
+    val g1 = edges0 ++ Seq((1L, 3L), (3L, 9L))
+    GraphRankStream.bootstrap(g1.toDF("id1", "id2"), table,
+      iterations = 3)
+    assert(GraphRankStream.readState(spark, table).appliedBatch == -1L,
+      "re-bootstrap resets the applied-batch marker")
+    val input2 = MemoryStream[(Long, Long, String)](spark)
+    val q2 = GraphRankStream.maintain(
+      input2.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_reboot_ck2")))
+    try {
+      input2.addData((2L, 9L, "add"), (1L, 2L, "del"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val gF = (g1 :+ ((2L, 9L))).filterNot(_ == ((1L, 2L)))
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(gF.toDF("id1", "id2"), iterations = 3)),
+      "post-migration folds equal from-scratch on the final graph")
   }
 }

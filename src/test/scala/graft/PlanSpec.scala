@@ -330,4 +330,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the |E| prior side must never sort-merge against the deletes:\n$p")
   }
+
+  test("survivingEdges past the broadcast envelope degrades to a " +
+       "shuffled anti-join, never a pinned broadcast (ADVICE r15)") {
+    import spark.implicits._
+    // with stats-based auto-broadcast off, the plan shape is decided
+    // ENTIRELY by the envelope verdict — small=false must shuffle
+    // (the OOM-safe degradation), small=true must still broadcast
+    // (the pinned hint overrides the disabled estimator)
+    val prior = (1L to 2000L).map(i => (i, i + 1L)).toDF("a", "b")
+    val del = Seq((10L, 11L), (500L, 501L)).toDF("a", "b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = finalPlan(
+        graft.operators.GraphOps.survivingEdges(prior, del, small = false))
+      assert(!gated.contains("BroadcastHashJoin") &&
+        gated.contains("LeftAnti"),
+        s"past the envelope the anti-join must not broadcast:\n$gated")
+      val hinted = finalPlan(
+        graft.operators.GraphOps.survivingEdges(prior, del, small = true))
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"inside the envelope the pinned hint must hold:\n$hinted")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
