@@ -119,7 +119,19 @@ object GraphOps {
       // references would be ambiguous self-join attributes. Every node
       // of an undirected graph has in-edges, so the groupBy(dst)
       // already covers the full node set — no dangling-node re-join.
-      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+      //
+      // shuffle_hash PINNED on the rank-vector side (here and in every
+      // ranking loop): this chained plan carries no runtime stats, so
+      // the static estimator can shrink a mid-chain intermediate under
+      // the broadcast threshold and the planner then BUILDS an
+      // |V|+-scale hashed relation on the driver — observed as a
+      // driver OOM on the 30× soak fixture (round 16), and at 100 TB
+      // the rank vector is billions of rows, so a broadcast there can
+      // never be right. The hint forces the designed shape: edges
+      // satisfy the join's distribution from their checkpointed src
+      // layout, only the |V|-row vector crosses the wire, and the
+      // per-task build side is |V|/partitions.
+      pr = edgesDeg.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .crossJoin(nDf)
@@ -287,7 +299,7 @@ object GraphOps {
                                checkpointEvery: Int): DataFrame = {
     var pr = tele.select(col("node"), col("tele").as("pr"))
     for (i <- 1 to iterations) {
-      pr = edgesTele.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+      pr = edgesTele.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"),
           max(col("e.tele_dst")).as("tele"))
@@ -353,7 +365,7 @@ object GraphOps {
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
       pr = materialize(
-        edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+        edgesDeg.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
           .groupBy(col("e.dst"))
           .agg(sum(expr("pr div deg")).as("in_sum"))
           .crossJoin(nDf)
@@ -660,7 +672,7 @@ object GraphOps {
     var pr = edgesDeg.select(col("src").as("node")).distinct()
       .select(col("node"), lit(scale / nNodes).as("pr"))
     for (i <- 1 to iterations) {
-      pr = edgesDeg.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+      pr = edgesDeg.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"),
@@ -685,7 +697,7 @@ object GraphOps {
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
       val inSums = edgesDeg.as("e")
-        .join(pr.as("p"), col("e.src") === col("p.node"))
+        .join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"), col("in_sum"))
@@ -734,7 +746,7 @@ object GraphOps {
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
       pr = materialize(
-        edgesTele.as("e").join(pr.as("p"), col("e.src") === col("p.node"))
+        edgesTele.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
           .groupBy(col("e.dst"))
           .agg(sum(expr("pr div deg")).as("in_sum"),
             max(col("e.tele_dst")).as("tele"))
@@ -1199,7 +1211,7 @@ object GraphOps {
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
       val inSums = edgesDeg.as("e")
-        .join(pr.as("p"), col("e.src") === col("p.node"))
+        .join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"), col("in_sum"))
