@@ -74,6 +74,22 @@ object SoakFold {
     }
   }
 
+  /** SPARK_GRAFT_SOAK_DISK_CKPT=1 pins state through RELIABLE disk
+    * checkpoints instead of in-heap localCheckpoint blocks — the 100×
+    * fixture's pinned relations (pairs, labels, full state pair, PPR
+    * trajectory, survivors) exceed any single-JVM heap as MEMORY_AND_
+    * DISK blocks (observed: hard OOM at 64g), and a real cluster
+    * would hold maintained state on distributed storage anyway.
+    * GraphOps.materialize switches itself the same way once the
+    * session has a checkpoint dir, so BOTH sides of every ratio (fold
+    * and from-scratch anchor) run the same storage policy. */
+  private val diskCkpt: Boolean =
+    sys.env.get("SPARK_GRAFT_SOAK_DISK_CKPT").exists(_ == "1")
+
+  private def pin(df: DataFrame): DataFrame =
+    if (diskCkpt) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   private def timeOne(df: => DataFrame): Double = {
     loadGate()
     System.gc()
@@ -84,27 +100,32 @@ object SoakFold {
 
   /** Comma-separated substrings restricting which rows run — the
     * targeted-re-run lever (e.g. "del_tight,ppr_del" re-measures just
-    * the deletion folds). Absent = every row. */
+    * the deletion folds). A term starting with '=' matches the row
+    * name EXACTLY (the add-tight rows are substrings of the del-tight
+    * rows, so only an exact form can select them alone — needed to
+    * split the 100× run across two driver sessions for heap room).
+    * Absent = every row. */
   private val only: Option[Seq[String]] =
     sys.env.get("SPARK_GRAFT_SOAKFOLD_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
   private def rowOn(name: String): Boolean =
-    only.forall(_.exists(name.contains))
+    only.forall(_.exists(t =>
+      if (t.startsWith("=")) name == t.drop(1) else name.contains(t)))
 
   /** (shape, foldReps, scratchReps, |delta|, |ball-side prior|) for
     * both delta shapes on one fixture directory. */
   private def measure(spark: SparkSession, dir: String,
                       passes: Int): Seq[(String, Seq[Double], Seq[Double], Long)] = {
     val pairs = Dedup.simhashPairs(Tables.documents(spark, dir))
-      .select("id1", "id2").localCheckpoint(eager = true)
+      .select("id1", "id2").transform(pin)
 
     // component-sliced deltas: cluster ids are component-minimum
     // doc ids; an edge's endpoints share a component, so one-sided
     // membership decides the edge and the 5-hop ball can never
     // leave the slice
     val labels = GraphOps.connectedComponents(pairs)
-      .localCheckpoint(eager = true)
+      .transform(pin)
     def compSlice(mod: Int): DataFrame = {
       val picked = labels.filter(col("cluster_id") % mod === 0)
         .select("doc_id")
@@ -152,20 +173,20 @@ object SoakFold {
     // row never builds the full-graph pair
     lazy val stFull = GraphOps.pageRankEdgeState(pairs)
     lazy val trajFull = GraphOps.pageRankTrajectoryFromEdges(stFull,
-      iterations = 5).localCheckpoint(eager = true)
+      iterations = 5).transform(pin)
     lazy val nodesFull = pairs.select(col("id1").as("n"))
       .unionByName(pairs.select(col("id2").as("n"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(pin)
     val delRows = addShapes.filterNot(_._1.startsWith("broad"))
       .flatMap { case (shape, delta0) =>
         val wantPr = rowOn(s"del_$shape")
         val wantPpr = shape != "scattered" && rowOn(s"ppr_del_$shape")
         if (!wantPr && !wantPpr) Seq.empty
         else {
-          val delta = delta0.localCheckpoint(eager = true)
+          val delta = delta0.transform(pin)
           val nDelta = delta.count()
           val survivors = pairs.join(delta, Seq("id1", "id2"), "left_anti")
-            .localCheckpoint(eager = true)
+            .transform(pin)
           val prRow =
             if (!wantPr) Seq.empty
             else {
@@ -181,9 +202,9 @@ object SoakFold {
             if (!wantPpr) Seq.empty
             else {
               val seeds = nodesFull.filter(col("n") % 7 === 0)
-                .select(col("n").as("node")).localCheckpoint(eager = true)
+                .select(col("n").as("node")).transform(pin)
               val ptraj = GraphOps.pprTrajectoryFromEdges(stFull, seeds,
-                iterations = 5).localCheckpoint(eager = true)
+                iterations = 5).transform(pin)
               val r = (1 to passes).map { _ =>
                 val f = timeOne(GraphOps.pprDelete(ptraj, stFull, delta,
                   seeds, iterations = 5))
@@ -203,14 +224,14 @@ object SoakFold {
       if (!wantAdd && !wantPpr) Seq.empty
       else {
       val prior = pairs.join(delta0, Seq("id1", "id2"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(pin)
       val nodes0 = prior.select(col("id1").as("n"))
         .unionByName(prior.select(col("id2").as("n"))).distinct()
       // node-preserving contract: both endpoints must survive in prior
       val delta = delta0
         .join(nodes0.withColumnRenamed("n", "id1"), Seq("id1"), "left_semi")
         .join(nodes0.withColumnRenamed("n", "id2"), Seq("id2"), "left_semi")
-        .localCheckpoint(eager = true)
+        .transform(pin)
       val nDelta = delta.count()
       require(nDelta > 0, s"$shape delta is empty on $dir — fixture bug")
       // amortized state PAIR: trajectory + edge-degree state, built
@@ -221,7 +242,7 @@ object SoakFold {
         if (!wantAdd) Seq.empty
         else {
           val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 5)
-            .localCheckpoint(eager = true)
+            .transform(pin)
           val reps = (1 to passes).map { _ =>
             val f = timeOne(GraphOps.pageRankDeltaFromState(traj, st, delta,
               iterations = 5))
@@ -238,9 +259,9 @@ object SoakFold {
         if (!wantPpr) Seq.empty
         else {
           val seeds = nodes0.filter(col("n") % 7 === 0)
-            .select(col("n").as("node")).localCheckpoint(eager = true)
+            .select(col("n").as("node")).transform(pin)
           val ptraj = GraphOps.pprTrajectoryFromEdges(st, seeds,
-            iterations = 5).localCheckpoint(eager = true)
+            iterations = 5).transform(pin)
           val r = (1 to passes).map { _ =>
             val f = timeOne(GraphOps.pprDeltaFromState(ptraj, st, delta,
               seeds, iterations = 5))
@@ -266,7 +287,20 @@ object SoakFold {
     val jsonOut = args.lift(2)
     val passes = sys.env.get("SPARK_GRAFT_SOAK_PASSES")
       .map(_.toInt).getOrElse(3)
+    // disk-checkpoint mode: the cleaner property must be in the
+    // SparkConf BEFORE the context starts (checkpoint files of GC'd
+    // RDDs are then deleted — a 100× run writes tens of GB of state
+    // pins and would fill the disk otherwise)
+    if (diskCkpt)
+      System.setProperty(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = GraftSession.get()
+    if (diskCkpt) {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_soakfold_ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckpt)
+      System.err.println(s"[soakfold] disk-checkpoint mode: $ckpt")
+    }
     require(java.nio.file.Files.exists(
         java.nio.file.Paths.get(soaked, "documents.parquet")),
       s"soaked fixture $soaked missing — generate it with graft.Soak first")
@@ -305,6 +339,7 @@ object SoakFold {
            |  "fold_includes": "delta checks + capped ball BFS + touched-sized degree maintenance + ball-restricted rounds over maintained (traj, edgesDeg) state",
            |  "loadavg": {"start": $loadStart, "end": $loadEnd},
            |  "load_gate": {"max_load": $maxLoad, "per_rep": true, "gate_waited_s": $gateWaitedS, "reps_started_gated": $gatedReps},
+           |  "disk_ckpt": $diskCkpt,
            |  "rows": {
            |$rows
            |  }
