@@ -89,8 +89,37 @@ def compare(name, spark_df, duck_df):
                 return f"VALUE col={c} row={i} spark={a!r} duck={b!r}"
     return None
 
+def bench_seal_check():
+    """VERDICT r16 item 4 (fifth round of the same finding): the graded
+    BENCH_r{N}.json must match the committed bench_full.json — fail
+    when the newest graded record's parsed.value differs from the
+    committed full record's value, so a stale bench_full.json can never
+    ride a seal commit unnoticed. Run as:
+        python3 scripts/check.py --bench-seal
+    """
+    import os, re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    benches = sorted(f for f in os.listdir(root)
+                     if re.fullmatch(r"BENCH_r\d+\.json", f))
+    if not benches:
+        print("bench-seal: no BENCH_r*.json yet"); return 0
+    newest = benches[-1]
+    graded = json.load(open(os.path.join(root, newest)))
+    parsed = graded.get("parsed") or {}
+    full = json.load(open(os.path.join(root, "bench_full.json")))
+    if parsed.get("value") != full.get("value"):
+        print(f"bench-seal FAIL: {newest} parsed.value={parsed.get('value')}"
+              f" != bench_full.json value={full.get('value')} — commit the"
+              " full record that matches the graded run")
+        return 1
+    print(f"bench-seal OK: {newest} parsed.value == bench_full.json"
+          f" value ({full.get('value')})")
+    return 0
+
 def main():
     global TOLERANT
+    if "--bench-seal" in sys.argv[1:]:
+        sys.exit(bench_seal_check())
     args = [a for a in sys.argv[1:] if a != "--tolerant"]
     TOLERANT = "--tolerant" in sys.argv[1:]
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"

@@ -302,6 +302,35 @@ object Soak {
     }, "embeddings", 8)
   }
 
+  /** Per-rep load gate (VERDICT r16 item 1 — lifted from
+    * `graft.SoakFold`, which grew it in round 16): the soak self-loads
+    * the machine, and a rep that starts against a loaded box measures
+    * the queue, not the query — SOAK_r16_new ended at loadavg 17.7 and
+    * its newest row's rep arrays were 3.3× wide. Before each timed
+    * measurement, wait (bounded) for the 1-minute load to drop under
+    * SPARK_GRAFT_SOAK_MAX_LOAD (default 8); total waits land in the
+    * artifact and a rep that STARTS gated is loud on stderr. */
+  private val maxLoad = sys.env.get("SPARK_GRAFT_SOAK_MAX_LOAD")
+    .map(_.toDouble).getOrElse(8.0)
+  private val maxWaitS = sys.env.get("SPARK_GRAFT_SOAK_MAX_WAIT_S")
+    .map(_.toInt).getOrElse(300)
+  private var gateWaitedS = 0
+  private var gatedReps = 0
+
+  private def loadGate(): Unit = {
+    var waited = 0
+    while (load1() > maxLoad && waited < maxWaitS) {
+      Thread.sleep(5000); waited += 5
+    }
+    gateWaitedS += waited
+    if (load1() > maxLoad) {
+      gatedReps += 1
+      System.err.println(
+        f"[soak] WARNING: rep starts GATED at loadavg ${load1()}%.1f" +
+          f" > $maxLoad%.1f after ${waited}s wait")
+    }
+  }
+
   /** All rep times, not just the min: SOAK_r11's single-number rows
     * whipsawed up to 2.4× against r10 on an identical fixture and
     * nothing in the artifact let a reader tell noise from drift
@@ -309,6 +338,7 @@ object Soak {
     * `bench_full.json`'s pass_times. */
   private def timeOne(spark: SparkSession, name: String,
                       dir: String): Double = {
+    loadGate()
     // localCheckpoint blocks from the PREVIOUS pass are freed by the
     // ContextCleaner only after a driver GC notices the dead RDD
     // references; on a big heap that can take minutes, and stale
@@ -415,6 +445,7 @@ object Soak {
            |  "copies": $copies,
            |  "passes": $passes,
            |  "loadavg": {"start": $loadStart, "end": $loadEnd},
+           |  "load_gate": {"max_load": $maxLoad, "per_rep": true, "gate_waited_s": $gateWaitedS, "reps_started_gated": $gatedReps},
            |  "queries": {
            |$rows
            |  }

@@ -177,6 +177,41 @@ object SoakFold {
     lazy val nodesFull = pairs.select(col("id1").as("n"))
       .unionByName(pairs.select(col("id2").as("n"))).distinct()
       .transform(pin)
+    // FLOOR rows (VERDICT r16 item 2): the deletion fold's output is
+    // the merged (iterations+1)·|V| trajectory plus the survivor |E|
+    // state, each materialized through the same pin policy the fold
+    // itself uses — time an IDENTITY pass of each (read the pinned
+    // relation, write it back through pin(); no ball rounds, no
+    // joins) so the irreducible state-write floor is MEASURED and the
+    // fold's margin can be decomposed into floor + incremental
+    // compute. Reported with fold == scratch == floor time (ratio 1
+    // by construction; the number, not the ratio, is the datum).
+    def timeFloorOf(df: => DataFrame): Double = {
+      loadGate()
+      System.gc()
+      val t0 = System.nanoTime()
+      pin(df) // eager: materializes every row through the pin policy
+      (System.nanoTime() - t0) / 1e9
+    }
+    val floorRows = {
+      val wantTraj = rowOn("floor_traj_write")
+      val wantEdges = rowOn("floor_edges_write")
+      val tRow =
+        if (!wantTraj) Seq.empty
+        else {
+          val r = (1 to passes).map(_ =>
+            timeFloorOf(trajFull.select("node", "iter", "pr")))
+          Seq(("floor_traj_write", r, r, 0L))
+        }
+      val eRow =
+        if (!wantEdges) Seq.empty
+        else {
+          val r = (1 to passes).map(_ =>
+            timeFloorOf(stFull.select("src", "dst", "deg")))
+          Seq(("floor_edges_write", r, r, 0L))
+        }
+      tRow ++ eRow
+    }
     val delRows = addShapes.filterNot(_._1.startsWith("broad"))
       .flatMap { case (shape, delta0) =>
         val wantPr = rowOn(s"del_$shape")
@@ -273,7 +308,7 @@ object SoakFold {
         }
       addRows ++ pprRows
       }
-    }.flatten ++ delRows
+    }.flatten ++ delRows ++ floorRows
   }
 
   private def load1(): Double =

@@ -572,8 +572,19 @@ object GraphOps {
     // it per round, pays the checkpoint
     val traj0 = prevTraj.select("node", "iter", "pr")
     val it0 = traj0.filter(col("iter") === 0)
-    val h = it0.agg(count(lit(1)).as("n"), min(col("pr")).as("mn"),
-      max(col("pr")).as("mx")).head()
+    // fused it0 + DEPTH probe (ADVICE r16): |V| and iterate-0
+    // uniformity as before, PLUS max(iter) == iterations — a stored
+    // trajectory shallower than the requested depth would leave the
+    // fold's per-iterate merges silently empty past the stored tip
+    // (and the tip fold reading a non-final iterate); deeper would
+    // silently serve a stale interior iterate as the tip. Same single
+    // driver action — the aggregate just reads the whole trajectory
+    // (which the filter scan did anyway).
+    val h = traj0.agg(
+      count(when(col("iter") === 0, 1)).as("n"),
+      min(when(col("iter") === 0, col("pr"))).as("mn"),
+      max(when(col("iter") === 0, col("pr"))).as("mx"),
+      max(col("iter")).as("depth")).head()
     val nNodes = h.getLong(0)
     if (nNodes == 0L)
       throw new IllegalArgumentException(
@@ -585,6 +596,13 @@ object GraphOps {
           s"scale div n (min=${h.getLong(1)}, max=${h.getLong(2)}, " +
           s"expected ${scale / nNodes}) — the trajectory belongs to " +
           "a different graph or scale; rerun pageRankTrajectory")
+    if (h.getInt(3) != iterations)
+      throw new IllegalArgumentException(
+        s"pageRankDelta: the stored trajectory holds ${h.getInt(3)} " +
+          s"iterations but the fold was asked for $iterations — a " +
+          "mismatched (trajectory, iterations) pair would silently " +
+          "merge against missing or non-final iterates; pass the " +
+          "depth the trajectory was built with")
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
       nNodes, maybeDeletes, "pageRankDelta")
     // capped ball probe over prior ∪ new edges: deleted edges are
@@ -947,13 +965,52 @@ object GraphOps {
                       dampNum: Long = 85, dampDen: Long = 100,
                       scale: Long = 1000000000000L)
       : (DataFrame, Option[DataFrame], Option[DataFrame], DataFrame) = {
+    val r = graphStatesFoldPack(prevPrTraj, prevPprTraj, prevLabels,
+      prevEdgesDeg, addedPairs, deletedPairs, iterations, dampNum,
+      dampDen, scale)
+    (r.traj, r.pprTraj, r.labels, r.edgesDeg)
+  }
+
+  /** [[graphStatesFold]]'s result plus the fold's LOCALITY EVIDENCE:
+    * `touched` is the ball node set when the restricted-fold branch
+    * ran (every changed row of the trajectories and of the edge state
+    * has its node / src in this set), or None when the majority
+    * branch recomputed (everything may have changed). The streaming
+    * pack writer uses it to republish only the storage partitions the
+    * batch actually touched (VERDICT r16 item 8). Labels are NOT
+    * ball-bounded — a component merge relabels nodes arbitrarily far
+    * from the delta — so `touched` says nothing about them. */
+  case class GraphFoldResult(traj: DataFrame, pprTraj: Option[DataFrame],
+                             labels: Option[DataFrame],
+                             edgesDeg: DataFrame,
+                             touched: Option[DataFrame])
+
+  /** [[graphStatesFold]] returning [[GraphFoldResult]] — same
+    * semantics, same cost; the extra `touched` frame is the
+    * fold-branch ball, already materialized for the rounds. */
+  def graphStatesFoldPack(prevPrTraj: DataFrame,
+                          prevPprTraj: Option[DataFrame],
+                          prevLabels: Option[DataFrame],
+                          prevEdgesDeg: DataFrame,
+                          addedPairs: DataFrame, deletedPairs: DataFrame,
+                          iterations: Int = 10,
+                          dampNum: Long = 85, dampDen: Long = 100,
+                          scale: Long = 1000000000000L)
+      : GraphFoldResult = {
     require(iterations >= 1, "graphStatesFold: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "graphStatesFold: need 0 < damp < 1")
     val traj0 = prevPrTraj.select("node", "iter", "pr")
     val it0 = traj0.filter(col("iter") === 0)
-    val h = it0.agg(count(lit(1)).as("n"), min(col("pr")).as("mn"),
-      max(col("pr")).as("mx")).head()
+    // fused it0 + DEPTH probe (ADVICE r16): also verify the stored
+    // trajectory holds exactly `iterations` iterates — shallower and
+    // the per-iterate merges go silently empty past the stored tip;
+    // deeper and a stale interior iterate would serve as the tip
+    val h = traj0.agg(
+      count(when(col("iter") === 0, 1)).as("n"),
+      min(when(col("iter") === 0, col("pr"))).as("mn"),
+      max(when(col("iter") === 0, col("pr"))).as("mx"),
+      max(col("iter")).as("depth")).head()
     val nNodes = h.getLong(0)
     if (nNodes == 0L)
       throw new IllegalArgumentException(
@@ -965,9 +1022,15 @@ object GraphOps {
           s"scale div n (min=${h.getLong(1)}, max=${h.getLong(2)}, " +
           s"expected ${scale / nNodes}) — the trajectory belongs to " +
           "a different graph or scale; re-bootstrap the pack")
+    if (h.getInt(3) != iterations)
+      throw new IllegalArgumentException(
+        s"graphStatesFold: the stored trajectory holds ${h.getInt(3)} " +
+          s"iterations but the fold was asked for $iterations — " +
+          "re-bootstrap the pack or pass the pack's own depth")
     // PPR pack checks, ONE fused action: the stored iterate 0 IS the
     // teleport vector — verify it lives on the plain trajectory's
-    // universe (same cardinality, no extra nodes) and carries mass
+    // universe (same cardinality, no extra nodes), carries mass, and
+    // holds the SAME depth (tip covers the universe, nothing deeper)
     val pprChecked = prevPprTraj.map { pt =>
       val ptraj0 = pt.select("node", "iter", "pr")
       val pit0 = ptraj0.filter(col("iter") === 0)
@@ -976,6 +1039,10 @@ object GraphOps {
           .select(lit("seeds").as("k")))
         .unionByName(pit0.join(it0.select("node"), Seq("node"), "left_anti")
           .select(lit("extra").as("k")))
+        .unionByName(ptraj0.filter(col("iter") === iterations)
+          .select(lit("tip").as("k")))
+        .unionByName(ptraj0.filter(col("iter") > iterations)
+          .select(lit("deep").as("k")))
         .groupBy(col("k")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       if (pc.getOrElse("rows", 0L) != nNodes ||
@@ -988,6 +1055,14 @@ object GraphOps {
         throw new IllegalArgumentException(
           "graphStatesFold: the PPR trajectory's iterate 0 carries " +
             "no teleport mass — not a pprTrajectory")
+      if (pc.getOrElse("tip", 0L) != nNodes ||
+          pc.getOrElse("deep", 0L) > 0L)
+        throw new IllegalArgumentException(
+          s"graphStatesFold: the PPR trajectory's depth differs from " +
+            s"the requested $iterations iterations (tip rows: " +
+            s"${pc.getOrElse("tip", 0L)} of $nNodes, deeper rows: " +
+            s"${pc.getOrElse("deep", 0L)}) — a mismatched family " +
+            "pack; re-bootstrap")
       ptraj0
     }
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
@@ -1003,7 +1078,7 @@ object GraphOps {
     // returned as the pack's next edge state
     val st = survivorEdgeState(prevEdgesDeg, p)
     val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
-    val (prTraj2, pprTraj2) =
+    val (prTraj2, pprTraj2, touched) =
       if (majority)
         (pageRankTrajLoopN(st, it0.select("node"), nNodes, iterations,
           dampNum, dampDen, scale),
@@ -1011,7 +1086,7 @@ object GraphOps {
            val tele = materialize(pt.filter(col("iter") === 0)
              .select(col("node"), col("pr").as("tele")))
            pprTrajLoopN(st, tele, iterations, dampNum, dampDen)
-         })
+         }, None)
       else {
         val ball = materialize(ball0)
         val ballMax = ball.select(col("doc_id").as("node"))
@@ -1053,7 +1128,11 @@ object GraphOps {
                   expr(s"($dampNum * coalesce(in_sum, " +
                     s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
         }
-        (pr2, ppr2)
+        // the ball bounds every changed trajectory row (both
+        // recurrences merge only ball-node overrides) and every
+        // changed edge-state row (degree patches and added/gone rows
+        // all have src ∈ endsChanged ⊆ ball hop 0)
+        (pr2, ppr2, Some(ballMax))
       }
     // components off the same genuine delta: scoped re-eval for the
     // gone side, label-star fold for the new side — each phase
@@ -1074,7 +1153,7 @@ object GraphOps {
             .select(col("src").as("id1"), col("dst").as("id2"))))
       else materialize(afterDel)
     }
-    (prTraj2, pprTraj2, labels2, st)
+    GraphFoldResult(prTraj2, pprTraj2, labels2, st, touched)
   }
 
   /** Shared engine of the PPR folds — [[pageRankSignedCore]] with the
@@ -1097,25 +1176,29 @@ object GraphOps {
       "pprDelta: need 0 < damp < 1")
     val traj0 = prevTraj.select("node", "iter", "pr")
     val it0 = traj0.filter(col("iter") === 0)
-    // ONE action: |V|, |S∩V|, and the per-row teleport mismatch count
+    // ONE action: |V|, |S∩V|, the per-row teleport mismatch count
     // (iterate 0 IS tele, so a caller passing a different seed set —
     // the silent-wrong-answer hazard of stateful folds — is caught by
-    // construction). The crossJoin side is a broadcast 1-row
-    // aggregate; the plan scans it0 twice inside one job.
+    // construction), AND the stored depth (ADVICE r16: max(iter) must
+    // equal `iterations`, or the merges silently read missing /
+    // non-final iterates). The crossJoin side is a broadcast 1-row
+    // aggregate over iterate 0; the outer aggregate reads the whole
+    // trajectory once (which the iterate-0 filter scan did anyway).
     val seedCol = seeds.columns.head
-    val it0s = it0.join(
+    val trajS = traj0.join(
       broadcast(seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("is_seed", lit(1L))), Seq("node"), "left")
-    val sAgg = broadcast(it0s.agg(
+    val sAgg = broadcast(trajS.filter(col("iter") === 0).agg(
       sum(coalesce(col("is_seed"), lit(0L))).as("n_seeds"),
       count(lit(1)).as("n")))
-    val chk = it0s.crossJoin(sAgg)
-      .select(col("n_seeds"), col("n"),
-        when(col("pr") =!= when(col("is_seed").isNotNull,
-            expr(s"$scale div n_seeds")).otherwise(lit(0L)), 1L)
+    val chk = trajS.crossJoin(sAgg)
+      .select(col("n_seeds"), col("n"), col("iter"),
+        when(col("iter") === 0 &&
+            col("pr") =!= when(col("is_seed").isNotNull,
+              expr(s"$scale div n_seeds")).otherwise(lit(0L)), 1L)
           .otherwise(0L).as("bad"))
       .agg(max(col("n_seeds")).as("n_seeds"), max(col("n")).as("n"),
-        sum(col("bad")).as("bad")).head()
+        sum(col("bad")).as("bad"), max(col("iter")).as("depth")).head()
     if (chk.isNullAt(1) || chk.getLong(1) == 0L)
       throw new IllegalArgumentException(
         "pprDelta: prevTraj has no iterate-0 rows — not a pprTrajectory")
@@ -1130,6 +1213,11 @@ object GraphOps {
         s"pprDelta: teleport vector from `seeds` differs from the " +
           s"trajectory's iterate 0 on $badSeeds node(s) — the state " +
           "was built with a different seed set; rerun pprTrajectory")
+    if (chk.getInt(3) != iterations)
+      throw new IllegalArgumentException(
+        s"pprDelta: the stored trajectory holds ${chk.getInt(3)} " +
+          s"iterations but the fold was asked for $iterations — pass " +
+          "the depth the trajectory was built with")
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
       nNodes, maybeDeletes, "pprDelta")
     // iterate 0, now VERIFIED, is the teleport relation
@@ -1244,11 +1332,17 @@ object GraphOps {
   /** One stderr line per fold naming the priced branch decision —
     * VERDICT r15 item 8 asks the decision be VISIBLE, so a fixture
     * (e.g. the hash-sliced `graph_pagerank_delta_rand`) documents
-    * which branch its delta shape exercised. */
-  private def logBranch(who: String, majority: Boolean): Unit =
+    * which branch its delta shape exercised. The last decision is
+    * also recorded for SPECS (VERDICT r16 item 6: a pricing
+    * regression must fail a test, not just change a log line) —
+    * `lastBranch` holds (fold name, tookMajorityBranch). */
+  @volatile private[graft] var lastBranch: Option[(String, Boolean)] = None
+  private def logBranch(who: String, majority: Boolean): Unit = {
+    lastBranch = Some((who, majority))
     System.err.println(s"[graphops] $who: locality probe -> " +
       (if (majority) "MAJORITY ball (incremental-recompute branch)"
        else "minority ball (restricted-fold branch)"))
+  }
 
   /** Shared setup of the signed ranking folds: the delta reduced to
     * its GENUINELY new / genuinely gone directed rows, the

@@ -29,22 +29,45 @@ import graft.streaming.MouseStream
   * Serving is driver-side by design — the query edge is a
   * display-bound, single-user row slice (the same budget as the
   * reference's Lambda); the heavy lifting stays in the cluster-side
-  * plan `range` builds. */
+  * plan `range` builds.
+  *
+  * SERVER-SIDE PAGE CAP (VERDICT r16 item 4): a request without
+  * `limit` used to collect the user's ENTIRE history into one driver
+  * collect + HTTP body — faithful to the reference's uncapped poll,
+  * but one curious user away from a driver OOM at scale. Every
+  * response is now bounded by `maxRows` (`limit` above it is
+  * clamped), and the client's own continuation idiom pages through
+  * the remainder with no protocol change: the reference client
+  * already re-polls from the LAST ROW'S TIMESTAMP
+  * (functions.js:21,168 — `last_evaluated_key = data[data.length -
+  * 1].timestamp` feeds the next request's `{ts}` path segment), and
+  * a truncated ascending page ends exactly at the right continuation
+  * point (descending pages keep the newest rows, which is where the
+  * reverse initial load reads its token — functions.js:322). */
 object QueryEdge {
 
   private val Path = "/users/([^/]+)/movements/(-?[0-9]+)".r
 
+  /** Default response-row bound — display-scale (the reference's
+    * chart polls every second and its heatmap asks for 10 rows), two
+    * orders of magnitude of headroom included. */
+  val DefaultMaxRows = 1000
+
   /** Start serving `table` on `port` (0 = ephemeral; read the bound
-    * port off the returned server). Caller stops with `.stop(0)`. */
-  def start(spark: SparkSession, table: String, port: Int = 0): HttpServer = {
+    * port off the returned server). Caller stops with `.stop(0)`.
+    * `maxRows` bounds every response page (see the object doc). */
+  def start(spark: SparkSession, table: String, port: Int = 0,
+            maxRows: Int = DefaultMaxRows): HttpServer = {
+    require(maxRows >= 1, "maxRows must be positive")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/users", (ex: HttpExchange) => handle(spark, table, ex))
+    server.createContext("/users",
+      (ex: HttpExchange) => handle(spark, table, maxRows, ex))
     server.setExecutor(null) // serial — a display edge, not a fleet
     server.start()
     server
   }
 
-  private def handle(spark: SparkSession, table: String,
+  private def handle(spark: SparkSession, table: String, maxRows: Int,
                      ex: HttpExchange): Unit =
     ex.getRequestURI.getPath match {
       // match the path FIRST so a non-GET on a valid resource is 405,
@@ -71,8 +94,14 @@ object QueryEdge {
             case Left(e) => respond(ex, 400, errorBody(e))
             case Right((reverse, includeRaw, limit, tsL)) =>
               try {
+                // the page cap: an omitted or over-cap limit clamps to
+                // maxRows — the unbounded driver collect is impossible
+                // at the serve edge, and the client's timestamp-token
+                // poll pages through the rest (object doc)
+                val capped = Some(limit.fold(maxRows)(l =>
+                  math.max(0, math.min(l, maxRows))))
                 val rows = MouseStream.range(spark, table, uid, tsL,
-                  reverse, limit, includeRaw).collect()
+                  reverse, capped, includeRaw).collect()
                 val body = rows.map { r =>
                   val base = s""""timestamp":${r.getAs[Long]("sec")},""" +
                     s""""count":${r.getAs[Long]("cnt")}"""

@@ -63,6 +63,74 @@ object Snapshots {
     next
   }
 
+  /** Publish the next snapshot REUSING unchanged partition
+    * directories from the current one (VERDICT r16 item 8 — a
+    * maintained state pack whose batch touched a small slice must not
+    * rewrite the verbatim majority every publish). `changed` holds
+    * ONLY the rows of partitions the caller knows changed, written
+    * partitioned by `partitionCols`; every relative partition
+    * directory in `reuseDirs` (e.g. `rel=traj/bkt=3`) is then carried
+    * over from the current snapshot by HARDLINKING its data files
+    * into the new snapshot directory — byte-identical reuse at zero
+    * write cost — before the same atomic pointer swap. Hardlinked
+    * files survive [[vacuum]] of the donor snapshot (deleting one
+    * link only decrements the count), so retention semantics are
+    * unchanged. Falls back to a file COPY where the store refuses
+    * links (cross-device). On an object store a deployment would swap
+    * the link for manifest-level reuse (the Iceberg/Delta move — a
+    * new metadata version referencing unchanged data files); the
+    * protocol here (immutable data + pointer swap) is the same shape.
+    *
+    * The caller OWNS the correctness claim that the reused
+    * partitions' rows are exactly the new state's rows for those
+    * partitions; a `reuseDirs` entry the write also produced fails
+    * loudly (the two sources would union). A reuse directory absent
+    * from the current snapshot is skipped — an empty partition wrote
+    * no files then and owns none now.
+    *
+    * Returns (snapshot id, fresh data files written, files linked). */
+  def publishReuse(changed: DataFrame, tableDir: String,
+                   partitionCols: Seq[String],
+                   reuseDirs: Seq[String]): (Long, Int, Int) = {
+    require(partitionCols.nonEmpty, "publishReuse needs partitionCols")
+    val srcRoot = Paths.get(currentPath(tableDir))
+    val next = currentId(tableDir).getOrElse(0L) + 1L
+    val destRoot = Paths.get(tableDir, snapName(next))
+    changed.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionCols: _*).parquet(destRoot.toString)
+    def dataFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")).toSeq
+      finally walk.close()
+    }
+    val fresh = dataFiles(destRoot).size
+    var linked = 0
+    reuseDirs.foreach { rel =>
+      val src = srcRoot.resolve(rel)
+      val dest = destRoot.resolve(rel)
+      if (Files.exists(dest))
+        throw new IllegalStateException(
+          s"publishReuse: $rel was both written and named for reuse — " +
+            "the caller's changed/unchanged split is wrong")
+      if (Files.exists(src)) {
+        Files.createDirectories(dest)
+        dataFiles(src).foreach { f =>
+          val t = dest.resolve(f.getFileName)
+          try Files.createLink(t, f)
+          catch {
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(f, t, StandardCopyOption.COPY_ATTRIBUTES)
+          }
+          linked += 1
+        }
+      }
+    }
+    swapPointer(tableDir, snapName(next))
+    (next, fresh, linked)
+  }
+
   /** Read the current snapshot. The returned DataFrame is pinned to
     * the snapshot directory current AT RESOLVE TIME — later publishes
     * do not change what it reads (snapshot isolation). */

@@ -1318,4 +1318,75 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("universe"),
       s"mismatched family pack refuses: ${e.getMessage}")
   }
+
+  test("the locality probe's branch decision is PINNED (VERDICT r16 " +
+       "item 6): a tight one-edge delta takes the restricted-fold " +
+       "branch, a scattered delta the incremental-recompute branch") {
+    val chain = (1L until 80L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(chain)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 4)
+    GraphOps.lastBranch = None
+    GraphOps.pageRankDeltaFromState(traj, st,
+      Seq((2L, 4L)).toDF("id1", "id2"), iterations = 4)
+    assert(GraphOps.lastBranch.contains(("pageRankDelta", false)),
+      s"tight delta must take the restricted fold, " +
+        s"saw ${GraphOps.lastBranch}")
+    // scattered: endpoints on every other node — the ball covers the
+    // graph, so a fold would cost MORE than the priced recompute
+    val scattered = (1L until 79L by 2).map(i => (i, i + 2))
+      .toDF("id1", "id2")
+    GraphOps.lastBranch = None
+    GraphOps.pageRankDeltaFromState(traj, st, scattered, iterations = 4)
+    assert(GraphOps.lastBranch.contains(("pageRankDelta", true)),
+      s"scattered delta must take the incremental recompute, " +
+        s"saw ${GraphOps.lastBranch}")
+    // the shared three-family fold prices with the same probe
+    GraphOps.lastBranch = None
+    GraphOps.graphStatesFold(traj, None, None, st,
+      Seq((2L, 4L)).toDF("id1", "id2"),
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), iterations = 4)
+    assert(GraphOps.lastBranch.contains(("graphStatesFold", false)),
+      s"tight delta folds restricted in graphStatesFold too, " +
+        s"saw ${GraphOps.lastBranch}")
+  }
+
+  test("a (trajectory, iterations) depth mismatch refuses loudly in " +
+       "every signed fold instead of merging against missing or " +
+       "non-final iterates (ADVICE r16)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(pairs)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 3)
+    val d = Seq((1L, 3L)).toDF("id1", "id2")
+    val none = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val e1 = intercept[IllegalArgumentException] {
+      GraphOps.pageRankDeltaFromState(traj, st, d, iterations = 5)
+    }
+    assert(e1.getMessage.contains("holds 3 iterations"),
+      s"plain fold refuses: ${e1.getMessage}")
+    val seeds = Seq(1L).toDF("node")
+    val ptraj = GraphOps.pprTrajectoryFromEdges(st, seeds,
+      iterations = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.pprDeltaFromState(ptraj, st, d, seeds, iterations = 5)
+    }
+    assert(e2.getMessage.contains("holds 3 iterations"),
+      s"PPR fold refuses: ${e2.getMessage}")
+    val e3 = intercept[IllegalArgumentException] {
+      GraphOps.graphStatesFold(traj, None, None, st, d, none,
+        iterations = 5)
+    }
+    assert(e3.getMessage.contains("holds 3 iterations"),
+      s"shared fold refuses: ${e3.getMessage}")
+    // a PPR FAMILY pack at the wrong depth refuses on the fused
+    // union probe (its tip cannot cover the universe at `iterations`)
+    val shallow = GraphOps.pprTrajectoryFromEdges(st, seeds,
+      iterations = 2)
+    val e4 = intercept[IllegalArgumentException] {
+      GraphOps.graphStatesFold(traj, Some(shallow), None, st, d, none,
+        iterations = 3)
+    }
+    assert(e4.getMessage.contains("depth differs"),
+      s"mismatched PPR family depth refuses: ${e4.getMessage}")
+  }
 }

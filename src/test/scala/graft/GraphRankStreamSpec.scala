@@ -325,4 +325,199 @@ class GraphRankStreamSpec extends SparkSpec {
       ranksOf(GraphOps.pageRank(gF.toDF("id1", "id2"), iterations = 3)),
       "post-migration folds equal from-scratch on the final graph")
   }
+
+  test("the identity-blind replay window is CLOSED (ADVICE r16): a " +
+       "fresh-checkpoint restart whose epoch 0 collides with applied " +
+       "marker 0 refuses instead of silently skipping the batch") {
+    val table = tmp("graft_rankstream_ident")
+    GraphRankStream.bootstrap(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2"), table,
+      iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q1 = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_ident_ckA")))
+    input.addData((1L, 3L, "add"))
+    q1.processAllAvailable()
+    q1.stop() // marker is now exactly 0
+    val before = ranksOf(GraphRankStream.currentRanks(spark, table))
+    val input2 = MemoryStream[(Long, Long, String)](spark)
+    val q2 = GraphRankStream.maintain(
+      input2.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_ident_ckB")))
+    try {
+      input2.addData((2L, 4L, "add")) // DIFFERENT data at epoch 0
+      val e = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage.contains("DIFFERENT run"),
+        s"identity mismatch is loud: ${e.getMessage}")
+    } finally q2.stop()
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) == before,
+      "the refused replay never mutated the state")
+  }
+
+  test("maintain refuses AT START to resume an applied table without " +
+       "a checkpointDir, and the refusal frees the lease") {
+    val table = tmp("graft_rankstream_nockpt")
+    val ckpt = tmp("graft_rankstream_nockpt_ck")
+    GraphRankStream.bootstrap(
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), table, iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    def start() = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table, Some(ckpt))
+    val q1 = start()
+    input.addData((1L, 3L, "add"))
+    q1.processAllAvailable()
+    q1.stop() // marker >= 0 now
+    val input2 = MemoryStream[(Long, Long, String)](spark)
+    val e = intercept[IllegalStateException] {
+      GraphRankStream.maintain(
+        input2.toDF().toDF("id1", "id2", "op"), table, None)
+    }
+    assert(e.getMessage.contains("no checkpointDir"),
+      s"checkpoint-less resume refuses: ${e.getMessage}")
+    // the early refusal released the lease: the legitimate restart
+    // (original checkpoint) proceeds
+    val q2 = start()
+    try {
+      input.addData((2L, 1L, "del"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(
+        Seq((2L, 3L), (1L, 3L)).toDF("id1", "id2"), 3)),
+      "the post-refusal restart folded normally")
+  }
+
+  test("bootstrap refuses under a LIVE maintainer (writer lease), " +
+       "and a same-JVM refusal leaves the maintainer's OS lock " +
+       "intact (ADVICE r16: no channel-close lock drop)") {
+    val table = tmp("graft_rankstream_bootlease")
+    GraphRankStream.bootstrap(
+      Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2"), table, iterations = 3)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q1 = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_bootlease_ck")))
+    try {
+      val e = intercept[IllegalStateException] {
+        GraphRankStream.bootstrap(
+          Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"), table,
+          iterations = 3)
+      }
+      assert(e.getMessage.contains("writer lease"),
+        s"re-bootstrap under a live maintainer refuses: ${e.getMessage}")
+      // the refusal path must not have dropped the live maintainer's
+      // POSIX lock (the r16-advised hazard: closing ANY channel to a
+      // file releases ALL of the process's locks on it). Probe from a
+      // fresh channel — the lock must still be held. The probe
+      // channel is deliberately NOT closed: closing it would itself
+      // drop the maintainer's lock under the same POSIX rule.
+      val probe = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(table, "_maintainer.lock"),
+        java.nio.file.StandardOpenOption.WRITE)
+      intercept[java.nio.channels.OverlappingFileLockException] {
+        probe.tryLock()
+      }
+      // and the maintainer is still fully functional
+      input.addData((1L, 3L, "add"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2"), 3)),
+      "the maintainer's fold landed after the refused bootstrap")
+  }
+
+  test("partial republish (VERDICT r16 item 8): a ball-bounded batch " +
+       "writes only the touched buckets, hardlinks the rest, and the " +
+       "linked pack serves AND folds exactly as a full rewrite") {
+    import java.nio.file.{Files, Paths}
+    val table = tmp("graft_rankstream_partial")
+    val edges = (1L until 300L).map(i => (i, i + 1))
+    GraphRankStream.bootstrap(edges.toDF("id1", "id2"), table,
+      iterations = 3, numBuckets = 64)
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_partial_ck")))
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val root = Paths.get(graft.sources.Snapshots.currentPath(table))
+      val w = Files.walk(root)
+      try w.iterator().asScala.filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")).toSeq
+      finally w.close()
+    }
+    try {
+      input.addData((5L, 3L, "add"))
+      q.processAllAvailable()
+      val files = dataFiles()
+      def nlink(p: java.nio.file.Path): Long =
+        Files.getAttribute(p, "unix:nlink").asInstanceOf[Number].longValue
+      val linked = files.count(nlink(_) > 1L)
+      val fresh = files.size - linked
+      assert(linked > 0, "untouched buckets were hardlinked, not rewritten")
+      assert(fresh < files.size / 2,
+        s"a one-edge delta wrote $fresh of ${files.size} files fresh — " +
+          "the republish is not partial")
+      // the linked pack serves exactly the from-scratch answer
+      assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+        ranksOf(GraphOps.pageRank(
+          (edges :+ ((5L, 3L))).toDF("id1", "id2"), iterations = 3)),
+        "partial publish serves from-scratch ranks")
+      // and stays FOLDABLE: a second batch (a deletion) folds on top
+      // of the hardlinked snapshot
+      input.addData((100L, 101L, "del"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val gF = (edges :+ ((5L, 3L))).filterNot(_ == ((100L, 101L)))
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(gF.toDF("id1", "id2"), iterations = 3)),
+      "a fold over a hardlink-reused snapshot equals from-scratch")
+  }
+
+  test("a legacy unpartitioned pack reads fine and upgrades to the " +
+       "partitioned layout on its next publish") {
+    import java.nio.file.{Files, Paths}
+    val table = tmp("graft_rankstream_legacy")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(pairs)
+    val traj = GraphOps.pageRankTrajectoryFromEdges(st, iterations = 3)
+    // the round-16 on-disk layout: one unpartitioned relation, no
+    // fams row, meta c = 0
+    val legacy = st.select(lit("edge").as("rel"), col("src").as("a"),
+        col("dst").as("b"), col("deg").as("c"))
+      .unionByName(traj.select(lit("traj").as("rel"),
+        col("node").as("a"), col("iter").cast("long").as("b"),
+        col("pr").as("c")))
+      .unionByName(spark.range(1).select(lit("meta").as("rel"),
+        lit(-1L).as("a"), lit(3L).as("b"), lit(0L).as("c")))
+    graft.sources.Snapshots.publish(legacy, table)
+    val st0 = GraphRankStream.readState(spark, table)
+    assert(st0.numBuckets == 0 && st0.pprTraj.isEmpty &&
+      st0.labels.isEmpty && st0.appliedBatch == -1L,
+      "legacy pack reads with probed presence and bucket count 0")
+    val input = MemoryStream[(Long, Long, String)](spark)
+    val q = GraphRankStream.maintain(
+      input.toDF().toDF("id1", "id2", "op"), table,
+      Some(tmp("graft_rankstream_legacy_ck")))
+    try {
+      input.addData((1L, 3L, "add")) // first publish: full, new layout
+      q.processAllAvailable()
+      assert(Files.exists(Paths.get(
+          graft.sources.Snapshots.currentPath(table), "rel=meta")),
+        "the first post-legacy publish upgraded to the partitioned layout")
+      input.addData((2L, 4L, "add")) // second: partial path available
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ranksOf(GraphRankStream.currentRanks(spark, table)) ==
+      ranksOf(GraphOps.pageRank(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (2L, 4L))
+          .toDF("id1", "id2"), iterations = 3)),
+      "folds across the layout upgrade equal from-scratch")
+  }
 }

@@ -82,6 +82,54 @@ class QueryEdgeSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the server-side page cap bounds EVERY response (VERDICT r16 " +
+       "item 4) and the client's timestamp-token idiom pages through " +
+       "the remainder unchanged") {
+    // 50 seconds of history for one user — more than the cap below
+    (1L to 50L).map(s => ("3", s, s % 5 + 1L))
+      .toDF("user_id", "sec", "cnt")
+      .withColumn("movs", array(struct(lit(1).as("x"), lit(2).as("y"),
+        (col("sec") * 1000).as("time"))))
+      .createOrReplaceTempView("edge_cap")
+    val server = QueryEdge.start(spark, "edge_cap", maxRows = 10)
+    val port = server.getAddress.getPort
+    try {
+      def page(ts: Long): Seq[(Long, Long)] = {
+        val (code, body) = get(port, s"/users/3/movements/$ts")
+        assert(code == 200)
+        if (body == "[]") Seq.empty
+        else """"timestamp":(\d+),"count":(\d+)""".r
+          .findAllMatchIn(body)
+          .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      }
+      // an UNCAPPED poll (no limit param) returns a bounded page —
+      // the unbounded driver collect is impossible at the serve edge
+      val p1 = page(0L)
+      assert(p1.size == 10, s"page bounded at maxRows, got ${p1.size}")
+      assert(p1.map(_._1) == (1L to 10L), "ascending page = oldest rows")
+      // a limit param ABOVE the cap clamps instead of being honored
+      val (_, big) = get(port, "/users/3/movements/0?limit=9999")
+      assert(""""timestamp":""".r.findAllIn(big).size == 10,
+        "over-cap limit clamps to maxRows")
+      // the reference client's continuation (functions.js:168: next
+      // {ts} = last row's timestamp) walks the full history across
+      // bounded pages with no protocol change
+      val all = Iterator.iterate((page(0L), 0)) { case (p, _) =>
+        val next = page(p.last._1)
+        (next, 0)
+      }.takeWhile(_._1.nonEmpty).flatMap(_._1).toSeq
+      assert(all.map(_._1) == (1L to 50L),
+        "timestamp-token paging reassembles the complete history")
+      // the reverse initial load keeps the NEWEST rows when truncated
+      // (where functions.js:322 reads its token: data[0].timestamp)
+      val (_, rev) = get(port, "/users/3/movements/50?reverse=true")
+      val revTs = """"timestamp":(\d+)""".r.findAllMatchIn(rev)
+        .map(_.group(1).toLong).toSeq
+      assert(revTs == (50L to 41L by -1),
+        s"descending page keeps the newest rows, got $revTs")
+    } finally server.stop(0)
+  }
+
   test("server-side failure surfaces as 500 with JSON-safe error body") {
     // a missing table is the SERVER's problem: 500, and the multi-line
     // Spark exception message must still render as one valid JSON
