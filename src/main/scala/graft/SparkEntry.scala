@@ -1367,6 +1367,29 @@ object SparkEntry {
           dedup.Blocking.customerNeighbors(Tables.customer(s, d))
             .select(col("id1"), col("id2")))
         .sortWithinPartitions("doc_id")),
+    // triangles join the IVM family (round 17): per-node counts
+    // maintained through a SIGNED delta — the %101 slice added back
+    // (endpoints restricted to the prior universe, the family's
+    // node-preserving law) and the %13 slice of the prior graph
+    // retracted, folded against the SAME maintained edge state the
+    // ranking and components folds read; result must equal the
+    // from-scratch per-node census on the survivor graph (the
+    // oracle's derivation), stranded nodes decaying to 0
+    "graph_triangles_fold" -> q((s, d) => {
+      val pairs = dedup.Blocking.customerNeighbors(Tables.customer(s, d))
+        .select(col("id1"), col("id2")).localCheckpoint(true)
+      val prior = pairs.filter((col("id1") + col("id2")) % 101 =!= 0)
+      val nodes0 = prior.select(col("id1").as("n"))
+        .unionByName(prior.select(col("id2").as("n"))).distinct()
+      val adds = pairs.filter((col("id1") + col("id2")) % 101 === 0)
+        .join(nodes0.withColumnRenamed("n", "id1"), Seq("id1"), "left_semi")
+        .join(nodes0.withColumnRenamed("n", "id2"), Seq("id2"), "left_semi")
+      val dels = prior.filter((col("id1") + col("id2")) % 13 === 0)
+      val st = operators.GraphOps.pageRankEdgeState(prior)
+      val tri0 = operators.GraphOps.triangleCountsFromEdges(st)
+      operators.GraphOps.trianglesDelta(tri0, st, adds, dels)
+        .sortWithinPartitions("doc_id")
+    }),
     "basket_rules" -> q((s, d) =>
       operators.MarketBasket.pairRules(Tables.lineitem(s, d),
         col("l_orderkey"), col("l_partkey"))),
@@ -6191,6 +6214,43 @@ object SparkEntry {
         |        ELSE CAST(coalesce(t.n_tri, 0) AS DOUBLE) /
         |             (d.deg * (d.deg - 1) // 2) END, 8) AS lcc8
         |FROM deg d LEFT JOIN tcnt t ON t.v = d.v
+        |ORDER BY doc_id""".stripMargin,
+
+    // from-scratch per-node census on the survivor graph
+    // (prior − %13 slice) ∪ (node-preserving %101 adds), over the
+    // PRIOR graph's node universe — the triangles fold's equality
+    // contract (stranded nodes zero-filled by the left join)
+    "graph_triangles_fold" ->
+      """WITH w AS (
+        |  SELECT c_custkey,
+        |    lead(c_custkey, 1) OVER win AS l1,
+        |    lead(c_custkey, 2) OVER win AS l2
+        |  FROM customer
+        |  WINDOW win AS (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal, c_custkey)),
+        |pr AS (
+        |  SELECT c_custkey AS id1, l1 AS id2 FROM w WHERE l1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT c_custkey, l2 FROM w WHERE l2 IS NOT NULL),
+        |e AS (SELECT DISTINCT least(id1, id2) AS a, greatest(id1, id2) AS b
+        |      FROM pr WHERE id1 <> id2),
+        |prior AS (SELECT a, b FROM e WHERE (a + b) % 101 <> 0),
+        |pnodes AS (SELECT DISTINCT v FROM
+        |            (SELECT a AS v FROM prior UNION ALL SELECT b FROM prior)),
+        |adds AS (SELECT a, b FROM e WHERE (a + b) % 101 = 0
+        |           AND a IN (SELECT v FROM pnodes)
+        |           AND b IN (SELECT v FROM pnodes)),
+        |surv AS (SELECT a, b FROM prior WHERE (a + b) % 13 <> 0
+        |         UNION SELECT a, b FROM adds),
+        |wg AS (SELECT e1.a AS wa, e1.b AS wb, e2.b AS wc
+        |       FROM surv e1 JOIN surv e2 ON e1.b = e2.a),
+        |tris AS (SELECT wg.wa AS x, wg.wb AS y, wg.wc AS z
+        |         FROM wg JOIN surv e3 ON wg.wa = e3.a AND wg.wc = e3.b),
+        |tn AS (SELECT x AS v FROM tris UNION ALL
+        |       SELECT y FROM tris UNION ALL SELECT z FROM tris),
+        |tcnt AS (SELECT v, count(*) AS n_tri FROM tn GROUP BY v)
+        |SELECT p.v AS doc_id, CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM pnodes p LEFT JOIN tcnt t ON t.v = p.v
         |ORDER BY doc_id""".stripMargin,
 
     // triangular-discrimination drift: rational arithmetic only, so

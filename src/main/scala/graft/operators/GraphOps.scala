@@ -604,7 +604,7 @@ object GraphOps {
           "merge against missing or non-final iterates; pass the " +
           "depth the trajectory was built with")
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
-      nNodes, maybeDeletes, "pageRankDelta")
+      maybeDeletes, "pageRankDelta")
     // capped ball probe over prior ∪ new edges: deleted edges are
     // still prior edges, so the union reaches the old in-neighbors a
     // deletion perturbs (see pageRankDelete's signed induction)
@@ -635,10 +635,19 @@ object GraphOps {
       }
     } else {
       // minority ball: commit to the fold — materialize the complete
-      // ball (it gates every round's scan and aggregate) and the
-      // trajectory (read per round from here on)
+      // ball (it gates every round's scan and aggregate). The FULL
+      // trajectory is checkpointed only when the caller wants the
+      // merged trajectory back (pageRankStateFold — the per-iterate
+      // merge reads every stored iterate): the tip-only folds read
+      // the stored trajectory exactly twice more after the probe
+      // (the ball-restricted iterate-0 seed and the final-tip merge),
+      // and both reads restrict or filter BEFORE any shuffle, so
+      // re-scanning the caller's pinned state is strictly cheaper
+      // than writing (iterations+1)·|V| rows to checkpoint storage
+      // first (SOAK_r16_fold_100x: that write was the fold's
+      // residual floor — VERDICT r16 item 2)
       val ball = materialize(ball0)
-      val traj = materialize(traj0)
+      val traj = if (wantTrajectory) materialize(traj0) else traj0
       val ballMax = ball.select(col("doc_id").as("node"))
       val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
       // the only nodes whose OLD iterates any round reads are
@@ -935,7 +944,20 @@ object GraphOps {
     * [[prepSigned]] (the delta reduced to genuinely-new/-gone rows,
     * touched degrees, fused structural probe), the capped ball
     * probe, the survivor edge-state scan, and — on the fold branch —
-    * the ball-restricted edge relation. Per extra family the
+    * the ball-restricted edge relation.
+    *
+    * Persistence contract: on the RESTRICTED-FOLD branch the
+    * returned trajectories and edge state are LAZY plans over the
+    * caller's own prior state plus internally-materialized
+    * ball-sized rounds — nothing full-pack-sized is checkpointed
+    * here, because the one production consumer
+    * ([[graft.streaming.GraphRankStream.maintain]]) immediately
+    * persists the pack (touched partitions only) and pins its
+    * INPUTS per family at read time; an extra checkpoint would
+    * just write the full pack twice per batch (VERDICT r16 item 2).
+    * A caller that reads the returned frames many times without
+    * persisting them should pin them itself. The majority branch
+    * returns loop outputs whose iterates are already materialized. Per extra family the
     * incremental cost is its own ball rounds (ball-sized joins) or
     * its own trajectory loop on the majority branch; the components
     * fold adds one scoped re-cluster (deletions) and/or one
@@ -1066,7 +1088,7 @@ object GraphOps {
       ptraj0
     }
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
-      nNodes, maybeDeletes = true, "graphStatesFold")
+      maybeDeletes = true, "graphStatesFold")
     val edgesAll = prevEdgesDeg.select("src", "dst")
       .unionByName(p.dNew.select("src", "dst"))
     val hop0 = materialize(
@@ -1075,8 +1097,12 @@ object GraphOps {
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
     logBranch("graphStatesFold", majority)
     // the survivor state: built ONCE, read by every family and
-    // returned as the pack's next edge state
-    val st = survivorEdgeState(prevEdgesDeg, p)
+    // returned as the pack's next edge state. Pinned only on the
+    // majority branch (both trajectory loops read it per iterate);
+    // on the restricted-fold branch the rounds read ballEdges, so the
+    // full |E| relation's single consumer is the caller's persist —
+    // lazy, the publisher's write materializes it exactly once
+    val st = survivorEdgeState(prevEdgesDeg, p, pin = majority)
     val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
     val (prTraj2, pprTraj2, touched) =
       if (majority)
@@ -1094,23 +1120,33 @@ object GraphOps {
         // edge relation is recurrence-agnostic)
         val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
         val srcBall = edgesBall.select(col("src").as("node")).distinct()
+        // No full-trajectory checkpoints on the fold branch (VERDICT
+        // r16 item 2): the stored trajectory is the caller's
+        // MAINTAINED state (the streaming seam pins it per family at
+        // read time), so re-scanning it per merged iterate beats
+        // copying (iterations+1)·|V| rows to checkpoint storage
+        // first; and the merged trajectory's one consumer is the
+        // caller's persist (the publisher writes only the touched
+        // buckets of it), so materializing it here would write the
+        // full pack once extra per batch. Rounds and trajBall stay
+        // materialized — they gate every round's join.
         def foldOne(t0: DataFrame, who: String,
                     assemble: (DataFrame, DataFrame) => DataFrame)
             : DataFrame = {
-          val traj = materialize(t0)
+          val traj = t0
           val trajBall = materialize(
             traj.join(srcBall, Seq("node"), "left_semi"))
           ballCoverageCheck(srcBall, trajBall, who)
           val rounds = ballRounds(traj, trajBall, ball, edgesBall,
             iterations, dampNum, dampDen, assemble)
-          materialize((0 to iterations).map { i =>
+          (0 to iterations).map { i =>
             val base = traj.filter(col("iter") === i)
             if (i == 0) base // iterate 0 is delta-invariant
             else base.as("o")
               .join(rounds(i - 1).as("n"), Seq("node"), "left")
               .select(col("node"), col("iter"),
                 coalesce(col("n.pr"), col("o.pr")).as("pr"))
-          }.reduce(_ unionByName _))
+          }.reduce(_ unionByName _)
         }
         val pr2 = foldOne(traj0, "graphStatesFold[pagerank]",
           (ballI, inSums) => ballI.join(inSums, Seq("node"), "left")
@@ -1219,7 +1255,7 @@ object GraphOps {
           s"iterations but the fold was asked for $iterations — pass " +
           "the depth the trajectory was built with")
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
-      nNodes, maybeDeletes, "pprDelta")
+      maybeDeletes, "pprDelta")
     // iterate 0, now VERIFIED, is the teleport relation
     val tele = materialize(it0.select(col("node"), col("pr").as("tele")))
     val edgesAll = prevEdgesDeg.select("src", "dst")
@@ -1244,7 +1280,11 @@ object GraphOps {
           .as("pr"))), Some(st))
     }
     val ball = materialize(ball0)
-    val traj = materialize(traj0)
+    // full-trajectory checkpoint only when the merged trajectory is
+    // the output (pprStateFold) — tip-only folds re-scan the caller's
+    // pinned state twice instead of paying the (iterations+1)·|V|
+    // write floor (VERDICT r16 item 2; see pageRankSignedCore)
+    val traj = if (wantTrajectory) materialize(traj0) else traj0
     val ballMax = ball.select(col("doc_id").as("node"))
     // plain (not tele-fused) ball edges: the ball rounds read tele
     // per BALL NODE from the verified |V|-row relation instead — a
@@ -1380,7 +1420,7 @@ object GraphOps {
     * [[componentsDelete]]. */
   private def prepSigned(it0: DataFrame, prevEdgesDeg: DataFrame,
                          addedPairs: DataFrame, deletedPairs: DataFrame,
-                         nNodes: Long, maybeDeletes: Boolean,
+                         maybeDeletes: Boolean,
                          who: String): SignedPrep = {
     val dSym = materialize(symPairs(addedPairs))
     val delSym =
@@ -1478,17 +1518,22 @@ object GraphOps {
     * them (the node universe is the trajectory's — see
     * [[pageRankDelete]]). */
   private def survivorEdgeState(prevEdgesDeg: DataFrame,
-                                p: SignedPrep): DataFrame = {
+                                p: SignedPrep,
+                                pin: Boolean = true): DataFrame = {
     val kept =
       if (p.hasDeletes)
         prevEdgesDeg.select("src", "dst", "deg")
           .join(hintIf(p.small)(p.dGone), Seq("src", "dst"), "left_anti")
       else prevEdgesDeg.select("src", "dst", "deg")
-    materialize(
-      patchDegrees(kept, p)
-        .unionByName(p.dNew.join(hintIf(p.small)(p.touchedDeg), Seq("src"))
-          .select(col("src"), col("dst"), col("deg")))
-        .repartition(col("src")))
+    val out = patchDegrees(kept, p)
+      .unionByName(p.dNew.join(hintIf(p.small)(p.touchedDeg), Seq("src"))
+        .select(col("src"), col("dst"), col("deg")))
+      .repartition(col("src"))
+    // pin = false when the state is only PERSISTED downstream (the
+    // pack fold's restricted branch: the publisher's parquet write is
+    // the one consumer) — a checkpoint there would write the full |E|
+    // relation once extra for nothing (VERDICT r16 item 2's floor)
+    if (pin) materialize(out) else out
   }
 
   /** The fold's edge relation: ball-restricted survivors,
@@ -2020,6 +2065,135 @@ object GraphOps {
             .otherwise(coalesce(col("n_tri"), lit(0L)) /
               expr("deg * (deg - 1) div 2")),
           8).as("lcc8"))
+  }
+
+  /** Per-node triangle counts off a MAINTAINED [[pageRankEdgeState]]
+    * — the bootstrap of the triangles IVM pair ([[trianglesDelta]]
+    * folds signed edge deltas into it). Output: (doc_id, n_tri) with
+    * one row per STATE NODE (zero-triangle nodes kept — the row set
+    * IS the fold's node universe), n_tri equal row for row to
+    * [[localClustering]]'s per-node census on the same graph.
+    * Shares [[triangleCensus]]'s skew posture: degree-ordered
+    * oriented wedges, O(m^{3/2}) volume under any skew. The edge
+    * state is recurrence-agnostic (the same relation feeds the
+    * ranking and components folds), so one maintained state serves
+    * a fourth family. */
+  def triangleCountsFromEdges(edgesDeg: DataFrame): DataFrame = {
+    val uni = edgesDeg.select(col("src").as("v")).distinct()
+    val pairs = edgesDeg.filter(col("src") < col("dst"))
+      .select(col("src").as("id1"), col("dst").as("id2"))
+    val e = canonicalEdges(pairs)
+    val tri = orientedWedges(pairs).join(e.alias("e3"),
+      col("wu") === col("e3.a") && col("ww") === col("e3.b"))
+    val perNode = tri
+      .select(explode(array(col("wp"), col("wu"), col("ww"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    uni.join(perNode, Seq("v"), "left")
+      .select(col("v").as("doc_id"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Incremental per-node triangle counting — the triangles family
+    * joins the graph IVM set (ranking trajectories, components
+    * labels) under the same signed survivor law
+    * `(prior − deleted) ∪ added` and the same refuse-rather-than-
+    * trust prep: additions naming nodes outside the count relation's
+    * universe refuse (the node-preserving contract every fold in the
+    * family carries), state/universe mismatches refuse, phantom
+    * deletions and duplicate additions are absorbed exactly
+    * ([[prepSigned]]'s genuine sets). `prevTri` is
+    * [[triangleCountsFromEdges]]'s output (or a prior fold's);
+    * `prevEdgesDeg` the matching [[pageRankEdgeState]]. Like
+    * [[componentsDelta]]'s labeling, the count relation itself is
+    * trusted to belong to the state — there is no cheap invariant
+    * that could verify counts without recounting.
+    *
+    * Result: (doc_id, n_tri) over the SAME universe, equal row for
+    * row to the from-scratch census on the survivor graph (stranded
+    * nodes decay to 0 as their triangles retract — the
+    * `graph_triangles_fold` oracle's derivation).
+    *
+    * Why it's exact: a triangle's membership changes iff it contains
+    * a changed edge. Every triangle of the survivor graph containing
+    * ≥ 1 genuinely-added edge is NEW (the added edge wasn't in the
+    * prior graph), and every prior triangle containing ≥ 1
+    * genuinely-gone edge is DEAD (the gone edge isn't in the
+    * survivor graph); a triangle with both kinds is in neither graph
+    * and in neither enumeration (the add side probes survivor
+    * adjacency only, the delete side prior adjacency only). Each
+    * side enumerates DISTINCT sorted node triples — a triangle
+    * closed by two or three delta edges dedups to one row — then
+    * explodes to its three corners: ΔT = corners(+) − corners(−).
+    *
+    * Scale shape: candidate volume is Σ_{(u,v)∈Δ} min(deg u, deg v)
+    * — each delta edge probes its LOWER-degree endpoint's adjacency
+    * (additions use the post-delta degrees the prep already
+    * maintains; deletions read the touched nodes' prior degrees in
+    * one filtered state scan), then one equi-join against the
+    * closing edge. Delta-sized relations broadcast inside the
+    * [[MaxBroadcastDeltaRows]] envelope and degrade to shuffles past
+    * it — never a nested loop, never an all-pairs. */
+  def trianglesDelta(prevTri: DataFrame, prevEdgesDeg: DataFrame,
+                     addedPairs: DataFrame,
+                     deletedPairs: DataFrame): DataFrame = {
+    val uni = prevTri.select(col("doc_id"), col("n_tri"))
+    val it0 = uni.select(col("doc_id").as("node"))
+    val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
+      maybeDeletes = true, "trianglesDelta")
+    // survivor adjacency: read by both add-side joins — pinned
+    val adjS = survivorEdgeState(prevEdgesDeg, p)
+    // prior degrees of the delta's endpoints (deletion orientation):
+    // one filtered scan of the state, touched-sized result
+    val degOld = materialize(
+      prevEdgesDeg
+        .join(hintIf(p.small)(p.endsChanged.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .groupBy(col("src")).agg(max(col("deg")).as("deg")))
+    // canonical delta edges with the probe (lower-degree) endpoint
+    // first; deg defaults 0 for endpoints absent from the degree
+    // relation (an addition endpoint stranded in the prior state —
+    // its adjacency is empty, probing it is free and correct)
+    def oriented(deltaSym: DataFrame, endDeg: DataFrame): DataFrame = {
+      val dc = deltaSym.filter(col("src") < col("dst"))
+        .select(col("src").as("eu"), col("dst").as("ev"))
+      dc.join(hintIf(p.small)(
+            endDeg.select(col("src").as("eu"), col("deg").as("du"))),
+          Seq("eu"), "left")
+        .join(hintIf(p.small)(
+            endDeg.select(col("src").as("ev"), col("deg").as("dv"))),
+          Seq("ev"), "left")
+        .select(col("eu"), col("ev"),
+          when(coalesce(col("du"), lit(0L)) <= coalesce(col("dv"), lit(0L)),
+            col("eu")).otherwise(col("ev")).as("pu"),
+          when(coalesce(col("du"), lit(0L)) <= coalesce(col("dv"), lit(0L)),
+            col("ev")).otherwise(col("eu")).as("po"))
+    }
+    // distinct triangles (sorted triples) with >= 1 delta edge, all
+    // edges within `adj`: probe the delta edge's cheap endpoint for
+    // w, then require the closing (other-endpoint, w) edge
+    def triples(dc: DataFrame, adj: DataFrame): DataFrame = {
+      val cand = dc.as("d")
+        .join(adj.select(col("src").as("pu"), col("dst").as("w")),
+          Seq("pu"))
+        .filter(col("w") =!= col("po"))
+      cand.join(adj.select(col("src").as("po"), col("dst").as("w")),
+          Seq("po", "w"), "left_semi")
+        .select(array_sort(array(col("eu"), col("ev"), col("w")))
+          .as("t"))
+        .distinct()
+    }
+    def corners(ts: DataFrame, sign: Int): DataFrame =
+      ts.select(explode(col("t")).as("node"))
+        .groupBy(col("node"))
+        .agg((count(lit(1)) * sign).as("d"))
+    val born = triples(oriented(p.dNew, p.touchedDeg), adjS)
+    val dead = triples(oriented(p.dGone, degOld),
+      prevEdgesDeg.select("src", "dst", "deg"))
+    val delta = corners(born, 1).unionByName(corners(dead, -1))
+      .groupBy(col("node")).agg(sum(col("d")).as("d"))
+    uni.join(delta, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        (col("n_tri") + coalesce(col("d"), lit(0L))).as("n_tri"))
   }
 
   /** Link prediction over the similarity graph: score every

@@ -1248,6 +1248,100 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("triangleCountsFromEdges == localClustering's per-node census " +
+       "(zero-triangle rows kept — the row set is the fold universe)") {
+    val rnd = new scala.util.Random(29)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val st = GraphOps.pageRankEdgeState(edges.toDF("id1", "id2"))
+    val got = GraphOps.triangleCountsFromEdges(st)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = GraphOps.localClustering(edges.toDF("id1", "id2"))
+      .select(col("doc_id"), col("n_tri"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref, "per-node counts (universe = graph nodes)")
+  }
+
+  test("trianglesDelta == from-scratch census on the survivors over " +
+       "the PRIOR universe (random mixed signed deltas; stranding " +
+       "allowed, stranded nodes decay to 0)") {
+    for (seed <- Seq(13, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 140).map(_ =>
+        (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val del = edges.filter(_ => rnd.nextInt(4) == 0)
+      val nodes = universeOf(edges)
+      val adds = (1 to 12).map(_ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+        .filter(e => e._1 != e._2)
+        .filterNot(e => edges.contains(e) || edges.contains(e.swap))
+        .distinct
+      val prior = edges.toDF("id1", "id2")
+      val st = GraphOps.pageRankEdgeState(prior)
+      val tri0 = GraphOps.triangleCountsFromEdges(st)
+      val out = GraphOps.trianglesDelta(tri0, st,
+          adds.toDF("id1", "id2"), del.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val surv = edges.filterNot(e =>
+        del.contains(e) || del.contains(e.swap)) ++ adds
+      val ref = GraphOps.localClustering(surv.toDF("id1", "id2"))
+        .select(col("doc_id"), col("n_tri"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(out.keySet == nodes.toSet,
+        s"universe preserved (seed $seed)")
+      nodes.foreach(v => assert(out(v) == ref.getOrElse(v, 0L),
+        s"node $v: fold ${out(v)} != scratch ${ref.getOrElse(v, 0L)} " +
+          s"(seed $seed)"))
+    }
+  }
+
+  test("trianglesDelta: delete-then-re-add is an identity; duplicate " +
+       "adds and phantom deletes are absorbed") {
+    // two triangles sharing an edge: (1,2,3) and (2,3,4), plus a tail
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L))
+    val prior = edges.toDF("id1", "id2")
+    val st = GraphOps.pageRankEdgeState(prior)
+    val tri0 = GraphOps.triangleCountsFromEdges(st)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val base = rows(tri0)
+    assert(base == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // retract the shared edge (kills both triangles), then add it back
+    val cut = Seq((2L, 3L)).toDF("id1", "id2")
+    val afterDel = GraphOps.trianglesDelta(tri0, st,
+      cut.limit(0), cut)
+    assert(rows(afterDel) ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L),
+      "both triangles through the cut edge retract")
+    val stCut = GraphOps.pageRankEdgeState(
+      edges.filterNot(_ == ((2L, 3L))).toDF("id1", "id2"))
+    val back = GraphOps.trianglesDelta(afterDel, stCut, cut, cut.limit(0))
+    assert(rows(back) == base, "delete-then-re-add is an identity")
+    // absorbed no-ops: a duplicate add (edge already present) and a
+    // phantom delete (edge never present) perturb nothing
+    val noop = GraphOps.trianglesDelta(tri0, st,
+      Seq((1L, 2L)).toDF("id1", "id2"),
+      Seq((1L, 5L)).toDF("id1", "id2"))
+    assert(rows(noop) == base, "duplicate add + phantom delete absorb")
+  }
+
+  test("trianglesDelta refuses an addition naming a node outside the " +
+       "count relation's universe (the family's node-preserving law)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val st = GraphOps.pageRankEdgeState(edges.toDF("id1", "id2"))
+    val tri0 = GraphOps.triangleCountsFromEdges(st)
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.trianglesDelta(tri0, st,
+        Seq((3L, 99L)).toDF("id1", "id2"),
+        Seq.empty[(Long, Long)].toDF("id1", "id2")).collect()
+    }
+    assert(e.getMessage.contains("new node"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("a LOCAL delta on a long path takes the restricted-fold branch " +
        "(ball ≪ graph) and both state folds still match the reference") {
     // 120-node path: a 4-iteration ball around a delta at one end is
