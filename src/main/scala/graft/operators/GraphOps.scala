@@ -33,6 +33,25 @@ object GraphOps {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Lineage-truncating checkpoint whose blocks materialize inside
+    * the FIRST consumer's job instead of a standalone eager action —
+    * the [[bfsRoundsAgg]] idiom generalized (round 17, guide §1/§2).
+    * Same storage, same truncation, same once-computed blocks for
+    * every later reader (concurrent readers of an unmaterialized
+    * block serialize on the block lock, so work is never doubled);
+    * what it removes is one full AQE action — result-stage + driver
+    * round-trip — per checkpoint, which the phase profile
+    * (AbGraphParts) measured as the iterative families' floor at
+    * bench scale: the per-round compute is tiny next to the fixed
+    * per-action overhead, and a 5-iterate trajectory paid 6 such
+    * actions where one final action materializes the same blocks.
+    * Use [[materialize]] only where a driver probe (count/head)
+    * follows immediately anyway, or where eagerness is the point. */
+  private def lazyMat(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Fixed-iteration PageRank over an UNDIRECTED edge list `pairs`
     * (columns id1, id2; symmetrized and deduplicated internally).
     * Returns (node, pr) where pr is the rank scaled by `scale`:
@@ -75,7 +94,7 @@ object GraphOps {
     // self-join below. Without this the miner executed 4× before the
     // first checkpoint (round-6 soak: pagerank 16.0 s → the fix's
     // re-measure in ARCHITECTURE §7).
-    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val pairsM = lazyMat(pairs.select(col("id1"), col("id2")))
     pageRankLoop(pairsM, iterations, dampNum, dampDen, scale,
       checkpointEvery)
   }
@@ -92,7 +111,10 @@ object GraphOps {
     val edges = pairsM.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairsM.select(col("id2").as("src"), col("id1").as("dst")))
       .distinct()
-    materialize(edges.as("e")
+    // lazy since round 17: the consuming loop's first action (the
+    // node count) materializes the state in-job — same blocks, one
+    // less standalone action
+    lazyMat(edges.as("e")
       .join(edges.groupBy("src").agg(count(lit(1)).as("deg")).as("g"), "src")
       .repartition(col("src")))
   }
@@ -107,43 +129,39 @@ object GraphOps {
                                     dampNum: Long, dampDen: Long,
                                     scale: Long,
                                     checkpointEvery: Int): DataFrame = {
-    val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    // 1-row side, explicitly broadcast: the plan must never depend on
-    // AQE noticing the single-row side of a cross join
-    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    var pr = nodes.crossJoin(nDf)
-      .select(col("node"), expr(s"$scale div n_nodes").as("pr"))
-    for (i <- 1 to iterations) {
-      // alias-qualified join: after round 1 the rank vector's lineage
-      // contains edgesDeg itself, so unqualified Dataset-column
-      // references would be ambiguous self-join attributes. Every node
-      // of an undirected graph has in-edges, so the groupBy(dst)
-      // already covers the full node set — no dangling-node re-join.
-      //
-      // shuffle_hash PINNED on the rank-vector side (here and in every
-      // ranking loop): this chained plan carries no runtime stats, so
-      // the static estimator can shrink a mid-chain intermediate under
-      // the broadcast threshold and the planner then BUILDS an
-      // |V|+-scale hashed relation on the driver — observed as a
-      // driver OOM on the 30× soak fixture (round 16), and at 100 TB
-      // the rank vector is billions of rows, so a broadcast there can
-      // never be right. The hint forces the designed shape: edges
-      // satisfy the join's distribution from their checkpointed src
-      // layout, only the |V|-row vector crosses the wire, and the
-      // per-task build side is |V|/partitions.
-      pr = edgesDeg.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
-        .groupBy(col("e.dst"))
-        .agg(sum(expr("pr div deg")).as("in_sum"))
-        .crossJoin(nDf)
-        .select(col("dst").as("node"),
-          (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
-            expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
-      if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
-    }
-    // materialize the RESULT too: the caller gets a lineage-free
-    // |V|-row relation instead of an `iterations`-deep plan that
-    // would re-execute per downstream action
-    materialize(pr)
+    // n_nodes enters as a COUNTED LITERAL (round 17): the former
+    // 1-row broadcast-aggregate crossJoin re-built its broadcast
+    // exchange on every downstream action (one extra job each —
+    // AbLoopVariants measured the literal form at 26 vs 40 jobs for
+    // the 5-iterate trajectory twin); the count is a metadata-sized
+    // driver read of the already-checkpointed edge state, the same
+    // class of probe as teleportVector's seed count. Floor division
+    // of nonneg longs in Scala == SQL `div`, so every rank value is
+    // bit-identical (AbLoopVariants' exceptAll gate).
+    val nNodes = edgesDeg.select(col("src").as("node")).distinct().count()
+    if (nNodes == 0L)
+      // empty graph: zero-row result, same schema/behavior as before
+      return materialize(edgesDeg.select(col("src").as("node"),
+        col("deg").as("pr")).limit(0))
+    // alias-qualified join inside (see pageRankLoopN): after round 1
+    // the rank vector's lineage contains edgesDeg itself, so
+    // unqualified Dataset-column references would be ambiguous
+    // self-join attributes. Every node of an undirected graph has
+    // in-edges, so the groupBy(dst) covers the full node set.
+    //
+    // shuffle_hash PINNED on the rank-vector side (here and in every
+    // ranking loop): this chained plan carries no runtime stats, so
+    // the static estimator can shrink a mid-chain intermediate under
+    // the broadcast threshold and the planner then BUILDS an
+    // |V|+-scale hashed relation on the driver — observed as a
+    // driver OOM on the 30× soak fixture (round 16), and at 100 TB
+    // the rank vector is billions of rows, so a broadcast there can
+    // never be right. The hint forces the designed shape: edges
+    // satisfy the join's distribution from their checkpointed src
+    // layout, only the |V|-row vector crosses the wire, and the
+    // per-task build side is |V|/partitions.
+    pageRankLoopN(edgesDeg, nNodes, iterations, dampNum, dampDen, scale,
+      checkpointEvery)
   }
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
@@ -265,7 +283,7 @@ object GraphOps {
       "personalizedPageRank: need 0 < damp < 1")
     require(checkpointEvery >= 1,
       "personalizedPageRank: checkpointEvery must be >= 1")
-    val pairsM = materialize(pairs.select(col("id1"), col("id2")))
+    val pairsM = lazyMat(pairs.select(col("id1"), col("id2")))
     val edgesDeg = edgesWithDegree(pairsM)
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val tele = teleportVector(nodes, seeds, scale, "personalizedPageRank")
@@ -287,7 +305,7 @@ object GraphOps {
     * ROUND). */
   private def teleFusedEdges(edgesDeg: DataFrame,
                              tele: DataFrame): DataFrame =
-    materialize(
+    lazyMat(
       edgesDeg.join(
           tele.select(col("node").as("dst"), col("tele").as("tele_dst")),
           Seq("dst"))
@@ -308,7 +326,10 @@ object GraphOps {
             expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
-    materialize(pr)
+    // lazy result checkpoint (round 17): still lineage-free for the
+    // caller; the caller's first action materializes it without the
+    // standalone eager job
+    lazyMat(pr)
   }
 
   /** The iterate TRAJECTORY of [[pageRank]] as maintainable state:
@@ -345,7 +366,7 @@ object GraphOps {
     * re-run per batch, fold ≈ recompute even on a concentrated
     * delta). Build once per graph, feed every consumer. */
   def pageRankEdgeState(pairs: DataFrame): DataFrame =
-    edgesWithDegree(materialize(pairs.select(col("id1"), col("id2"))))
+    edgesWithDegree(lazyMat(pairs.select(col("id1"), col("id2"))))
 
   /** [[pageRankTrajectory]] over a PREBUILT [[pageRankEdgeState]] —
     * the sharing seam: a demo (or production state build) that
@@ -358,19 +379,27 @@ object GraphOps {
     require(iterations >= 1, "pageRankTrajectory: need >= 1 iteration")
     require(dampNum > 0 && dampNum < dampDen,
       "pageRankTrajectory: need 0 < damp < 1")
+    // round 17 (guide §1/§2, AbLoopVariants A/B): n as a counted
+    // literal (kills the per-action broadcast rebuild of the old
+    // 1-row crossJoin side) and LAZY per-iterate checkpoints — the
+    // first consumer action (every fold starts with a full-trajectory
+    // probe aggregate) materializes all iterate blocks in ONE job
+    // where the eager form paid one action per iterate. 40 → 21 jobs
+    // for the 5-iterate build, values bit-identical (exceptAll gate).
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
-    val nDf = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
-    var pr = materialize(nodes.crossJoin(nDf)
-      .select(col("node"), expr(s"$scale div n_nodes").as("pr")))
+    val nNodes = nodes.count()
+    val tp = if (nNodes == 0L) 0L
+      else (scale * (dampDen - dampNum)) / dampDen / nNodes
+    var pr = lazyMat(nodes.select(col("node"),
+      lit(if (nNodes == 0L) 0L else scale / nNodes).as("pr")))
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
-      pr = materialize(
+      pr = lazyMat(
         edgesDeg.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
           .groupBy(col("e.dst"))
           .agg(sum(expr("pr div deg")).as("in_sum"))
-          .crossJoin(nDf)
           .select(col("dst").as("node"),
-            (expr(s"($scale * ${dampDen - dampNum}) div $dampDen div n_nodes") +
+            (lit(tp) +
               expr(s"($dampNum * in_sum) div $dampDen")).as("pr")))
       iterates :+= pr.withColumn("iter", lit(i))
     }
@@ -610,7 +639,9 @@ object GraphOps {
     // deletion perturbs (see pageRankDelete's signed induction)
     val edgesAll = prevEdgesDeg.select("src", "dst")
       .unionByName(p.dNew.select("src", "dst"))
-    val hop0 = materialize(
+    // lazy: the ball probe's first count materializes hop0 (and the
+    // prep's lazy checkpoints behind it) in one job
+    val hop0 = lazyMat(
       p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
@@ -628,7 +659,7 @@ object GraphOps {
           dampNum, dampDen, scale)
         // node-universe merge: nodes stranded by deletions keep
         // their teleport-only rank
-        (materialize(it0.select(col("node"))
+        (lazyMat(it0.select(col("node"))
           .join(ranks, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("pr"), lit(tp)).as("pr"))), Some(st))
@@ -646,8 +677,10 @@ object GraphOps {
       // than writing (iterations+1)·|V| rows to checkpoint storage
       // first (SOAK_r16_fold_100x: that write was the fold's
       // residual floor — VERDICT r16 item 2)
-      val ball = materialize(ball0)
-      val traj = if (wantTrajectory) materialize(traj0) else traj0
+      // ball0 is already a counted lazy checkpoint from the probe
+      // (blocks materialized, lineage cut) — no second copy
+      val ball = ball0
+      val traj = if (wantTrajectory) lazyMat(traj0) else traj0
       val ballMax = ball.select(col("doc_id").as("node"))
       val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
       // the only nodes whose OLD iterates any round reads are
@@ -657,7 +690,7 @@ object GraphOps {
       // different graph silently dropping in-neighbor contributions
       // is the one mismatch the global probes can't see (ADVICE r14)
       val srcBall = edgesBall.select(col("src").as("node")).distinct()
-      val trajBall = materialize(
+      val trajBall = lazyMat(
         traj.join(srcBall, Seq("node"), "left_semi"))
       ballCoverageCheck(srcBall, trajBall, "pageRankDelta")
       val rounds = ballRounds(traj, trajBall, ball, edgesBall,
@@ -667,7 +700,7 @@ object GraphOps {
             (lit(tp) + expr(s"($dampNum * coalesce(in_sum, " +
               s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
       if (wantTrajectory) {
-        val merged = materialize((0 to iterations).map { i =>
+        val merged = lazyMat((0 to iterations).map { i =>
           val base = traj.filter(col("iter") === i)
           if (i == 0) base // iterate 0 is delta-invariant
           else base.as("o")
@@ -678,7 +711,7 @@ object GraphOps {
         (merged, Some(survivorEdgeState(prevEdgesDeg, p)))
       } else
         // merge: untouched rows keep iterate `iterations` verbatim
-        (materialize(
+        (lazyMat(
           traj.filter(col("iter") === iterations).as("o")
             .join(rounds.last.as("n"), Seq("node"), "left")
             .select(col("node"),
@@ -706,7 +739,9 @@ object GraphOps {
           (lit(tp) + expr(s"($dampNum * in_sum) div $dampDen")).as("pr"))
       if (i % checkpointEvery == 0 && i < iterations) pr = materialize(pr)
     }
-    materialize(pr)
+    // lazy result checkpoint (round 17): lineage-free, materialized
+    // by the caller's first action
+    lazyMat(pr)
   }
 
   /** Trajectory loop over the node UNIVERSE with a literal n —
@@ -719,7 +754,9 @@ object GraphOps {
                                 dampNum: Long, dampDen: Long,
                                 scale: Long): DataFrame = {
     val tp = (scale * (dampDen - dampNum)) / dampDen / nNodes
-    var pr = materialize(
+    // lazy per-iterate checkpoints (round 17) — see
+    // pageRankTrajectoryFromEdges
+    var pr = lazyMat(
       nodesAll.select(col("node"), lit(scale / nNodes).as("pr")))
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
@@ -728,7 +765,7 @@ object GraphOps {
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"), col("in_sum"))
-      pr = materialize(nodesAll.join(inSums, Seq("node"), "left")
+      pr = lazyMat(nodesAll.join(inSums, Seq("node"), "left")
         .select(col("node"),
           (lit(tp) + expr(s"($dampNum * coalesce(in_sum, " +
             s"CAST(0 AS BIGINT))) div $dampDen")).as("pr")))
@@ -769,10 +806,13 @@ object GraphOps {
     val nodes = edgesDeg.select(col("src").as("node")).distinct()
     val tele = teleportVector(nodes, seeds, scale, "pprTrajectory")
     val edgesTele = teleFusedEdges(edgesDeg, tele)
+    // lazy per-iterate checkpoints (round 17) — see
+    // pageRankTrajectoryFromEdges; one consumer action materializes
+    // the whole pack instead of one eager action per iterate
     var pr = tele.select(col("node"), col("tele").as("pr"))
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
-      pr = materialize(
+      pr = lazyMat(
         edgesTele.as("e").join(pr.hint("shuffle_hash").as("p"), col("e.src") === col("p.node"))
           .groupBy(col("e.dst"))
           .agg(sum(expr("pr div deg")).as("in_sum"),
@@ -799,7 +839,7 @@ object GraphOps {
       throw new IllegalArgumentException(
         s"$who: no seed appears in the graph — teleport mass would " +
           "be undefined")
-    materialize(
+    lazyMat(
       nodes.join(seedNodes.withColumn("is_seed", lit(1L)), Seq("node"), "left")
         .select(col("node"),
           when(col("is_seed").isNotNull, lit(scale / nSeeds))
@@ -1256,11 +1296,12 @@ object GraphOps {
           "the depth the trajectory was built with")
     val p = prepSigned(it0, prevEdgesDeg, addedPairs, deletedPairs,
       maybeDeletes, "pprDelta")
-    // iterate 0, now VERIFIED, is the teleport relation
-    val tele = materialize(it0.select(col("node"), col("pr").as("tele")))
+    // iterate 0, now VERIFIED, is the teleport relation (lazy: the
+    // ball probe / first loop action materializes it in-job)
+    val tele = lazyMat(it0.select(col("node"), col("pr").as("tele")))
     val edgesAll = prevEdgesDeg.select("src", "dst")
       .unionByName(p.dNew.select("src", "dst"))
-    val hop0 = materialize(
+    val hop0 = lazyMat(
       p.endsChanged.select(col("node").as("doc_id"), lit(0).as("hops")))
     val (ball0, majority) =
       bfsRoundsAggCapped(edgesAll, hop0, iterations, (nNodes + 1L) / 2L)
@@ -1274,17 +1315,18 @@ object GraphOps {
         iterations, dampNum, dampDen, checkpointEvery = 5)
       // node-universe merge: stranded nodes decay to their
       // teleport-only rank (zero off the seed set)
-      return (materialize(tele.join(ranks, Seq("node"), "left")
+      return (lazyMat(tele.join(ranks, Seq("node"), "left")
         .select(col("node"), coalesce(col("pr"),
           expr(s"((${dampDen - dampNum}) * tele) div $dampDen"))
           .as("pr"))), Some(st))
     }
-    val ball = materialize(ball0)
+    // ball0 is already a counted lazy checkpoint from the probe
+    val ball = ball0
     // full-trajectory checkpoint only when the merged trajectory is
     // the output (pprStateFold) — tip-only folds re-scan the caller's
     // pinned state twice instead of paying the (iterations+1)·|V|
     // write floor (VERDICT r16 item 2; see pageRankSignedCore)
-    val traj = if (wantTrajectory) materialize(traj0) else traj0
+    val traj = if (wantTrajectory) lazyMat(traj0) else traj0
     val ballMax = ball.select(col("doc_id").as("node"))
     // plain (not tele-fused) ball edges: the ball rounds read tele
     // per BALL NODE from the verified |V|-row relation instead — a
@@ -1293,7 +1335,7 @@ object GraphOps {
     // tele on nodes with surviving in-edges)
     val edgesBall = ballEdges(prevEdgesDeg, p, ballMax)
     val srcBall = edgesBall.select(col("src").as("node")).distinct()
-    val trajBall = materialize(traj.join(srcBall, Seq("node"), "left_semi"))
+    val trajBall = lazyMat(traj.join(srcBall, Seq("node"), "left_semi"))
     ballCoverageCheck(srcBall, trajBall, "pprDelta")
     val rounds = ballRounds(traj, trajBall, ball, edgesBall,
       iterations, dampNum, dampDen,
@@ -1306,7 +1348,7 @@ object GraphOps {
     if (wantTrajectory) {
       // ball-sized overrides merged over the old iterates — the same
       // merge as pageRankSignedCore's fold-branch trajectory
-      val merged = materialize((0 to iterations).map { i =>
+      val merged = lazyMat((0 to iterations).map { i =>
         val base = traj.filter(col("iter") === i)
         if (i == 0) base // iterate 0 IS tele — delta-invariant
         else base.as("o")
@@ -1316,7 +1358,7 @@ object GraphOps {
       }.reduce(_ unionByName _))
       (merged, Some(survivorEdgeState(prevEdgesDeg, p)))
     } else
-      (materialize(
+      (lazyMat(
         traj.filter(col("iter") === iterations).as("o")
           .join(rounds.last.as("n"), Seq("node"), "left")
           .select(col("node"),
@@ -1335,7 +1377,9 @@ object GraphOps {
   private def pprTrajLoopN(edgesDeg: DataFrame, tele: DataFrame,
                            iterations: Int, dampNum: Long,
                            dampDen: Long): DataFrame = {
-    var pr = materialize(tele.select(col("node"), col("tele").as("pr")))
+    // lazy per-iterate checkpoints (round 17) — see
+    // pageRankTrajectoryFromEdges
+    var pr = lazyMat(tele.select(col("node"), col("tele").as("pr")))
     var iterates = Vector(pr.withColumn("iter", lit(0)))
     for (i <- 1 to iterations) {
       val inSums = edgesDeg.as("e")
@@ -1343,7 +1387,7 @@ object GraphOps {
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"), col("in_sum"))
-      pr = materialize(tele.join(inSums, Seq("node"), "left")
+      pr = lazyMat(tele.join(inSums, Seq("node"), "left")
         .select(col("node"),
           (expr(s"((${dampDen - dampNum}) * tele) div $dampDen") +
             expr(s"($dampNum * coalesce(in_sum, " +
@@ -1422,9 +1466,21 @@ object GraphOps {
                          addedPairs: DataFrame, deletedPairs: DataFrame,
                          maybeDeletes: Boolean,
                          who: String): SignedPrep = {
-    val dSym = materialize(symPairs(addedPairs))
+    // round 17: ONE lazily-materialized checkpoint for both signed
+    // sides (sign-tagged union of the two per-side distincts) instead
+    // of one eager checkpoint each — the fused probe's collect below
+    // is the action that materializes the blocks, so the prep pays no
+    // standalone checkpoint jobs at all. Values unchanged: the tag
+    // keeps the sides disjoint, and each side was distinct'd before
+    // the union exactly as before.
+    val bothSym =
+      if (maybeDeletes) lazyMat(
+        symPairs(addedPairs).withColumn("sgn", lit(1))
+          .unionByName(symPairs(deletedPairs).withColumn("sgn", lit(-1))))
+      else lazyMat(symPairs(addedPairs).withColumn("sgn", lit(1)))
+    val dSym = bothSym.filter(col("sgn") === 1).drop("sgn")
     val delSym =
-      if (maybeDeletes) materialize(symPairs(deletedPairs))
+      if (maybeDeletes) bothSym.filter(col("sgn") === -1).drop("sgn")
       else dSym.limit(0)
     val it0N = it0.select(col("node"))
     // node check on ADDITION endpoints only: deletion endpoints are
@@ -1450,16 +1506,25 @@ object GraphOps {
     // against that delta-sized remnant.
     val existing = prevEdgesDeg.select("src", "dst")
       .join(hintIf(small)(dSym), Seq("src", "dst"), "left_semi")
-    val dNew = materialize(
-      dSym.join(hintIf(small)(existing), Seq("src", "dst"), "left_anti"))
     // genuinely gone = (deleted ∩ prior) − added: an edge deleted and
     // re-added in the same batch nets to "present, degree unchanged"
-    // under the survivor law (prior − deleted) ∪ added
+    // under the survivor law (prior − deleted) ∪ added.
+    // round 17: new and gone share ONE lazy sign-tagged checkpoint
+    // (they were two eager ones); the ball probe's first count below
+    // (via endsChanged/hop0) materializes the blocks in-job.
+    val newPlan = dSym
+      .join(hintIf(small)(existing), Seq("src", "dst"), "left_anti")
+    val bothNg =
+      if (maybeDeletes) lazyMat(
+        newPlan.withColumn("sgn", lit(1)).unionByName(
+          prevEdgesDeg.select("src", "dst")
+            .join(hintIf(small)(delSym), Seq("src", "dst"), "left_semi")
+            .join(hintIf(small)(dSym), Seq("src", "dst"), "left_anti")
+            .withColumn("sgn", lit(-1))))
+      else lazyMat(newPlan.withColumn("sgn", lit(1)))
+    val dNew = bothNg.filter(col("sgn") === 1).drop("sgn")
     val dGone =
-      if (maybeDeletes) materialize(
-        prevEdgesDeg.select("src", "dst")
-          .join(hintIf(small)(delSym), Seq("src", "dst"), "left_semi")
-          .join(hintIf(small)(dSym), Seq("src", "dst"), "left_anti"))
+      if (maybeDeletes) bothNg.filter(col("sgn") === -1).drop("sgn")
       else delSym
     val addedN = probe.getOrElse("added_nodes", 0L)
     if (addedN > 0L)
@@ -1482,7 +1547,7 @@ object GraphOps {
     val touched = degInc.join(degDec, Seq("src"), "full_outer")
       .select(col("src"), coalesce(col("inc"), lit(0L)).as("inc"),
         coalesce(col("dec"), lit(0L)).as("dec"))
-    val touchedDeg = materialize(
+    val touchedDeg = lazyMat(
       touched.join(
           prevEdgesDeg
             .join(hintIf(small)(touched.select(col("src"))), Seq("src"),
@@ -1532,8 +1597,10 @@ object GraphOps {
     // pin = false when the state is only PERSISTED downstream (the
     // pack fold's restricted branch: the publisher's parquet write is
     // the one consumer) — a checkpoint there would write the full |E|
-    // relation once extra for nothing (VERDICT r16 item 2's floor)
-    if (pin) materialize(out) else out
+    // relation once extra for nothing (VERDICT r16 item 2's floor).
+    // pin = true is a LAZY checkpoint since round 17: the consuming
+    // loop's first action materializes it, same blocks, one less job
+    if (pin) lazyMat(out) else out
   }
 
   /** The fold's edge relation: ball-restricted survivors,
@@ -1549,7 +1616,7 @@ object GraphOps {
         priorBall.join(hintIf(p.small)(p.dGone), Seq("src", "dst"),
           "left_anti")
       else priorBall
-    materialize(
+    lazyMat(
       patchDegrees(kept.select("src", "dst", "deg"), p)
         .unionByName(
           p.dNew.as("d")
@@ -1619,7 +1686,9 @@ object GraphOps {
         .groupBy(col("e.dst"))
         .agg(sum(expr("pr div deg")).as("in_sum"))
         .select(col("dst").as("node"), col("in_sum"))
-      newVals = materialize(assemble(ballI, inSums))
+      // lazy: no action runs between rounds, so the whole round chain
+      // materializes inside the caller's merge action (round 17)
+      newVals = lazyMat(assemble(ballI, inSums))
       out :+= newVals
     }
     out
